@@ -1,0 +1,154 @@
+"""Scalar expression library.
+
+Re-expresses the reference's scalar helpers (reference:
+src/utils/utils.py:11-171) as native Spark Column expressions so they
+stay inside whole-stage codegen — the reference computes them
+row-at-a-time in Python. Each function documents the reference
+semantics it reproduces, including the null/zero/error contracts.
+
+Determinism note: a few functions offer a *chained-multiplication*
+variant instead of ``pow`` — ``java.lang.Math.pow`` and C ``pow`` can
+differ in the last ULP, while IEEE multiply/divide/add are exactly
+reproducible across engines. The oracle-checked testbed queries use the
+chained variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: APY hard cap before DECIMAL(10,2) storage (reference: utils.py:32-34).
+APY_CAP = 99999999.99
+
+#: Uniswap-V3 fixed-point scale (reference: utils.py:75,137-138).
+Q96 = 2**96
+
+
+def _col(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def pct_to_fraction(apr) -> Column:
+    """Percent -> fraction with falsy->0 (reference: Bifrost.py:274-278,
+    Hydration.py:289-293, Stellar.py:62-65: ``apr/100`` guarded by
+    ``if apr`` — null/0 both yield 0)."""
+    apr = _col(apr)
+    return F.when(apr.isNull() | (apr == 0), F.lit(0.0)).otherwise(apr / 100.0)
+
+
+def apy_compound(apr, periods: int) -> Column:
+    """Compound APR->APY: ``((1 + apr/n)^n - 1) * 100``.
+
+    Reference semantics (utils.py:11-38): result capped at 99999999.99,
+    rounded HALF_UP to 2 dp, stored as DECIMAL(10,2); ``n == 0`` is a
+    caller error (we require a positive literal at build time, turning
+    the reference's runtime ValueError into a plan-time failure); null
+    apr yields null (the reference raises — callers there guard with
+    ``if apr`` first, which is pct_to_fraction's falsy->0 contract).
+    """
+    if periods <= 0:
+        raise ValueError("compounding periods must be a positive integer")
+    apr = _col(apr)
+    grown = F.pow(F.lit(1.0) + apr / float(periods), float(periods))
+    apy = (grown - 1.0) * 100.0
+    return F.round(F.least(apy, F.lit(APY_CAP)), 2).cast("decimal(10,2)")
+
+
+def apy_compound_monthly(apr) -> Column:
+    """APY with n=12 via an exact multiplication chain (x^12 = ((x^3)^2)^2).
+
+    Bit-reproducible across engines (pure IEEE multiplies — no libm
+    ``pow``), used by the oracle-checked q_apy query. Same cap/round
+    contract as :func:`apy_compound`.
+    """
+    apr = _col(apr)
+    x = F.lit(1.0) + apr / 12.0
+    x3 = x * x * x
+    x6 = x3 * x3
+    x12 = x6 * x6
+    apy = (x12 - 1.0) * 100.0
+    return F.round(F.least(apy, F.lit(APY_CAP)), 2).cast("decimal(10,2)")
+
+
+def pct_change(cur, prev) -> Column:
+    """Period-over-period % change (reference: utils.py:101-121, shared
+    YoY/QoQ formula): ``round((cur - prev) / prev * 100, 2)``; NULL when
+    either side is null or ``prev == 0``."""
+    cur, prev = _col(cur), _col(prev)
+    return F.when(
+        cur.isNotNull() & prev.isNotNull() & (prev != 0),
+        F.round((cur - prev) / prev * 100.0, 2),
+    )
+
+
+def normalize_symbol(symbol) -> Column:
+    """Prefix a symbol with ``v`` unless already v-prefixed
+    (case-insensitive test, original casing preserved — reference:
+    Hydration.py:13-16)."""
+    symbol = _col(symbol)
+    return F.when(
+        F.lower(symbol).startswith("v"), symbol
+    ).otherwise(F.concat(F.lit("v"), symbol))
+
+
+def tvl_naive(amount0, decimals0, amount1, decimals1, price) -> Column:
+    """Naive pool TVL (reference: utils.py:41-54): token0 valued at $1,
+    token1 at ``price``: ``amt0/10^d0 + amt1/10^d1 * price``."""
+    a0, d0 = _col(amount0), _col(decimals0)
+    a1, d1 = _col(amount1), _col(decimals1)
+    return a0 / F.pow(F.lit(10.0), d0) + (a1 / F.pow(F.lit(10.0), d1)) * _col(price)
+
+
+def token_price_ratio_q96(sqrt_price_x96, decimals0, decimals1) -> Column:
+    """token1/token0 price ratio from Uniswap-V3 ``sqrt_price_x96``
+    (reference: utils.py:137-146): ``(sqrt_price/2^96)^2 * 10^(d0-d1)``.
+
+    Double-precision variant (exact IEEE ops; the square is a single
+    multiply, not libm pow). For the reference's 50-digit-decimal
+    contract use functions.decimalq96.token_prices_q96_exact.
+    """
+    sp = _col(sqrt_price_x96) / F.lit(float(Q96))
+    ratio = sp * sp
+    return ratio * F.pow(F.lit(10.0), _col(decimals0) - _col(decimals1))
+
+
+def tvl_q96(amount0, decimals0, amount1, decimals1, sqrt_price_x96,
+            token0_usd=None, token1_usd=None) -> Column:
+    """TVL with the Q96 price ratio (reference: utils.py:69-85): price
+    one side from the other via ``(sqrt_price/2^96)^2``; at least one
+    side's USD price must be supplied (both-null rows yield NULL — the
+    reference raises; in a set-oriented engine the row-level contract
+    surfaces as a null you can filter or assert on)."""
+    a0, d0 = _col(amount0), _col(decimals0)
+    a1, d1 = _col(amount1), _col(decimals1)
+    ratio = token_price_ratio_q96(sqrt_price_x96, d0, d1)  # token1 per token0
+    h0 = a0 / F.pow(F.lit(10.0), d0)
+    h1 = a1 / F.pow(F.lit(10.0), d1)
+    if token0_usd is None and token1_usd is None:
+        raise ValueError("at least one of token0_usd/token1_usd is required")
+    p0 = _col(token0_usd) if token0_usd is not None else F.lit(None).cast("double")
+    p1 = _col(token1_usd) if token1_usd is not None else F.lit(None).cast("double")
+    p0r = F.coalesce(p0, p1 / ratio)
+    p1r = F.coalesce(p1, p0 * ratio)
+    return h0 * p0r + h1 * p1r
+
+
+def derived_price(price, exchange_ratio) -> Column:
+    """Staking-derived price ``price * exchangeRatio``
+    (reference: Bifrost.py:264)."""
+    return _col(price) * _col(exchange_ratio)
+
+
+def derived_tvl(supply, price) -> Column:
+    """``supply * price`` with null supply -> 0
+    (reference: Bifrost.py:280-283)."""
+    supply = _col(supply)
+    return F.when(supply.isNull(), F.lit(0.0)).otherwise(supply * _col(price))
+
+
+def md5_int64(col) -> Column:
+    """Deterministic 32-bit-range integer hash from md5's first 8 hex
+    chars. Engine-portable (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``)
+    — the backbone of oracle-checkable minhash/simhash/fingerprint ops.
+    """
+    return F.conv(F.substring(F.md5(_col(col)), 1, 8), 16, 10).cast("bigint")

@@ -1,0 +1,26 @@
+from dex_data_ingestor_spark.operators.incremental import (
+    incremental_window,
+    bootstrap_start,
+    Bookmark,
+)
+from dex_data_ingestor_spark.operators.dedup import dedup_first
+from dex_data_ingestor_spark.operators.asof import latest_per_key, asof_lookup
+from dex_data_ingestor_spark.operators.merge import merge_upsert
+from dex_data_ingestor_spark.operators.surrogate import (
+    surrogate_key_hash,
+    surrogate_key_dense,
+)
+from dex_data_ingestor_spark.operators.pct import period_over_period
+
+__all__ = [
+    "incremental_window",
+    "bootstrap_start",
+    "Bookmark",
+    "dedup_first",
+    "latest_per_key",
+    "asof_lookup",
+    "merge_upsert",
+    "surrogate_key_hash",
+    "surrogate_key_dense",
+    "period_over_period",
+]

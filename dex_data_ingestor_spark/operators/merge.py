@@ -1,0 +1,81 @@
+"""Set-oriented MERGE (upsert) — the reference's signature write pattern.
+
+Every reference write is a per-row ``INSERT ... ON DUPLICATE KEY
+UPDATE`` with a per-call-site *subset* of update columns (reference:
+Bifrost.py:116-124,154-180, Hydration.py:54-91,231-306,
+Stellar.py:84-170, SqlDbEtl.py:206-229; SURVEY.md §2.1-F). The engine
+replaces O(rows) statements with one distributed plan:
+
+    union(existing, updates) -> resolve per key, column-wise
+
+MySQL ``ON DUPLICATE KEY UPDATE col = VALUES(col)`` semantics are
+reproduced exactly: on a key conflict, *updated* columns take the new
+row's value (including an explicit NULL), non-updated columns keep the
+existing row's value; a brand-new key inserts the full new row.
+
+Idempotence (reference H4 guarantee — re-running a window is harmless)
+holds: applying the same batch twice yields the same table.
+
+Scale posture: one shuffle on the merge keys; AQE handles skew. On a
+lakehouse this operator is the ``foreachBatch`` body against Delta
+``MERGE INTO``; the pure-Spark path here has identical semantics and is
+what the oracle checks. At 100 TB, partition the stored table by date
+and merge only affected partitions (dynamic partition overwrite), so
+the union never rewrites cold data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def merge_upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Upsert ``updates`` into ``existing`` on ``keys``.
+
+    update_cols=None  -> full-row replace on conflict.
+    update_cols=[...] -> only those columns refresh on conflict; all
+    other non-key columns retain the existing row's values.
+
+    ``updates`` must be unique per key (pre-aggregate or
+    ``dedup_first`` a raw batch — the reference's per-batch ``processed``
+    sets do exactly that, reference: Stellar.py:83,179). ``updates`` may
+    omit non-updated columns; they are null-filled before the union.
+    """
+    cols = existing.columns
+    upd = updates
+    for c in (c for c in cols if c not in updates.columns):
+        upd = upd.withColumn(c, F.lit(None).cast(dict(existing.dtypes)[c]))
+    upd = upd.select(*cols)
+
+    non_keys = [c for c in cols if c not in keys]
+    update_set = set(update_cols) if update_cols is not None else set(non_keys)
+
+    tagged = existing.withColumn("__src", F.lit(0)).unionByName(
+        upd.withColumn("__src", F.lit(1))
+    )
+    # One hash-aggregate on the keys: bundle each side's non-key columns
+    # into a struct so "no row from this side" is a NULL struct,
+    # distinguishable from "row present with NULL fields".
+    bundle = F.struct(*[F.col(x) for x in non_keys])
+    grouped = tagged.groupBy(*keys).agg(
+        F.max(F.when(F.col("__src") == 1, bundle)).alias("__new"),
+        F.max(F.when(F.col("__src") == 0, bundle)).alias("__old"),
+    )
+    out = [F.col(k) for k in keys]
+    for c in non_keys:
+        new_v, old_v = F.col(f"__new.{c}"), F.col(f"__old.{c}")
+        if c in update_set:
+            # conflict or insert -> new value; delete-side only -> old.
+            expr = F.when(F.col("__new").isNotNull(), new_v).otherwise(old_v)
+        else:
+            # kept column: existing value wins; fresh key -> new row's.
+            expr = F.when(F.col("__old").isNotNull(), old_v).otherwise(new_v)
+        out.append(expr.alias(c))
+    return grouped.select(*out)

@@ -1,0 +1,53 @@
+"""Period-over-period change (YoY/QoQ) over a daily fact.
+
+The reference fetches "the same fact N days ago" with one point-read
+per row (reference: Hydration.py:199-228, Stellar.py:105-135) and
+computes ``(cur - prev)/prev * 100`` (reference: utils.py:101-121).
+Quirk preserved *as documented spec deviation* (SURVEY.md §7.3-4): the
+reference's "year" and "quarter" offsets are both 14 days
+(utils.py:87-99); the engine takes the offset as a parameter.
+
+Two equivalent physical strategies (tests assert they agree):
+
+- self-join: fact joined to itself on ``key, date - offset`` — Spark
+  plans a shuffled hash join on (key, date); at 100 TB with
+  date-partitioned facts this prunes to the two touched date ranges.
+- window: per-key sort + ``lag`` when the calendar is dense. A lag
+  over a row offset is only correct when every key has a row every
+  day, so the join is the default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from dex_data_ingestor_spark.functions.scalars import pct_change
+
+
+def period_over_period(
+    fact: DataFrame,
+    keys: Sequence[str],
+    date_col: str,
+    value_cols: Sequence[str],
+    offset_days: int,
+    suffix: str = "_chg",
+) -> DataFrame:
+    """Attach % change vs the row ``offset_days`` earlier per key.
+
+    Output keeps all fact columns and adds ``<value_col><suffix>`` per
+    value column (NULL where no prior row or prior value is 0/NULL —
+    the reference's null contract, utils.py:108-109,119-120).
+    """
+    prev = fact.select(
+        *[F.col(k) for k in keys],
+        F.expr(f"date_add({date_col}, {offset_days})").alias(date_col),
+        *[F.col(c).alias(f"__prev_{c}") for c in value_cols],
+    )
+    joined = fact.join(prev, on=[*keys, date_col], how="left")
+    for c in value_cols:
+        joined = joined.withColumn(
+            f"{c}{suffix}", pct_change(F.col(c), F.col(f"__prev_{c}"))
+        )
+    return joined.drop(*[f"__prev_{c}" for c in value_cols])

@@ -1,0 +1,896 @@
+"""Testbed query registry — every operator from SURVEY.md §2 as a named
+(PySpark plan, DuckDB oracle SQL) pair over the driver's tables.
+
+Cross-engine determinism rules used throughout (verified empirically —
+each aggregate value must hash bit-identically between Spark and
+DuckDB):
+
+- double SUM/AVG: cast addends to DECIMAL(18,6) (exact, order-free),
+  SUM, cast the result back to DOUBLE; AVG = double(sum)/count.
+- ``pow`` is NOT bit-stable across libm implementations: integer powers
+  are written as explicit multiplication chains (x^12 = ((x^3)^2)^2).
+- float folds that cannot be exact (vector dot products) are rounded to
+  9 dp on both sides (verified: round(x, 9) is bit-stable cross-engine,
+  and the two engines' sums differ by ~1 ULP only).
+- ``events.ts`` is TIMESTAMP(NANOS) on disk: Spark reads it at
+  microsecond precision (io.load_table), so every oracle reference to
+  it is ``CAST(ts AS TIMESTAMP)`` (ns -> us truncation) first.
+- string hashing portable across engines: first 8 hex chars of md5 as
+  an int64 (functions.scalars.md5_int64).
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame whose
+column names match the oracle SQL exactly (the driver's comparator
+sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dex_data_ingestor_spark.io import load_table
+from dex_data_ingestor_spark.functions.scalars import (
+    APY_CAP,
+    apy_compound_monthly,
+    md5_int64,
+    normalize_symbol,
+    pct_change,
+    derived_price,
+    derived_tvl,
+)
+from dex_data_ingestor_spark.operators.asof import latest_per_key
+from dex_data_ingestor_spark.operators.dedup import dedup_first
+from dex_data_ingestor_spark.operators.incremental import (
+    bootstrap_start,
+    incremental_window,
+)
+from dex_data_ingestor_spark.operators.merge import merge_upsert
+from dex_data_ingestor_spark.operators.pct import period_over_period
+from dex_data_ingestor_spark.operators.surrogate import surrogate_key_dense
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec_sum(col, alias: str):
+    """Order-insensitive bit-exact double sum (see module docstring)."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+# =========================================================================
+# A/B. Scans, projections, filters  (SURVEY §2.1 A1, B1-B5)
+# =========================================================================
+
+
+@register(
+    "q_scan_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_shipdate
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark, sf_dir):
+    """Column projection pushed into the parquet scan (reference: the
+    explicit SELECT lists at Bifrost.py:89, Stellar.py:30-33)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+
+
+WINDOW_LO = "2024-01-10 00:00:00"
+WINDOW_HI = "2024-01-20 00:00:00"
+
+
+@register(
+    "q_incremental_range",
+    f"""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '{WINDOW_LO}'
+      AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '{WINDOW_HI}'
+    """,
+)
+def q_incremental_range(spark, sf_dir):
+    """Half-open incremental window ``lo < ts <= hi`` (reference:
+    Bifrost.py:90, SqlDbEtl.py:145 — the exactly-once window contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    return incremental_window(ev, "ts", WINDOW_LO, WINDOW_HI).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "q_point_filter",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer WHERE c_custkey = 42
+    """,
+)
+def q_point_filter(spark, sf_dir):
+    """Equality point lookup (reference: dim lookup WHERE name=%s,
+    SqlDbEtl.py:152)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    )
+
+
+@register(
+    "q_null_filter",
+    """
+    SELECT event_id, sym, value_filled
+    FROM (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL
+                  WHEN event_type = 'signup' THEN ''
+                  ELSE event_type END AS sym,
+             COALESCE(CASE WHEN value < 1.0 THEN NULL ELSE value END, 0.0)
+               AS value_filled
+      FROM events
+    )
+    WHERE sym IS NOT NULL AND sym <> ''
+    """,
+)
+def q_null_filter(spark, sf_dir):
+    """Null/empty rejection + null-coalescing defaults (reference:
+    ``if not asset: continue`` at Bifrost.py:98-99; ``apy or 0``
+    defaults at Bifrost.py:179). Nulls are synthesized because the
+    testbed table has none."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .when(F.col("event_type") == "signup", F.lit(""))
+        .otherwise(F.col("event_type"))
+    )
+    value_filled = F.coalesce(
+        F.when(F.col("value") < 1.0, F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+        F.lit(0.0),
+    )
+    return (
+        ev.select(
+            "event_id", sym.alias("sym"), value_filled.alias("value_filled")
+        )
+        .filter(F.col("sym").isNotNull() & (F.col("sym") != ""))
+    )
+
+
+@register(
+    "q_blacklist_filter",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE lower(event_type) NOT IN ('error', 'signup')
+    """,
+)
+def q_blacklist_filter(spark, sf_dir):
+    """Case-insensitive NOT-IN blacklist (reference: pseudo-asset skip
+    {'tvl','addresses','revenue'} after lower(), Bifrost.py:101-103)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        ~F.lower(F.col("event_type")).isin("error", "signup")
+    ).select("event_id", "event_type")
+
+
+# =========================================================================
+# C. Joins  (SURVEY §2.1 C1-C6)
+# =========================================================================
+
+
+@register(
+    "q_dim_broadcast_join",
+    """
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_dim_broadcast_join(spark, sf_dir):
+    """Dimension lookup as a broadcast hash join — replaces the
+    reference's per-row ``SELECT chain_id FROM dim_chains WHERE name=%s``
+    N+1 pattern (reference: Bifrost.py:78-85, Stellar.py:46-53).
+    Missing dim keys drop rows: inner-join semantics, exactly the
+    reference's skip-with-warning behavior."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "q_surrogate_join",
+    """
+    WITH dim AS (
+      SELECT p_brand, p_type,
+             DENSE_RANK() OVER (ORDER BY p_brand, p_type) AS brand_type_id
+      FROM (SELECT DISTINCT p_brand, p_type FROM part)
+    )
+    SELECT p.p_partkey, d.brand_type_id
+    FROM part p JOIN dim d ON p.p_brand = d.p_brand AND p.p_type = d.p_type
+    """,
+)
+def q_surrogate_join(spark, sf_dir):
+    """Surrogate-key dimension resolution (reference: AUTO_INCREMENT +
+    readback at Bifrost.py:127-130) — deterministic dense_rank surrogate
+    here for oracle parity; operators.surrogate_key_hash (xxhash64) is
+    the production-scale variant."""
+    p = load_table(spark, sf_dir, "part")
+    dim = surrogate_key_dense(
+        p.select("p_brand", "p_type").distinct(),
+        ["p_brand", "p_type"],
+        "brand_type_id",
+    )
+    return p.join(F.broadcast(dim), ["p_brand", "p_type"]).select(
+        "p_partkey", "brand_type_id"
+    )
+
+
+@register(
+    "q_asof_price",
+    """
+    WITH latest AS (
+      SELECT user_id, value FROM events
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
+    )
+    SELECT c_custkey, COALESCE(l.value, 1.0) AS price_usd
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.user_id
+    """,
+)
+def q_asof_price(spark, sf_dir):
+    """Latest-value as-of join with a default (reference: latest
+    Hydration_price per symbol ``ORDER BY created_at DESC LIMIT 1``,
+    default 1.0, Stellar.py:67-78). One rank window + one broadcast
+    join replaces a per-row remote query."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    latest = latest_per_key(ev, ["user_id"], "ts", ["event_id"]).select(
+        "user_id", "value"
+    )
+    return cust.join(
+        F.broadcast(latest), cust.c_custkey == latest.user_id, "left"
+    ).select(
+        "c_custkey", F.coalesce(F.col("value"), F.lit(1.0)).alias("price_usd")
+    )
+
+
+@register(
+    "q_prefix_enrich",
+    """
+    WITH latest AS (
+      SELECT event_type, value FROM events
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type
+        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
+    )
+    SELECT d.event_type,
+           CASE WHEN lower(d.event_type) LIKE 'v%' THEN d.event_type
+                ELSE 'v' || d.event_type END AS norm_symbol,
+           l.value AS enriched_price
+    FROM (SELECT DISTINCT event_type FROM events) d
+    LEFT JOIN latest l
+      ON (CASE WHEN lower(d.event_type) LIKE 'v%' THEN d.event_type
+               ELSE 'v' || d.event_type END) = 'v' || l.event_type
+    """,
+)
+def q_prefix_enrich(spark, sf_dir):
+    """Cross-source price enrichment after prefix normalization
+    (reference: the disabled v-prefix join Bifrost.py:135-147 with
+    normalize_symbol Hydration.py:13-16)."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct()
+    latest = latest_per_key(ev, ["event_type"], "ts", ["event_id"]).select(
+        F.col("event_type").alias("src_type"), "value"
+    )
+    norm = normalize_symbol(F.col("event_type"))
+    return (
+        dim.withColumn("norm_symbol", norm)
+        .join(
+            F.broadcast(latest),
+            F.col("norm_symbol") == F.concat(F.lit("v"), F.col("src_type")),
+            "left",
+        )
+        .select(
+            "event_type", "norm_symbol", F.col("value").alias("enriched_price")
+        )
+    )
+
+
+# =========================================================================
+# D/E. Aggregations, distinct, dedup, top-k  (SURVEY §2.1 D1-D4, E1)
+# =========================================================================
+
+
+@register(
+    "q_min_bootstrap",
+    """
+    SELECT CAST(min(ts) AS TIMESTAMP) - INTERVAL 1 SECOND AS bootstrap_ts
+    FROM events
+    """,
+)
+def q_min_bootstrap(spark, sf_dir):
+    """Bootstrap cursor ``MIN(created_at) - 1s`` (reference:
+    SqlDbEtl.py:133-140)."""
+    return bootstrap_start(load_table(spark, sf_dir, "events"), "ts")
+
+
+@register(
+    "q_distinct",
+    "SELECT DISTINCT event_type FROM events",
+)
+def q_distinct(spark, sf_dir):
+    """DISTINCT over the source-chain column (reference: SELECT DISTINCT
+    chain FROM Bifrost_batchID_table, SqlDbEtl.py:142-148)."""
+    return load_table(spark, sf_dir, "events").select("event_type").distinct()
+
+
+@register(
+    "q_dedup_first",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+    """,
+)
+def q_dedup_first(spark, sf_dir):
+    """First-wins dedup with a pinned deterministic order (reference
+    keeps first-by-scan-order via Python sets, Stellar.py:83,179; the
+    engine pins first-by-(ts, id), SURVEY §7.3-3)."""
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_first(ev, ["user_id"], [F.col("ts"), F.col("event_id")]).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+@register("q_count", "SELECT COUNT(*) AS n_rows FROM lineitem")
+def q_count(spark, sf_dir):
+    """Processed-row counting (reference: count/len(processed) returns,
+    Bifrost.py:95-96,300)."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "q_group_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_group_agg(spark, sf_dir):
+    """Grouped aggregation, TPC-H Q1 shape — the hash-agg path that
+    replaces the reference's row-at-a-time Python accumulation
+    (SURVEY §2.1-D note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(F.to_date("l_shipdate") <= F.lit("2000-12-01"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+        _dec_sum(disc_price, "sum_disc_price"),
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q_topk",
+    """
+    SELECT event_id, user_id, value FROM events
+    ORDER BY value DESC, event_id LIMIT 10
+    """,
+)
+def q_topk(spark, sf_dir):
+    """Top-k by ordered limit (reference: ORDER BY created_at DESC
+    LIMIT 1, Stellar.py:72). Spark plans TakeOrderedAndProject — no
+    global sort materialization."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(10)
+        .select("event_id", "user_id", "value")
+    )
+
+
+# =========================================================================
+# G. Scalar library  (SURVEY §2.1 G1-G18)
+# =========================================================================
+
+
+@register(
+    "q_date_parts",
+    """
+    SELECT event_id,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+           CAST(year(CAST(ts AS TIMESTAMP)) AS INTEGER) AS event_year,
+           CAST(month(CAST(ts AS TIMESTAMP)) AS INTEGER) AS event_month,
+           CAST(day(CAST(ts AS TIMESTAMP)) AS INTEGER) AS event_day,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS event_hour,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS event_hour_ts
+    FROM events
+    """,
+)
+def q_date_parts(spark, sf_dir):
+    """timestamp->date and truncate-to-hour (reference:
+    created_at.date() Bifrost.py:113; window end truncated to hour
+    SqlDbEtl.py:98-99)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_date("ts").alias("event_date"),
+        F.year("ts").alias("event_year"),
+        F.month("ts").alias("event_month"),
+        F.dayofmonth("ts").alias("event_day"),
+        F.hour("ts").alias("event_hour"),
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias(
+            "event_hour_ts"
+        ),
+    )
+
+
+@register(
+    "q_apy",
+    f"""
+    WITH base AS (
+      SELECT event_id, 1.0 + (value / 100.0) / 12.0 AS x FROM events
+    ), p3 AS (
+      SELECT event_id, x * x * x AS x3 FROM base
+    ), p6 AS (
+      SELECT event_id, x3 * x3 AS x6 FROM p3
+    )
+    SELECT event_id,
+           CAST(ROUND(LEAST((x6 * x6 - 1.0) * 100.0, {APY_CAP}), 2)
+                AS DECIMAL(10,2)) AS apy
+    FROM p6
+    """,
+)
+def q_apy(spark, sf_dir):
+    """APR->APY compounding with cap + HALF_UP 2dp (reference:
+    utils.py:11-38). Monthly compounding via an exact multiplication
+    chain so the value is bit-reproducible (libm pow is not)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", apy_compound_monthly(F.col("value") / 100.0).alias("apy")
+    )
+
+
+@register(
+    "q_yoy_qoq",
+    """
+    WITH fact AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+      FROM events GROUP BY 1, 2
+    )
+    SELECT f.user_id, f.date, f.volume,
+      CASE WHEN p14.volume IS NOT NULL AND p14.volume <> 0 AND
+                f.volume IS NOT NULL
+           THEN ROUND((f.volume - p14.volume) / p14.volume * 100.0, 2)
+      END AS volume_yoy,
+      CASE WHEN p7.volume IS NOT NULL AND p7.volume <> 0 AND
+                f.volume IS NOT NULL
+           THEN ROUND((f.volume - p7.volume) / p7.volume * 100.0, 2)
+      END AS volume_qoq
+    FROM fact f
+    LEFT JOIN fact p14 ON f.user_id = p14.user_id
+                       AND f.date = p14.date + INTERVAL 14 DAY
+    LEFT JOIN fact p7  ON f.user_id = p7.user_id
+                       AND f.date = p7.date + INTERVAL 7 DAY
+    """,
+)
+def q_yoy_qoq(spark, sf_dir):
+    """Period-over-period % change via time-offset self-joins
+    (reference: YoY/QoQ point reads Hydration.py:199-228 with the
+    shared formula utils.py:101-121; the reference's 'year'/'quarter'
+    offsets are both 14 days — utils.py:87-99 — here 14d and 7d are
+    used so the two columns differ)."""
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.groupBy(
+        "user_id", F.to_date("ts").alias("date")
+    ).agg(_dec_sum(F.col("value"), "volume"))
+    out = period_over_period(
+        fact, ["user_id"], "date", ["volume"], 14, suffix="_yoy"
+    )
+    out = period_over_period(
+        out.select("user_id", "date", "volume", "volume_yoy"),
+        ["user_id"],
+        "date",
+        ["volume"],
+        7,
+        suffix="_qoq",
+    )
+    return out.select("user_id", "date", "volume", "volume_yoy", "volume_qoq")
+
+
+@register(
+    "q_string_norm",
+    """
+    SELECT DISTINCT event_type,
+           CASE WHEN lower(event_type) LIKE 'v%' THEN event_type
+                ELSE 'v' || event_type END AS norm_symbol
+    FROM events
+    """,
+)
+def q_string_norm(spark, sf_dir):
+    """v-prefix symbol normalization (reference: Hydration.py:13-16;
+    'view' keeps its prefix, others gain one)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type", normalize_symbol(F.col("event_type")).alias("norm_symbol")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_tvl",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / 1000000.0
+             + (l_quantity / 100.0) * (1.0 - l_discount) AS tvl
+    FROM lineitem
+    """,
+)
+def q_tvl(spark, sf_dir):
+    """Naive two-sided TVL (reference: utils.py:41-54 —
+    ``amt0/10^d0 + amt1/10^d1 * price``) with fixed decimals 6 and 2;
+    literal scale factors keep the arithmetic pure-IEEE (no libm pow)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tvl = (
+        F.col("l_extendedprice") / F.lit(1000000.0)
+        + (F.col("l_quantity") / F.lit(100.0)) * (F.lit(1.0) - F.col("l_discount"))
+    )
+    return li.select("l_orderkey", "l_linenumber", tvl.alias("tvl"))
+
+
+_Q91 = float(2**91)
+_Q96F = float(2**96)
+
+
+@register(
+    "q_token_price",
+    f"""
+    SELECT p_partkey, r * r AS price_ratio
+    FROM (
+      SELECT p_partkey,
+             (CAST(p_partkey + 1 AS DOUBLE) * {_Q91!r}) / {_Q96F!r} AS r
+      FROM part
+    )
+    """,
+)
+def q_token_price(spark, sf_dir):
+    """Uniswap-V3 price ratio from sqrt_price_x96 (reference:
+    utils.py:130-171: ``(sqrt_price/2^96)^2``). Double variant with a
+    synthesized sqrt_price = (p_partkey+1) * 2^91 — power-of-two scales
+    make the division exact, so the value is bit-reproducible. The
+    50-digit exact-decimal contract (18dp ROUND_DOWN quantization) is
+    functions.decimalq96.token_prices_q96_exact, unit-tested separately.
+    """
+    p = load_table(spark, sf_dir, "part")
+    r = (F.col("p_partkey") + 1).cast("double") * F.lit(_Q91) / F.lit(_Q96F)
+    return p.select("p_partkey", (r * r).alias("price_ratio"))
+
+
+@register(
+    "q_derived_cols",
+    """
+    SELECT event_id,
+           value * 1.05 AS derived_price,
+           CASE WHEN user_id % 7 = 0 THEN 0.0
+                ELSE (value * 10.0) * value END AS derived_tvl,
+           1 AS asset_type_id,
+           '' AS pool_address,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END
+             AS return_type_id
+    FROM events
+    """,
+)
+def q_derived_cols(spark, sf_dir):
+    """Derived/constant columns (reference: price*exchangeRatio
+    Bifrost.py:264; supply*price with null->0 Bifrost.py:280-283;
+    constant defaults Bifrost.py:105-112)."""
+    ev = load_table(spark, sf_dir, "events")
+    supply = F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+        F.col("value") * 10.0
+    )
+    return ev.select(
+        "event_id",
+        derived_price(F.col("value"), F.lit(1.05)).alias("derived_price"),
+        derived_tvl(supply, F.col("value")).alias("derived_tvl"),
+        F.lit(1).alias("asset_type_id"),
+        F.lit("").alias("pool_address"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("return_type_id"),
+    )
+
+
+# =========================================================================
+# F. Merge / upsert  (SURVEY §2.1 F1-F3)
+# =========================================================================
+
+_W1 = "SELECT l_suppkey AS suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS volume, COUNT(*) AS txns FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-01-01' GROUP BY 1"
+_W2 = "SELECT l_suppkey AS suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS volume, COUNT(*) AS txns FROM lineitem WHERE CAST(l_shipdate AS DATE) > DATE '1998-01-01' AND CAST(l_shipdate AS DATE) <= DATE '1999-01-01' GROUP BY 1"
+
+
+def _supp_window(spark, sf_dir, lo: str | None, hi: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.to_date("l_shipdate")
+    cond = d <= F.lit(hi)
+    if lo is not None:
+        cond = (d > F.lit(lo)) & cond
+    return (
+        li.filter(cond)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(_dec_sum(F.col("l_quantity"), "volume"), F.count(F.lit(1)).alias("txns"))
+    )
+
+
+@register(
+    "q_merge_upsert",
+    f"""
+    WITH w1 AS ({_W1}), w2 AS ({_W2})
+    SELECT suppkey, volume, txns FROM w2
+    UNION ALL
+    SELECT w1.suppkey, w1.volume, w1.txns FROM w1
+    WHERE NOT EXISTS (SELECT 1 FROM w2 WHERE w2.suppkey = w1.suppkey)
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """Full-row MERGE: a later batch's rows replace same-key rows
+    (reference: INSERT..ON DUPLICATE KEY UPDATE on dim_tokens /
+    fact_yield_stats, Bifrost.py:116-124,172-180). Existing = per-
+    supplier totals through 1998; updates = the 1998->1999 window."""
+    existing = _supp_window(spark, sf_dir, None, "1998-01-01")
+    updates = _supp_window(spark, sf_dir, "1998-01-01", "1999-01-01")
+    return merge_upsert(existing, updates, ["suppkey"])
+
+
+@register(
+    "q_merge_partial_update",
+    f"""
+    WITH w1 AS ({_W1}), w2 AS ({_W2})
+    SELECT COALESCE(w1.suppkey, w2.suppkey) AS suppkey,
+           CASE WHEN w2.suppkey IS NOT NULL THEN w2.volume
+                ELSE w1.volume END AS volume,
+           CASE WHEN w1.suppkey IS NOT NULL THEN w1.txns
+                ELSE w2.txns END AS txns
+    FROM w1 FULL OUTER JOIN w2 ON w1.suppkey = w2.suppkey
+    """,
+)
+def q_merge_partial_update(spark, sf_dir):
+    """Partial-update MERGE: only the update set refreshes on conflict,
+    kept columns retain existing values (reference: the per-call-site
+    update subsets, e.g. only price_usd at Bifrost.py:262, only
+    created_at at Bifrost.py:159; SURVEY §2.1-F2)."""
+    existing = _supp_window(spark, sf_dir, None, "1998-01-01")
+    updates = _supp_window(spark, sf_dir, "1998-01-01", "1999-01-01")
+    return merge_upsert(existing, updates, ["suppkey"], update_cols=["volume"])
+
+
+# =========================================================================
+# H. Streaming-shape analytics (batch-checkable forms; true Structured
+# Streaming runs live in streaming/jobs.py and tests/test_streaming.py)
+# =========================================================================
+
+
+@register(
+    "q_stream_tumbling",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling 1h event-time window (reference analog: the hourly
+    scheduler window, main.py:54-66 + SqlDbEtl.py:98-99). Uses
+    F.window — identical aggregation runs under readStream with
+    withWatermark in streaming/jobs.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    """
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+               AS b, event_type, value FROM events
+    ), expanded AS (
+      SELECT b AS window_start, event_type, value FROM buckets
+      UNION ALL
+      SELECT b - INTERVAL '30 minutes' AS window_start, event_type, value
+      FROM buckets
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding window (1h length, 30m slide) — each event lands in two
+    windows. Spark-native F.window(slide) vs the oracle's two-shifted-
+    bucket union."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_stream_session",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL OR
+                  date_diff('microsecond', prev_ts, ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq, MIN(ts) AS session_start,
+           MAX(ts) AS session_end, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def q_stream_session(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity gap) via
+    lag + running sum — the deterministic batch form of Spark's
+    session_window (streaming/jobs.py runs the native form; a pytest
+    asserts both agree)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lag("ts").over(w_order).alias("prev_ts"),
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                >= 1800 * 1000 * 1000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn("session_seq", F.sum("is_new").over(w_cum))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# =========================================================================
+# Flagship (entry): the reference's signature shape end-to-end —
+# incremental scan -> filters -> broadcast dim joins -> derived columns
+# -> grouped daily rollup.
+# =========================================================================
+
+
+@register(
+    "q_flagship_daily_revenue",
+    """
+    SELECT n_name, CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE CAST(l_shipdate AS DATE) > DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <= DATE '1997-01-01'
+      AND l_quantity IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def flagship(spark, sf_dir):
+    """Daily revenue per nation over an incremental window — one
+    declarative DAG standing in for the reference's whole per-row task
+    loop (SURVEY §3 entry point 3): windowed fact scan, broadcast dim
+    joins, derived measure, grouped daily rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    d = F.to_date("l_shipdate")
+    windowed = li.filter(
+        (d > F.lit("1996-01-01"))
+        & (d <= F.lit("1997-01-01"))
+        & F.col("l_quantity").isNotNull()
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        windowed.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", d.alias("ship_date"))
+        .agg(_dec_sum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )

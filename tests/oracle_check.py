@@ -1,0 +1,89 @@
+"""Local differential harness mirroring the driver's DuckDB-oracle
+compare: row count + column names + order-insensitive value equality.
+
+Stricter than a hash compare where it matters: floats are compared
+BITWISE (struct-packed), because any canonical value hash the driver
+computes will agree iff the bits agree.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+import struct
+
+import duckdb
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    """Canonical hashable form of one value."""
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("float", "nan")
+        return ("float", struct.pack("<d", v))
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, dt.datetime):
+        return ("ts", v.isoformat())
+    if isinstance(v, dt.date):
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(_canon(x) for x in v))
+    return (type(v).__name__, str(v))
+
+
+def _rows_to_multiset(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = {}
+    for row in rows:
+        key = tuple(_canon(row[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = parity)."""
+    problems = []
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.sql(sql)
+    d_cols = list(rel.columns)
+    d_rows = rel.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+    s_ms = _rows_to_multiset(s_cols, s_rows)
+    d_ms = _rows_to_multiset(d_cols, d_rows)
+    if s_ms != d_ms:
+        only_s = {k: c for k, c in s_ms.items() if d_ms.get(k) != c}
+        only_d = {k: c for k, c in d_ms.items() if s_ms.get(k) != c}
+        sample_s = list(only_s.items())[:3]
+        sample_d = list(only_d.items())[:3]
+        problems.append(
+            f"value mismatch: {len(only_s)} spark-only / {len(only_d)} "
+            f"duck-only row-groups; spark sample={sample_s}; duck sample={sample_d}"
+        )
+    return problems
