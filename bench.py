@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Materialization is a noop-sink write (distributed, no driver collect),
+so timings measure the full plan, not result transfer. A small warm-up
+runs first so JIT/codegen cost lands outside the measured loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dex_data_ingestor_spark.plans.testbed import QUERIES  # noqa: E402
+from dex_data_ingestor_spark.session import get_session  # noqa: E402
+
+#: Queries representative of every engine layer; doc-pair similarity
+#: queries (quadratic candidate sets) are benchmarked separately in
+#: tests, not here, to keep the headline run scan/join/agg bound.
+HEADLINE = [
+    "q_flagship_daily_revenue",
+    "q_group_agg",
+    "q_dim_broadcast_join",
+    "q_incremental_range",
+    "q_dedup_first",
+    "q_asof_price",
+    "q_yoy_qoq",
+    "q_merge_upsert",
+    "q_stream_tumbling",
+    "q_topk",
+    "q_text_stats",
+    "q_minhash_lsh",
+    "q_vector_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_session(app_name="dex-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JIT + parquet footer caches, not measured
+    materialize(QUERIES["q_count"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -51,7 +51,11 @@ def apy_compound(apr, periods: int) -> Column:
     apr = _col(apr)
     grown = F.pow(F.lit(1.0) + apr / float(periods), float(periods))
     apy = (grown - 1.0) * 100.0
-    return F.round(F.least(apy, F.lit(APY_CAP)), 2).cast("decimal(10,2)")
+    # least() SKIPS nulls in Spark — guard so null apr stays null.
+    return F.when(
+        apr.isNotNull(),
+        F.round(F.least(apy, F.lit(APY_CAP)), 2).cast("decimal(10,2)"),
+    )
 
 
 def apy_compound_monthly(apr) -> Column:
@@ -67,7 +71,10 @@ def apy_compound_monthly(apr) -> Column:
     x6 = x3 * x3
     x12 = x6 * x6
     apy = (x12 - 1.0) * 100.0
-    return F.round(F.least(apy, F.lit(APY_CAP)), 2).cast("decimal(10,2)")
+    return F.when(
+        apr.isNotNull(),
+        F.round(F.least(apy, F.lit(APY_CAP)), 2).cast("decimal(10,2)"),
+    )
 
 
 def pct_change(cur, prev) -> Column:

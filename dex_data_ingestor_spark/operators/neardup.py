@@ -1,0 +1,268 @@
+"""Near-duplicate detection for training-data pipelines (north-star J2).
+
+Four families, all expressed as declarative DataFrame plans over
+engine-portable hashing (md5-int64), no Python in the hot path:
+
+- exact dedup: content-hash groupBy (see plans; dedup_first on sha256)
+- MinHash + LSH: shingle -> K permuted min-hashes -> banded bucket
+  join. The only shuffles are the signature groupBy and the bucket
+  self-join; at 100 TB both shuffle *candidate buckets*, never all
+  pairs — the classic sub-quadratic near-dup design.
+- SimHash: sign-aggregated token-hash bits -> single 64-bit key;
+  near-dups share (or almost share) the key. Linear, one groupBy.
+- n-gram Jaccard: exact pairwise similarity, restricted to pairs that
+  share at least one gram (the join prunes the quadratic space).
+
+Determinism: hash params are fixed literals; every derived float is
+rounded (9 dp) so results are bit-reproducible cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dex_data_ingestor_spark.functions.scalars import md5_int64
+
+#: Mersenne prime 2^31-1: the classic universal-hash modulus.
+MINHASH_P = 2147483647
+
+#: Fixed (a, b) parameters for the K=8 minhash permutations
+#: h_k(x) = (a_k * x + b_k) mod P. Chosen once, shared with the oracle.
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
+    (1103515245, 12345),
+    (1299709, 7919),
+    (104729, 15485863),
+    (982451653, 32452843),
+    (179424691, 373587883),
+    (217645177, 657276199),
+    (715225739, 910471),
+    (492876847, 453987),
+)
+
+
+def word_ngrams(text, n: int):
+    """Distinct word n-grams (shingles) of ``text`` as an array column."""
+    from pyspark.sql import Column
+
+    c = text if isinstance(text, Column) else F.col(text)
+    return _word_ngrams_col(c, n)
+
+
+def _word_ngrams_col(c, n: int):
+    ws = F.split(F.trim(c), r"\s+")
+    return _grams_from_words(ws, n)
+
+
+def _grams_from_words(ws, n: int):
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(" ", *[F.get(ws, i + off) for off in range(n)]),
+    )
+    # sequence(0, negative) would DESCEND in Spark — guard short texts.
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Explode documents into distinct word n-gram shingles.
+
+    The word array is projected to a concrete column FIRST: higher-order
+    lambdas re-evaluate argument expressions per element, so inlining
+    split() into the transform costs O(words x grams) per doc —
+    measured 17x slower at sf0.1.
+    """
+    ws = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__ws")
+    )
+    return ws.select(
+        F.col(id_col),
+        F.explode(_grams_from_words(F.col("__ws"), n)).alias("gram"),
+    )
+
+
+def minhash_signatures_wide(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """K minhash values per document as K columns m0..m{K-1}:
+    min over shingles of ``(a_k * md5int(gram) + b_k) mod P``.
+
+    One shuffle total: the gram hash is computed once per shingle and
+    all K permutation minima aggregate in a single hash-aggregate —
+    no K-way row explosion (map-side partial min keeps the shuffle
+    tiny even over billions of shingles).
+    """
+    sh = shingles(df, id_col, text_col, shingle_n)
+    hashed = sh.withColumn("gram_hash", md5_int64(F.col("gram")))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("gram_hash") + F.lit(b)) % MINHASH_P).alias(
+                f"m{k}"
+            )
+            for k, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Long-format signatures (id, k, minhash) — the wide form unpivoted
+    (cheap narrow transform; no extra shuffle)."""
+    wide = minhash_signatures_wide(df, id_col, text_col, shingle_n)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.col(f"m{k}").alias("minhash"))
+            for k in range(len(MINHASH_PARAMS))
+        ]
+    )
+    return wide.select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, F.col("p.k").alias("k"), F.col("p.minhash").alias("minhash"))
+
+
+def lsh_band_buckets_wide(
+    wide: DataFrame, id_col: str, rows_per_band: int = 4
+) -> DataFrame:
+    """Band buckets straight from wide signatures — narrow transform,
+    zero additional shuffles. Output: (id, band_id, band_hash)."""
+    nk = len(MINHASH_PARAMS)
+    bands = []
+    for band_id in range(0, nk // rows_per_band):
+        ks = range(band_id * rows_per_band, (band_id + 1) * rows_per_band)
+        sig = F.concat_ws(",", *[F.col(f"m{k}").cast("string") for k in ks])
+        bands.append(
+            F.struct(
+                F.lit(band_id).alias("band_id"),
+                md5_int64(sig).alias("band_hash"),
+            )
+        )
+    return wide.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+
+
+def lsh_band_buckets(
+    signatures: DataFrame, id_col: str, rows_per_band: int = 4
+) -> DataFrame:
+    """Band buckets from long-format signatures (kept for API parity;
+    the fused wide path above is what queries use). Output:
+    (id, band_id, band_hash)."""
+    # floor, not cast: double->int CAST truncates in Spark but rounds in
+    # some engines — floor is unambiguous everywhere.
+    banded = signatures.withColumn(
+        "band_id", F.floor(F.col("k") / rows_per_band).cast("int")
+    )
+    return (
+        banded.groupBy(F.col(id_col), "band_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("k"), F.col("minhash")))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("band_sig")
+        )
+        .select(
+            F.col(id_col),
+            "band_id",
+            md5_int64(F.col("band_sig")).alias("band_hash"),
+        )
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs sharing any LSH band bucket."""
+    a = buckets.select(
+        F.col(id_col).alias("a_id"), "band_id", "band_hash"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("b_id"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash over word tokens: bit j is set when the
+    sign-sum of token-hash bit j is positive. Output: (id, simhash)."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("tok_hash", md5_int64(F.col("tok")))
+    bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
+    # shiftright/shiftleft take a Column shift only via SQL expr form.
+    contrib = tokens.select(
+        F.col(id_col), F.explode(bit_ids).alias("j"), F.col("tok_hash")
+    ).select(
+        F.col(id_col),
+        F.col("j"),
+        F.when(
+            F.expr("shiftright(tok_hash, j)").bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("c"),
+    )
+    bit_vals = contrib.groupBy(id_col, "j").agg(
+        F.when(F.sum("c") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
+    )
+    return bit_vals.groupBy(id_col).agg(
+        F.sum(
+            F.col("bit").cast("bigint")
+            * F.expr("shiftleft(cast(1 as bigint), j)")
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >= 1 gram.
+
+    Output: (a_id, b_id, jaccard) with jaccard rounded to 9 dp.
+    The shared-gram equi-join prunes the pair space; gram counts are
+    computed once per doc and broadcast through the join.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sh.select(F.col(id_col).alias("a_id"), "gram")
+    b = sh.select(F.col(id_col).alias("b_id"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(
+        F.col(id_col).alias("a_id"), F.col("n_grams").alias("a_grams")
+    )
+    cb = counts.select(
+        F.col(id_col).alias("b_id"), F.col("n_grams").alias("b_grams")
+    )
+    return (
+        inter.join(ca, "a_id")
+        .join(cb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("a_grams") + F.col("b_grams") - F.col("n_inter")),
+                9,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines (north-star J4).
+
+All hot-path expressions are native Column functions (regex counts,
+splits, md5 hashing) — JVM-side, codegen-friendly, no Python UDFs — so
+they scale linearly over a 100 TB documents table with zero shuffle
+(per-row narrow transforms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from dex_data_ingestor_spark.functions.scalars import md5_int64
+
+#: BPE-ish token pattern: word pieces, numbers, or single non-space
+#: punctuation — a deterministic stand-in for a real tokenizer's count.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword marker lists for the n-gram/stopword
+#: language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "los", "que"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is")
+
+
+def words(text) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = text if isinstance(text, Column) else F.col(text)
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text) -> Column:
+    """BPE-ish token count via regexp extraction (JVM-side)."""
+    c = text if isinstance(text, Column) else F.col(text)
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def marker_hits(text, markers: tuple[str, ...]) -> Column:
+    """How many words of ``text`` are in ``markers``."""
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    c = text if isinstance(text, Column) else F.col(text)
+    return F.size(
+        F.filter(words(c), lambda w: w.isin(*markers))
+    )
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document statistics: char/word/token counts, punctuation and
+    stopword ratios, and a composite quality score (round-9 for
+    cross-engine determinism of the derived ratios)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    word_arr = words(t)
+    n_words = F.size(word_arr)
+    n_tokens = token_count(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(word_arr, lambda w: w.isin(*STOPWORDS)))
+    # Ratios are single IEEE divisions — already bit-deterministic; do
+    # NOT round them (and never feed rounded values into further
+    # arithmetic: scaled 9dp values sit exactly on round-half ties
+    # where engines' rounding algorithms diverge).
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_words
+    avg_word_len = (
+        F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / n_words
+    )
+    quality = F.round(
+        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.25
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.25,
+        9,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker hits,
+    deterministic tie-break by language code, 'und' when no marker hits.
+    """
+    t = F.col(text_col)
+    scored = df.select(
+        F.col(id_col),
+        *[
+            marker_hits(t, m).alias(f"hits_{lang}")
+            for lang, m in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # iterate reversed so earlier languages win ties (first match kept)
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: 64-bit int from the md5 of the normalized
+    text (lowercased, whitespace collapsed) + the full content sha256.
+    The md5-int is engine-portable (see functions.scalars.md5_int64)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        md5_int64(norm).alias("fp64"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+    )

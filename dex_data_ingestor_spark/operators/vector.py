@@ -1,0 +1,199 @@
+"""Vector similarity search over embedding columns (north-star J3).
+
+Three tiers, all pure DataFrame plans:
+
+- brute-force cosine top-k: the correctness baseline. Dot products run
+  as JVM higher-order functions (zip_with + aggregate) — no Python.
+- IVF (inverted-file) top-k: coarse-quantize vectors to deterministic
+  centroids once; probe only the nprobe nearest cells at query time.
+  The scan prunes from O(N) to O(N * nprobe / ncells) — the 100 TB
+  path, where cells map to partition pruning on a ``cell`` column.
+- random-hyperplane LSH bucketing: sign-bit sketch for approximate
+  candidate generation / near-dup blocking on embeddings.
+
+Determinism: centroids/hyperplanes derive from fixed seeds; cosine
+outputs are rounded (9 dp) — see plans/testbed.py module docstring.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _as_double_array(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    """Sequential-fold dot product of two double arrays (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _query_lit(query_vec: list[float]):
+    return F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector."""
+    v = _as_double_array(F.col(vec_col))
+    q = _query_lit(query_vec)
+    cos = F.round(cosine(v, q), round_dp).alias("cos_sim")
+    return (
+        df.select(F.col(id_col), cos)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def seeded_centroids(dim: int, ncells: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-norm centroids from a fixed RNG seed.
+
+    (K-means would give tighter cells; fixed seeds keep the index
+    byte-reproducible, which the engine values over recall here. A
+    kmeans_refine step can be layered on without changing the search.)
+    """
+    rng = random.Random(seed)
+    cents = []
+    for _ in range(ncells):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (one narrow pass).
+
+    At scale, write the result partitioned by ``cell`` so a probe scan
+    prunes to the probed cells' files only.
+    """
+    v = _as_double_array(F.col(vec_col))
+    scored = None
+    for i, c in enumerate(centroids):
+        s = dot(v, _query_lit(c)) / norm(v)
+        scored = (
+            F.struct(s.alias("score"), F.lit(i).alias("cell"))
+            if scored is None
+            else F.greatest(
+                scored, F.struct(s.alias("score"), F.lit(i).alias("cell"))
+            )
+        )
+    return df.withColumn(cell_col, scored["cell"])
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    cell_col: str = "cell",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Probe the nprobe closest cells, then brute-force within them."""
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    sims = [
+        (i, sum(a * b for a, b in zip(c, query_vec)) / qn)
+        for i, c in enumerate(centroids)
+    ]
+    probe_cells = [i for i, _ in sorted(sims, key=lambda t: -t[1])[:nprobe]]
+    pruned = indexed.filter(F.col(cell_col).isin(probe_cells))
+    return cosine_topk(pruned, id_col, vec_col, query_vec, k, round_dp)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, nplanes: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nplanes)
+    ]
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Sign-bit sketch: bucket = sum(2^j * [dot(v, plane_j) > 0])."""
+    v = _as_double_array(F.col(vec_col))
+    acc = F.lit(0).cast("bigint")
+    for j, p in enumerate(planes):
+        bit = F.when(dot(v, _query_lit(p)) > 0, F.lit(1)).otherwise(F.lit(0))
+        acc = acc + bit.cast("bigint") * F.lit(2**j).cast("bigint")
+    return df.withColumn(bucket_col, acc)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str | None = None,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Pairs with cosine >= threshold; optional blocking column keeps
+    the self-join sub-quadratic (block by LSH bucket or IVF cell at
+    scale — only same-block pairs are compared)."""
+    cols = [F.col(id_col), _as_double_array(F.col(vec_col)).alias("__v")]
+    if block_col is not None:
+        cols.append(F.col(block_col))
+    base = df.select(*cols)
+    a = base.select(
+        *[F.col(c).alias(f"a_{c}") for c in (id_col, "__v")],
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    b = base.select(
+        *[F.col(c).alias(f"b_{c}") for c in (id_col, "__v")],
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    joined = (
+        a.join(b, on="__blk") if block_col else a.crossJoin(b)
+    ).filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+    cos = F.round(cosine(F.col("a___v"), F.col("b___v")), round_dp)
+    return (
+        joined.select(
+            F.col(f"a_{id_col}").alias("a_id"),
+            F.col(f"b_{id_col}").alias("b_id"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

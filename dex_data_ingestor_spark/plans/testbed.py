@@ -803,7 +803,8 @@ def q_stream_sliding(spark, sf_dir):
                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM marked
     )
-    SELECT user_id, session_seq, MIN(ts) AS session_start,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start,
            MAX(ts) AS session_end, COUNT(*) AS n_events
     FROM sessions GROUP BY user_id, session_seq
     """,
@@ -893,4 +894,408 @@ def flagship(spark, sf_dir):
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", d.alias("ship_date"))
         .agg(_dec_sum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# =========================================================================
+# J. North-star LLM-data-pipeline operators (SURVEY §2.1 J1-J5 + the
+# training-data extensions: dedup families, similarity search, text
+# analysis, multimodal).
+# =========================================================================
+
+#: word-shingle width and gram SQL shared by the near-dup oracles.
+_GRAMS_CTE = """
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    )
+"""
+
+_MD5_INT = "('0x' || substr(md5({0}), 1, 8))::BIGINT"
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT doc_id, content_sha FROM (
+      SELECT doc_id, sha256(text) AS content_sha,
+             ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact content dedup: sha256 hash-groupBy, deterministic
+    first-wins survivor (lowest doc_id) — north-star J1."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "content_sha", F.sha2(F.col("text"), 256)
+    )
+    return dedup_first(docs, ["content_sha"], [F.col("doc_id")]).select(
+        "doc_id", "content_sha"
+    )
+
+
+@register(
+    "q_text_stats",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars_calc,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS n_punct,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 w -> w IN ('the','a','an','of','and','to','in','is')))
+               AS n_stop
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id, n_chars_calc, n_words, n_tokens,
+             CAST(n_punct AS DOUBLE) / n_chars_calc AS punct_ratio,
+             CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                  AS DOUBLE) / n_words AS avg_word_len
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_chars_calc AS INTEGER) AS n_chars_calc,
+           CAST(n_words AS INTEGER) AS n_words,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           punct_ratio, stopword_ratio, avg_word_len,
+           ROUND(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+                 + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.25
+                 + LEAST(stopword_ratio * 5.0, 1.0) * 0.25, 9)
+             AS quality_score
+    FROM ratios
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Per-document quality statistics (north-star J4): char/word/
+    BPE-ish token counts, punctuation/stopword ratios, composite
+    quality score — all JVM-side expressions."""
+    from dex_data_ingestor_spark.operators.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_stats(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars_calc").cast("int").alias("n_chars_calc"),
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "avg_word_len",
+        "quality_score",
+    )
+
+
+@register(
+    "q_lang_id",
+    """
+    WITH hits AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            w -> w IN ('der','die','das','und','nicht'))) AS hits_de,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            w -> w IN ('the','a','of','and','to'))) AS hits_en,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            w -> w IN ('el','la','de','los','que'))) AS hits_es,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            w -> w IN ('le','la','les','des','est'))) AS hits_fr
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+           WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr)
+             THEN 'de'
+           WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr)
+             THEN 'en'
+           WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr)
+             THEN 'es'
+           ELSE 'fr' END AS pred_lang
+    FROM hits
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Stopword-marker language ID heuristic (north-star J4):
+    argmax of per-language marker-word hits, deterministic tie-break."""
+    from dex_data_ingestor_spark.operators.text import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "q_fingerprint",
+    f"""
+    SELECT doc_id,
+           {_MD5_INT.format(_NORM_TEXT)} AS fp64,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting (north-star J4): 64-bit md5-derived
+    fingerprint of whitespace-normalized text + full content sha."""
+    from dex_data_ingestor_spark.operators.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_vector_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qe, q.qe))), 9) AS cos_sim
+    FROM embeddings e, q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q_vector_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (north-star J3):
+    query = embedding of vec_id 0; JVM higher-order-function dot
+    products, TakeOrderedAndProject top-k. IVF/LSH scale variants in
+    operators/vector.py (recall-tested in pytest)."""
+    from dex_data_ingestor_spark.operators.vector import cosine
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qe")
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        em.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(v, F.col("qe")), 9).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_embed_neardup",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT * FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 9) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.25
+    """,
+)
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (north-star J2), blocked by the
+    label column so the self-join is sub-quadratic — at scale the block
+    key is an LSH bucket / IVF cell (operators/vector.py)."""
+    from dex_data_ingestor_spark.operators.vector import embedding_neardup_pairs
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        em, "vec_id", "embedding", threshold=0.25, block_col="label"
+    )
+
+
+@register(
+    "q_ngram_jaccard",
+    f"""
+    WITH {_GRAMS_CTE},
+    counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT a_id, b_id,
+             ROUND(CAST(n_inter AS DOUBLE)
+                   / (ca.n_grams + cb.n_grams - n_inter), 9) AS jaccard
+      FROM inter
+      JOIN counts ca ON ca.doc_id = a_id
+      JOIN counts cb ON cb.doc_id = b_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (north-star J2); the
+    shared-gram equi-join prunes the quadratic pair space."""
+    from dex_data_ingestor_spark.operators.neardup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+_MINHASH_VALUES = ", ".join(
+    f"({k}, {a}, {b})"
+    for k, (a, b) in enumerate(
+        __import__(
+            "dex_data_ingestor_spark.operators.neardup", fromlist=["MINHASH_PARAMS"]
+        ).MINHASH_PARAMS
+    )
+)
+
+
+@register(
+    "q_minhash_lsh",
+    f"""
+    WITH {_GRAMS_CTE},
+    hashed AS (
+      SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
+    ),
+    params(k, a, b) AS (VALUES {_MINHASH_VALUES}),
+    sigs AS (
+      SELECT doc_id, k,
+             min((a * gram_hash + b) % 2147483647) AS minhash
+      FROM hashed CROSS JOIN params GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(k / 4) AS INTEGER) AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k)
+               AS band_sig
+      FROM sigs GROUP BY 1, 2
+    )
+    SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
+    FROM bands
+    """,
+)
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash signature + LSH banding (north-star J2): word-3-gram
+    shingles -> 8 universal-hash minima -> 2 banded bucket keys. The
+    full shingle->minhash->band->bucket pipeline, oracle-checked."""
+    from dex_data_ingestor_spark.operators.neardup import (
+        lsh_band_buckets_wide,
+        minhash_signatures_wide,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = minhash_signatures_wide(docs, "doc_id", "text", shingle_n=3)
+    return lsh_band_buckets_wide(wide, "doc_id", rows_per_band=4)
+
+
+@register(
+    "q_minhash_pairs",
+    f"""
+    WITH {_GRAMS_CTE},
+    hashed AS (
+      SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
+    ),
+    params(k, a, b) AS (VALUES {_MINHASH_VALUES}),
+    sigs AS (
+      SELECT doc_id, k,
+             min((a * gram_hash + b) % 2147483647) AS minhash
+      FROM hashed CROSS JOIN params GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(k / 4) AS INTEGER) AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k)
+               AS band_sig
+      FROM sigs GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
+      FROM bands
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM buckets a
+    JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_pairs(spark, sf_dir):
+    """LSH candidate near-dup pairs: documents sharing any minhash
+    band bucket — the sub-quadratic candidate generation that replaces
+    all-pairs comparison at 100 TB."""
+    from dex_data_ingestor_spark.operators.neardup import (
+        lsh_band_buckets_wide,
+        lsh_candidate_pairs,
+        minhash_signatures_wide,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = minhash_signatures_wide(docs, "doc_id", "text", shingle_n=3)
+    buckets = lsh_band_buckets_wide(wide, "doc_id", rows_per_band=4)
+    pairs = lsh_candidate_pairs(buckets, "doc_id")
+    return pairs.select(F.col("a_id"), F.col("b_id"))
+
+
+@register(
+    "q_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             CASE WHEN SUM(CASE WHEN (th >> j) & 1 = 1
+                               THEN 1 ELSE -1 END) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS simhash
+    FROM bits GROUP BY 1
+    """,
+)
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash per document (north-star J2): sign-aggregated
+    token-hash bits -> one integer key; near-dups land on close keys."""
+    from dex_data_ingestor_spark.operators.neardup import simhash
+
+    return simhash(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", bits=32
+    )
+
+
+@register(
+    "q_multimodal_join",
+    """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+           CAST(len(e.embedding) AS INTEGER) AS emb_dim,
+           ROUND(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))), 9)
+             AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_multimodal_join(spark, sf_dir):
+    """Multimodal record assembly (north-star J5): text metadata joined
+    with its embedding; scalar summaries (dim, L2 norm) keep the output
+    hashable. Binary payload plumbing lives in operators/multimodal.py
+    (mapInPandas feature extraction, tested in pytest)."""
+    from dex_data_ingestor_spark.operators.vector import dot
+
+    docs = load_table(spark, sf_dir, "documents")
+    em = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return docs.join(em, docs.doc_id == em.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        F.size("embedding").alias("emb_dim"),
+        F.round(F.sqrt(dot(v, v)), 9).alias("emb_norm"),
     )

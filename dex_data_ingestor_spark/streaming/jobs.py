@@ -1,0 +1,144 @@
+"""Structured Streaming re-expression of the reference's scheduler.
+
+The reference runs an APScheduler cron hourly, computes a half-open
+window, and relies on idempotent upserts for replay safety
+(reference: src/main.py:54-66, src/ingestion/SqlDbEtl.py:90-110;
+SURVEY.md §2.1-H). Spark-native equivalents:
+
+- the cron + bookmark table      -> checkpointed streaming query with
+                                    ``Trigger.AvailableNow`` per run
+                                    (or processingTime='1 hour' live)
+- the half-open window           -> event-time window + withWatermark
+- idempotent ON-DUPLICATE writes -> foreachBatch + operators.merge_upsert
+
+The same aggregation expressions power the batch forms in
+plans/testbed.py (q_stream_*), so batch/stream parity is testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dex_data_ingestor_spark import schemas
+from dex_data_ingestor_spark.operators.merge import merge_upsert
+from dex_data_ingestor_spark.session import configure_session
+
+
+def events_stream_from_parquet(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over event parquet files (each arriving file
+    is a micro-batch — the testbed's stand-in for a Kafka topic).
+
+    The nanosecond issue does not arise here: test fixtures are written
+    by the engine with TIMESTAMP_NTZ micros. For driver-shaped ns
+    files, io.load_table's conversion applies identically.
+    """
+    configure_session(spark)
+    return (
+        spark.readStream.schema(schemas.EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time aggregation — the
+    streaming twin of q_stream_tumbling / q_stream_sliding."""
+    win = (
+        F.window("ts", window) if slide is None else F.window("ts", window, slide)
+    )
+    # Watermarks require TIMESTAMP (instant) columns; the engine's NTZ
+    # wall-clock converts via the session zone (pinned to HKT by the
+    # session factory) and converts back on output.
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session_window aggregation (gap-close semantics match the
+    lag/cumsum batch form in q_stream_session; asserted in tests)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, out_dir: str
+) -> None:
+    """Drain all available input (the reference's boot-time catch-up
+    run, main.py:40-50), then stop — exactly-once via checkpoint."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_merge(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    target_path: str,
+    keys: list[str],
+    spark: SparkSession,
+    update_cols: list[str] | None = None,
+):
+    """Streaming upsert sink: every micro-batch MERGEs into the target
+    parquet table via merge_upsert — replay-safe because the merge is
+    idempotent (the reference's H4 guarantee, now enforced by
+    construction). Returns the started query (AvailableNow)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if os.path.exists(target_path):
+            existing = spark.read.parquet(target_path)
+        else:
+            existing = spark.createDataFrame([], batch_df.schema)
+        merged = merge_upsert(existing, batch_df, keys, update_cols)
+        tmp = target_path + "._staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

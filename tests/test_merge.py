@@ -1,0 +1,101 @@
+"""merge_upsert semantics + idempotence property (reference H4:
+re-running a window is harmless; SURVEY.md §5 strategy 3)."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from dex_data_ingestor_spark.operators.merge import merge_upsert
+
+SCHEMA = "k bigint, a double, b string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _as_map(df):
+    return {r.k: (r.a, r.b) for r in df.collect()}
+
+
+def test_full_row_replace(spark):
+    existing = _df(spark, [(1, 1.0, "x"), (2, 2.0, "y")])
+    updates = _df(spark, [(2, 20.0, None), (3, 3.0, "z")])
+    out = _as_map(merge_upsert(existing, updates, ["k"]))
+    # conflict: full new row wins, including its explicit NULL
+    assert out == {1: (1.0, "x"), 2: (20.0, None), 3: (3.0, "z")}
+
+
+def test_partial_update_subset(spark):
+    existing = _df(spark, [(1, 1.0, "x"), (2, 2.0, "y")])
+    updates = _df(spark, [(2, 20.0, "IGNORED"), (3, 3.0, "z")])
+    out = _as_map(merge_upsert(existing, updates, ["k"], update_cols=["a"]))
+    # conflict: only 'a' refreshes; new key inserts the full row
+    assert out == {1: (1.0, "x"), 2: (20.0, "y"), 3: (3.0, "z")}
+
+
+def test_partial_update_null_overwrites(spark):
+    # MySQL ON DUPLICATE KEY UPDATE col=VALUES(col) sets NULL too
+    existing = _df(spark, [(1, 1.0, "x")])
+    updates = _df(spark, [(1, None, "q")])
+    out = _as_map(merge_upsert(existing, updates, ["k"], update_cols=["a"]))
+    assert out == {1: (None, "x")}
+
+
+def test_updates_may_omit_kept_columns(spark):
+    existing = _df(spark, [(1, 1.0, "x")])
+    updates = spark.createDataFrame([(1, 9.0)], "k bigint, a double")
+    out = _as_map(merge_upsert(existing, updates, ["k"], update_cols=["a"]))
+    assert out == {1: (9.0, "x")}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    existing=st.dictionaries(
+        st.integers(0, 9),
+        st.tuples(
+            st.floats(allow_nan=False) | st.none(), st.text(max_size=3) | st.none()
+        ),
+        max_size=6,
+    ),
+    updates=st.dictionaries(
+        st.integers(0, 9),
+        st.tuples(
+            st.floats(allow_nan=False) | st.none(), st.text(max_size=3) | st.none()
+        ),
+        max_size=6,
+    ),
+    partial=st.booleans(),
+)
+def test_merge_idempotent(spark, existing, updates, partial):
+    """merge(merge(E,U),U) == merge(E,U) for both full and partial modes."""
+    e = _df(spark, [(k, a, b) for k, (a, b) in existing.items()])
+    u = _df(spark, [(k, a, b) for k, (a, b) in updates.items()])
+    cols = ["a"] if partial else None
+    once = merge_upsert(e, u, ["k"], cols)
+    twice = merge_upsert(once, u, ["k"], cols)
+    assert _as_map(once) == _as_map(twice)
+    # and the merged keyset is the union
+    assert set(_as_map(once)) == set(existing) | set(updates)
+
+
+def test_bookmark_monotone_advance(spark, tmp_path):
+    """Watermark only moves forward (reference: SqlDbEtl.py:106-108)."""
+    import datetime as dt
+
+    from dex_data_ingestor_spark.operators.incremental import Bookmark
+
+    bm = Bookmark(spark, str(tmp_path / "etl_control"))
+    assert bm.get_last_run("t") is None
+    t1 = dt.datetime(2024, 1, 1, 10)
+    t2 = dt.datetime(2024, 1, 1, 11)
+    bm.set_last_run("t", t2)
+    bm.set_last_run("t", t1)  # must NOT regress
+    assert bm.get_last_run("t") == t2
+    bm.set_last_run("other", t1)
+    assert bm.get_last_run("other") == t1
+    assert bm.get_last_run("t") == t2

@@ -1,0 +1,151 @@
+"""Unit tests for the scalar library against the reference semantics
+(FIXTURES.md §3 edge-case fixtures; reference: src/utils/utils.py)."""
+
+import decimal
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from dex_data_ingestor_spark.functions.decimalq96 import (
+    Q96,
+    _price_pair_py,
+)
+from dex_data_ingestor_spark.functions.scalars import (
+    apy_compound,
+    normalize_symbol,
+    pct_change,
+    pct_to_fraction,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+class TestApy:
+    def test_zero_periods_is_plan_time_error(self, spark):
+        # reference: utils.py:23-24 raises at runtime; engine fails at build
+        with pytest.raises(ValueError):
+            apy_compound(F.lit(0.05), 0)
+
+    def test_cap(self, spark):
+        # reference: utils.py:32-34 caps at 99999999.99
+        v = _one(spark, apy_compound(F.lit(500.0), 365))
+        assert v == Decimal("99999999.99")
+
+    def test_round_half_up_2dp(self, spark):
+        v = _one(spark, apy_compound(F.lit(0.05), 12))
+        # (1+0.05/12)^12 - 1 = 5.1161..% -> 5.12
+        assert v == Decimal("5.12")
+
+    def test_null_apr_yields_null(self, spark):
+        v = _one(spark, apy_compound(F.lit(None).cast("double"), 12))
+        assert v is None
+
+    def test_falsy_apr_to_fraction_zero(self, spark):
+        # reference: Bifrost.py:274-278 'if apr' guard
+        assert _one(spark, pct_to_fraction(F.lit(None).cast("double"))) == 0.0
+        assert _one(spark, pct_to_fraction(F.lit(0.0))) == 0.0
+        assert _one(spark, pct_to_fraction(F.lit(12.0))) == 0.12
+
+
+class TestPctChange:
+    # reference null contract: utils.py:108-109,119-120
+    @pytest.mark.parametrize(
+        "cur,prev,expected",
+        [
+            (110.0, 100.0, 10.0),
+            (100.0, 0.0, None),
+            (None, 100.0, None),
+            (100.0, None, None),
+            (95.0, 100.0, -5.0),
+        ],
+    )
+    def test_contract(self, spark, cur, prev, expected):
+        v = _one(
+            spark,
+            pct_change(
+                F.lit(cur).cast("double"), F.lit(prev).cast("double")
+            ),
+        )
+        assert v == expected
+
+
+class TestNormalizeSymbol:
+    # reference: Hydration.py:13-16
+    @pytest.mark.parametrize(
+        "sym,expected",
+        [("DOT", "vDOT"), ("vDOT", "vDOT"), ("VDOT", "VDOT"), ("view", "view")],
+    )
+    def test_prefix(self, spark, sym, expected):
+        assert _one(spark, normalize_symbol(F.lit(sym))) == expected
+
+
+class TestQ96Exact:
+    """Pure-python kernel of the exact-decimal price path (reference:
+    utils.py:130-171 contract)."""
+
+    def test_parity_price_at_q96(self):
+        # sqrt_price == 2^96 -> ratio 1 -> both sides equal
+        p0, p1 = _price_pair_py(int(Q96), 18, 18, Decimal("2.5"), None)
+        assert p0 == Decimal("2.5").quantize(Decimal(1).scaleb(-18))
+        assert p1 == p0
+
+    def test_decimals_adjustment(self):
+        # d0=8, d1=6 -> ratio scaled by 10^(8-6)=100
+        p0, p1 = _price_pair_py(int(Q96), 8, 6, Decimal("1"), None)
+        assert p1 == Decimal("100").quantize(Decimal(1).scaleb(-18))
+
+    def test_derive_token0_from_token1(self):
+        p0, p1 = _price_pair_py(int(Q96) * 2, 18, 18, None, Decimal("8"))
+        # ratio = 4 -> p0 = p1/4 = 2
+        assert p0 == Decimal("2").quantize(Decimal(1).scaleb(-18))
+
+    def test_zero_sqrt_price_invalid_yields_zero(self):
+        # reference: InvalidOperation/DivisionByZero -> 0 (utils.py:161-169)
+        p0, p1 = _price_pair_py(0, 18, 18, None, Decimal("8"))
+        assert p0 == 0 and p1 == 0
+
+    def test_both_sides_missing_raises(self):
+        with pytest.raises(ValueError):
+            _price_pair_py(int(Q96), 18, 18, None, None)
+
+    def test_round_down_quantization(self):
+        # 1/3 ratio: p1 = 1 * (sqrt(1/3)-ish)... use exact: ratio from
+        # sqrt_price = Q96/2 -> ratio 0.25; p0 from p1=1 -> 4 exactly.
+        # ROUND_DOWN check: p1 = 1/3 -> 0.333...3 (truncated, not rounded up)
+        p0, p1 = _price_pair_py(int(Q96), 18, 18, Decimal(1) / Decimal(3), None)
+        assert str(p0).endswith("3")  # truncated tail, never rounds to ...34
+
+    def test_50_digit_context_exceeds_spark_decimal(self):
+        # the very case that forces the pandas-UDF path: huge sqrt_price
+        big = int(Q96) * 10**6
+        p0, p1 = _price_pair_py(big, 18, 18, Decimal("1"), None)
+        assert p1 == Decimal(10**12)  # value compare; 30 digits total
+
+
+def test_q96_pandas_udf_end_to_end(spark):
+    """The Arrow-batched UDF path itself (slow path, one batch)."""
+    from dex_data_ingestor_spark.functions.decimalq96 import (
+        token_prices_q96_exact,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (Decimal(int(Q96)), 18, 18, 2.5, None),
+            (Decimal(2 * int(Q96)), 8, 6, None, 400.0),
+        ],
+        "sqrt_price decimal(38,0), d0 int, d1 int, u0 double, u1 double",
+    )
+    out = df.select(
+        token_prices_q96_exact("sqrt_price", "d0", "d1", "u0", "u1").alias("p")
+    ).select("p.*").collect()
+    assert out[0].token0_price_usd == Decimal("2.5").quantize(
+        Decimal(1).scaleb(-18)
+    )
+    assert out[0].token1_price_usd == out[0].token0_price_usd
+    # row 2: ratio = 4 * 10^(8-6) = 400 -> p0 = 400/400 = 1
+    assert out[1].token0_price_usd == Decimal("1").quantize(
+        Decimal(1).scaleb(-18)
+    )

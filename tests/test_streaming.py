@@ -1,0 +1,115 @@
+"""Structured Streaming tests: AvailableNow drains over file sources,
+batch/stream parity on the same window specs, foreachBatch+merge
+exactly-once-effective behavior (SURVEY.md §5 strategy 4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dex_data_ingestor_spark import schemas
+from dex_data_ingestor_spark.io import load_table
+from dex_data_ingestor_spark.streaming.jobs import (
+    events_stream_from_parquet,
+    foreach_batch_merge,
+    session_windows,
+    tumbling_counts,
+)
+
+
+@pytest.fixture()
+def event_files(spark, sf_dir, tmp_path):
+    """Split the events table into 3 parquet files (3 micro-batches)."""
+    src = str(tmp_path / "stream_src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("__b", F.col("event_id") % 3).repartition("__b").drop(
+        "__b"
+    ).write.mode("overwrite").parquet(src)
+    return src
+
+
+def _drain(stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    return name
+
+
+def test_tumbling_batch_stream_parity(spark, sf_dir, event_files, tmp_path):
+    stream = events_stream_from_parquet(spark, event_files, max_files_per_trigger=1)
+    name = _drain(tumbling_counts(stream), tmp_path, "t_tumbling")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch = tumbling_counts(load_table(spark, sf_dir, "events"))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_window_matches_lag_cumsum_form(spark, sf_dir):
+    """Native session_window == the deterministic lag/cumsum batch form
+    (q_stream_session) on session starts and sizes."""
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    ev = load_table(spark, sf_dir, "events")
+    native = {
+        (r.user_id, r.session_start): r.n_events
+        for r in session_windows(ev.drop("props")).collect()
+    }
+    lagform = {
+        (r.user_id, r.session_start): r.n_events
+        for r in QUERIES["q_stream_session"](spark, sf_dir).collect()
+    }
+    assert native == lagform and len(native) > 0
+
+
+def test_foreach_batch_merge_exactly_once_effective(
+    spark, sf_dir, event_files, tmp_path
+):
+    """Replaying the stream from scratch (fresh checkpoint) against the
+    already-written target changes nothing: merge is idempotent, so
+    at-least-once delivery is exactly-once-effective (reference H4)."""
+    target = str(tmp_path / "target")
+
+    def run(ckpt: str):
+        stream = events_stream_from_parquet(spark, event_files).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        daily = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(
+                F.window("ts", "1 day").alias("w"), F.col("user_id")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("day"),
+                "user_id",
+                "n",
+            )
+        )
+        q = foreach_batch_merge(
+            daily,
+            str(tmp_path / ckpt),
+            target,
+            keys=["day", "user_id"],
+            spark=spark,
+        )
+        q.awaitTermination(timeout=180)
+
+    run("ckpt_a")
+    first = sorted(
+        (r.day, r.user_id, r.n) for r in spark.read.parquet(target).collect()
+    )
+    run("ckpt_b")  # fresh checkpoint -> full replay -> must be a no-op
+    second = sorted(
+        (r.day, r.user_id, r.n) for r in spark.read.parquet(target).collect()
+    )
+    assert first == second and len(first) > 0

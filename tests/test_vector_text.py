@@ -1,0 +1,123 @@
+"""Vector search (brute/IVF/LSH) and text/near-dup/multimodal operator
+tests beyond the oracle suite: recall, blocking equivalence, plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dex_data_ingestor_spark.io import load_table
+from dex_data_ingestor_spark.operators import vector as V
+from dex_data_ingestor_spark.operators import neardup as ND
+from dex_data_ingestor_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_fake_payload,
+    decode_media,
+    extract_features,
+)
+
+
+@pytest.fixture(scope="module")
+def em(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def query_vec(em):
+    return [float(x) for x in em.filter(F.col("vec_id") == 0).collect()[0].embedding]
+
+
+def test_ivf_recall_vs_brute(spark, em, query_vec):
+    """IVF with nprobe=4 of 8 cells recovers most of the brute top-10;
+    and every IVF hit must appear in the brute top-50 (sanity)."""
+    brute10 = [r.vec_id for r in V.cosine_topk(em, "vec_id", "embedding", query_vec, 10).collect()]
+    brute50 = {r.vec_id for r in V.cosine_topk(em, "vec_id", "embedding", query_vec, 50).collect()}
+    cents = V.seeded_centroids(dim=len(query_vec), ncells=8)
+    indexed = V.ivf_assign(em, "embedding", cents)
+    ivf10 = [
+        r.vec_id
+        for r in V.ivf_topk(
+            indexed, "vec_id", "embedding", cents, query_vec, k=10, nprobe=4
+        ).collect()
+    ]
+    assert len(ivf10) == 10
+    assert set(ivf10) <= brute50
+    assert len(set(ivf10) & set(brute10)) >= 5  # recall@10 >= 0.5 with half the cells probed
+
+
+def test_ivf_full_probe_equals_brute(spark, em, query_vec):
+    """Probing every cell must reproduce brute force exactly."""
+    cents = V.seeded_centroids(dim=len(query_vec), ncells=4)
+    indexed = V.ivf_assign(em, "embedding", cents)
+    brute = [r.vec_id for r in V.cosine_topk(em, "vec_id", "embedding", query_vec, 10).collect()]
+    full = [
+        r.vec_id
+        for r in V.ivf_topk(
+            indexed, "vec_id", "embedding", cents, query_vec, k=10, nprobe=4
+        ).collect()
+    ]
+    assert full == brute
+
+
+def test_lsh_bucket_deterministic(spark, em):
+    planes = V.hyperplanes(dim=64, nplanes=8)
+    b1 = {r.vec_id: r.lsh_bucket for r in V.lsh_bucket(em, "embedding", planes).collect()}
+    b2 = {r.vec_id: r.lsh_bucket for r in V.lsh_bucket(em, "embedding", planes).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_blocked_neardup_subset_of_unblocked(spark, em):
+    blocked = {
+        (r.a_id, r.b_id)
+        for r in V.embedding_neardup_pairs(
+            em, "vec_id", "embedding", 0.25, block_col="label"
+        ).collect()
+    }
+    unblocked = {
+        (r.a_id, r.b_id)
+        for r in V.embedding_neardup_pairs(
+            em.limit(100), "vec_id", "embedding", 0.25
+        ).collect()
+    }
+    # blocking can only remove cross-block pairs, never invent pairs
+    ids100 = {r.vec_id for r in em.limit(100).select("vec_id").collect()}
+    assert {p for p in blocked if p[0] in ids100 and p[1] in ids100} <= {
+        p for p in blocked
+    }
+    assert all(a < b for a, b in blocked | unblocked)
+
+
+def test_minhash_band_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = ND.minhash_signatures(docs, "doc_id", "text")
+    n_docs = docs.count()
+    assert sigs.count() == n_docs * len(ND.MINHASH_PARAMS)
+    buckets = ND.lsh_band_buckets(sigs, "doc_id", rows_per_band=4)
+    assert buckets.count() == n_docs * 2  # 8 hashes / 4 per band
+
+
+def test_short_text_has_no_shingles(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c")], "doc_id long, text string")
+    grams = ND.shingles(df, "doc_id", "text", n=3)
+    assert {r.doc_id for r in grams.collect()} == {2}
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    payloads = attach_fake_payload(docs, "doc_id", "text")
+    row = payloads.first()
+    assert isinstance(row.payload, bytearray | bytes)
+    feats = extract_features(payloads, "doc_id", "payload")
+    out = feats.collect()
+    assert len(out) == 50
+    for r in out[:5]:
+        assert len(r.features) == FEATURE_DIM
+        assert len(r.payload_sha) == 64
+        assert r.n_bytes > 0
+    # determinism across runs
+    again = {r.doc_id: r.payload_sha for r in extract_features(payloads).collect()}
+    assert again == {r.doc_id: r.payload_sha for r in out}
+
+
+def test_decode_media_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", None)
