@@ -13,6 +13,7 @@ layout; nothing here assumes single-file inputs
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -48,18 +49,59 @@ def _ns_long_to_ntz(col_name: str):
     return F.expr(f"timestampadd(MICROSECOND, {col_name} div 1000, {_EPOCH_NTZ})")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _ntz_str_to_epoch_us(value: str | dt.datetime) -> int:
+    if isinstance(value, str):
+        value = dt.datetime.fromisoformat(value)
+    return (value - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_window: tuple | None = None,
+) -> DataFrame:
     """Load one testbed table, normalizing timestamp physical types.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark only
     reads as a long (``spark.sql.legacy.parquet.nanosAsLong``); it is
     converted here to TIMESTAMP_NTZ so every downstream operator sees
     one timestamp type regardless of file encoding.
+
+    ``ts_window=(lo, hi)`` (half-open, ``lo < ts <= hi``) applies the
+    incremental range at the SOURCE: a filter on a derived NTZ column
+    cannot push past the conversion expression, so the bounds are
+    translated to raw nanosecond-long bounds that Catalyst pushes into
+    the parquet scan (row-group pruning) — the difference between a
+    window read and a 100 TB full scan. The equivalent exact filter on
+    the converted column still applies afterwards (no-op on correct
+    data; keeps semantics explicit and engine-checkable).
     """
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    is_ns_long = name == "events" and dict(df.dtypes).get("ts") == "bigint"
+    if ts_window is not None and is_ns_long:
+        lo, hi = ts_window
+        # floor(ns/1000) >  lo_us  <=>  ns >= (lo_us + 1) * 1000
+        # floor(ns/1000) <= hi_us  <=>  ns <= (hi_us + 1) * 1000 - 1
+        if lo is not None:
+            df = df.filter(
+                F.col("ts") >= F.lit((_ntz_str_to_epoch_us(lo) + 1) * 1000)
+            )
+        if hi is not None:
+            df = df.filter(
+                F.col("ts") <= F.lit((_ntz_str_to_epoch_us(hi) + 1) * 1000 - 1)
+            )
+    if is_ns_long:
         df = df.withColumn("ts", _ns_long_to_ntz("ts"))
+    if ts_window is not None:
+        lo, hi = ts_window
+        ts_col = "ts" if "ts" in df.columns else None
+        if ts_col:
+            if lo is not None:
+                df = df.filter(F.col(ts_col) > F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(ts_col) <= F.lit(hi))
     return df
 
 

@@ -68,7 +68,7 @@ def merge_upsert(
         F.max(F.when(F.col("__src") == 1, bundle)).alias("__new"),
         F.max(F.when(F.col("__src") == 0, bundle)).alias("__old"),
     )
-    out = [F.col(k) for k in keys]
+    resolved: dict[str, F.Column] = {k: F.col(k) for k in keys}
     for c in non_keys:
         new_v, old_v = F.col(f"__new.{c}"), F.col(f"__old.{c}")
         if c in update_set:
@@ -77,5 +77,7 @@ def merge_upsert(
         else:
             # kept column: existing value wins; fresh key -> new row's.
             expr = F.when(F.col("__old").isNotNull(), old_v).otherwise(new_v)
-        out.append(expr.alias(c))
-    return grouped.select(*out)
+        resolved[c] = expr
+    # preserve the existing table's column order (stable stored schema
+    # across repeated merges)
+    return grouped.select(*[resolved[c].alias(c) for c in cols])

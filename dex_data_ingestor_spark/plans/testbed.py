@@ -104,8 +104,13 @@ WINDOW_HI = "2024-01-20 00:00:00"
 )
 def q_incremental_range(spark, sf_dir):
     """Half-open incremental window ``lo < ts <= hi`` (reference:
-    Bifrost.py:90, SqlDbEtl.py:145 — the exactly-once window contract)."""
-    ev = load_table(spark, sf_dir, "events")
+    Bifrost.py:90, SqlDbEtl.py:145 — the exactly-once window contract).
+    The range is applied at the source so it pushes into the parquet
+    scan as raw-long bounds (io.load_table ts_window) — a filter on the
+    derived NTZ column alone cannot push past the ns conversion."""
+    ev = load_table(
+        spark, sf_dir, "events", ts_window=(WINDOW_LO, WINDOW_HI)
+    )
     return incremental_window(ev, "ts", WINDOW_LO, WINDOW_HI).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

@@ -1,0 +1,96 @@
+"""End-to-end reference-domain pipeline tests: catch-up run, watermark
+advance, incremental windows, idempotent replay (reference entry points
+SURVEY.md §3 re-expressed)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dex_data_ingestor_spark.plans.pipelines import (
+    DexWarehouse,
+    etl_job_till_now,
+    run_catchup,
+)
+from dex_data_ingestor_spark.io import load_table
+
+NOW = dt.datetime(2024, 2, 1, 12, 30)
+
+
+def _tables(spark, root):
+    wh = DexWarehouse(spark, root)
+    return {
+        t: wh.read(t)
+        for t in ("dim_tokens", "fact_token_daily_stats", "fact_yield_stats")
+    }
+
+
+def _snap(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_catchup_builds_warehouse(spark, sf_dir, tmp_path):
+    counts = run_catchup(spark, sf_dir, str(tmp_path / "wh"), NOW)
+    assert all(c > 0 for c in counts.values()), counts
+    tables = _tables(spark, str(tmp_path / "wh"))
+    dim = tables["dim_tokens"]
+    fact = tables["fact_token_daily_stats"]
+    # surrogate ids unique per natural key
+    assert dim.count() == dim.select("chain_id", "address").distinct().count()
+    # fact PK holds
+    assert (
+        fact.count()
+        == fact.select("token_id", "date").distinct().count()
+    )
+    # every fact token exists in the dim (referential integrity)
+    missing = fact.join(dim, fact.token_id == dim.id, "left_anti").count()
+    assert missing == 0
+
+
+def test_rerun_is_idempotent_and_watermark_monotone(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "wh")
+    run_catchup(spark, sf_dir, root, NOW)
+    first = {t: _snap(df) for t, df in _tables(spark, root).items()}
+    wh = DexWarehouse(spark, root)
+    wm1 = wh.bookmark.get_last_run("sync_token_daily_stats")
+    # second catch-up at the same wall clock: empty window, no changes
+    counts = run_catchup(spark, sf_dir, root, NOW)
+    second = {t: _snap(df) for t, df in _tables(spark, root).items()}
+    assert first == second
+    assert wh.bookmark.get_last_run("sync_token_daily_stats") == wm1
+    # and watermark never regressed
+    assert wm1 == NOW.replace(minute=0, second=0, microsecond=0)
+
+
+def test_incremental_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Processing in two windows must equal one catch-up run for the
+    windowed merge columns (the reference's exactly-once contract)."""
+    events = load_table(spark, sf_dir, "events")
+    mid = dt.datetime(2024, 1, 15, 0, 0)
+
+    root_a = str(tmp_path / "wh_a")
+    wh_a = DexWarehouse(spark, root_a)
+    etl_job_till_now(wh_a, "sync_yield_stats", events, mid)
+    etl_job_till_now(wh_a, "sync_yield_stats", events, NOW)
+
+    root_b = str(tmp_path / "wh_b")
+    wh_b = DexWarehouse(spark, root_b)
+    etl_job_till_now(wh_b, "sync_yield_stats", events, NOW)
+
+    a = _snap(
+        wh_a.read("fact_yield_stats").select(
+            "token_id", "pool_address", "date", "apy"
+        )
+    )
+    b = _snap(
+        wh_b.read("fact_yield_stats").select(
+            "token_id", "pool_address", "date", "apy"
+        )
+    )
+    # days fully inside one window agree; the split day differs because
+    # each run aggregates only its own window (the reference has the
+    # same property — per-window partial upserts). Compare non-split days.
+    split = mid.date()
+    a_rows = [r for r in a if r[2] != split]
+    b_rows = [r for r in b if r[2] != split]
+    assert a_rows == b_rows and len(a_rows) > 0
