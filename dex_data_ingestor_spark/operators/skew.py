@@ -1,0 +1,48 @@
+"""Skew-mitigation utilities for 100 TB joins/aggregations.
+
+AQE's skew-join splitting handles most runtime skew; salting is the
+explicit tool when one side of a shuffle join has pathological hot keys
+(a handful of tokens carrying most volume is the norm in DEX data).
+
+``salted_join`` replicates the small side R times and scatters the big
+side's hot keys across R salt buckets: the shuffle for a hot key fans
+out over R reducers instead of one. Correctness is unchanged for equi-
+joins (each big-side row meets exactly one replica of its key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with salted keys (big side scattered, small side
+    replicated ``salt_buckets``-fold). Use when the big side's key
+    distribution is heavily skewed and the small side is too large to
+    broadcast outright."""
+    big_salted = big.withColumn(
+        "__salt", (F.xxhash64(*[F.col(c) for c in on], F.monotonically_increasing_id()) % salt_buckets + salt_buckets) % salt_buckets
+    )
+    replicas = F.explode(
+        F.array(*[F.lit(i) for i in range(salt_buckets)])
+    ).alias("__salt")
+    small_replicated = small.select("*", replicas)
+    joined = big_salted.join(small_replicated, [*on, "__salt"], how)
+    return joined.drop("__salt")
+
+
+def explain_shuffle_partitions(df: DataFrame) -> int:
+    """Count exchanges in the physical plan — a quick shuffle audit for
+    tests and plan reviews."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    return plan.count("Exchange")

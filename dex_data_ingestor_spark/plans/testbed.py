@@ -1304,3 +1304,62 @@ def q_multimodal_join(spark, sf_dir):
         F.size("embedding").alias("emb_dim"),
         F.round(F.sqrt(dot(v, v)), 9).alias("emb_norm"),
     )
+
+
+@register(
+    "q_similarity_topk",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 9) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, other_id, cos_sim FROM pairs
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos_sim DESC, other_id) = 1
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    """Per-item nearest neighbor (SURVEY §2.1-J2 q_similarity_topk):
+    for every vector, its most-similar other vector within the label
+    block — the all-pairs similarity join + per-key top-1 rank pattern.
+    At 100 TB the label block becomes an LSH/IVF bucket; the rank
+    window shuffles once on vec_id."""
+    from pyspark.sql import Window
+
+    from dex_data_ingestor_spark.operators.vector import cosine
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = em.select(
+        F.col("vec_id"), F.col("label"), F.col("v").alias("av")
+    )
+    b = em.select(
+        F.col("vec_id").alias("other_id"),
+        F.col("label"),
+        F.col("v").alias("bv"),
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("other_id"))
+        .select(
+            "vec_id",
+            "other_id",
+            F.round(cosine(F.col("av"), F.col("bv")), 9).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("other_id")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,104 @@
+"""JDBC source/sink wrappers (SURVEY §2.1 A1/A2).
+
+The reference opens one MySQL connection PER STATEMENT and fetches
+whole result sets into driver memory (reference:
+src/ingestion/SqlDbEtl.py:49-70). The Spark replacements:
+
+- reads partition on a numeric/timestamp column (``numPartitions``
+  parallel range scans — no single-connection bottleneck, no driver
+  materialization);
+- incremental reads push the half-open window into the remote query so
+  the database ships only the new slice;
+- writes batch through executor-side connections (``batchsize``),
+  replacing O(rows) round trips with O(partitions) sessions.
+
+No MySQL is reachable in the test environment, so these build readers/
+writers (option plumbing is unit-tested); the parquet loaders in io.py
+play the source role everywhere else in the testbed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    options: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+) -> DataFrameReader:
+    """Configured JDBC reader; call ``.load()`` against a live DB.
+
+    ``table_or_query`` may be a table name or a ``(SELECT ...) q``
+    derived-table alias — the reference's per-task SELECT lists become
+    pushdown-friendly dbtable expressions.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table_or_query)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def jdbc_incremental_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    ts_col: str,
+    lo,
+    hi,
+    columns: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrameReader:
+    """Incremental window scan pushed into the remote database — the
+    reference's ``WHERE created_at > %s AND created_at <= %s``
+    (Bifrost.py:90) as a server-side slice; only new rows cross the
+    wire."""
+    cols = ", ".join(columns) if columns else "*"
+    query = (
+        f"(SELECT {cols} FROM {table} "
+        f"WHERE {ts_col} > '{lo}' AND {ts_col} <= '{hi}') AS incr"
+    )
+    return jdbc_reader(spark, url, query, options)
+
+
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    options: dict[str, str] | None = None,
+    batchsize: int = 10000,
+):
+    """Configured JDBC writer; call ``.save()`` against a live DB.
+
+    For MERGE semantics into an RDBMS, stage with this writer and issue
+    one server-side ``INSERT ... SELECT ... ON DUPLICATE KEY UPDATE``,
+    or target a lakehouse table via operators.merge.merge_upsert — the
+    reference's row-at-a-time upserts are never reproduced.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    return writer

@@ -1,0 +1,78 @@
+"""Source-config plumbing and skew utilities."""
+
+from pyspark.sql import functions as F
+
+from dex_data_ingestor_spark.io import load_table
+from dex_data_ingestor_spark.operators.skew import salted_join
+from dex_data_ingestor_spark.sources.config import MultiEnvConfig
+
+INI = """
+[database]
+user = svc
+password = secret
+
+[remote]
+host = raw.example
+port = 3306
+database = queryweb3
+
+[local]
+host = wh.example
+port = 3307
+database = queryweb3_front
+"""
+
+
+def test_multi_env_overlay():
+    cfg = MultiEnvConfig.from_string(INI)
+    remote = cfg.env("remote")
+    local = cfg.env("local")
+    assert remote["user"] == local["user"] == "svc"
+    assert remote["host"] == "raw.example" and local["host"] == "wh.example"
+    assert cfg.jdbc_url("local") == "jdbc:mysql://wh.example:3307/queryweb3_front"
+
+
+def test_jdbc_reader_builds(spark):
+    """Option plumbing only (no live DB): reader builds and carries a
+    partitioned range scan config."""
+    from dex_data_ingestor_spark.sources.jdbc import (
+        jdbc_incremental_reader,
+        jdbc_reader,
+    )
+
+    r = jdbc_reader(
+        spark,
+        "jdbc:mysql://example:3306/db",
+        "pool_data",
+        partition_column="id",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=1000,
+    )
+    assert r is not None
+    r2 = jdbc_incremental_reader(
+        spark,
+        "jdbc:mysql://example:3306/db",
+        "pool_data",
+        "created_at",
+        "2024-01-01",
+        "2024-02-01",
+        columns=["id", "created_at"],
+    )
+    assert r2 is not None
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    plain = li.join(supp, "l_suppkey").groupBy("l_suppkey").count()
+    salted = (
+        salted_join(li, supp, ["l_suppkey"], salt_buckets=8)
+        .groupBy("l_suppkey")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
