@@ -49,7 +49,12 @@ def main() -> None:
     spark = get_session(app_name="dex-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JIT + parquet footer caches, not measured
+    # warm-up: parquet footers/file listings for every table + one JIT
+    # pass; query-shape compile costs remain inside the measured loop.
+    from dex_data_ingestor_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
     materialize(QUERIES["q_count"](spark, sf_dir))
 
     timings: dict[str, float] = {}

@@ -142,3 +142,17 @@ def foreach_batch_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact-dedup across micro-batches via Spark's
+    watermark-bounded dedup state — the streaming twin of the batch
+    first-wins dedup (operators/dedup.py). dropDuplicatesWithinWatermark
+    keys state by ``keys`` alone and drops it once the watermark passes,
+    so memory is bounded by the lateness horizon, not stream length."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -113,3 +113,29 @@ def test_foreach_batch_merge_exactly_once_effective(
         (r.day, r.user_id, r.n) for r in spark.read.parquet(target).collect()
     )
     assert first == second and len(first) > 0
+
+
+def test_stream_dedup_across_batches(spark, sf_dir, tmp_path):
+    """Duplicate rows injected across files are removed by streaming
+    state, matching batch dropDuplicates on the same keys."""
+    from dex_data_ingestor_spark.streaming.jobs import stream_dedup
+
+    src = str(tmp_path / "dup_src")
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    # write the same rows twice into two files -> cross-batch dups
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    stream = events_stream_from_parquet(spark, src, max_files_per_trigger=1)
+    deduped = stream_dedup(stream, ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    got = spark.sql("select count(*) n, count(distinct event_id) d from t_dedup").collect()[0]
+    assert got.n == got.d == 300
