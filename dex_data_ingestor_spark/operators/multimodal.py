@@ -109,3 +109,88 @@ def extract_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         kernel, FEATURES_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_meta", MEDIA_META),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Image resize over mapInPandas: STUB kernel (no image lib in this
+    container) that truncates the payload deterministically in place of
+    decoding+resampling, while carrying real metadata updates through
+    the typed struct. Swap `_fake_resize` for a PIL kernel in
+    production; the Spark-side contract (schema, batching, partition
+    behavior) is identical."""
+
+    def _fake_resize(payload: bytes) -> bytes:
+        cap = max(16, (target_w * target_h) // 64)
+        return bytes(payload[:cap])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for m in pdf[meta_col]:
+                m = dict(m) if m is not None else {}
+                m["width"], m["height"] = target_w, target_h
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [_fake_resize(p) for p in pdf[payload_col]],
+                    "media_meta": metas,
+                }
+            )
+
+    return df.select(
+        F.col(id_col), F.col(payload_col), F.col(meta_col)
+    ).mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling plumbing (video -> frame rows): each payload
+    yields one output row per sampled 'frame' (deterministic byte-window
+    stand-in for a real decoder), exploding 1->N through mapInPandas —
+    the same batch/row-fanout shape a real ffmpeg kernel needs."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for i, start in enumerate(
+                    range(0, len(payload), every_n_bytes)
+                ):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(bytes(payload[start : start + every_n_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        kernel, schema
+    )

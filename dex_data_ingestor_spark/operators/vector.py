@@ -102,7 +102,10 @@ def ivf_assign(
     v = _as_double_array(F.col(vec_col))
     scored = None
     for i, c in enumerate(centroids):
-        s = dot(v, _query_lit(c)) / norm(v)
+        # full cosine: centroids are NOT assumed unit-norm (k-means
+        # means are not); |c| is a plan-time constant.
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        s = dot(v, _query_lit(c)) / (norm(v) * F.lit(cn))
         scored = (
             F.struct(s.alias("score"), F.lit(i).alias("cell"))
             if scored is None
@@ -197,3 +200,45 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def l2_normalize(vec_col: str, out_col: str = "unit_vec"):
+    """Unit-normalize an embedding column (narrow transform)."""
+    v = _as_double_array(F.col(vec_col))
+    n = norm(v)
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v).alias(
+        out_col
+    )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    iterations: int = 2,
+) -> list[list[float]]:
+    """Lloyd iterations over the IVF coarse quantizer.
+
+    Each round: assign (narrow) -> per-cell mean via posexplode +
+    (cell, dim) aggregate (one shuffle) -> collect K x dim floats to
+    the driver (model state, O(K*dim), never data). Seeded centroids
+    keep the index reproducible; refinement tightens cells for recall.
+    """
+    dim = len(centroids[0])
+    current = centroids
+    for _ in range(iterations):
+        assigned = ivf_assign(df, vec_col, current)
+        sums = (
+            assigned.select(
+                "cell", F.posexplode(_as_double_array(F.col(vec_col)))
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("mean"))
+            .collect()
+        )
+        table: dict[int, list[float]] = {}
+        for row in sums:
+            table.setdefault(row.cell, [0.0] * dim)[row.pos] = row.mean
+        # empty cells keep their previous centroid
+        current = [table.get(i, current[i]) for i in range(len(current))]
+    return current

@@ -1,0 +1,106 @@
+"""Corpus curation pipeline + IVF refinement + multimodal transforms."""
+
+from pyspark.sql import functions as F
+
+from dex_data_ingestor_spark.io import load_table
+from dex_data_ingestor_spark.operators.corpus import corpus_stats, curate_documents
+from dex_data_ingestor_spark.operators import vector as V
+from dex_data_ingestor_spark.operators.multimodal import (
+    attach_fake_payload,
+    resize_images,
+    sample_frames,
+)
+
+
+def test_curation_pipeline_filters_and_dedups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate_documents(
+        docs, allowed_langs=("en",), min_words=5, near_dup=True
+    ).cache()
+    n = curated.count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert 0 < n <= n_en
+    # survivors carry stats columns and unique ids
+    assert {"quality_score", "n_words", "n_tokens"} <= set(curated.columns)
+    assert curated.select("doc_id").distinct().count() == n
+    # deterministic: same input -> same survivor set
+    again = curate_documents(docs, allowed_langs=("en",), min_words=5)
+    assert sorted(r.doc_id for r in curated.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
+    stats = corpus_stats(curated).collect()[0]
+    assert stats.n_docs == n and stats.total_words > 0
+
+
+def test_curation_near_dup_is_conservative(spark, sf_dir):
+    """Disabling near-dup keeps a superset of the near-dup survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_nd = {
+        r.doc_id
+        for r in curate_documents(docs, near_dup=True).select("doc_id").collect()
+    }
+    without_nd = {
+        r.doc_id
+        for r in curate_documents(docs, near_dup=False).select("doc_id").collect()
+    }
+    assert with_nd <= without_nd
+
+
+def test_kmeans_refine_improves_cohesion(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    seeds = V.seeded_centroids(dim=64, ncells=4)
+    refined = V.kmeans_refine(em, "embedding", seeds, iterations=2)
+    assert len(refined) == 4 and len(refined[0]) == 64
+
+    import math
+
+    def cohesion(cents):
+        assigned = V.ivf_assign(em, "embedding", cents)
+        scores = []
+        for i, c in enumerate(cents):
+            cell = assigned.filter(F.col("cell") == i)
+            if cell.count() == 0:
+                continue
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            s = cell.select(
+                F.avg(
+                    V.dot(
+                        V._as_double_array(F.col("embedding")), V._query_lit(c)
+                    )
+                    / (V.norm(V._as_double_array(F.col("embedding"))) * cn)
+                ).alias("m")
+            ).collect()[0].m
+            scores.append(s)
+        return sum(scores) / len(scores)
+
+    # refined centroids are at least as cohesive as the raw seeds
+    assert cohesion(refined) >= cohesion(seeds) - 1e-9
+
+
+def test_l2_normalize(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings").limit(20)
+    out = em.select("vec_id", V.l2_normalize("embedding"))
+    norms = out.select(
+        F.round(V.norm(F.col("unit_vec")), 6).alias("n")
+    ).collect()
+    assert all(abs(r.n - 1.0) < 1e-5 for r in norms)
+
+
+def test_resize_and_frame_sample_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_fake_payload(docs, "doc_id", "text")
+    resized = resize_images(media, 128, 128).collect()
+    assert len(resized) == 20
+    for r in resized[:5]:
+        assert r.media_meta.width == 128 and r.media_meta.height == 128
+        assert len(r.payload) <= max(16, (128 * 128) // 64)
+    frames = sample_frames(media, every_n_bytes=64)
+    fc = frames.groupBy("doc_id").count().collect()
+    assert len(fc) == 20 and all(r["count"] >= 1 for r in fc)
+    # frame fan-out matches payload size
+    one = media.orderBy("doc_id").first()
+    import math
+
+    expect = math.ceil(len(one.payload) / 64)
+    got = frames.filter(F.col("doc_id") == one.doc_id).count()
+    assert got == expect
