@@ -76,19 +76,55 @@ class DexWarehouse:
         updates: DataFrame,
         keys: list[str],
         update_cols: list[str] | None = None,
+        partition_col: str | None = None,
     ) -> None:
-        """merge_upsert into the stored table (full write here; with a
-        date-partitioned layout only touched partitions rewrite)."""
+        """merge_upsert into the stored table.
+
+        With ``partition_col`` (must be one of ``keys``), the merge is
+        partition-pruned: only the partitions present in ``updates``
+        are read, merged, and dynamically overwritten — cold partitions
+        are never touched. This is the 100 TB write path (the
+        reference's hourly window only ever touches 1-2 dates).
+        """
         existing = self.read(table)
         if existing is None:
-            merged = updates
-        else:
+            writer = updates.write.mode("overwrite")
+            if partition_col is not None:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(self.path(table))
+            return
+        if partition_col is None:
             merged = merge_upsert(existing, updates, keys, update_cols)
+            staging = self.path(table) + "._staging"
+            merged.write.mode("overwrite").parquet(staging)
+            self.spark.read.parquet(staging).write.mode("overwrite").parquet(
+                self.path(table)
+            )
+            return
+        # Partition-pruned merge: semi-join restricts the existing scan
+        # to touched partitions (partition filter pushes to the file
+        # index); dynamic overwrite replaces exactly those partitions.
+        touched = updates.select(partition_col).distinct()
+        existing_touched = existing.join(
+            F.broadcast(touched), partition_col, "left_semi"
+        )
+        merged = merge_upsert(existing_touched, updates, keys, update_cols)
         staging = self.path(table) + "._staging"
         merged.write.mode("overwrite").parquet(staging)
-        self.spark.read.parquet(staging).write.mode("overwrite").parquet(
-            self.path(table)
+        prev_mode = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
         )
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            self.spark.read.parquet(staging).write.mode(
+                "overwrite"
+            ).partitionBy(partition_col).parquet(self.path(table))
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
 
 
 # ---------------------------------------------------------------------------

@@ -94,3 +94,54 @@ def test_incremental_equals_full_rebuild(spark, sf_dir, tmp_path):
     a_rows = [r for r in a if r[2] != split]
     b_rows = [r for r in b if r[2] != split]
     assert a_rows == b_rows and len(a_rows) > 0
+
+
+def test_partitioned_merge_prunes_and_preserves(spark, sf_dir, tmp_path):
+    """Date-partitioned merge_write: untouched partitions survive
+    byte-identically; touched partitions take the update."""
+    import os
+
+    from dex_data_ingestor_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    wh = DexWarehouse(spark, str(tmp_path / "whp"))
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.to_date("l_shipdate").alias("date"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("txns"))
+    )
+    base = daily.filter(F.col("date") <= F.lit("1997-01-01"))
+    wh.merge_write("fact", base, ["date", "suppkey"], partition_col="date")
+    n_partitions_before = len(
+        [d for d in os.listdir(wh.path("fact")) if d.startswith("date=")]
+    )
+
+    upd = (
+        daily.filter(
+            (F.col("date") > F.lit("1996-12-01"))
+            & (F.col("date") <= F.lit("1997-01-01"))
+        )
+        .withColumn("txns", F.col("txns") * 1000)
+    )
+    wh.merge_write("fact", upd, ["date", "suppkey"], partition_col="date")
+
+    stored = wh.read("fact")
+    # untouched partition rows unchanged
+    old = stored.filter(F.col("date") <= F.lit("1996-12-01"))
+    ref = base.filter(F.col("date") <= F.lit("1996-12-01"))
+    assert sorted(map(tuple, old.select("date", "suppkey", "txns").collect())) == sorted(
+        map(tuple, ref.select("date", "suppkey", "txns").collect())
+    )
+    # touched partitions reflect the update
+    new = stored.filter(F.col("date") > F.lit("1996-12-01")).agg(
+        F.min("txns").alias("m")
+    ).collect()[0]
+    assert new.m >= 1000
+    # partition count unchanged (no partitions dropped)
+    n_partitions_after = len(
+        [d for d in os.listdir(wh.path("fact")) if d.startswith("date=")]
+    )
+    assert n_partitions_after == n_partitions_before

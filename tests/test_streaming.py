@@ -139,3 +139,39 @@ def test_stream_dedup_across_batches(spark, sf_dir, tmp_path):
     q.awaitTermination(timeout=120)
     got = spark.sql("select count(*) n, count(distinct event_id) d from t_dedup").collect()[0]
     assert got.n == got.d == 300
+
+
+def test_stateful_running_totals(spark, sf_dir, event_files, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches; the
+    final per-user state equals the batch aggregate."""
+    from dex_data_ingestor_spark.streaming.jobs import running_totals_stateful
+
+    stream = events_stream_from_parquet(spark, event_files, max_files_per_trigger=1)
+    q = (
+        running_totals_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    # last emitted row per user = final running totals
+    final = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql(
+            """select user_id, n_events, total_value from (
+                 select *, row_number() over (
+                   partition by user_id order by n_events desc) rn
+                 from t_stateful) where rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == batch and len(final) > 0
