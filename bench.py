@@ -35,7 +35,11 @@ HEADLINE = [
     "q_topk",
     "q_text_stats",
     "q_minhash_lsh",
+    "q_minhash_pairs",
     "q_vector_topk",
+    "q_stream_session",
+    "q_dedup_exact",
+    "q_simhash",
 ]
 
 

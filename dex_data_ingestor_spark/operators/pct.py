@@ -51,3 +51,60 @@ def period_over_period(
             f"{c}{suffix}", pct_change(F.col(c), F.col(f"__prev_{c}"))
         )
     return joined.drop(*[f"__prev_{c}" for c in value_cols])
+
+
+def period_over_period_multi(
+    fact: DataFrame,
+    keys: Sequence[str],
+    date_col: str,
+    value_col: str,
+    offsets: dict[str, int],
+) -> DataFrame:
+    """All period offsets in ONE shuffle (vs one self-join each).
+
+    Each fact row is emitted once per role — current, and shifted
+    forward by every offset — then a single (keys, date) hash-aggregate
+    lines the roles up: at 100 TB this replaces N shuffled joins with
+    one union (narrow) + one shuffle. Rows whose current value is
+    absent (pure shifted ghosts) are dropped, matching the left-join
+    form exactly (tests assert agreement).
+
+    ``offsets``: output-suffix -> days, e.g. {"_yoy": 14, "_qoq": 7}.
+    """
+    roles = [fact.select(
+        *[F.col(k) for k in keys],
+        F.col(date_col),
+        F.col(value_col),
+        F.lit("cur").alias("__role"),
+    )]
+    for suffix, days in offsets.items():
+        roles.append(
+            fact.select(
+                *[F.col(k) for k in keys],
+                F.expr(f"date_add({date_col}, {days})").alias(date_col),
+                F.col(value_col),
+                F.lit(suffix).alias("__role"),
+            )
+        )
+    unioned = roles[0]
+    for r in roles[1:]:
+        unioned = unioned.unionByName(r)
+    agg_exprs = [
+        F.max(F.when(F.col("__role") == "cur", F.col(value_col))).alias(
+            value_col
+        )
+    ]
+    for suffix in offsets:
+        agg_exprs.append(
+            F.max(
+                F.when(F.col("__role") == suffix, F.col(value_col))
+            ).alias(f"__prev{suffix}")
+        )
+    grouped = unioned.groupBy(*keys, date_col).agg(*agg_exprs)
+    out = grouped.filter(F.col(value_col).isNotNull())
+    for suffix in offsets:
+        out = out.withColumn(
+            f"{value_col}{suffix}",
+            pct_change(F.col(value_col), F.col(f"__prev{suffix}")),
+        ).drop(f"__prev{suffix}")
+    return out

@@ -176,22 +176,33 @@ def embedding_neardup_pairs(
     """Pairs with cosine >= threshold; optional blocking column keeps
     the self-join sub-quadratic (block by LSH bucket or IVF cell at
     scale — only same-block pairs are compared)."""
-    cols = [F.col(id_col), _as_double_array(F.col(vec_col)).alias("__v")]
+    # Precompute each row's norm ONCE before the join: higher-order
+    # folds are interpreted (not codegen), so evaluating 1 dot per pair
+    # instead of 3 is a ~3x win on the quadratic stage. The arithmetic
+    # (sqrt -> multiply -> divide) is unchanged, so results are
+    # bit-identical to the inline-cosine form.
+    cols = [
+        F.col(id_col),
+        _as_double_array(F.col(vec_col)).alias("__v"),
+    ]
     if block_col is not None:
         cols.append(F.col(block_col))
-    base = df.select(*cols)
+    base = df.select(*cols).withColumn("__n", norm(F.col("__v")))
     a = base.select(
-        *[F.col(c).alias(f"a_{c}") for c in (id_col, "__v")],
+        *[F.col(c).alias(f"a_{c}") for c in (id_col, "__v", "__n")],
         *([F.col(block_col).alias("__blk")] if block_col else []),
     )
     b = base.select(
-        *[F.col(c).alias(f"b_{c}") for c in (id_col, "__v")],
+        *[F.col(c).alias(f"b_{c}") for c in (id_col, "__v", "__n")],
         *([F.col(block_col).alias("__blk")] if block_col else []),
     )
     joined = (
         a.join(b, on="__blk") if block_col else a.crossJoin(b)
     ).filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
-    cos = F.round(cosine(F.col("a___v"), F.col("b___v")), round_dp)
+    cos = F.round(
+        dot(F.col("a___v"), F.col("b___v")) / (F.col("a___n") * F.col("b___n")),
+        round_dp,
+    )
     return (
         joined.select(
             F.col(f"a_{id_col}").alias("a_id"),

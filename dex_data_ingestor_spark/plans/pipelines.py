@@ -258,6 +258,7 @@ def sync_token_daily_stats(
             "price_usd",
             "created_at",
         ],
+        partition_col="date",
     )
     return fact.count()
 
@@ -295,6 +296,7 @@ def sync_yield_stats(
         fact,
         keys=["token_id", "pool_address", "date"],
         update_cols=["apy", "tvl", "tvl_usd", "created_at"],
+        partition_col="date",
     )
     return fact.count()
 

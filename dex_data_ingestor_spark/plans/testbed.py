@@ -524,20 +524,14 @@ def q_yoy_qoq(spark, sf_dir):
     shared formula utils.py:101-121; the reference's 'year'/'quarter'
     offsets are both 14 days — utils.py:87-99 — here 14d and 7d are
     used so the two columns differ)."""
+    from dex_data_ingestor_spark.operators.pct import period_over_period_multi
+
     ev = load_table(spark, sf_dir, "events")
     fact = ev.groupBy(
         "user_id", F.to_date("ts").alias("date")
     ).agg(_dec_sum(F.col("value"), "volume"))
-    out = period_over_period(
-        fact, ["user_id"], "date", ["volume"], 14, suffix="_yoy"
-    )
-    out = period_over_period(
-        out.select("user_id", "date", "volume", "volume_yoy"),
-        ["user_id"],
-        "date",
-        ["volume"],
-        7,
-        suffix="_qoq",
+    out = period_over_period_multi(
+        fact, ["user_id"], "date", "volume", {"_yoy": 14, "_qoq": 7}
     )
     return out.select("user_id", "date", "volume", "volume_yoy", "volume_qoq")
 
@@ -1331,20 +1325,22 @@ def q_similarity_topk(spark, sf_dir):
     window shuffles once on vec_id."""
     from pyspark.sql import Window
 
-    from dex_data_ingestor_spark.operators.vector import cosine
+    from dex_data_ingestor_spark.operators.vector import dot, norm
 
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    a = em.select(
-        F.col("vec_id"), F.col("label"), F.col("v").alias("av")
-    )
+    # precompute per-row norms before the quadratic stage (HOF folds are
+    # interpreted; 1 dot per pair instead of 3, bit-identical arithmetic)
+    em = em.withColumn("n", norm(F.col("v")))
+    a = em.select("vec_id", "label", F.col("v").alias("av"), F.col("n").alias("an"))
     b = em.select(
         F.col("vec_id").alias("other_id"),
         F.col("label"),
         F.col("v").alias("bv"),
+        F.col("n").alias("bn"),
     )
     pairs = (
         a.join(b, "label")
@@ -1352,7 +1348,9 @@ def q_similarity_topk(spark, sf_dir):
         .select(
             "vec_id",
             "other_id",
-            F.round(cosine(F.col("av"), F.col("bv")), 9).alias("cos_sim"),
+            F.round(
+                dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 9
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(

@@ -149,3 +149,29 @@ def test_q96_pandas_udf_end_to_end(spark):
     assert out[1].token0_price_usd == Decimal("1").quantize(
         Decimal(1).scaleb(-18)
     )
+
+
+def test_pop_multi_matches_join_form(spark, sf_dir):
+    """period_over_period_multi (single-shuffle union form) must agree
+    with the per-offset self-join form on every row."""
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.operators.pct import (
+        period_over_period,
+        period_over_period_multi,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume")
+    )
+    joined = period_over_period(fact, ["user_id"], "date", ["volume"], 14, "_yoy")
+    joined = period_over_period(
+        joined.select("user_id", "date", "volume", "volume_yoy"),
+        ["user_id"], "date", ["volume"], 7, "_qoq",
+    ).select("user_id", "date", "volume", "volume_yoy", "volume_qoq")
+    multi = period_over_period_multi(
+        fact, ["user_id"], "date", "volume", {"_yoy": 14, "_qoq": 7}
+    ).select("user_id", "date", "volume", "volume_yoy", "volume_qoq")
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, multi.collect())
+    )
