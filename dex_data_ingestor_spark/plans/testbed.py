@@ -1361,3 +1361,207 @@ def q_similarity_topk(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# =========================================================================
+# Spark-native relational breadth beyond the reference (SURVEY §2.1-C
+# note: the reference has only equi/as-of joins; these cover the join
+# types, window aggregates, multi-level groupings, pivots and set ops a
+# reference user gains by switching).
+# =========================================================================
+
+
+@register(
+    "q_semi_join",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND CAST(l.l_shipdate AS DATE) > DATE '1998-01-01'
+    )
+    """,
+)
+def q_semi_join(spark, sf_dir):
+    """Left-semi join: orders with at least one recent lineitem —
+    EXISTS pushed as a semi join (no duplication, no payload columns
+    from the probe side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-01-01")
+    )
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_anti_join",
+    """
+    SELECT c_custkey, c_nationkey FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM nation n
+      WHERE n.n_nationkey = c.c_nationkey AND n.n_nationkey < 20
+    )
+    """,
+)
+def q_anti_join(spark, sf_dir):
+    """Left-anti join: rows whose dimension key is missing — the
+    explicit form of the reference's skip-on-missing-dim logging
+    (reference: Bifrost.py:83-84; SURVEY §2.1-C1 note). The dim is
+    restricted to keys < 20 so the anti side is non-empty."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_nationkey") < 20
+    )
+    return cust.join(
+        F.broadcast(nation),
+        cust.c_nationkey == nation.n_nationkey,
+        "left_anti",
+    ).select("c_custkey", "c_nationkey")
+
+
+@register(
+    "q_window_running",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT)
+             AS event_seq
+    FROM events
+    """,
+)
+def q_window_running(spark, sf_dir):
+    """Per-key running aggregate + sequence number (cumulative window
+    frame) — decimal-exact running sum cast to double."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(wo).cast("bigint").alias("event_seq"),
+    )
+
+
+@register(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """Hierarchical subtotals (ROLLUP): per (flag,status), per flag,
+    and grand total — NULL marks rolled-up levels in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    """All grouping-set combinations (CUBE) over two dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+@register(
+    "q_pivot",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot (long -> wide): per-user counts by event type. Explicit
+    pivot values keep the plan single-pass (no value-discovery scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    # pivot yields nulls for absent combinations; the oracle's FILTER
+    # counts yield 0 — align on 0.
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("click", "error", "purchase", "signup", "view")
+        ],
+    )
+
+
+@register(
+    "q_setops",
+    """
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-10 00:00:00'
+    ), w2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-25 00:00:00'
+    )
+    SELECT user_id, 'both' AS membership
+    FROM (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w2)
+    UNION ALL
+    SELECT user_id, 'early_only' AS membership
+    FROM (SELECT user_id FROM w1 EXCEPT SELECT user_id FROM w2)
+    """,
+)
+def q_setops(spark, sf_dir):
+    """Set operators (INTERSECT / EXCEPT / UNION ALL): cohort overlap
+    between an early and a late activity window."""
+    ev = load_table(spark, sf_dir, "events")
+    w1 = ev.filter(F.col("ts") <= F.lit("2024-01-10 00:00:00")).select(
+        "user_id"
+    ).distinct()
+    w2 = ev.filter(F.col("ts") > F.lit("2024-01-25 00:00:00")).select(
+        "user_id"
+    ).distinct()
+    both = w1.intersect(w2).select(
+        "user_id", F.lit("both").alias("membership")
+    )
+    early = w1.exceptAll(w2).select(
+        "user_id", F.lit("early_only").alias("membership")
+    )
+    return both.unionByName(early)
