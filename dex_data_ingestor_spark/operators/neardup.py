@@ -194,33 +194,34 @@ def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:
     """Per-document SimHash over word tokens: bit j is set when the
-    sign-sum of token-hash bit j is positive. Output: (id, simhash)."""
+    sign-sum of token-hash bit j is positive. Output: (id, simhash).
+
+    Wide aggregation: one token row carries all ``bits`` sign
+    contributions as independent aggregate expressions — no bits-fold
+    row explosion, ONE shuffle with map-side partial sums, then a
+    narrow recombine (same shape as minhash_signatures_wide)."""
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("tok_hash", md5_int64(F.col("tok")))
-    bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
-    # shiftright/shiftleft take a Column shift only via SQL expr form.
-    contrib = tokens.select(
-        F.col(id_col), F.explode(bit_ids).alias("j"), F.col("tok_hash")
-    ).select(
-        F.col(id_col),
-        F.col("j"),
-        F.when(
-            F.expr("shiftright(tok_hash, j)").bitwiseAND(F.lit(1)) == 1, F.lit(1)
+    sums = tokens.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("tok_hash"), j).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    acc = F.lit(0).cast("bigint")
+    for j in range(bits):
+        acc = acc + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .otherwise(F.lit(-1))
-        .alias("c"),
-    )
-    bit_vals = contrib.groupBy(id_col, "j").agg(
-        F.when(F.sum("c") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
-    )
-    return bit_vals.groupBy(id_col).agg(
-        F.sum(
-            F.col("bit").cast("bigint")
-            * F.expr("shiftleft(cast(1 as bigint), j)")
-        ).alias("simhash")
-    )
+    return sums.select(F.col(id_col), acc.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
