@@ -168,13 +168,16 @@ def sync_dim_tokens(
         F.lit(1).alias("asset_type_id"),
         F.col("ts").alias("updated_at"),
     )
+    # count BEFORE writing: the merge plan's lineage includes the
+    # existing table files, which the write replaces.
+    n = dim.count()
     wh.merge_write(
         "dim_tokens",
         dim,
         keys=["chain_id", "address"],
         update_cols=["symbol", "name", "decimals", "asset_type_id", "updated_at"],
     )
-    return dim.count()
+    return n
 
 
 def sync_token_daily_stats(
@@ -245,6 +248,7 @@ def sync_token_daily_stats(
             F.lit(window_hi).cast("timestamp_ntz").alias("created_at"),
         )
     )
+    n = fact.count()
     wh.merge_write(
         "fact_token_daily_stats",
         fact,
@@ -260,7 +264,7 @@ def sync_token_daily_stats(
         ],
         partition_col="date",
     )
-    return fact.count()
+    return n
 
 
 def sync_yield_stats(
@@ -291,6 +295,7 @@ def sync_yield_stats(
         derived_tvl(F.col("supply"), F.col("price")).alias("tvl_usd"),
         F.lit(window_hi).cast("timestamp_ntz").alias("created_at"),
     )
+    n = fact.count()
     wh.merge_write(
         "fact_yield_stats",
         fact,
@@ -298,7 +303,7 @@ def sync_yield_stats(
         update_cols=["apy", "tvl", "tvl_usd", "created_at"],
         partition_col="date",
     )
-    return fact.count()
+    return n
 
 
 TASKS = {
@@ -342,3 +347,127 @@ def run_catchup(
     return {
         name: etl_job_till_now(wh, name, events, now)[0] for name in TASKS
     }
+
+
+# ---------------------------------------------------------------------------
+# 1:1 task parity with the reference's five active sync tasks
+# (reference: src/main.py:56-62). Each is a thin declarative composition;
+# testbed stand-ins per FIXTURES.md §2.
+# ---------------------------------------------------------------------------
+
+
+def sync_bifrost_site_task(wh, source, lo, hi) -> int:
+    """Bifrost site table sync (reference: Bifrost.py:31-185): dim
+    upsert + daily fact + yield stats from the site-shaped source."""
+    n = sync_dim_tokens(wh, source, lo, hi)
+    sync_yield_stats(wh, source, lo, hi)
+    return n
+
+
+def sync_bifrost_staking_task(wh, source, lo, hi) -> int:
+    """Bifrost staking sync (reference: Bifrost.py:188-300): derived
+    price (price*exchangeRatio) and tvl (supply*price) into the daily
+    fact + yield stats."""
+    n = sync_token_daily_stats(wh, source, lo, hi)
+    sync_yield_stats(wh, source, lo, hi)
+    return n
+
+
+def sync_hydration_price_task(wh, source, lo, hi) -> int:
+    """Hydration price sync (reference: Hydration.py:18-106): latest
+    price per symbol into fact_token_daily_stats.price_usd (partial
+    update)."""
+    return sync_token_daily_stats(wh, source, lo, hi)
+
+
+def sync_hydration_data_task(wh, source, lo, hi) -> int:
+    """Hydration pool-data sync (reference: Hydration.py:109-323):
+    volume/tvl/apr rollups + period-over-period into both facts."""
+    n = sync_token_daily_stats(wh, source, lo, hi)
+    sync_yield_stats(wh, source, lo, hi)
+    return n
+
+
+def sync_stellar_pool_task(
+    wh: DexWarehouse, source: DataFrame, window_lo, window_hi
+) -> int:
+    """StellaSwap pool sync (reference: Stellar.py:16-266) including
+    the Uniswap-V3 sqrt_price_x96 pricing via the exact 50-digit
+    decimal pandas UDF (functions/decimalq96.py — the reference's
+    utils.py:130-171 contract).
+
+    Testbed mapping: user_id -> pool token pair id; a synthetic
+    sqrt_price_x96 = (user_id+1) * 2^91 exercises the decimal path with
+    power-of-two-exact inputs.
+    """
+    from dex_data_ingestor_spark.functions.decimalq96 import (
+        token_prices_q96_exact,
+    )
+
+    batch = incremental_window(source, "ts", window_lo, window_hi)
+    pools = (
+        batch.groupBy(
+            F.xxhash64(F.lit(1), F.col("user_id").cast("string")).alias(
+                "token_id"
+            ),
+            F.to_date("ts").alias("date"),
+            F.col("user_id"),
+        )
+        .agg(F.max("value").alias("token0_usd"))
+        .withColumn(
+            "sqrt_price_x96",
+            (
+                (F.col("user_id") + 1).cast("decimal(38,0)")
+                * F.expr(f"CAST({2**91} AS DECIMAL(38,0))")
+            ).cast("decimal(38,0)"),
+        )
+        .withColumn("d0", F.lit(18))
+        .withColumn("d1", F.lit(18))
+    )
+    priced = pools.withColumn(
+        "prices",
+        token_prices_q96_exact(
+            "sqrt_price_x96",
+            "d0",
+            "d1",
+            "token0_usd",
+            F.lit(None).cast("double"),
+        ),
+    ).select(
+        "token_id",
+        "date",
+        F.col("prices.token1_price_usd").alias("price_usd"),
+    )
+    fact = priced.select(
+        "token_id",
+        "date",
+        F.lit(None).cast("double").alias("volume"),
+        F.lit(None).cast("double").alias("volume_usd"),
+        F.lit(None).cast("double").alias("volume_yoy"),
+        F.lit(None).cast("double").alias("volume_qoq"),
+        F.lit(None).cast("long").alias("txns_count"),
+        F.lit(None).cast("double").alias("txns_yoy"),
+        F.lit(None).cast("double").alias("txns_qoq"),
+        "price_usd",
+        F.lit(window_hi).cast("timestamp_ntz").alias("created_at"),
+    )
+    n = fact.count()
+    wh.merge_write(
+        "fact_token_daily_stats",
+        fact,
+        keys=["token_id", "date"],
+        update_cols=["price_usd", "created_at"],
+        partition_col="date",
+    )
+    return n
+
+
+TASKS.update(
+    {
+        "sync_bifrost_site": sync_bifrost_site_task,
+        "sync_bifrost_staking": sync_bifrost_staking_task,
+        "sync_hydration_price": sync_hydration_price_task,
+        "sync_hydration_data": sync_hydration_data_task,
+        "sync_stellar_pool": sync_stellar_pool_task,
+    }
+)

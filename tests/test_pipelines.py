@@ -145,3 +145,58 @@ def test_partitioned_merge_prunes_and_preserves(spark, sf_dir, tmp_path):
         [d for d in os.listdir(wh.path("fact")) if d.startswith("date=")]
     )
     assert n_partitions_after == n_partitions_before
+
+
+def test_five_reference_tasks_run(spark, sf_dir, tmp_path):
+    """All five reference-named sync tasks execute over the testbed
+    stand-in source, including the Q96 exact-decimal pricing path."""
+    import datetime as dt
+
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.plans.pipelines import TASKS
+
+    wh = DexWarehouse(spark, str(tmp_path / "wh5"))
+    events = load_table(spark, sf_dir, "events")
+    names = [
+        "sync_bifrost_site",
+        "sync_bifrost_staking",
+        "sync_hydration_price",
+        "sync_hydration_data",
+        "sync_stellar_pool",
+    ]
+    for name in names:
+        count, end = etl_job_till_now(wh, name, events, NOW)
+        assert count > 0, name
+    fact = wh.read("fact_token_daily_stats")
+    # stellar task wrote exact-decimal prices: price_usd = 1/ratio where
+    # ratio = ((uid+1)*2^91 / 2^96)^2 = ((uid+1)/32)^2; uid=7 -> ratio
+    # 1/16 -> token1 price = token0_usd * 1/16... check decimal type
+    assert dict(fact.dtypes)["price_usd"] == "decimal(38,18)"
+    assert fact.filter(F.col("price_usd").isNotNull()).count() > 0
+
+
+def test_quality_checks_on_warehouse(spark, sf_dir, tmp_path):
+    from dex_data_ingestor_spark.operators import quality as Q
+
+    root = str(tmp_path / "whq")
+    run_catchup(spark, sf_dir, root, NOW)
+    wh = DexWarehouse(spark, root)
+    dim = wh.read("dim_tokens")
+    fact = wh.read("fact_token_daily_stats")
+    results = Q.check_all(
+        {
+            "dim_pk_unique": Q.violations_duplicate_key(
+                dim, ["chain_id", "address"]
+            ),
+            "fact_pk_unique": Q.violations_duplicate_key(
+                fact, ["token_id", "date"]
+            ),
+            "fact_token_fk": Q.violations_ref_integrity(
+                fact, dim, ["token_id"], ["id"]
+            ),
+            "fact_not_null": Q.violations_null(fact, ["token_id", "date"]),
+            "volume_nonneg": Q.violations_range(fact, "volume", lo=0.0),
+        },
+        fail_fast=False,
+    )
+    assert all(n == 0 for n in results.values()), results
