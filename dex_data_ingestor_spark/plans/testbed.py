@@ -1565,3 +1565,70 @@ def q_setops(spark, sf_dir):
         "user_id", F.lit("early_only").alias("membership")
     )
     return both.unionByName(early)
+
+
+@register(
+    "q_asof_lookup",
+    """
+    SELECT v.event_id, v.user_id, CAST(v.ts AS TIMESTAMP) AS ts,
+           p.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts,
+                           value FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.p_user AND p.p_ts <= CAST(v.ts AS TIMESTAMP)
+    """,
+)
+def q_asof_lookup(spark, sf_dir):
+    """General as-of join (value at-or-before each probe): for every
+    view event, the user's latest purchase value at that moment —
+    checked against DuckDB's native ASOF JOIN. The engine form
+    (operators/asof.py asof_lookup) is a union + last-value range
+    window: one shuffle on the key, no range-join explosion."""
+    from dex_data_ingestor_spark.operators.asof import asof_lookup
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    quotes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value")
+    )
+    out = asof_lookup(
+        probes,
+        quotes,
+        keys=["user_id"],
+        probe_ts="ts",
+        quote_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("last_purchase_value"),
+    )
+
+
+#: One SQL text, two engines: the engine's spark.sql surface runs the
+#: identical ANSI statement the oracle runs (dialect-shared subset).
+_SQL_INTERFACE = """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE CAST(l_shipdate AS DATE) > DATE '1997-01-01'
+    GROUP BY o_orderpriority
+"""
+
+
+@register("q_sql_interface", _SQL_INTERFACE)
+def q_sql_interface(spark, sf_dir):
+    """The engine's SQL surface: the exact oracle SQL text executed via
+    spark.sql over registered views (io.register_views) — DataFrame and
+    SQL APIs are the same Catalyst plan underneath."""
+    from dex_data_ingestor_spark.io import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(_SQL_INTERFACE)
