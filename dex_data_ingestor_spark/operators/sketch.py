@@ -1,0 +1,61 @@
+"""Sketch / approximate-aggregate operators.
+
+Spark's built-ins (approx_count_distinct HLL++, approx_percentile
+t-digest) are the production defaults but their estimates are
+implementation-specific — unverifiable against another engine. This
+module adds a KMV (k-minimum-values) distinct-count sketch built on the
+engine's portable md5-int64 hash: deterministic, mergeable, and
+bit-reproducible anywhere the hash is (the property the oracle-checked
+testbed needs).
+
+KMV: with h uniform on [0, M), the k-th smallest hash m of the value
+set estimates density k/m, so |S| ~= (k - 1) * M / m. Exact (observed
+count) when the set is smaller than k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dex_data_ingestor_spark.functions.scalars import md5_int64
+
+#: Hash domain of md5_int64 (first 8 hex chars -> 32 bits).
+KMV_DOMAIN = 2**32
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """KMV distinct-count estimate, optionally per group.
+
+    Output: group cols + ``kth_min_hash`` (null when the group has
+    fewer than k distinct values) + ``est_distinct`` (double, rounded
+    6 dp). One shuffle: the rank window partitions on the group keys
+    and the following group-aggregate reuses that partitioning.
+    """
+    keys = group_by or []
+    hashed = df.select(
+        *[F.col(c) for c in keys], md5_int64(F.col(col)).alias("__h")
+    ).distinct()
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("__h")
+    else:
+        w = Window.orderBy("__h")
+    ranked = hashed.withColumn("__rn", F.row_number().over(w))
+    agg = ranked.groupBy(*[F.col(c) for c in keys]).agg(
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("kth_min_hash"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    est = F.when(
+        F.col("kth_min_hash").isNotNull(),
+        (F.lit(float(k - 1)) * F.lit(float(KMV_DOMAIN)))
+        / F.col("kth_min_hash").cast("double"),
+    ).otherwise(F.col("__n").cast("double"))
+    return agg.select(
+        *[F.col(c) for c in keys],
+        "kth_min_hash",
+        F.round(est, 6).alias("est_distinct"),
+    )

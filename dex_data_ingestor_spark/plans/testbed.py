@@ -1632,3 +1632,88 @@ def q_sql_interface(spark, sf_dir):
 
     register_views(spark, sf_dir, ("lineitem", "orders"))
     return spark.sql(_SQL_INTERFACE)
+
+
+# =========================================================================
+# Sketches & distribution analytics (north-star "novel sketch" class —
+# deterministic, therefore oracle-checkable, unlike HLL/t-digest).
+# =========================================================================
+
+
+@register(
+    "q_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ), agg AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = 64 THEN h END) AS kth_min_hash,
+             COUNT(*) AS n
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, kth_min_hash,
+           ROUND(CASE WHEN kth_min_hash IS NOT NULL
+                      THEN (63.0 * 4294967296.0) / CAST(kth_min_hash AS DOUBLE)
+                      ELSE CAST(n AS DOUBLE) END, 6) AS est_distinct
+    FROM agg
+    """,
+)
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-user sketch per event type (operators/sketch.py):
+    a deterministic mergeable alternative to HLL whose estimate is
+    bit-reproducible across engines — exact below k=64."""
+    from dex_data_ingestor_spark.operators.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_key", F.col("user_id").cast("string")
+    )
+    return kmv_distinct(ev, "user_key", k=64, group_by=["event_type"])
+
+
+@register(
+    "q_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 9)  AS p50,
+           ROUND(quantile_cont(value, 0.9), 9)  AS p90,
+           ROUND(quantile_cont(value, 0.99), 9) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group (both engines use linear
+    interpolation on the sorted values; production path at 100 TB is
+    approx_percentile/t-digest, which is not cross-engine-checkable)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 9).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 9).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 9).alias("p99"),
+    )
+
+
+@register(
+    "q_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bucket_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram of the value distribution (bucket = 50)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("value"), "bucket_sum"),
+    )
