@@ -26,7 +26,8 @@ def _tables(spark, root):
 
 
 def _snap(df):
-    return sorted(tuple(r) for r in df.collect())
+    # None-safe total order: sort by repr, compare the tuples themselves
+    return sorted((tuple(r) for r in df.collect()), key=repr)
 
 
 def test_catchup_builds_warehouse(spark, sf_dir, tmp_path):
