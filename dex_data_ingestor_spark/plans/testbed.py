@@ -1717,3 +1717,77 @@ def q_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         _dec_sum(F.col("value"), "bucket_sum"),
     )
+
+
+@register(
+    "q_corpus_curation",
+    f"""
+    WITH stats AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS n_punct,
+             length(text) AS n_chars_calc,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 w -> w IN ('the','a','an','of','and','to','in','is')))
+               AS n_stop,
+             sha256(text) AS sha
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, n_words, sha,
+             ROUND(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+               + (1.0 - LEAST((CAST(n_punct AS DOUBLE) / n_chars_calc) * 4.0,
+                              1.0)) * 0.25
+               + LEAST((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25,
+               9) AS quality_score
+      FROM stats
+    ), gated AS (
+      SELECT * FROM scored
+      WHERE lang = 'en' AND quality_score >= 0.3 AND n_words >= 5
+    ), exact_kept AS (
+      SELECT doc_id, n_words, quality_score FROM gated
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY sha ORDER BY doc_id) = 1
+    ), {_GRAMS_CTE.replace("FROM documents", "FROM documents WHERE doc_id IN (SELECT doc_id FROM exact_kept)")},
+    hashed AS (
+      SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
+    ),
+    params(k, a, b) AS (VALUES {_MINHASH_VALUES}),
+    sigs AS (
+      SELECT doc_id, k, min((a * gram_hash + b) % 2147483647) AS minhash
+      FROM hashed CROSS JOIN params GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(k / 4) AS INTEGER) AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS band_sig
+      FROM sigs GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
+      FROM bands
+    ),
+    losers AS (
+      SELECT DISTINCT b.doc_id FROM buckets a
+      JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_id, n_words, quality_score FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def q_corpus_curation(spark, sf_dir):
+    """The END-TO-END training-corpus curation pipeline, oracle-checked
+    as one statement: language filter -> quality gate -> exact dedup
+    (sha, lowest id wins) -> MinHash-LSH near-dup removal
+    (operators/corpus.py curate_documents). The survivor set is
+    deterministic and byte-reproducible — auditable training data."""
+    from dex_data_ingestor_spark.operators.corpus import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_documents(
+        docs,
+        allowed_langs=("en",),
+        min_quality=0.3,
+        min_words=5,
+        near_dup=True,
+    )
+    return out.select("doc_id", "n_words", "quality_score")

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""End-to-end demo: everything a reference user runs, on one engine.
+
+    python examples/run_demo.py [sf_dir] [work_dir]
+
+1. batch catch-up of the five reference sync tasks into a parquet
+   star-schema warehouse (bookmarked incremental windows),
+2. data-quality audit of the result,
+3. the same hourly aggregation as a Structured Streaming query
+   (AvailableNow) with an idempotent merge sink,
+4. training-corpus curation + vector search over the same session.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+from dex_data_ingestor_spark import get_session, load_table
+from dex_data_ingestor_spark.operators import quality as Q
+from dex_data_ingestor_spark.operators.corpus import (
+    corpus_stats,
+    curate_documents,
+)
+from dex_data_ingestor_spark.operators.vector import cosine_topk
+from dex_data_ingestor_spark.plans.pipelines import DexWarehouse, run_catchup
+from dex_data_ingestor_spark.streaming.jobs import (
+    events_stream_from_parquet,
+    foreach_batch_merge,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dex_demo"
+    spark = get_session(app_name="dex-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("== 1. batch catch-up (5 sync tasks, bookmarked windows)")
+    counts = run_catchup(
+        spark, sf_dir, os.path.join(work, "warehouse"), dt.datetime(2024, 2, 1)
+    )
+    for task, n in counts.items():
+        print(f"   {task}: {n} rows")
+
+    print("== 2. data-quality audit")
+    wh = DexWarehouse(spark, os.path.join(work, "warehouse"))
+    dim, fact = wh.read("dim_tokens"), wh.read("fact_token_daily_stats")
+    audit = Q.check_all(
+        {
+            "dim_pk_unique": Q.violations_duplicate_key(dim, ["chain_id", "address"]),
+            "fact_pk_unique": Q.violations_duplicate_key(fact, ["token_id", "date"]),
+            "fact_fk": Q.violations_ref_integrity(fact, dim, ["token_id"], ["id"]),
+        }
+    )
+    print(f"   violations: {audit}")
+
+    print("== 3. streaming twin (AvailableNow + idempotent merge sink)")
+    src = os.path.join(work, "stream_src")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    stream = events_stream_from_parquet(spark, src).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hourly = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour"),
+            "event_type",
+            "n",
+        )
+    )
+    q = foreach_batch_merge(
+        hourly,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "hourly_counts"),
+        keys=["hour", "event_type"],
+        spark=spark,
+    )
+    q.awaitTermination(timeout=300)
+    n_windows = spark.read.parquet(os.path.join(work, "hourly_counts")).count()
+    print(f"   hourly windows merged: {n_windows}")
+
+    print("== 4. corpus curation + vector search")
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate_documents(docs, allowed_langs=("en",), min_words=5)
+    print("   corpus:", corpus_stats(curated).collect()[0].asDict())
+    em = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in em.filter(F.col("vec_id") == 0).first().embedding]
+    top = cosine_topk(em, "vec_id", "embedding", qv, k=5).collect()
+    print("   top-5 neighbors of vec 0:", [(r.vec_id, r.cos_sim) for r in top])
+    spark.stop()
+    print("DEMO COMPLETE")
+
+
+if __name__ == "__main__":
+    main()
