@@ -1791,3 +1791,16 @@ def q_corpus_curation(spark, sf_dir):
         near_dup=True,
     )
     return out.select("doc_id", "n_words", "quality_score")
+
+
+@register("q_approx_distinct")  # rows-only: HLL++ estimates are
+# implementation-specific, so no cross-engine oracle exists by design —
+# the deterministic KMV sketch (q_kmv_distinct) is the oracle-checked
+# counterpart of this production path.
+def q_approx_distinct(spark, sf_dir):
+    """Production approximate distinct count: Spark's HLL++
+    (approx_count_distinct, rsd=0.01) per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )

@@ -88,3 +88,22 @@ def test_whole_stage_codegen_covers_narrow_compute(spark, sf_dir):
     # no-exchange query shows them directly ('*' = inside codegen).
     plan = plan_of(spark, sf_dir, "q_tvl")
     assert "* Project" in plan or "WholeStageCodegen" in plan, plan
+
+
+def test_partitioned_merge_read_uses_dynamic_pruning(spark, sf_dir, tmp_path):
+    """The partition-pruned merge path's existing-side scan must carry a
+    dynamic partition pruning filter (only touched date partitions are
+    read at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("date"), F.col("user_id")
+    ).count()
+    path = str(tmp_path / "dpp_fact")
+    daily.write.mode("overwrite").partitionBy("date").parquet(path)
+    existing = spark.read.parquet(path)
+    touched = daily.filter(F.col("date") > F.lit("2024-01-20")).select(
+        "date"
+    ).distinct()
+    pruned = existing.join(F.broadcast(touched), "date", "left_semi")
+    plan = _plan(pruned)
+    assert "dynamicpruning" in plan.lower(), plan
