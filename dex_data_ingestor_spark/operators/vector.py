@@ -253,3 +253,58 @@ def kmeans_refine(
         # empty cells keep their previous centroid
         current = [table.get(i, current[i]) for i in range(len(current))]
     return current
+
+
+def embedding_neardup_pairs_fast(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str,
+) -> DataFrame:
+    """Vectorized near-dup pairs: per-block cosine matrix via numpy
+    under applyInPandas (Arrow batches, one BLAS matmul per block).
+
+    ~10-100x the interpreted higher-order-function form on dense
+    embeddings — the production path when blocks (LSH bucket / IVF
+    cell / label) fit executor memory; the HOF form
+    (embedding_neardup_pairs) stays the bit-reproducible oracle
+    baseline, and a tolerance test asserts both agree. Output:
+    (a_id, b_id, cos_sim float64, unrounded).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("a_id", T.LongType()),
+            T.StructField("b_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        cos = unit @ unit.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        mask = cos[ai, bi] >= threshold
+        ai, bi = ai[mask], bi[mask]
+        vals = cos[ai, bi]
+        a, b = ids[ai], ids[bi]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"a_id": a2, "b_id": b2, "cos_sim": vals})
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+        .groupBy(block_col)
+        .applyInPandas(kernel, out_schema)
+    )

@@ -121,3 +121,54 @@ def test_multimodal_plumbing(spark, sf_dir):
 def test_decode_media_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", None)
+
+
+def test_fast_neardup_agrees_with_hof_form(spark, em):
+    """Vectorized (numpy matmul) near-dup pairs == interpreted HOF form
+    on pair membership, and cosines agree to float tolerance."""
+    hof = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in V.embedding_neardup_pairs(
+            em, "vec_id", "embedding", 0.25, block_col="label"
+        ).collect()
+    }
+    fast = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in V.embedding_neardup_pairs_fast(
+            em, "vec_id", "embedding", 0.25, block_col="label"
+        ).collect()
+    }
+    # membership can differ only for pairs within float-eps of the
+    # threshold; none exist in this data
+    assert set(hof) == set(fast)
+    for k in hof:
+        assert abs(hof[k] - fast[k]) < 1e-9
+
+
+def test_fast_neardup_faster_than_hof(spark, sf_dir):
+    """The numpy path must actually beat the interpreted path at scale
+    (run on sf0.1 embeddings; skip quietly if dir missing)."""
+    import os
+    import time
+
+    big_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(big_dir):
+        pytest.skip("sf0.1 not present")
+    big = load_table(spark, big_dir, "embeddings")
+
+    def timed(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    t_fast = timed(
+        V.embedding_neardup_pairs_fast(
+            big, "vec_id", "embedding", 0.25, block_col="label"
+        )
+    )
+    t_hof = timed(
+        V.embedding_neardup_pairs(
+            big, "vec_id", "embedding", 0.25, block_col="label"
+        )
+    )
+    assert t_fast < t_hof, (t_fast, t_hof)
