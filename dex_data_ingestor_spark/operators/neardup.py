@@ -267,3 +267,30 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Distinct character k-grams — the shingle flavor for short or
+    whitespace-poor text (CJK, code, URLs) where word n-grams are too
+    coarse. Same downstream contract as :func:`shingles`, so the
+    minhash/LSH pipeline runs unchanged on either."""
+    norm_text = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col), norm_text.alias("__t"))
+    # substring with a dynamic start position needs the SQL expr form
+    base = base.withColumn(
+        "__grams",
+        F.when(
+            F.length("__t") >= k,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(__t) - {k - 1}), "
+                    f"i -> substring(__t, i, {k}))"
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return base.select(
+        F.col(id_col), F.explode("__grams").alias("gram")
+    )

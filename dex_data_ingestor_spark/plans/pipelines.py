@@ -471,3 +471,31 @@ TASKS.update(
         "sync_stellar_pool": sync_stellar_pool_task,
     }
 )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    table_path: str,
+    partition_col: str,
+    target_files_per_partition: int = 1,
+) -> None:
+    """Small-file compaction for a partitioned table.
+
+    Incremental merges leave one file per write per partition; this
+    rewrites each partition into ``target_files_per_partition`` files
+    (repartition by partition value -> dynamic overwrite). Run it
+    periodically, like any lakehouse OPTIMIZE — at 100 TB target the
+    hot (recently merged) partitions only by filtering first.
+    """
+    df = spark.read.parquet(table_path)
+    compacted = df.repartition(target_files_per_partition, F.col(partition_col))
+    staging = table_path + "._compact"
+    compacted.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(table_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -172,3 +172,36 @@ def test_fast_neardup_faster_than_hof(spark, sf_dir):
         )
     )
     assert t_fast < t_hof, (t_fast, t_hof)
+
+
+def test_char_shingles_and_minhash_compat(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hi"), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    grams = ND.char_shingles(df, "doc_id", "text", k=5)
+    rows = {(r.doc_id, r.gram) for r in grams.collect()}
+    # doc 2 too short for 5-grams; docs 1 and 3 normalize identically
+    assert not any(d == 2 for d, _ in rows)
+    g1 = {g for d, g in rows if d == 1}
+    g3 = {g for d, g in rows if d == 3}
+    assert g1 == g3 and "hello" in g1
+
+
+def test_compact_partitions_reduces_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from dex_data_ingestor_spark.plans.pipelines import compact_partitions
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date"), "user_id").count()
+    path = str(tmp_path / "frag")
+    # two appends -> >=2 files per partition
+    daily.write.mode("overwrite").partitionBy("date").parquet(path)
+    daily.write.mode("append").partitionBy("date").parquet(path)
+    before = len(glob.glob(f"{path}/date=*/*.parquet"))
+    rows_before = spark.read.parquet(path).count()
+    compact_partitions(spark, path, "date", target_files_per_partition=1)
+    after = len(glob.glob(f"{path}/date=*/*.parquet"))
+    assert after < before
+    assert spark.read.parquet(path).count() == rows_before
