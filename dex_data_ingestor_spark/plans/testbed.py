@@ -35,7 +35,6 @@ from dex_data_ingestor_spark.functions.scalars import (
     apy_compound_monthly,
     md5_int64,
     normalize_symbol,
-    pct_change,
     derived_price,
     derived_tvl,
 )
