@@ -42,7 +42,6 @@ def token_count(text) -> Column:
 
 def marker_hits(text, markers: tuple[str, ...]) -> Column:
     """How many words of ``text`` are in ``markers``."""
-    in_list = ", ".join(f"'{m}'" for m in markers)
     c = text if isinstance(text, Column) else F.col(text)
     return F.size(
         F.filter(words(c), lambda w: w.isin(*markers))
@@ -120,3 +119,61 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         md5_int64(norm).alias("fp64"),
         F.sha2(F.col(text_col), 256).alias("content_sha"),
     )
+
+
+#: Rolling-hash parameters (Rabin-Karp base/modulus) for winnowing.
+ROLL_B = 257
+ROLL_P = 1_000_000_007
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (the MOSS scheme).
+
+    1. normalize (lowercase, collapse whitespace);
+    2. Rabin-Karp hash every k-char gram: h(i) = sum c[i+j] * B^(k-1-j) mod P;
+    3. winnow: keep the minimum hash of every window of ``w``
+       consecutive gram hashes (ties -> rightmost, the classic rule);
+    4. distinct per document.
+
+    Shared substrings of length >= k + w - 1 are guaranteed to produce
+    a common fingerprint — the property plagiarism/near-dup detection
+    relies on. All JVM-side (array HOFs over one projected char-code
+    array); one explode, no shuffle until the caller aggregates.
+    Output: (id, fp) long fingerprints.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col), norm.alias("__t"))
+    # char codes once (HOF lambdas re-evaluate inlined expressions)
+    base = base.withColumn(
+        "__c",
+        F.expr("transform(split(__t, ''), ch -> ascii(ch))"),
+    )
+    powers = [pow(ROLL_B, k - 1 - j, ROLL_P) for j in range(k)]
+    gram_hash = " + ".join(
+        f"(__c[i + {j}] * {powers[j]}L) % {ROLL_P}L" for j in range(k)
+    )
+    base = base.withColumn(
+        "__gh",
+        F.expr(
+            f"CASE WHEN size(__c) >= {k} THEN "
+            f"transform(sequence(0, size(__c) - {k}), "
+            f"i -> ({gram_hash}) % {ROLL_P}L) "
+            f"ELSE array() END"
+        ),
+    )
+    # winnow: min of each w-window, rightmost on ties
+    base = base.withColumn(
+        "__fps",
+        F.expr(
+            f"CASE WHEN size(__gh) >= {w} THEN "
+            f"array_distinct(transform(sequence(0, size(__gh) - {w}), "
+            f"i -> aggregate(sequence(i, i + {w - 1}), "
+            f"struct(CAST(-1 AS BIGINT) AS h, -1 AS pos), "
+            f"(acc, j) -> CASE WHEN acc.pos < 0 OR __gh[j] <= acc.h "
+            f"THEN struct(__gh[j] AS h, j AS pos) ELSE acc END).h)) "
+            f"ELSE array_distinct(__gh) END"
+        ),
+    )
+    return base.select(F.col(id_col), F.explode("__fps").alias("fp")).distinct()

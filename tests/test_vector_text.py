@@ -205,3 +205,55 @@ def test_compact_partitions_reduces_files(spark, sf_dir, tmp_path):
     after = len(glob.glob(f"{path}/date=*/*.parquet"))
     assert after < before
     assert spark.read.parquet(path).count() == rows_before
+
+
+def _winnow_py(text, k=8, w=4):
+    """Pure-python reference for winnowing fingerprints."""
+    import re
+
+    B, P = 257, 1_000_000_007
+    t = re.sub(r"\s+", " ", text.strip().lower())
+    if len(t) < k:
+        return set()
+    hashes = []
+    for i in range(len(t) - k + 1):
+        h = 0
+        for ch in t[i : i + k]:
+            h = (h * B + ord(ch)) % P
+        hashes.append(h)
+    if len(hashes) < w:
+        return set(hashes)
+    fps = set()
+    for i in range(len(hashes) - w + 1):
+        win = hashes[i : i + w]
+        m = min(win)
+        # rightmost minimum
+        pos = max(j for j, v in enumerate(win) if v == m)
+        fps.add(win[pos])
+    return fps
+
+
+def test_winnowing_matches_python_reference(spark, sf_dir):
+    from dex_data_ingestor_spark.operators.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    got = {}
+    for r in winnowing_fingerprints(docs, "doc_id", "text").collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for r in docs.collect():
+        assert got.get(r.doc_id, set()) == _winnow_py(r.text), r.doc_id
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from dex_data_ingestor_spark.operators.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"), (2, "CCCC " + shared + " DDDD")],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnowing_fingerprints(df, "doc_id", "text").collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    # a shared run of length >= k+w-1 must yield a common fingerprint
+    assert fps[1] & fps[2]
