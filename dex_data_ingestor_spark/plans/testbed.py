@@ -1803,3 +1803,72 @@ def q_approx_distinct(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
     )
+
+
+@register(
+    "q_range_join",
+    """
+    WITH bands AS (
+      SELECT r_regionkey AS band_id,
+             r_regionkey * 100.0 AS lo,
+             r_regionkey * 100.0 + 100.0 AS hi
+      FROM region
+    )
+    SELECT e.event_id, b.band_id, e.value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Interval/range join: events banded by value range. The band side
+    broadcasts (tiny) so Spark plans a broadcast nested-loop join —
+    right for dim-sized interval tables. For big-big range joins the
+    engine strategy is bucketize-both-sides (add an equi bucket key =
+    floor(value/width), join on bucket + residual range predicate),
+    which turns the theta join into an equi join + narrow filter."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("band_id"),
+        (F.col("r_regionkey") * 100.0).alias("lo"),
+        (F.col("r_regionkey") * 100.0 + 100.0).alias("hi"),
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .select("event_id", "band_id", "value")
+    )
+
+
+@register(
+    "q_time_rollup",
+    """
+    SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE)
+             AS month,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (month, day, hour)
+    """,
+)
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical time rollup: month -> day -> hour
+    continuous-aggregate levels in ONE pass via ROLLUP grouping sets
+    (each level is a materializable continuous aggregate; at 100 TB the
+    month/day levels are tiny and the hour level partitions by day)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+            "value",
+        )
+        .rollup("month", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+    )
