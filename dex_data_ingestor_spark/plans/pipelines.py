@@ -499,3 +499,42 @@ def compact_partitions(
         ).parquet(table_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def etl_backfill(
+    wh: DexWarehouse,
+    task_name: str,
+    source: DataFrame,
+    start: dt.datetime,
+    end: dt.datetime,
+    step: dt.timedelta = dt.timedelta(days=7),
+) -> list[dict]:
+    """Chunked historical backfill: replay ``[start, end)`` as
+    consecutive half-open windows of ``step`` (the reference's
+    boot-time catch-up, main.py:40-50, generalized from one giant
+    window to bounded chunks so each merge touches a bounded partition
+    set and a failure resumes from the bookmark, not from zero).
+
+    Returns one metrics dict per chunk: window bounds, rows written,
+    wall seconds.
+    """
+    import time
+
+    reports: list[dict] = []
+    lo = start
+    while lo < end:
+        hi = min(lo + step, end)
+        t0 = time.perf_counter()
+        count = TASKS[task_name](wh, source, lo, hi)
+        wh.bookmark.set_last_run(task_name, hi)
+        reports.append(
+            {
+                "task": task_name,
+                "window_lo": lo.isoformat(),
+                "window_hi": hi.isoformat(),
+                "rows": count,
+                "seconds": round(time.perf_counter() - t0, 3),
+            }
+        )
+        lo = hi
+    return reports

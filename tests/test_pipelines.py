@@ -201,3 +201,42 @@ def test_quality_checks_on_warehouse(spark, sf_dir, tmp_path):
         fail_fast=False,
     )
     assert all(n == 0 for n in results.values()), results
+
+
+def test_backfill_chunks_equal_single_window(spark, sf_dir, tmp_path):
+    """Chunked backfill over January == one catch-up window for days
+    strictly inside chunks (chunk boundaries split daily aggregates the
+    same way incremental windows do — same reference property)."""
+    import datetime as dt
+
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.plans.pipelines import etl_backfill
+
+    events = load_table(spark, sf_dir, "events")
+    start, end = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+
+    wh_a = DexWarehouse(spark, str(tmp_path / "bf_a"))
+    reports = etl_backfill(
+        wh_a, "sync_yield_stats", events, start, end, dt.timedelta(days=10)
+    )
+    assert len(reports) == 4  # 10+10+10+1 days
+    assert all(r["rows"] >= 0 and r["seconds"] >= 0 for r in reports)
+    assert wh_a.bookmark.get_last_run("sync_yield_stats") == end
+
+    wh_b = DexWarehouse(spark, str(tmp_path / "bf_b"))
+    etl_job_till_now(wh_b, "sync_yield_stats", events, end)
+
+    boundary_days = {
+        dt.date(2024, 1, 11), dt.date(2024, 1, 21), dt.date(2024, 1, 31)
+    }
+    a = {
+        (r.token_id, r.date): r.apy
+        for r in wh_a.read("fact_yield_stats").collect()
+        if r.date not in boundary_days
+    }
+    b = {
+        (r.token_id, r.date): r.apy
+        for r in wh_b.read("fact_yield_stats").collect()
+        if r.date not in boundary_days
+    }
+    assert a == b and len(a) > 0
