@@ -1872,3 +1872,49 @@ def q_time_rollup(spark, sf_dir):
             _dec_sum(F.col("value"), "total_value"),
         )
     )
+
+
+@register(
+    "q_stats_agg",
+    """
+    SELECT event_type,
+           ROUND(stddev_samp(value), 9) AS sd_value,
+           ROUND(var_samp(value), 9) AS var_value,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 9) AS corr_value_user,
+           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 9)
+             AS covar_value_user
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates (stddev/variance/correlation/covariance)
+    per group, rounded 9 dp — the engines' streaming-moment algorithms
+    agree to ~ULP on this data (verified by the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 9).alias("sd_value"),
+        F.round(F.var_samp("value"), 9).alias("var_value"),
+        F.round(F.corr(F.col("value"), u), 9).alias("corr_value_user"),
+        F.round(F.covar_samp(F.col("value"), u), 9).alias("covar_value_user"),
+    )
+
+
+@register(
+    "q_string_agg",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+             AS types_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation: each user's distinct event types as
+    one sorted CSV — deterministic because the order is pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("types_seen")
+    )
