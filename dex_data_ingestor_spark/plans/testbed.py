@@ -1918,3 +1918,35 @@ def q_string_agg(spark, sf_dir):
             F.array_sort(F.collect_set("event_type")), ","
         ).alias("types_seen")
     )
+
+
+@register(
+    "q_json_extract",
+    """
+    WITH parsed AS (
+      SELECT event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT CAST(floor(k / 10.0) AS INTEGER) AS k_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(k) AS INTEGER) AS k_min,
+           CAST(MAX(k) AS INTEGER) AS k_max
+    FROM parsed GROUP BY 1
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """Semi-structured JSON column analytics: extract ``$.k`` from the
+    props payload (get_json_object, JVM-side JSON path) and aggregate
+    by decile bucket — the schema-on-read pattern for event payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    return parsed.groupBy(
+        F.floor(F.col("k") / 10.0).cast("int").alias("k_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").cast("int").alias("k_min"),
+        F.max("k").cast("int").alias("k_max"),
+    )
