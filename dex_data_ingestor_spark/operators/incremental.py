@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -70,6 +71,12 @@ class Bookmark:
         self.path = path
 
     def _read(self) -> DataFrame:
+        # Crash recovery: if a previous swap died between removing the
+        # live dir and renaming the staged one, the staged dir holds the
+        # complete new snapshot — finish the swap now.
+        tmp = self.path + "._tmp"
+        if not os.path.exists(self.path) and os.path.exists(tmp):
+            os.replace(tmp, self.path)
         if not os.path.exists(self.path):
             return self.spark.createDataFrame([], schemas.ETL_CONTROL)
         return self.spark.read.schema(schemas.ETL_CONTROL).parquet(self.path)
@@ -94,8 +101,12 @@ class Bookmark:
             [(task_name, last_run)], schemas.ETL_CONTROL
         )
         merged = others.unionByName(new_row)
-        # Tiny table: single partition, atomic-enough overwrite via temp dir.
+        # Tiny table: stage the full snapshot, materialize it (the plan
+        # reads the live dir, so the swap below can't race the write),
+        # then swap via rename. The only crash window is between rmtree
+        # and replace, and _read() recovers from the staged dir there.
         tmp = self.path + "._tmp"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.schema(schemas.ETL_CONTROL).parquet(tmp)
-        final.coalesce(1).write.mode("overwrite").parquet(self.path)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.replace(tmp, self.path)

@@ -65,9 +65,17 @@ def period_over_period_multi(
     Each fact row is emitted once per role — current, and shifted
     forward by every offset — then a single (keys, date) hash-aggregate
     lines the roles up: at 100 TB this replaces N shuffled joins with
-    one union (narrow) + one shuffle. Rows whose current value is
-    absent (pure shifted ghosts) are dropped, matching the left-join
-    form exactly (tests assert agreement).
+    one union (narrow) + one shuffle. Current-row presence is tracked
+    with an explicit marker (not by the value being non-NULL), so facts
+    with NULL values survive exactly as in the left-join form (tests
+    assert agreement, including NULL-valued facts).
+
+    Precondition: ``(keys, date_col)`` is unique in ``fact`` — the
+    daily-fact PK contract the reference enforces (fact_token_daily_stats
+    PK (token_id, date)). With duplicate key/date rows the hash-
+    aggregate collapses them (MAX per role) while the join form keeps
+    and multiplies them; this operator raises nothing at runtime, so
+    callers with possibly-duplicated facts must dedup first.
 
     ``offsets``: output-suffix -> days, e.g. {"_yoy": 14, "_qoq": 7}.
     """
@@ -92,7 +100,9 @@ def period_over_period_multi(
     agg_exprs = [
         F.max(F.when(F.col("__role") == "cur", F.col(value_col))).alias(
             value_col
-        )
+        ),
+        F.max(F.when(F.col("__role") == "cur", F.lit(1)).otherwise(F.lit(0)))
+        .alias("__is_cur"),
     ]
     for suffix in offsets:
         agg_exprs.append(
@@ -101,7 +111,7 @@ def period_over_period_multi(
             ).alias(f"__prev{suffix}")
         )
     grouped = unioned.groupBy(*keys, date_col).agg(*agg_exprs)
-    out = grouped.filter(F.col(value_col).isNotNull())
+    out = grouped.filter(F.col("__is_cur") == 1).drop("__is_cur")
     for suffix in offsets:
         out = out.withColumn(
             f"{value_col}{suffix}",

@@ -27,7 +27,18 @@ def salted_join(
     """Equi-join with salted keys (big side scattered, small side
     replicated ``salt_buckets``-fold). Use when the big side's key
     distribution is heavily skewed and the small side is too large to
-    broadcast outright."""
+    broadcast outright.
+
+    Only ``inner`` and ``left`` joins are supported: replicating the
+    small side is transparent for those (each big-side row meets
+    exactly one replica of its key), but for right/full joins an
+    unmatched small-side row would be emitted once per salt bucket.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "right/full would duplicate unmatched replicated small-side rows"
+        )
     big_salted = big.withColumn(
         "__salt", (F.xxhash64(*[F.col(c) for c in on], F.monotonically_increasing_id()) % salt_buckets + salt_buckets) % salt_buckets
     )

@@ -478,15 +478,22 @@ def q_date_parts(spark, sf_dir):
       SELECT event_id, x3 * x3 AS x6 FROM p3
     )
     SELECT event_id,
-           CAST(ROUND(LEAST((x6 * x6 - 1.0) * 100.0, {APY_CAP}), 2)
-                AS DECIMAL(10,2)) AS apy
+           CASE WHEN x6 IS NOT NULL THEN
+             CAST(ROUND(LEAST((x6 * x6 - 1.0) * 100.0, {APY_CAP}), 2)
+                  AS DECIMAL(10,2))
+           END AS apy
     FROM p6
     """,
 )
 def q_apy(spark, sf_dir):
     """APR->APY compounding with cap + HALF_UP 2dp (reference:
     utils.py:11-38). Monthly compounding via an exact multiplication
-    chain so the value is bit-reproducible (libm pow is not)."""
+    chain so the value is bit-reproducible (libm pow is not).
+
+    NULL contract: NULL apr -> NULL apy on BOTH sides. DuckDB's LEAST
+    skips NULL arguments (returning the cap), so the oracle guards with
+    CASE WHEN x6 IS NOT NULL — matching apy_compound_monthly's explicit
+    null guard (driver r01 recorded this as the only hash mismatch)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id", apy_compound_monthly(F.col("value") / 100.0).alias("apy")

@@ -19,7 +19,41 @@ play the source role everywhere else in the testbed.
 
 from __future__ import annotations
 
+import datetime as _dt
+import re
+
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+# Identifiers we interpolate into pushdown SQL must be plain
+# (optionally dot-qualified) names — anything else is rejected rather
+# than quoted, because quoting rules are dialect-specific and the
+# reference used parameterized queries (%s) for the same window.
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?$")
+
+
+def _safe_ident(name: str) -> str:
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"unsafe SQL identifier: {name!r}")
+    return name
+
+
+def _sql_literal(value) -> str:
+    """Render a window bound as a typed SQL literal (never raw
+    interpolation of arbitrary strings)."""
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, _dt.datetime):
+        return "'" + value.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+    if isinstance(value, _dt.date):
+        return "'" + value.isoformat() + "'"
+    s = str(value)
+    # ISO-ish timestamp/date strings only; anything else must come in
+    # as a typed value.
+    if not re.match(r"^[0-9][0-9:\- .T]*$", s):
+        raise ValueError(f"unsafe SQL bound literal: {value!r}")
+    return "'" + s + "'"
 
 
 def jdbc_reader(
@@ -68,11 +102,17 @@ def jdbc_incremental_reader(
     """Incremental window scan pushed into the remote database — the
     reference's ``WHERE created_at > %s AND created_at <= %s``
     (Bifrost.py:90) as a server-side slice; only new rows cross the
-    wire."""
-    cols = ", ".join(columns) if columns else "*"
+    wire.
+
+    Identifiers are validated and the window bounds rendered as typed
+    literals — raw f-string interpolation of caller strings into SQL
+    (the round-1 form) is rejected with ``ValueError``.
+    """
+    cols = ", ".join(_safe_ident(c) for c in columns) if columns else "*"
     query = (
-        f"(SELECT {cols} FROM {table} "
-        f"WHERE {ts_col} > '{lo}' AND {ts_col} <= '{hi}') AS incr"
+        f"(SELECT {cols} FROM {_safe_ident(table)} "
+        f"WHERE {_safe_ident(ts_col)} > {_sql_literal(lo)} "
+        f"AND {_safe_ident(ts_col)} <= {_sql_literal(hi)}) AS incr"
     )
     return jdbc_reader(spark, url, query, options)
 

@@ -96,6 +96,32 @@ def test_bookmark_monotone_advance(spark, tmp_path):
     bm.set_last_run("t", t2)
     bm.set_last_run("t", t1)  # must NOT regress
     assert bm.get_last_run("t") == t2
+
+
+def test_bookmark_no_tmp_leak_and_crash_recovery(spark, tmp_path):
+    """The staging dir is swapped away after each write (ADVICE r01:
+    one leaked tmp dir per bookmark forever), and a crash between the
+    live-dir removal and the rename is recovered on next read."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from dex_data_ingestor_spark.operators.incremental import Bookmark
+
+    path = str(tmp_path / "etl_control")
+    bm = Bookmark(spark, path)
+    t1 = dt.datetime(2024, 1, 1, 10)
+    t2 = dt.datetime(2024, 1, 1, 11)
+    bm.set_last_run("a", t1)
+    bm.set_last_run("b", t2)
+    assert not os.path.exists(path + "._tmp")
+    assert bm.get_last_run("a") == t1 and bm.get_last_run("b") == t2
+    # Simulate the crash window: staged snapshot exists, live dir gone.
+    shutil.copytree(path, path + "._tmp")
+    shutil.rmtree(path)
+    assert bm.get_last_run("a") == t1 and bm.get_last_run("b") == t2
+    assert os.path.exists(path) and not os.path.exists(path + "._tmp")
+    # Writes keep working after a recovery.
     bm.set_last_run("other", t1)
     assert bm.get_last_run("other") == t1
-    assert bm.get_last_run("t") == t2
+    assert bm.get_last_run("a") == t1 and bm.get_last_run("b") == t2

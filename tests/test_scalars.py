@@ -175,3 +175,29 @@ def test_pop_multi_matches_join_form(spark, sf_dir):
     assert sorted(map(tuple, joined.collect())) == sorted(
         map(tuple, multi.collect())
     )
+
+
+def test_pop_multi_keeps_null_valued_facts(spark):
+    """Facts with NULL values must survive the multi form exactly as in
+    the join form (ADVICE r01: presence was inferred from value
+    non-NULL, dropping NULL-valued fact rows)."""
+    import datetime as dt
+
+    from dex_data_ingestor_spark.operators.pct import (
+        period_over_period,
+        period_over_period_multi,
+    )
+
+    rows = [
+        ("k1", dt.date(2024, 1, 1), 10.0),
+        ("k1", dt.date(2024, 1, 8), None),   # NULL current value
+        ("k1", dt.date(2024, 1, 15), 20.0),
+        ("k2", dt.date(2024, 1, 15), None),  # NULL-only key
+    ]
+    fact = spark.createDataFrame(rows, "key string, date date, v double")
+    joined = period_over_period(fact, ["key"], "date", ["v"], 7, "_wow")
+    multi = period_over_period_multi(fact, ["key"], "date", "v", {"_wow": 7})
+    j = sorted(map(tuple, joined.select("key", "date", "v", "v_wow").collect()))
+    m = sorted(map(tuple, multi.select("key", "date", "v", "v_wow").collect()))
+    assert j == m
+    assert len(j) == 4  # NULL-valued rows kept

@@ -62,6 +62,41 @@ def test_jdbc_reader_builds(spark):
     assert r2 is not None
 
 
+def test_jdbc_incremental_rejects_unsafe_sql(spark):
+    """Identifiers and bounds are validated, not interpolated raw
+    (ADVICE r01: injection via table/ts_col/lo/hi)."""
+    import datetime as dt
+
+    import pytest
+
+    from dex_data_ingestor_spark.sources.jdbc import jdbc_incremental_reader
+
+    url = "jdbc:mysql://example:3306/db"
+    with pytest.raises(ValueError):
+        jdbc_incremental_reader(
+            spark, url, "pool_data; DROP TABLE x", "created_at", "2024-01-01", "2024-02-01"
+        )
+    with pytest.raises(ValueError):
+        jdbc_incremental_reader(
+            spark, url, "pool_data", "created_at' OR '1'='1", "2024-01-01", "2024-02-01"
+        )
+    with pytest.raises(ValueError):
+        jdbc_incremental_reader(
+            spark, url, "pool_data", "created_at", "2024-01-01' OR 'a'='a", "2024-02-01"
+        )
+    with pytest.raises(ValueError):
+        jdbc_incremental_reader(
+            spark, url, "pool_data", "created_at", "2024-01-01",
+            "2024-02-01", columns=["id", "created_at, (SELECT 1)"],
+        )
+    # Typed datetime bounds render fine.
+    r = jdbc_incremental_reader(
+        spark, url, "db2.pool_data", "created_at",
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1),
+    )
+    assert r is not None
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     supp = load_table(spark, sf_dir, "supplier").withColumnRenamed(
@@ -76,3 +111,17 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    """right/full would emit unmatched small-side rows once per salt
+    bucket (ADVICE r01) — rejected up front."""
+    import pytest
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(li, supp, ["l_suppkey"], salt_buckets=4, how=how)
