@@ -38,6 +38,33 @@ TABLES = (
 #: without any dependence on the session timezone.
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
+#: Raw-read memo: (applicationId, abspath) -> (stat_sig, DataFrame).
+#: DataFrames are immutable logical plans, so reusing one skips the
+#: file listing + footer/schema read every load_table call repays
+#: (~100 ms per table per query on the bench loop). The stat signature
+#: invalidates the entry if the file is replaced.
+_RAW_READS: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
+
+
+def _stat_sig(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (None, None)
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    path = os.path.abspath(path)
+    key = (spark.sparkContext.applicationId, path)
+    sig = _stat_sig(path)
+    hit = _RAW_READS.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    df = spark.read.parquet(path)
+    _RAW_READS[key] = (sig, df)
+    return df
+
 
 def _ns_long_to_ntz(col_name: str):
     """Nanosecond-epoch long -> TIMESTAMP_NTZ (microsecond floor).
@@ -78,7 +105,7 @@ def load_table(
     data; keeps semantics explicit and engine-checkable).
     """
     configure_session(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _read_parquet_cached(spark, os.path.join(sf_dir, f"{name}.parquet"))
     is_ns_long = name == "events" and dict(df.dtypes).get("ts") == "bigint"
     if ts_window is not None and is_ns_long:
         lo, hi = ts_window

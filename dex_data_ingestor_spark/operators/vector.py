@@ -45,7 +45,11 @@ def cosine(a, b):
 
 
 def _query_lit(query_vec: list[float]):
-    return F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    # One SQL-parsed literal array instead of len(vec) F.lit round
+    # trips; repr() round-trips doubles exactly.
+    return F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in query_vec) + ")"
+    )
 
 
 def cosine_topk(

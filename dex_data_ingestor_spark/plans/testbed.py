@@ -945,6 +945,64 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @register(
+    "q_hash_split",
+    f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {_MD5_INT.format('text')} % 100 AS bucket
+          FROM documents)
+    """,
+)
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by content hash — the
+    reproducible-split primitive every training-data pipeline needs.
+    Content-based (not id-based): re-ingesting the same document under
+    a new id lands in the same split, and the assignment is a pure
+    narrow projection — no shuffle, no RNG state, identical on any
+    cluster size (100 TB posture: splits recomputable from data alone).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (md5_int64(F.col("text")) % 100).alias("bucket")
+    return docs.select("doc_id", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < 80, F.lit("train"))
+        .when(F.col("bucket") < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+@register(
+    "q_topk_per_key",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def q_topk_per_key(spark, sf_dir):
+    """Grouped top-k (rank window): top 3 orders by price per priority
+    class — the per-key generalization of the reference's ORDER BY ...
+    LIMIT 1 (Stellar.py:72). Spark runs a single hash-partitioned sort
+    per key group; no global sort, no driver collection."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
     "q_text_stats",
     """
     WITH base AS (
@@ -1089,6 +1147,96 @@ def q_vector_topk(spark, sf_dir):
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
+    )
+
+
+# IVF index constants (shared by the Spark plan and the generated
+# oracle SQL below — both derive from the same seeded centroids).
+_IVF_DIM = 64
+_IVF_NCELLS = 8
+_IVF_NPROBE = 2
+_IVF_SEED = 42
+
+
+def _ivf_oracle_sql() -> str:
+    """Oracle for q_ann_ivf: replicates assignment (argmax cosine, ties
+    to the larger cell — Spark's greatest(struct) order), probe-cell
+    selection (top nprobe by query-centroid similarity, ties to the
+    smaller cell — Python's stable sort), and the in-cell brute-force
+    top-k. Centroid values and their norms are embedded as literals so
+    both engines score against bit-identical constants."""
+    import math
+
+    from dex_data_ingestor_spark.operators.vector import seeded_centroids
+
+    cents = seeded_centroids(_IVF_DIM, _IVF_NCELLS, seed=_IVF_SEED)
+    rows = []
+    for i, c in enumerate(cents):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        lst = "[" + ",".join(repr(x) for x in c) + "]"
+        rows.append(f"({i}, {lst}::DOUBLE[], {cn!r})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH cent(cell, cv, cn) AS (VALUES
+      {values}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id = 0),
+    assign AS (
+      SELECT vec_id, v, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cell DESC) AS rn
+      FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * c.cn) AS score
+        FROM e CROSS JOIN cent c)
+    ),
+    probes AS (
+      SELECT c.cell
+      FROM cent c CROSS JOIN q
+      ORDER BY list_dot_product(c.cv, q.qe)
+                 / sqrt(list_dot_product(q.qe, q.qe)) DESC,
+               c.cell ASC
+      LIMIT {_IVF_NPROBE}
+    )
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.v, q.qe)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(q.qe, q.qe))), 9) AS cos_sim
+    FROM assign a CROSS JOIN q
+    WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probes)
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("q_ann_ivf", _ivf_oracle_sql())
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate-nearest-neighbor search (north-star J3 scale
+    path): vectors are coarse-quantized to seeded centroids once, the
+    query probes only the nprobe nearest cells, and brute-force cosine
+    runs inside those cells — O(N * nprobe / ncells) scanned instead of
+    O(N). At 100 TB the ``cell`` column is a partition key, so the probe
+    is partition pruning, not a filter. Query point: vec_id 0's own
+    embedding (an O(1) driver lookup, like a user-supplied query)."""
+    from dex_data_ingestor_spark.operators.vector import (
+        ivf_assign,
+        ivf_topk,
+        seeded_centroids,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in em.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    cents = seeded_centroids(_IVF_DIM, _IVF_NCELLS, seed=_IVF_SEED)
+    indexed = ivf_assign(em, "embedding", cents)
+    return ivf_topk(
+        indexed, "vec_id", "embedding", cents, qvec,
+        k=10, nprobe=_IVF_NPROBE,
     )
 
 

@@ -34,12 +34,21 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: Sessions already configured (by applicationId) — configure_session
+#: is called defensively from every load_table; skip the conf round
+#: trips after the first call on a given session.
+_CONFIGURED: set[str] = set()
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.
 
     Idempotent; used both by :func:`get_session` and defensively by the
     IO layer when the engine runs inside a session it did not build.
     """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _CONFIGURED:
+        return spark
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
@@ -47,6 +56,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # A locked-down session (static conf) — reads of ns-parquet
             # will fail loudly later with a clear Spark error.
             pass
+    _CONFIGURED.add(app_id)
     return spark
 
 
