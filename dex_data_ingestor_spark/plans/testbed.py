@@ -1003,6 +1003,70 @@ def q_topk_per_key(spark, sf_dir):
 
 
 @register(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang, {_MD5_INT.format('text')} % 1000 AS h
+          FROM documents)
+    WHERE h < CASE WHEN lang = 'en' THEN 100 ELSE 500 END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep rates via a
+    content-hash threshold (en 10%, others 50% — the rebalancing shape
+    of a multilingual training mix). No RNG state, no sampleBy seed
+    drift: the sample is a pure narrow filter, reproducible at any
+    parallelism, and composable with [q_hash_split]'s buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_int64(F.col("text")) % 1000
+    rate = F.when(F.col("lang") == "en", F.lit(100)).otherwise(F.lit(500))
+    return docs.filter(h < rate).select("doc_id", "lang")
+
+
+@register(
+    "q_ngram_topk",
+    f"""
+    WITH {_GRAMS_CTE},
+    counts AS (
+      SELECT d.lang, g.gram, COUNT(*) AS n_docs
+      FROM grams g JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT lang, gram, n_docs FROM (
+      SELECT lang, gram, n_docs,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_docs DESC, gram) AS rn
+      FROM counts) WHERE rn <= 5
+    """,
+)
+def q_ngram_topk(spark, sf_dir):
+    """Corpus statistics: the 5 most document-frequent word trigrams
+    per language — the n-gram frequency sweep used for contamination
+    checks and boilerplate detection over training corpora. Shingles
+    are distinct per document, so the count is document frequency; the
+    gram explode -> (lang, gram) count -> per-lang rank plan is three
+    shuffles regardless of corpus size."""
+    from dex_data_ingestor_spark.operators.neardup import shingles
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingles(docs, "doc_id", "text", n=3)
+    counts = (
+        grams.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_docs").desc(), F.col("gram")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "gram", "n_docs")
+    )
+
+
+@register(
     "q_text_stats",
     """
     WITH base AS (

@@ -158,6 +158,63 @@ def stream_dedup(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    max_lag: str = "1 hour",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match rows sharing ``on``
+    whose event times are within ``max_lag`` (right no earlier than
+    left, no later than left + max_lag).
+
+    Both watermarks plus the time-range predicate bound the join state:
+    Spark retains only rows inside the lateness horizon on each side
+    (unbounded state otherwise — the classic stream-join failure at
+    scale). The reference's analog is its cross-source enrichment
+    (Bifrost priced from Hydration_price within the same hourly
+    window, Bifrost.py:135-147). Output: left columns as-is, right
+    columns (minus the join key) prefixed with ``right_prefix``.
+    Also valid on batch DataFrames (watermarks are no-ops there), which
+    is how tests assert batch/stream parity."""
+    lt = f"__l_{left_ts}"
+    rt = f"__r_{right_ts}"
+    # Dataset aliases + qualified refs: plain df[col] references are
+    # ambiguous when both sides share lineage (self-join on a stream).
+    lw = (
+        left.withColumn(lt, F.col(left_ts).cast("timestamp"))
+        .withWatermark(lt, watermark)
+        .alias("__ssj_l")
+    )
+    rw = (
+        right.withColumn(rt, F.col(right_ts).cast("timestamp"))
+        .withWatermark(rt, watermark)
+        .alias("__ssj_r")
+    )
+
+    def L(c):
+        return F.col(f"__ssj_l.{c}")
+
+    def R(c):
+        return F.col(f"__ssj_r.{c}")
+
+    cond = (
+        (L(on) == R(on))
+        & (R(rt) >= L(lt))
+        & (R(rt) <= L(lt) + F.expr(f"INTERVAL {max_lag}"))
+    )
+    out_cols = [L(c).alias(c) for c in left.columns] + [
+        R(c).alias(f"{right_prefix}{c}")
+        for c in right.columns
+        if c != on
+    ]
+    return lw.join(rw, cond, "inner").select(*out_cols)
+
+
 def running_totals_stateful(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

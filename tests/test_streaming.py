@@ -141,6 +141,40 @@ def test_stream_dedup_across_batches(spark, sf_dir, tmp_path):
     assert got.n == got.d == 300
 
 
+def test_stream_stream_join_batch_parity(spark, sf_dir, event_files, tmp_path):
+    """Watermarked stream-stream self-join over user_id with a time-
+    range bound equals the identical join on static frames."""
+    from dex_data_ingestor_spark.streaming.jobs import stream_stream_join
+
+    def build(left, right):
+        return stream_stream_join(
+            left.select("event_id", "ts", "user_id"),
+            right.select("event_id", "ts", "user_id"),
+            on="user_id",
+            max_lag="30 minutes",
+        )
+
+    stream = events_stream_from_parquet(
+        spark, event_files, max_files_per_trigger=1
+    )
+    joined = build(stream, stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssjoin"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    got = {
+        tuple(r) for r in spark.sql("select * from t_ssjoin").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {tuple(r) for r in build(ev, ev).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_stateful_running_totals(spark, sf_dir, event_files, tmp_path):
     """applyInPandasWithState accumulates across micro-batches; the
     final per-user state equals the batch aggregate."""
