@@ -53,13 +53,15 @@ def _word_ngrams_col(c, n: int):
     return _grams_from_words(ws, n)
 
 
-def _grams_from_words(ws, n: int):
+def _grams_from_words(ws, n: int, distinct: bool = True):
     grams = F.transform(
         F.sequence(F.lit(0), F.size(ws) - n),
         lambda i: F.concat_ws(" ", *[F.get(ws, i + off) for off in range(n)]),
     )
+    if distinct:
+        grams = F.array_distinct(grams)
     # sequence(0, negative) would DESCEND in Spark — guard short texts.
-    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(ws) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
 

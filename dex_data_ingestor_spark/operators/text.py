@@ -86,6 +86,39 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Intra-document repetition signal: the fraction of word n-gram
+    instances that are repeats of an earlier n-gram in the SAME document
+    (``1 - distinct/total``) — the Gopher-style "duplicate n-gram
+    fraction" quality gate that catches boilerplate and degenerate
+    looping text.
+
+    Entirely narrow: one projected word array per row, gram list +
+    distinct count via array HOFs, zero shuffles — scales as a pure map
+    over a 100 TB corpus. (Contrast with corpus-level dedup, which
+    needs a shuffle; intra-doc repetition deliberately does not.)
+    """
+    from dex_data_ingestor_spark.operators.neardup import _grams_from_words
+
+    base = df.select(F.col(id_col), words(text_col).alias("__ws"))
+    grams = _grams_from_words(F.col("__ws"), n, distinct=False)
+    base = base.select(F.col(id_col), grams.alias("__g"))
+    n_grams = F.size("__g")
+    n_distinct = F.size(F.array_distinct("__g"))
+    rep = F.when(
+        n_grams > 0,
+        F.lit(1.0) - n_distinct.cast("double") / n_grams,
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        F.col(id_col),
+        n_grams.cast("int").alias("n_grams"),
+        n_distinct.cast("int").alias("n_distinct_grams"),
+        rep.alias("rep_frac"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-marker language ID: argmax of per-language marker hits,
     deterministic tie-break by language code, 'und' when no marker hits.

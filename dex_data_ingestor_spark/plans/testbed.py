@@ -1067,6 +1067,111 @@ def q_ngram_topk(spark, sf_dir):
 
 
 @register(
+    "q_span_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+               FROM documents),
+    spans AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS span
+      FROM (SELECT doc_id, ws,
+                   unnest(range(0, CAST(ceil(len(ws)/10.0) AS INT))) AS i
+            FROM w)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, span,
+             ROW_NUMBER() OVER (PARTITION BY span
+                                ORDER BY doc_id, pos) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_frac
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q_span_dedup(spark, sf_dir):
+    """Paragraph-analog span dedup: per-document duplicated-span
+    fraction with corpus-wide first-occurrence-wins semantics — the
+    signal (and survivor rule) of paragraph-level dedup over a training
+    corpus. One shuffle on span text + one back to doc ids."""
+    from dex_data_ingestor_spark.operators.corpus import span_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup_stats(docs, "doc_id", "text", span_words=10)
+
+
+@register(
+    "q_repetition",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(ws) - 1, 1)),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+               AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct_grams,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams)
+                ELSE 0.0 END AS rep_frac
+    FROM g
+    """,
+)
+def q_repetition(spark, sf_dir):
+    """Intra-document duplicate-trigram fraction (Gopher-style
+    repetition quality gate). Pure narrow map — zero shuffles — the
+    shape this signal must keep at 100 TB."""
+    from dex_data_ingestor_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", n=3)
+
+
+@register(
+    "q_contamination",
+    f"""
+    WITH g AS (
+      SELECT lang, {_MD5_INT.format('text')} % 100 AS b,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+      FROM (SELECT lang, text,
+                   string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents)
+    ),
+    eval_grams AS (SELECT DISTINCT lang, gram FROM g WHERE b >= 90),
+    train_grams AS (SELECT DISTINCT gram FROM g WHERE b < 80)
+    SELECT e.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_grams,
+           CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS contamination_rate
+    FROM eval_grams e LEFT JOIN train_grams t USING (gram)
+    GROUP BY e.lang
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Train/eval n-gram contamination check composed with the
+    content-hash split of [q_hash_split]: per language, the share of
+    held-out trigrams that also occur in the training split."""
+    from dex_data_ingestor_spark.operators.corpus import (
+        contamination_by_lang,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_by_lang(docs, "doc_id", "text", "lang", n=3)
+
+
+@register(
     "q_text_stats",
     """
     WITH base AS (

@@ -104,3 +104,64 @@ def test_resize_and_frame_sample_plumbing(spark, sf_dir):
     expect = math.ceil(len(one.payload) / 64)
     got = frames.filter(F.col("doc_id") == one.doc_id).count()
     assert got == expect
+
+
+def test_span_dedup_marks_later_occurrences_only(spark):
+    from dex_data_ingestor_spark.operators.corpus import span_dedup_stats
+
+    boiler = " ".join(f"w{i}" for i in range(10))  # one exact 10-word span
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),  # first occurrence of boiler
+            (2, f"{boiler} {uniq_b}"),  # repeat -> 1 dup span of 2
+            (3, uniq_b[: len(uniq_b)]),  # whole doc unique vs doc2? same span!
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup_stats(df, "doc_id", "text", 10).collect()
+    }
+    assert out[1]["n_dup_spans"] == 0 and out[1]["n_spans"] == 2
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_frac"] == 0.5
+    # doc3 repeats doc2's uniq_b span (first occurrence is doc2's pos 1)
+    assert out[3]["n_dup_spans"] == 1
+
+
+def test_repetition_stats_degenerate_and_short_docs(spark):
+    from dex_data_ingestor_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # 4 trigrams, 1 distinct
+            (2, "all words here are unique tokens"),  # no repeats
+            (3, "too short"),  # < n words -> zero grams, rep 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_grams"] == 4 and out[1]["n_distinct_grams"] == 1
+    assert out[1]["rep_frac"] == 0.75
+    assert out[2]["rep_frac"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["rep_frac"] == 0.0
+
+
+def test_contamination_split_is_content_hash_consistent(spark, sf_dir):
+    from dex_data_ingestor_spark.functions.scalars import md5_int64
+    from dex_data_ingestor_spark.operators.corpus import contamination_by_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = contamination_by_lang(docs, "doc_id", "text", "lang", n=3)
+    rows = out.collect()
+    corpus_langs = {
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    }
+    assert rows and {r["lang"] for r in rows} <= corpus_langs
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_eval_grams"]
+        assert abs(
+            r["contamination_rate"]
+            - r["n_contaminated"] / r["n_eval_grams"]
+        ) < 1e-12
