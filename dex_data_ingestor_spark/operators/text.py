@@ -142,6 +142,84 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return scored.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+#: PII detection patterns. Deliberately restricted to constructs with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB): ASCII
+#: character classes, bounded repetition, alternation, \b — no
+#: backreferences or lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    denylist: tuple[str, ...] = (),
+) -> DataFrame:
+    """PII scrub for training corpora: mask emails -> ``<EMAIL>``,
+    URLs -> ``<URL>``, IPv4s -> ``<IP>``, plus an optional denylist of
+    exact words -> ``<MASKED>``.
+
+    Masking order is URL, email, IP, denylist (URLs may contain '@' —
+    masking them first keeps an email-in-URL from leaking half-masked).
+    Match counts are computed on the ORIGINAL text, so a URL containing
+    an email counts once under each detector — counts are detector
+    hit-rates, not a partition of the output. Pure narrow projection:
+    zero shuffles at any corpus size.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(t, URL_RE, "<URL>")
+    scrubbed = F.regexp_replace(scrubbed, EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
+    n_denied = F.lit(0)
+    if denylist:
+        deny_re = r"\b(" + "|".join(denylist) + r")\b"
+        n_denied = F.size(
+            F.regexp_extract_all(t, F.lit(deny_re), F.lit(0))
+        )
+        scrubbed = F.regexp_replace(scrubbed, deny_re, "<MASKED>")
+    count = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(t, F.lit(pat), F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        count(EMAIL_RE).alias("n_emails"),
+        count(URL_RE).alias("n_urls"),
+        count(IPV4_RE).alias("n_ips"),
+        n_denied.alias("n_denied"),
+    )
+
+
+def canonicalize_url(url) -> Column:
+    """URL canonicalization as a pure Column expression: lowercase the
+    scheme and host (path case preserved), strip the fragment, drop
+    utm_* / fbclid / gclid tracking parameters, drop an empty trailing
+    '?', and trim a trailing '/' from non-root paths. The dedup key
+    normalization used before URL-level dedup of a web corpus."""
+    raw = url if isinstance(url, Column) else F.col(url)
+    # lowercase scheme://host (first path slash onward untouched);
+    # scheme-less strings pass through unchanged
+    c = F.when(
+        raw.rlike(r"^[^/?#]*//"),
+        F.concat(
+            F.lower(F.regexp_extract(raw, r"^([^/?#]*//[^/?#]*)", 1)),
+            F.regexp_extract(raw, r"^[^/?#]*//[^/?#]*(.*)$", 1),
+        ),
+    ).otherwise(raw)
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    # tracking params (leading ? or & kept, then re-normalized)
+    c = F.regexp_replace(c, r"[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "")
+    # if the leading ?param was dropped, promote the first & back to ?
+    c = F.regexp_replace(c, r"^([^?]*)&", "$1?")
+    c = F.regexp_replace(c, r"\?$", "")  # nothing left after ?
+    # trailing slash: strip, except the bare root path scheme://host/
+    return F.when(c.rlike(r"^[^/?#]*//[^/?#]*/$"), c).otherwise(
+        F.regexp_replace(c, r"/$", "")
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: 64-bit int from the md5 of the normalized
     text (lowercased, whitespace collapsed) + the full content sha256.

@@ -1171,6 +1171,46 @@ def q_contamination(spark, sf_dir):
     return contamination_by_lang(docs, "doc_id", "text", "lang", n=3)
 
 
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_URL = "https?://[^\\s]+"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_DENY = "\\b(the|a|data|value)\\b"
+
+
+@register(
+    "q_pii_scrub",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text, '{_PII_URL}', '<URL>', 'g'),
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'),
+             '{_PII_DENY}', '<MASKED>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_URL}')) AS INT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_PII_DENY}')) AS INT)
+             AS n_denied
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (mask emails/URLs/IPv4s) plus a denylist word
+    scrub — the redaction pass of a training-data pipeline, kept to
+    regex constructs with identical Java-regex/RE2 semantics so the
+    masked text itself is oracle-checkable byte-for-byte. Narrow
+    projection, zero shuffles."""
+    from dex_data_ingestor_spark.operators.text import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_pii(
+        docs, "doc_id", "text", denylist=("the", "a", "data", "value")
+    )
+
+
 @register(
     "q_text_stats",
     """

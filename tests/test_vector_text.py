@@ -257,3 +257,54 @@ def test_winnowing_shared_substring_guarantee(spark):
         fps.setdefault(r.doc_id, set()).add(r.fp)
     # a shared run of length >= k+w-1 must yield a common fingerprint
     assert fps[1] & fps[2]
+
+
+def test_scrub_pii_masks_crafted_pii(spark):
+    from dex_data_ingestor_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "see https://Example.com/a?b=1#frag and http://x.io"),
+            (3, "host 192.168.0.1 up, ver 1.2.3 ok"),
+            (4, "the data is a value"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_pii(
+            df, "doc_id", "text", denylist=("the", "a", "data", "value")
+        ).collect()
+    }
+    assert out[1]["scrubbed"] == "mail <EMAIL> now" and out[1]["n_emails"] == 1
+    assert out[2]["scrubbed"] == "see <URL> and <URL>" and out[2]["n_urls"] == 2
+    # 1.2.3 is not an IPv4; the real address is masked
+    assert out[3]["scrubbed"] == "host <IP> up, ver 1.2.3 ok"
+    assert out[3]["n_ips"] == 1
+    assert out[4]["scrubbed"] == "<MASKED> <MASKED> is <MASKED> <MASKED>"
+    assert out[4]["n_denied"] == 4
+
+
+def test_canonicalize_url(spark):
+    from dex_data_ingestor_spark.operators.text import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/Path/", "https://www.example.com/Path"),
+        ("https://a.com/p?utm_source=x&q=1#top", "https://a.com/p?q=1"),
+        ("https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p"),
+        ("https://a.com/", "https://a.com/"),  # root slash kept
+        ("https://a.com/p?gclid=z", "https://a.com/p"),
+        ("no-scheme.com/Path/", "no-scheme.com/Path"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["canon"]
+        for r in df.select(
+            "i", canonicalize_url("url").alias("canon")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
