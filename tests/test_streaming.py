@@ -209,3 +209,120 @@ def test_stateful_running_totals(spark, sf_dir, event_files, tmp_path):
         .collect()
     }
     assert final == batch and len(final) > 0
+
+
+def test_state_v2_running_totals_rocksdb(spark, sf_dir, event_files, tmp_path):
+    """transformWithStateInPandas (state API v2) on the RocksDB
+    provider: plan construction always; execution parity with the
+    batch aggregate when the protobuf protocol dependency exists
+    (state_v2_available), else skip — the operator itself documents
+    the v1 fallback."""
+    from dex_data_ingestor_spark.streaming.jobs import (
+        configure_rocksdb_state,
+        running_totals_state_v2,
+        state_v2_available,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    configure_rocksdb_state(spark)
+    try:
+        stream = events_stream_from_parquet(
+            spark, event_files, max_files_per_trigger=1
+        )
+        out = running_totals_state_v2(stream)
+        # plan construction + output contract hold with or without
+        # the runtime protocol dependency
+        assert [f.name for f in out.schema.fields] == [
+            "user_id", "n_events", "total_value",
+        ]
+        if not state_v2_available():
+            pytest.skip("google.protobuf absent: state-v2 runtime gated off")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_state_v2")
+            .option("checkpointLocation", str(tmp_path / "ckpt_v2"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=180)
+        final = {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in spark.sql(
+                """select user_id, n_events, total_value from (
+                     select *, row_number() over (
+                       partition by user_id order by n_events desc) rn
+                     from t_state_v2) where rn = 1"""
+            ).collect()
+        }
+        batch = {
+            r.user_id: (r.n, round(r.total, 6))
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert final == batch and len(final) > 0
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_rocksdb_provider_runs_v1_stateful(spark, sf_dir, event_files, tmp_path):
+    """The RocksDB state store provider (JVM-side, no python protocol
+    dependency) executes the v1 stateful operator with identical
+    results — proving configure_rocksdb_state is a live production
+    path in this environment, not just a config string."""
+    from dex_data_ingestor_spark.streaming.jobs import (
+        configure_rocksdb_state,
+        running_totals_stateful,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    configure_rocksdb_state(spark)
+    try:
+        stream = events_stream_from_parquet(
+            spark, event_files, max_files_per_trigger=1
+        )
+        q = (
+            running_totals_stateful(stream)
+            .writeStream.format("memory")
+            .queryName("t_rocksdb_v1")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=180)
+        final = {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in spark.sql(
+                """select user_id, n_events, total_value from (
+                     select *, row_number() over (
+                       partition by user_id order by n_events desc) rn
+                     from t_rocksdb_v1) where rn = 1"""
+            ).collect()
+        }
+        batch = {
+            r.user_id: (r.n, round(r.total, 6))
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert final == batch and len(final) > 0
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
