@@ -81,3 +81,36 @@ def merge_upsert(
     # preserve the existing table's column order (stable stored schema
     # across repeated merges)
     return grouped.select(*[resolved[c].alias(c) for c in cols])
+
+
+def cdc_apply(
+    changes: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a CDC changelog to current state: per key, the change
+    with the highest ``order_by`` wins; keys whose winning change is a
+    delete vanish from the output.
+
+    The reference's warehouse only ever upserts (INSERT ... ON
+    DUPLICATE KEY UPDATE, Bifrost.py:116-124) — delete handling is the
+    missing half a real changelog consumer (Debezium/binlog) needs.
+    Plan shape: ONE hash-partitioned rank window on the keys, then a
+    narrow filter; at 100 TB this is the standard "compact the
+    changelog" shuffle, skew-safe under AQE. Ties on ``order_by`` are
+    broken by preferring the delete (a delete and upsert at the same
+    instant resolve to absent — the conservative read).
+    """
+    from pyspark.sql import Window
+
+    is_del = (F.col(op_col) == delete_op).cast("int")
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_by], is_del.desc()
+    )
+    ranked = changes.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )

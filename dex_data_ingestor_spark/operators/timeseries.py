@@ -1,0 +1,70 @@
+"""Time-series regularization operators: date-spine gap filling and
+forward fill.
+
+The reference materializes daily fact rows only for days a source row
+arrived (fact_token_daily_stats keyed (token_id, date),
+Stellar.py:138-148); consumers that need a dense series (charting,
+window math over regular steps) must fill the gaps. These operators do
+that Spark-side:
+
+- ``date_spine``: per key, every day between its first and last
+  observation (sequence + explode — narrow after one small agg).
+- ``gap_fill_daily``: daily aggregate -> spine left-join -> forward
+  fill via ``last(value, ignorenulls=True)`` over an unbounded-
+  preceding row window.
+
+Scale shape: one shuffle for the daily aggregate, one tiny agg for the
+per-key bounds, one window pass partitioned by key. The spine explode
+multiplies rows by calendar days, not data size — worst case is keys
+with long idle spans, which AQE's skew handling splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def date_spine(
+    daily: DataFrame, keys: list[str], date_col: str
+) -> DataFrame:
+    """One row per key per calendar day between that key's first and
+    last observed date (inclusive)."""
+    bounds = daily.groupBy(*keys).agg(
+        F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1")
+    )
+    return bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+        ).alias(date_col),
+    )
+
+
+def gap_fill_daily(
+    daily: DataFrame,
+    keys: list[str],
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dense daily series with forward-filled values.
+
+    Output columns: keys, ``date_col``, ``value_col`` (last observed
+    value carried forward), ``is_observed`` (1 on real rows, 0 on
+    filled rows). Leading days before a key's first observation cannot
+    exist (the spine starts at the first observation), so the filled
+    value is never NULL.
+    """
+    spine = date_spine(daily, keys, date_col)
+    joined = spine.join(daily, [*keys, date_col], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    observed = F.col(value_col).isNotNull().cast("int")
+    return joined.select(
+        *keys,
+        F.col(date_col),
+        F.last(value_col, ignorenulls=True).over(w).alias(value_col),
+        observed.alias("is_observed"),
+    )

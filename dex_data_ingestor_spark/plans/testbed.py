@@ -1204,6 +1204,84 @@ def q_contamination(spark, sf_dir):
     return contamination_by_lang(docs, "doc_id", "text", "lang", n=3)
 
 
+@register(
+    "q_cdc_apply",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC,
+                        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                          DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, ts, value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply(spark, sf_dir):
+    """CDC changelog compaction: the events stream read as a changelog
+    (error rows = deletes), collapsed to current state — last change
+    per user wins, deleted keys vanish. The delete half the reference's
+    upsert-only warehouse lacks; one rank-window shuffle."""
+    from dex_data_ingestor_spark.operators.merge import cdc_apply
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return cdc_apply(
+        ev, keys=["user_id"], order_by=["ts", "event_id"], op_col="op"
+    ).select("user_id", "event_id", "ts", "value")
+
+
+@register(
+    "q_gap_fill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+            FROM daily GROUP BY 1)
+    )
+    SELECT s.user_id, s.day,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS UNBOUNDED PRECEDING) AS day_value,
+           CAST(d.day_value IS NOT NULL AS INT) AS is_observed
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def q_gap_fill(spark, sf_dir):
+    """Date-spine gap fill + forward fill: dense per-user daily value
+    series (the hypertable-rollup regularization the reference's
+    sparse daily facts need downstream). One agg shuffle + one window
+    pass."""
+    from dex_data_ingestor_spark.operators.timeseries import gap_fill_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(_dec_sum(F.col("value"), "day_value"))
+    return gap_fill_daily(
+        daily, keys=["user_id"], date_col="day", value_col="day_value"
+    )
+
+
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_URL = "https?://[^\\s]+"
 _PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -125,3 +125,26 @@ def test_bookmark_no_tmp_leak_and_crash_recovery(spark, tmp_path):
     bm.set_last_run("other", t1)
     assert bm.get_last_run("other") == t1
     assert bm.get_last_run("a") == t1 and bm.get_last_run("b") == t2
+
+
+def test_cdc_apply_delete_and_tie_semantics(spark):
+    from dex_data_ingestor_spark.operators.merge import cdc_apply
+
+    rows = [
+        # key 1: upsert then delete -> absent
+        (1, 1, 10.0, "U"), (1, 2, 11.0, "D"),
+        # key 2: delete then upsert -> present with last value
+        (2, 1, 20.0, "D"), (2, 2, 21.0, "U"),
+        # key 3: tie on order -> delete wins -> absent
+        (3, 5, 30.0, "U"), (3, 5, 31.0, "D"),
+        # key 4: single upsert
+        (4, 9, 40.0, "U"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, seq long, value double, op string"
+    )
+    out = {
+        r["k"]: r["value"]
+        for r in cdc_apply(df, ["k"], ["seq"], "op").collect()
+    }
+    assert out == {2: 21.0, 4: 40.0}
