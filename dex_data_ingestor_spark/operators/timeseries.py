@@ -68,3 +68,41 @@ def gap_fill_daily(
         F.last(value_col, ignorenulls=True).over(w).alias(value_col),
         observed.alias("is_observed"),
     )
+
+
+def moving_avg_days(
+    daily: DataFrame,
+    keys: list[str],
+    date_col: str,
+    value_col: str,
+    days: int = 7,
+) -> DataFrame:
+    """Trailing ``days``-day moving sum/avg per key over a (possibly
+    sparse) daily series, using a RANGE frame in calendar days — gaps
+    narrow the divisor instead of polluting it with phantom rows.
+
+    Spark's rangeBetween needs a numeric ordering key, so dates are
+    mapped to epoch-days; the frame is ``[-(days-1), 0]``. The window
+    sum keeps the engine's exact-decimal discipline, so results are
+    oracle-reproducible. One hash-partitioned window pass.
+    """
+    epoch_day = F.datediff(F.col(date_col), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch_day)
+        .rangeBetween(-(days - 1), 0)
+    )
+    msum = (
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+    )
+    n = F.count(F.lit(1)).over(w)
+    return daily.select(
+        *keys,
+        F.col(date_col),
+        F.col(value_col),
+        msum.alias("moving_sum"),
+        (msum / n).alias("moving_avg"),
+        n.alias("n_days_present"),
+    )

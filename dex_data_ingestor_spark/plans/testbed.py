@@ -1282,6 +1282,41 @@ def q_gap_fill(spark, sf_dir):
     )
 
 
+@register(
+    "q_moving_avg",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day, day_value,
+           CAST(SUM(CAST(day_value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS moving_sum,
+           CAST(SUM(CAST(day_value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg,
+           COUNT(*) OVER w AS n_days_present
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_moving_avg(spark, sf_dir):
+    """Trailing 7-day moving sum/avg per user over the sparse daily
+    series — a calendar RANGE frame (gaps shrink the divisor, no spine
+    needed). One agg shuffle + one window pass."""
+    from dex_data_ingestor_spark.operators.timeseries import moving_avg_days
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(_dec_sum(F.col("value"), "day_value"))
+    return moving_avg_days(
+        daily, keys=["user_id"], date_col="day", value_col="day_value",
+        days=7,
+    )
+
+
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_URL = "https?://[^\\s]+"
 _PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -43,3 +43,21 @@ def test_date_spine_bounds_inclusive(spark):
     days = [str(r["day"]) for r in
             date_spine(daily, ["user_id"], "day").orderBy("day").collect()]
     assert days == ["2024-03-30", "2024-03-31", "2024-04-01", "2024-04-02"]
+
+
+def test_moving_avg_range_frame_skips_gaps(spark):
+    from dex_data_ingestor_spark.operators.timeseries import moving_avg_days
+
+    daily = spark.createDataFrame(
+        [
+            (1, _d("2024-01-01"), 10.0),
+            (1, _d("2024-01-03"), 20.0),   # within 7d of 01-01
+            (1, _d("2024-01-20"), 100.0),  # far beyond the frame
+        ],
+        "user_id long, day date, day_value double",
+    )
+    out = {str(r["day"]): (r["moving_sum"], r["moving_avg"], r["n_days_present"])
+           for r in moving_avg_days(daily, ["user_id"], "day", "day_value", 7).collect()}
+    assert out["2024-01-01"] == (10.0, 10.0, 1)
+    assert out["2024-01-03"] == (30.0, 15.0, 2)
+    assert out["2024-01-20"] == (100.0, 100.0, 1)
