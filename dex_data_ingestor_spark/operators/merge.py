@@ -114,3 +114,41 @@ def cdc_apply(
         ranked.filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
         .drop("__rn")
     )
+
+
+def merge_apply_cdc(
+    existing: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC micro-batch to current state: compact the batch
+    with :func:`cdc_apply`, upsert the winners, drop deleted keys.
+
+    Incremental application is equivalent to whole-log compaction
+    (property-tested): for any split of a changelog into ordered
+    batches, folding ``merge_apply_cdc`` over them yields exactly
+    ``cdc_apply`` of the concatenated log — provided ``order_by`` is
+    globally monotonic across batches (true for binlog positions and
+    the reference's created_at cursor). This is the foreachBatch sink
+    for a Debezium-style stream: one rank window per batch + one
+    key-partitioned merge, both skew-safe under AQE.
+    """
+    from pyspark.sql import Window
+
+    is_del = (F.col(op_col) == delete_op).cast("int")
+
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_by], is_del.desc()
+    )
+    winners = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    deletes = winners.filter(F.col(op_col) == delete_op).select(*keys)
+    upserts = winners.filter(F.col(op_col) != delete_op).drop(op_col)
+    survived = existing.join(deletes, keys, "left_anti")
+    return merge_upsert(survived, upserts, keys)

@@ -1,0 +1,138 @@
+"""CSV / JSON line file sources with explicit schemas and drift
+handling.
+
+The reference's schemas are implicit in SQL column lists (SURVEY
+§1.3); this engine declares them (schemas.py) and enforces them at the
+source. Design rules, all 100 TB-motivated:
+
+- **Never infer.** Schema inference reads the data twice and lets a
+  malformed day silently retype a column for the whole job. Every
+  reader takes an explicit ``StructType``.
+- **PERMISSIVE + corrupt-record capture.** A bad row lands in
+  ``_corrupt_record`` instead of failing the job or (worse) being
+  dropped; the caller splits good/bad with :func:`split_corrupt` and
+  quarantines the bad file-rows for replay. FAILFAST is opt-in for
+  bootstrap loads where any corruption means a broken export.
+- **Drift is explicit.** :func:`conform_to_schema` projects whatever
+  arrived onto the declared schema: missing columns become typed
+  NULLs, extra columns are dropped (optionally collected into an
+  ``_extras`` JSON string for audit), and types are cast — the
+  "schema-on-read with a contract" posture that keeps a 1000-file
+  partition readable when one producer lags a schema version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: StructType) -> StructType:
+    """The declared schema plus the corrupt-record capture column."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    out = StructType(schema.fields[:])
+    return out.add(CORRUPT_COL, "string")
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    failfast: bool = False,
+    **options: str,
+) -> DataFrame:
+    """CSV reader with declared schema and corrupt-row capture."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "FAILFAST" if failfast else "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.schema(_with_corrupt(schema)).csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    failfast: bool = False,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines reader with declared schema and corrupt-row capture."""
+    reader = (
+        spark.read.option("mode", "FAILFAST" if failfast else "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.schema(_with_corrupt(schema)).json(path)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean rows without the capture column, quarantine rows).
+
+    Quarantine rows carry the raw record plus a ``_partial_parse``
+    JSON of whatever fields did parse (audit/debug trail). Keeping the
+    parsed columns referenced is also load-bearing: Spark refuses
+    file-source queries whose referenced columns prune down to ONLY
+    ``_corrupt_record`` (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    RECORD_COLUMN), so a corrupt-only projection would fail at the
+    first count().
+    """
+    if CORRUPT_COL not in df.columns:
+        return df, df.sparkSession.createDataFrame(
+            [], f"{CORRUPT_COL} string, _partial_parse string"
+        )
+    data_cols = [c for c in df.columns if c != CORRUPT_COL]
+    # Both filters must keep a data-column reference: under column
+    # pruning (e.g. a bare count()) a corrupt-only reference set is
+    # rejected by Spark for raw file sources, and the alternative the
+    # docs offer — cache the whole parse — is not acceptable inside an
+    # operator at 100 TB. The always-false disjunct only pins the scan
+    # schema.
+    pin = F.length(F.col(data_cols[0]).cast("string")) < F.lit(-1)
+    clean = df.filter(F.col(CORRUPT_COL).isNull() | pin).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull() | pin).select(
+        F.col(CORRUPT_COL),
+        F.to_json(F.struct(*[F.col(c) for c in data_cols])).alias(
+            "_partial_parse"
+        ),
+    )
+    return clean, bad
+
+
+def conform_to_schema(
+    df: DataFrame,
+    schema: StructType,
+    keep_extras_json: bool = False,
+) -> DataFrame:
+    """Project an arbitrary DataFrame onto the declared schema.
+
+    Missing columns -> typed NULLs; present columns -> cast to the
+    declared type; extra columns -> dropped, or bundled into one
+    ``_extras`` JSON string column when ``keep_extras_json`` (audit
+    trail for producer drift). Pure narrow projection.
+    """
+    declared = {f.name: f for f in schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    if keep_extras_json:
+        extras = [c for c in df.columns if c not in declared]
+        if extras:
+            cols.append(
+                F.to_json(F.struct(*[F.col(c) for c in extras])).alias(
+                    "_extras"
+                )
+            )
+        else:
+            cols.append(F.lit(None).cast("string").alias("_extras"))
+    return df.select(*cols)

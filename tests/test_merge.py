@@ -148,3 +148,42 @@ def test_cdc_apply_delete_and_tie_semantics(spark):
         for r in cdc_apply(df, ["k"], ["seq"], "op").collect()
     }
     assert out == {2: 21.0, 4: 40.0}
+
+
+def test_merge_apply_cdc_incremental_equals_whole_log(spark, sf_dir):
+    """Fold over ordered batches == compact the concatenated log."""
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.operators.merge import (
+        cdc_apply,
+        merge_apply_cdc,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    # split the changelog into 3 ORDERED batches by event-id tercile
+    qs = ev.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    ordered_batches = [
+        ev.filter(F.col("event_id") <= qs[0]),
+        ev.filter((F.col("event_id") > qs[0]) & (F.col("event_id") <= qs[1])),
+        ev.filter(F.col("event_id") > qs[1]),
+    ]
+    # event_id must be monotone with ts for batch ordering to be valid;
+    # enforce by ordering batches on event_id only.
+    state = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp_ntz, value double"
+    )
+    for b in ordered_batches:
+        state = merge_apply_cdc(
+            state, b, ["user_id"], ["event_id"], "op"
+        )
+    got = {r["user_id"]: r["value"] for r in state.collect()}
+    want_df = cdc_apply(ev, ["user_id"], ["event_id"], "op")
+    want = {r["user_id"]: r["value"] for r in want_df.collect()}
+    assert got == want and len(want) > 0
