@@ -145,3 +145,20 @@ def register_views(
     """Register the testbed tables as temp views for spark.sql use."""
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+def rebalance_if_underpartitioned(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the source has fewer splits
+    than the session's shuffle parallelism.
+
+    CPU-heavy narrow stages (per-gram/token hashing, regex sweeps)
+    inherit the scan's task count; a few-row-group parquet source then
+    runs the whole corpus on a handful of cores. At 100 TB inputs have
+    thousands of splits and this is a no-op (no shuffle inserted); on
+    a compacted/small source it spreads the narrow work across the
+    cluster for the price of shuffling the input rows once.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from dex_data_ingestor_spark.functions.scalars import md5_int64
+from dex_data_ingestor_spark.io import rebalance_if_underpartitioned
 
 #: Mersenne prime 2^31-1: the classic universal-hash modulus.
 MINHASH_P = 2147483647
@@ -83,23 +84,6 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
-def _rebalance_if_underpartitioned(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the source has fewer splits
-    than the session's shuffle parallelism.
-
-    CPU-heavy narrow stages (per-gram md5, HOF minima) inherit the
-    scan's task count; a few-row-group parquet source then runs the
-    whole corpus on a handful of cores. At 100 TB the input has
-    thousands of splits and this is a no-op (no shuffle inserted); on
-    a compacted/small source it spreads the narrow work across the
-    cluster for the price of shuffling the input rows once.
-    """
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 def minhash_signatures_wide(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
 ) -> DataFrame:
@@ -124,7 +108,7 @@ def minhash_signatures_wide(
     base = df.filter(F.size(ws) >= shingle_n).select(
         F.col(id_col), ws.alias("__ws")
     )
-    base = _rebalance_if_underpartitioned(base)
+    base = rebalance_if_underpartitioned(base)
     grams = _grams_from_words(F.col("__ws"), shingle_n, distinct=False)
     # distinct is deliberately skipped: min over a multiset equals min
     # over its set, and array_distinct is per-doc O(n^2) work.
