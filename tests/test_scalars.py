@@ -201,3 +201,62 @@ def test_pop_multi_keeps_null_valued_facts(spark):
     m = sorted(map(tuple, multi.select("key", "date", "v", "v_wow").collect()))
     assert j == m
     assert len(j) == 4  # NULL-valued rows kept
+
+
+# --- limb-split exact sum (testbed._dec_sum) ------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _quantized_sum(values):
+    """Python-Decimal reference: quantize each addend half-up to 6 dp,
+    sum exactly, round the exact total to nearest double."""
+    total = sum(
+        Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        for v in values
+    )
+    return float(total)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-9e9,
+            max_value=9e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dec_sum_limb_split_is_exact(spark, values):
+    from dex_data_ingestor_spark.plans.testbed import _dec_sum
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = df.agg(_dec_sum(F.col("v"), "s")).collect()[0]["s"]
+    want = _quantized_sum(values)
+    assert got == want, (values, got, want)
+
+
+def test_dec_sum_negative_and_null_groups(spark):
+    from dex_data_ingestor_spark.plans.testbed import _dec_sum
+
+    df = spark.createDataFrame(
+        [(1, -1.25), (1, 2.75), (1, -0.000001), (2, None)],
+        "k long, v double",
+    )
+    out = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(_dec_sum(F.col("v"), "s")).collect()
+    }
+    assert out[1] == 1.499999
+    assert out[2] is None
