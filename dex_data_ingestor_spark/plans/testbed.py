@@ -1283,6 +1283,81 @@ def q_gap_fill(spark, sf_dir):
 
 
 @register(
+    "q_window_rank",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(RANK() OVER w AS BIGINT) AS price_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
+           CAST(NTILE(4) OVER w AS INT) AS price_quartile,
+           PERCENT_RANK() OVER w AS price_pct_rank,
+           CUME_DIST() OVER w AS price_cume_dist,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    """Ranking-window breadth: rank / dense_rank / ntile /
+    percent_rank / cume_dist / lag / lead over one total order per
+    priority class — all seven share ONE window spec, so Spark plans a
+    single sort + single Window operator (one shuffle)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                            (o_orderpriority, o_orderstatus))
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form behind the rollup/cube
+    queries) with GROUPING() disambiguation of NULL-as-total vs
+    NULL-as-value. One expand + one hash aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return orders.sparkSession.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                (o_orderpriority, o_orderstatus))
+        """
+    )
+
+
+@register(
     "q_moving_avg",
     """
     WITH daily AS (
