@@ -41,6 +41,7 @@ def asof_lookup(
     quote_ts: str,
     value_cols: Sequence[str],
     default=None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each probe row, attach the latest quote value at or before
     the probe's timestamp (classic as-of join).
@@ -50,6 +51,11 @@ def asof_lookup(
     non-null quote value forward. One shuffle on ``keys``; no range
     join explosion. ``default`` (if given) fills probes with no earlier
     quote — the reference's ``Decimal("1.0")`` fallback.
+
+    ``tolerance`` (an INTERVAL string, e.g. ``"1 hour"``) bounds quote
+    staleness: a carried quote older than ``probe_ts - tolerance`` is
+    discarded (back to ``default``/NULL) — the financial-data contract
+    where a quote from last week must not price today's trade.
     """
     tagged_q = quotes.select(
         *keys,
@@ -66,14 +72,28 @@ def asof_lookup(
           if c not in probe_cols],
     )
     unioned = tagged_q.unionByName(tagged_p, allowMissingColumns=True)
+    if tolerance is not None:
+        unioned = unioned.withColumn(
+            "__qts", F.when(F.col("__tag") == 0, F.col("__ts"))
+        )
     w = (
         Window.partitionBy(*keys)
         .orderBy("__ts", "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned
+    fresh = None
+    if tolerance is not None:
+        carried_qts = F.last(F.col("__qts"), ignorenulls=True).over(w)
+        fresh = carried_qts >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
     for c in value_cols:
-        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        carried = F.last(F.col(c), ignorenulls=True).over(w)
+        if fresh is not None:
+            carried = F.when(fresh, carried)
+        filled = filled.withColumn(c, carried)
         if default is not None:
             filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(default)))
-    return filled.filter(F.col("__tag") == 1).drop("__ts", "__tag")
+    out = filled.filter(F.col("__tag") == 1).drop("__ts", "__tag")
+    return out.drop("__qts") if tolerance is not None else out

@@ -1358,6 +1358,66 @@ def q_grouping_sets(spark, sf_dir):
 
 
 @register(
+    "q_asof_tolerance",
+    """
+    WITH quotes AS (
+      SELECT user_id, qts, last_view_value FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS qts,
+               value AS last_view_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view') WHERE rn = 1
+    ),
+    probes AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
+           CASE WHEN q.qts >= p.ts - INTERVAL 1 HOUR
+                THEN q.last_view_value END AS last_view_value
+    FROM probes p ASOF LEFT JOIN quotes q
+      ON p.user_id = q.user_id AND q.qts <= p.ts
+    """,
+)
+def q_asof_tolerance(spark, sf_dir):
+    """Tolerance-bounded as-of join (attribution shape): each purchase
+    is priced by the user's latest view value at-or-before it, but
+    only if that view is under an hour old. Same union + last-value
+    window as q_asof_price — one shuffle, no range-join explosion —
+    with the staleness horizon applied to the carried quote timestamp.
+    Quotes are deduplicated per (user, ts) by max event_id so the
+    carried value is deterministic under timestamp ties."""
+    from dex_data_ingestor_spark.operators.asof import (
+        asof_lookup,
+        latest_per_key,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    quotes = latest_per_key(
+        ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id",
+            F.col("value").alias("last_view_value"),
+        ),
+        keys=["user_id", "ts"],
+        ts_col="event_id",
+    ).drop("event_id")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_lookup(
+        probes,
+        quotes,
+        keys=["user_id"],
+        probe_ts="ts",
+        quote_ts="ts",
+        value_cols=["last_view_value"],
+        tolerance="1 hour",
+    )
+
+
+@register(
     "q_moving_avg",
     """
     WITH daily AS (

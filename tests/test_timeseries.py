@@ -61,3 +61,41 @@ def test_moving_avg_range_frame_skips_gaps(spark):
     assert out["2024-01-01"] == (10.0, 10.0, 1)
     assert out["2024-01-03"] == (30.0, 15.0, 2)
     assert out["2024-01-20"] == (100.0, 100.0, 1)
+
+
+def test_asof_lookup_tolerance(spark):
+    import datetime as dt
+
+    from dex_data_ingestor_spark.operators.asof import asof_lookup
+
+    T = dt.datetime
+    quotes = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0), 100.0), (1, T(2024, 1, 1, 12, 0), 200.0)],
+        "k long, ts timestamp_ntz, px double",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, 1, T(2024, 1, 1, 10, 30)),  # 30 min stale -> 100
+            (1, 2, T(2024, 1, 1, 11, 30)),  # 90 min stale -> NULL
+            (1, 3, T(2024, 1, 1, 12, 0)),   # exact tie -> 200
+            (1, 4, T(2024, 1, 1, 9, 0)),    # before any quote -> NULL
+        ],
+        "k long, pid long, ts timestamp_ntz",
+    )
+    out = {
+        r["pid"]: r["px"]
+        for r in asof_lookup(
+            probes, quotes, ["k"], "ts", "ts", ["px"], tolerance="1 hour"
+        ).collect()
+    }
+    assert out == {1: 100.0, 2: None, 3: 200.0, 4: None}
+
+    # default fills both no-quote and stale-quote probes
+    out2 = {
+        r["pid"]: r["px"]
+        for r in asof_lookup(
+            probes, quotes, ["k"], "ts", "ts", ["px"],
+            default=1.0, tolerance="1 hour",
+        ).collect()
+    }
+    assert out2 == {1: 100.0, 2: 1.0, 3: 200.0, 4: 1.0}
