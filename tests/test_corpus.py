@@ -165,3 +165,21 @@ def test_contamination_split_is_content_hash_consistent(spark, sf_dir):
             r["contamination_rate"]
             - r["n_contaminated"] / r["n_eval_grams"]
         ) < 1e-12
+
+
+def test_curation_repetition_and_span_gates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base = curate_documents(
+        docs, allowed_langs=("en",), near_dup=False
+    ).count()
+    gated = curate_documents(
+        docs,
+        allowed_langs=("en",),
+        near_dup=False,
+        max_repetition=0.05,
+        max_dup_span_frac=0.5,
+    )
+    n_gated = gated.count()
+    assert 0 < n_gated <= base
+    # the gates compose with the stats columns still attached
+    assert "quality_score" in gated.columns
