@@ -2595,3 +2595,113 @@ def q_json_extract(spark, sf_dir):
         F.min("k").cast("int").alias("k_min"),
         F.max("k").cast("int").alias("k_max"),
     )
+
+
+# =========================================================================
+# Dedup clustering + corpus salience (north-star J2/J4 extensions)
+# =========================================================================
+
+
+@register(
+    "q_dup_clusters",
+    f"""
+    WITH RECURSIVE {_GRAMS_CTE},
+    counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM inter
+      JOIN counts ca ON ca.doc_id = a_id
+      JOIN counts cb ON cb.doc_id = b_id
+      WHERE ROUND(CAST(n_inter AS DOUBLE)
+                  / (ca.n_grams + cb.n_grams - n_inter), 9) >= 0.5
+    ),
+    sym AS (SELECT a_id AS a, b_id AS b FROM pairs
+            UNION ALL SELECT b_id AS a, a_id AS b FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    )
+    SELECT src AS doc_id, MIN(dst) AS component_id
+    FROM reach GROUP BY src
+    """,
+)
+def q_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: word-3-gram Jaccard pairs at
+    0.5 collapsed to connected components (min-id labels) — the step
+    that turns pairwise near-dup hits into survivor sets. Spark side is
+    iterative min-label propagation (operators/graph.py, one shuffle
+    pair per round, diameter-bounded); the oracle is the equivalent
+    recursive-CTE transitive closure."""
+    from dex_data_ingestor_spark.operators.graph import connected_components
+    from dex_data_ingestor_spark.operators.neardup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs, src="a_id", dst="b_id")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+    )
+
+
+@register(
+    "q_tfidf",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, term, score FROM (
+      SELECT doc_id, term,
+             CAST(tf AS DOUBLE) * n / df AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY CAST(tf AS DOUBLE) * n / df DESC, term) AS rn
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """Per-document top-3 salient terms by tf-idf with a RATIONAL idf
+    (tf * N / df, no log): every input is an exact integer so the one
+    double division is bit-stable cross-engine — libm log is not (see
+    module determinism rules). Two shuffles (term counts, document
+    frequencies) plus a broadcast of the 1-row corpus size; the per-doc
+    rank window shuffles on doc_id."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score", F.col("tf").cast("double") * F.col("n") / F.col("df")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score")
+    )

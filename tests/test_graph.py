@@ -1,0 +1,41 @@
+"""Unit tests for iterative connected components (operators/graph.py)."""
+
+from dex_data_ingestor_spark.operators.graph import (
+    component_survivors,
+    connected_components,
+)
+
+
+def test_chain_and_isolated_pair(spark):
+    # 1-2, 2-3, 3-4 is one chain (diameter 3); 10-11 a separate pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cycle_converges(spark):
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 5)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_component_survivors(spark):
+    edges = spark.createDataFrame(
+        [(2, 9), (9, 4), (20, 21)], ["src", "dst"]
+    )
+    labels = connected_components(edges)
+    surv = {
+        r["component"]: (r["survivor"], r["n_members"])
+        for r in component_survivors(labels).collect()
+    }
+    assert surv == {2: (2, 3), 20: (20, 2)}
