@@ -2675,9 +2675,13 @@ def q_tfidf(spark, sf_dir):
     """Per-document top-3 salient terms by tf-idf with a RATIONAL idf
     (tf * N / df, no log): every input is an exact integer so the one
     double division is bit-stable cross-engine — libm log is not (see
-    module determinism rules). Two shuffles (term counts, document
-    frequencies) plus a broadcast of the 1-row corpus size; the per-doc
-    rank window shuffles on doc_id."""
+    module determinism rules). Document frequency is a COUNT window over
+    the tf result, not a second aggregate off the raw corpus — Catalyst
+    has no cross-aggregate CSE, so the join form tokenizes and explodes
+    the whole corpus twice; the window form scans it once. Three
+    shuffles — (doc, term) counts, term window, per-doc rank (partial
+    top-3 pre-shuffle via WindowGroupLimit) — plus a broadcast of the
+    1-row corpus size."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2688,10 +2692,11 @@ def q_tfidf(spark, sf_dir):
     tf = terms.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score", F.col("tf").cast("double") * F.col("n") / F.col("df")
