@@ -329,3 +329,36 @@ def char_shingles(
     return base.select(
         F.col(id_col), F.explode("__grams").alias("gram")
     )
+
+
+def lsh_match_against_index(
+    new_buckets: DataFrame,
+    index_buckets: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric LSH probe: candidate pairs between a NEW batch and a
+    persisted corpus index — the incremental dedup path.
+
+    The reference re-reads its whole warehouse every hour to decide
+    what to upsert (src/ingestion/SqlDbEtl.py:90-110 — the window
+    bounds the source, never the target). The scalable equivalent for
+    near-dup is: keep the band-bucket table of everything already
+    accepted as the INDEX (tiny: ~2 rows of (id, band, hash) per doc),
+    and probe only the new batch against it. Cost per batch is
+    O(|batch| + matched buckets), never O(corpus) — a corpus self-join
+    per batch is the thing this replaces. At 100 TB partition the index
+    by (band_id, band_hash); the probe is then a co-partitioned join.
+
+    Output: distinct (new_id, indexed_id).
+    """
+    n = new_buckets.select(
+        F.col(id_col).alias("new_id"), "band_id", "band_hash"
+    )
+    o = index_buckets.select(
+        F.col(id_col).alias("indexed_id"), "band_id", "band_hash"
+    )
+    return (
+        n.join(o, ["band_id", "band_hash"])
+        .select("new_id", "indexed_id")
+        .distinct()
+    )

@@ -2710,3 +2710,59 @@ def q_tfidf(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "score")
     )
+
+
+@register(
+    "q_neardup_incremental",
+    f"""
+    WITH {_GRAMS_CTE},
+    hashed AS (
+      SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
+    ),
+    params(k, a, b) AS (VALUES {_MINHASH_VALUES}),
+    sigs AS (
+      SELECT doc_id, k,
+             min((a * gram_hash + b) % 2147483647) AS minhash
+      FROM hashed CROSS JOIN params GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(k / 4) AS INTEGER) AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k)
+               AS band_sig
+      FROM sigs GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
+      FROM bands
+    )
+    SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS indexed_id
+    FROM buckets n
+    JOIN buckets o ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+    WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+    """,
+)
+def q_neardup_incremental(spark, sf_dir):
+    """Incremental near-dup: probe a NEW batch (doc_id % 5 == 0 stands
+    in for 'this hour's documents') against the LSH band-bucket INDEX
+    of the already-accepted corpus — candidate pairs without ever
+    self-joining the corpus (operators/neardup.py
+    lsh_match_against_index). The per-batch cost the hourly pipeline
+    actually pays at 100 TB."""
+    from dex_data_ingestor_spark.operators.neardup import (
+        lsh_band_buckets_wide,
+        lsh_match_against_index,
+        minhash_signatures_wide,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    accepted = docs.filter(F.col("doc_id") % 5 != 0)
+    index = lsh_band_buckets_wide(
+        minhash_signatures_wide(accepted, "doc_id", "text", shingle_n=3),
+        "doc_id", rows_per_band=4,
+    )
+    probe = lsh_band_buckets_wide(
+        minhash_signatures_wide(new, "doc_id", "text", shingle_n=3),
+        "doc_id", rows_per_band=4,
+    )
+    return lsh_match_against_index(probe, index, "doc_id")
