@@ -136,3 +136,39 @@ def conform_to_schema(
         else:
             cols.append(F.lit(None).cast("string").alias("_extras"))
     return df.select(*cols)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """ORC reader (columnar alternate to parquet; same pushdown story).
+
+    ORC is self-describing, so the schema is optional — when given it
+    acts as a projection+cast contract (pair with
+    :func:`conform_to_schema` for drift). Predicate pushdown and column
+    pruning reach the ORC stripes exactly as they do parquet row
+    groups, so the 100 TB scan posture is format-independent.
+    """
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC writer (zstd by default, matching the parquet write path)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -59,3 +59,20 @@ def test_conform_to_schema_drift(spark):
     # without extras the declared schema is exact
     exact = conform_to_schema(drifted, SCHEMA)
     assert exact.columns == ["id", "sym", "price"]
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.sources.files import read_orc, write_orc
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert dict(back.dtypes) == dict(orders.dtypes)
+    # predicate + projection reach the ORC scan like parquet
+    q = back.filter(F.col("o_orderkey") == 1).select("o_orderkey", "o_custkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan, plan
