@@ -72,3 +72,53 @@ def check_all(
         if fail_fast and n:
             raise AssertionError(f"data-quality check failed: {name} ({n} rows)")
     return results
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """One-pass ANALYZE-style table profile, one output row per column:
+    (col_name, n_rows, n_nonnull, n_distinct, min_value, max_value).
+
+    ``cols`` entries are column names or ``(name, Column)`` pairs (use a
+    pair to pre-cast, e.g. double -> decimal, so min/max render
+    identically everywhere). min/max compare in the NATIVE type and are
+    cast to string only afterwards — casting first would compare
+    lexically.
+
+    Scale: one aggregate job. With exact distincts Catalyst plans an
+    Expand (input ×(n_cols+1) through the shuffle) — the oracle-checked
+    form; pass ``approx_distinct=True`` for the 100 TB profile (HLL++,
+    no Expand, one pass).
+    """
+    pairs = [(c, F.col(c)) if isinstance(c, str) else c for c in cols]
+    nd = (
+        (lambda e: F.approx_count_distinct(e))
+        if approx_distinct
+        else (lambda e: F.count_distinct(e))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, expr in pairs:
+        aggs += [
+            F.count(expr).alias(f"__nn_{name}"),
+            nd(expr).alias(f"__nd_{name}"),
+            F.min(expr).cast("string").alias(f"__mn_{name}"),
+            F.max(expr).cast("string").alias(f"__mx_{name}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn_{name}").alias("n_nonnull"),
+                F.col(f"__nd_{name}").alias("n_distinct"),
+                F.col(f"__mn_{name}").alias("min_value"),
+                F.col(f"__mx_{name}").alias("max_value"),
+            )
+            for name, _ in pairs
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")

@@ -2766,3 +2766,53 @@ def q_neardup_incremental(spark, sf_dir):
         "doc_id", rows_per_band=4,
     )
     return lsh_match_against_index(probe, index, "doc_id")
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderdate", "CAST(o_orderdate AS DATE)"),
+    ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,6))"),
+)
+
+_PROFILE_AGGS = ", ".join(
+    f"COUNT({expr}) AS nn_{name}, COUNT(DISTINCT {expr}) AS nd_{name}, "
+    f"CAST(MIN({expr}) AS VARCHAR) AS mn_{name}, "
+    f"CAST(MAX({expr}) AS VARCHAR) AS mx_{name}"
+    for name, expr in _PROFILE_COLS
+)
+
+_PROFILE_UNION = " UNION ALL ".join(
+    f"SELECT '{name}' AS col_name, n AS n_rows, nn_{name} AS n_nonnull, "
+    f"nd_{name} AS n_distinct, mn_{name} AS min_value, mx_{name} AS max_value "
+    f"FROM a"
+    for name, _ in _PROFILE_COLS
+)
+
+
+@register(
+    "q_profile",
+    f"WITH a AS (SELECT COUNT(*) AS n, {_PROFILE_AGGS} FROM orders) "
+    f"{_PROFILE_UNION}",
+)
+def q_profile(spark, sf_dir):
+    """ANALYZE-style one-pass column profile of orders (null counts,
+    exact distincts, native-typed min/max rendered as strings) — the
+    profiling primitive behind data-quality monitoring and optimizer
+    statistics. Exact distincts cost one Expand pass (oracle-checkable);
+    operators/quality.py profile_columns(approx_distinct=True) is the
+    HLL++ 100 TB form of the same plan."""
+    from dex_data_ingestor_spark.operators.quality import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            ("o_orderdate", F.col("o_orderdate").cast("date")),
+            ("o_totalprice", F.col("o_totalprice").cast("decimal(18,6)")),
+        ],
+    )
