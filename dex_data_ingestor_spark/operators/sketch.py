@@ -59,3 +59,62 @@ def kmv_distinct(
         "kth_min_hash",
         F.round(est, 6).alias("est_distinct"),
     )
+
+
+def countmin_table(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch of an item column as its (i, bucket, cnt) table.
+
+    Each of the ``depth`` salted md5 hashes maps every item into
+    ``width`` buckets; the sketch is the per-(row, bucket) count table —
+    ``depth * width`` cells regardless of item cardinality, and
+    MERGEABLE by cellwise addition (union two sketches = union their
+    count tables and re-sum), which is what makes it a per-partition /
+    per-day rollup structure at 100 TB. Estimates only ever
+    over-count (collisions), never under.
+    """
+    e = df.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).cast("string").alias("item"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+    )
+    bucket = (
+        md5_int64(
+            F.concat(F.col("i").cast("string"), F.lit("|"), F.col("item"))
+        )
+        % width
+    )
+    return e.groupBy("i", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def countmin_estimates(
+    cms: DataFrame,
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``items``: the estimate is
+    the MIN over the depth rows of the probed bucket counts. Output:
+    (item, est)."""
+    probes = items.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+    )
+    bucket = (
+        md5_int64(
+            F.concat(F.col("i").cast("string"), F.lit("|"), F.col("item"))
+        )
+        % width
+    )
+    return (
+        probes.select("item", "i", bucket.alias("bucket"))
+        .join(cms, ["i", "bucket"])
+        .groupBy("item")
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -2816,3 +2816,98 @@ def q_profile(spark, sf_dir):
             ("o_totalprice", F.col("o_totalprice").cast("decimal(18,6)")),
         ],
     )
+
+
+_CMS_HASH = "('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || item), 1, 8))::BIGINT % 64"
+
+
+@register(
+    "q_cms_topk",
+    f"""
+    WITH src AS (SELECT event_type AS item FROM events
+                 WHERE event_type IS NOT NULL),
+    e AS (SELECT item, i
+          FROM src CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+    cms AS (SELECT i, {_CMS_HASH} AS bucket, COUNT(*) AS cnt
+            FROM e GROUP BY 1, 2),
+    items AS (SELECT DISTINCT item FROM src),
+    probes AS (SELECT item, i, {_CMS_HASH} AS bucket
+               FROM items CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+    est AS (SELECT item, MIN(cnt) AS est
+            FROM probes JOIN cms USING (i, bucket) GROUP BY 1)
+    SELECT item, est FROM est ORDER BY est DESC, item LIMIT 5
+    """,
+)
+def q_cms_topk(spark, sf_dir):
+    """Heavy hitters via a count-min sketch (depth 4 × width 64,
+    salted md5 rows — deterministic, engine-portable): estimate every
+    observed event type's frequency from the fixed-size cell table and
+    rank the top 5. The sketch is 256 cells whatever the stream
+    cardinality and merges by cellwise addition — the frequency
+    structure a 100 TB pipeline keeps per partition/day instead of an
+    exact item groupBy."""
+    from dex_data_ingestor_spark.operators.sketch import (
+        countmin_estimates,
+        countmin_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = countmin_table(ev, "event_type", depth=4, width=64)
+    items = (
+        ev.filter(F.col("event_type").isNotNull())
+        .select(F.col("event_type").alias("item"))
+        .distinct()
+    )
+    est = countmin_estimates(cms, items, "item", depth=4, width=64)
+    return est.orderBy(F.col("est").desc(), "item").limit(5)
+
+
+@register(
+    "q_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, orderkey LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): selective dim filter
+    broadcast into a fact-fact join, decimal-exact revenue rollup,
+    TakeOrderedAndProject top-10 (no global sort). The classic
+    3-table analytics plan the reference's row-at-a-time loops cannot
+    express."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1997-01-01")
+    )
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "orderkey")
+        .limit(10)
+    )
