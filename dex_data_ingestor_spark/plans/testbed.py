@@ -2911,3 +2911,93 @@ def q_shipping_priority(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q_salted_join",
+    """
+    SELECT s.s_suppkey, s.s_name,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Salted skew join proven semantics-identical to the plain join:
+    the big side scatters each key over 8 salt buckets and the small
+    side is replicated 8-fold, so one pathological hot key fans out
+    over 8 reducers instead of melting one (operators/skew.py). The
+    oracle is the UNSALTED join — same rows, different physical
+    distribution, which is the whole point."""
+    from dex_data_ingestor_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    j = salted_join(li, sup, ["s_suppkey"], salt_buckets=8)
+    return j.groupBy("s_suppkey", "s_name").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q_late_arrivals",
+    """
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             MAX(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM events
+    ),
+    late AS (
+      SELECT CASE WHEN prev_max IS NULL OR prev_max <= ts THEN 0
+                  ELSE date_diff('microsecond', ts, prev_max) END
+               AS late_us
+      FROM seq
+    )
+    SELECT CAST(floor(late_us / 60000000.0) AS INTEGER) AS late_minutes,
+           COUNT(*) AS n_events
+    FROM late GROUP BY 1
+    """,
+)
+def q_late_arrivals(spark, sf_dir):
+    """Watermark-design audit: per-key event-time lateness vs arrival
+    order (running max over the ingest sequence, ROWS .. 1 PRECEDING),
+    bucketed into minutes — the histogram that tells you what
+    ``withWatermark`` delay actually bounds your keyed state. Lateness
+    is measured in microseconds (integral in both engines; engine
+    second-truncation semantics differ) and bucketed with an explicit
+    floor. The window partitions by key, so the plan scales — a GLOBAL
+    running max would be a single-partition window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "ts", F.max("ts").over(w).alias("prev_max")
+    )
+    late = seq.select(
+        F.when(
+            F.col("prev_max").isNull() | (F.col("prev_max") <= F.col("ts")),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(F.expr("timestampdiff(MICROSECOND, ts, prev_max)"))
+        .alias("late_us")
+    )
+    return late.groupBy(
+        F.floor(F.col("late_us") / 60000000.0).cast("int").alias(
+            "late_minutes"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_events"))
