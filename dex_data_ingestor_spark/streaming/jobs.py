@@ -370,3 +370,81 @@ def running_totals_stateful(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_neardup_ingest(
+    docs_stream: DataFrame,
+    checkpoint_dir: str,
+    index_path: str,
+    accepted_path: str,
+    spark: SparkSession,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous corpus growth with near-dup gating: every micro-batch
+    of documents is (1) deduplicated within the batch (LSH candidate
+    pairs, smaller id wins), (2) probed against the persisted band-
+    bucket INDEX of everything accepted so far, and only non-matching
+    docs are accepted — their buckets merged into the index, their ids
+    into the accepted table.
+
+    Replay-safe: self-matches (same id already in the index) are
+    excluded from rejection and both writes are keyed merges, so
+    re-running a batch is a no-op — the streaming twin of the
+    reference's idempotent-upsert H4 guarantee, applied to corpus
+    curation. Per batch the probe costs O(batch + matched buckets);
+    the corpus is never self-joined (operators/neardup.py
+    lsh_match_against_index).
+    """
+    import os
+
+    from dex_data_ingestor_spark.operators.merge import merge_upsert
+    from dex_data_ingestor_spark.operators.neardup import (
+        lsh_band_buckets_wide,
+        lsh_candidate_pairs,
+        lsh_match_against_index,
+        minhash_signatures_wide,
+    )
+
+    def _merge_write(path: str, updates: DataFrame, keys: list[str]) -> None:
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+        else:
+            existing = spark.createDataFrame([], updates.schema)
+        merged = merge_upsert(existing, updates, keys)
+        tmp = path + "._staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates([id_col]).localCheckpoint()
+        wide = minhash_signatures_wide(batch, id_col, text_col)
+        buckets = lsh_band_buckets_wide(wide, id_col).localCheckpoint()
+        rejects = (
+            lsh_candidate_pairs(buckets, id_col)
+            .select(F.col("b_id").alias(id_col))
+            .distinct()
+        )
+        if os.path.exists(index_path):
+            idx = spark.read.parquet(index_path)
+            hits = lsh_match_against_index(buckets, idx, id_col)
+            rejects = rejects.union(
+                hits.filter(F.col("new_id") != F.col("indexed_id"))
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            ).distinct()
+        accepted = batch.join(rejects, id_col, "left_anti")
+        acc_ids = accepted.select(id_col).localCheckpoint()
+        _merge_write(
+            index_path,
+            buckets.join(acc_ids, id_col),
+            keys=[id_col, "band_id"],
+        )
+        _merge_write(accepted_path, acc_ids, keys=[id_col])
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

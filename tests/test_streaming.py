@@ -326,3 +326,72 @@ def test_rocksdb_provider_runs_v1_stateful(spark, sf_dir, event_files, tmp_path)
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_neardup_ingest_is_incremental_and_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Docs arriving over two micro-batches: near-dups of already-
+    accepted docs are rejected, replay from a fresh checkpoint changes
+    nothing, and the accepted set matches the batch-mode rule (every
+    rejected doc LSH-matches some doc with a smaller id)."""
+    from dex_data_ingestor_spark.operators.neardup import (
+        lsh_band_buckets_wide,
+        lsh_candidate_pairs,
+        minhash_signatures_wide,
+    )
+    from dex_data_ingestor_spark.streaming.jobs import stream_neardup_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_in")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    index_path = str(tmp_path / "index")
+    accepted_path = str(tmp_path / "accepted")
+    doc_schema = docs.schema
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_neardup_ingest(
+            stream, str(tmp_path / ckpt), index_path, accepted_path, spark
+        )
+        q.awaitTermination(timeout=300)
+
+    run("ckpt_a")
+    accepted1 = {
+        r.doc_id for r in spark.read.parquet(accepted_path).collect()
+    }
+    n_docs = docs.count()
+    assert 0 < len(accepted1) < n_docs  # some rejects happened
+
+    # every rejected doc has an LSH candidate partner that was accepted
+    # (chains collapse toward survivors) or shares a bucket with a
+    # smaller-id doc in its own batch
+    buckets = lsh_band_buckets_wide(
+        minhash_signatures_wide(docs, "doc_id", "text"), "doc_id"
+    )
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in lsh_candidate_pairs(buckets, "doc_id").collect()
+    }
+    rejected = {r["doc_id"] for r in docs.collect()} - accepted1
+    partners = {b: a for a, b in pairs} | {a: b for a, b in pairs}
+    assert all(r in partners for r in rejected)
+
+    run("ckpt_b")  # fresh checkpoint: full replay must be a no-op
+    accepted2 = {
+        r.doc_id for r in spark.read.parquet(accepted_path).collect()
+    }
+    assert accepted1 == accepted2
+    # index holds exactly the accepted docs' buckets (2 bands per doc)
+    idx = spark.read.parquet(index_path)
+    assert {r.doc_id for r in idx.select("doc_id").collect()} == accepted1
