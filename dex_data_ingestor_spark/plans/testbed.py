@@ -3001,3 +3001,47 @@ def q_late_arrivals(spark, sf_dir):
             "late_minutes"
         )
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def _seg_sql(col: str, i: int, nseg: int) -> str:
+    start = f"((length({col}) * {i}) // {nseg}) + 1"
+    stop = f"((length({col}) * {i + 1}) // {nseg})"
+    return f"substr({col}, {start}, {stop} - ({start}) + 1)"
+
+
+_ENTITY_SEGS = " UNION ALL ".join(
+    f"SELECT c_custkey AS id, c_name AS s, length(c_name) AS len, "
+    f"{i} AS seg_i, {_seg_sql('c_name', i, 2)} AS seg FROM customer"
+    for i in range(2)
+)
+
+
+@register(
+    "q_entity_match",
+    f"""
+    WITH blocked AS ({_ENTITY_SEGS}),
+    cands AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.s AS a_s, b.s AS b_s
+      FROM blocked a
+      JOIN blocked b ON a.len = b.len AND a.seg_i = b.seg_i
+                    AND a.seg = b.seg
+      WHERE a.id < b.id
+    )
+    SELECT a_id, b_id, CAST(levenshtein(a_s, b_s) AS INTEGER) AS dist
+    FROM cands WHERE levenshtein(a_s, b_s) <= 1
+    """,
+)
+def q_entity_match(spark, sf_dir):
+    """Entity resolution by edit distance with PassJoin segment
+    blocking (operators/entity.py): customer names within one
+    substitution of each other, found via a (segment, position,
+    length) equi-join — never an all-pairs scan. The exact levenshtein
+    filter makes reported pairs precise; the block confines the
+    quadratic work to same-segment groups."""
+    from dex_data_ingestor_spark.operators.entity import edit_distance_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1)
+    return pairs.select(
+        "a_id", "b_id", F.col("dist").cast("int").alias("dist")
+    )

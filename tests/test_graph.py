@@ -39,3 +39,21 @@ def test_component_survivors(spark):
         for r in component_survivors(labels).collect()
     }
     assert surv == {2: (2, 3), 20: (20, 2)}
+
+
+def test_edit_distance_pairs_blocks_and_filters(spark):
+    from dex_data_ingestor_spark.operators.entity import edit_distance_pairs
+
+    rows = [
+        (1, "token-abcd"),
+        (2, "token-abcx"),   # 1 substitution from 1
+        (3, "token-zzzz"),   # far from everything
+        (4, "token-abcd"),   # exact dup of 1 (dist 0)
+        (5, "tok-abcd"),     # different length: blocked out by design
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.a_id, r.b_id): r.dist
+        for r in edit_distance_pairs(df, "id", "name", max_dist=1).collect()
+    }
+    assert got == {(1, 2): 1, (1, 4): 0, (2, 4): 1}
