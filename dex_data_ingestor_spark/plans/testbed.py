@@ -3045,3 +3045,63 @@ def q_entity_match(spark, sf_dir):
     return pairs.select(
         "a_id", "b_id", F.col("dist").cast("int").alias("dist")
     )
+
+
+@register(
+    "q_table_diff",
+    """
+    WITH old_t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new_t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                    OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                  THEN 'changed' ELSE 'same' END AS status,
+             CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+                  THEN ''
+                  ELSE array_to_string(list_sort(list_filter(LIST_VALUE(
+                    CASE WHEN o.o_orderstatus IS DISTINCT FROM
+                              n.o_orderstatus
+                         THEN 'o_orderstatus' END,
+                    CASE WHEN o.o_totalprice IS DISTINCT FROM
+                              n.o_totalprice
+                         THEN 'o_totalprice' END), x -> x IS NOT NULL)),
+                    ',') END AS changed_cols
+      FROM old_t o FULL OUTER JOIN new_t n
+        ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, status, changed_cols
+    FROM j WHERE status <> 'same'
+    """,
+)
+def q_table_diff(spark, sf_dir):
+    """Migration validator: |delta|-sized diff of two keyed table
+    versions (added / removed / changed + which columns) via one
+    key-partitioned full-outer join (operators/merge.py table_diff) —
+    the check you run when switching a warehouse from the reference
+    engine to this one. The simulated drift: ~1/7 of keys removed,
+    ~1/5 added, 1/3 of surviving prices changed."""
+    from dex_data_ingestor_spark.operators.merge import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return table_diff(old, new, keys=["o_orderkey"])
