@@ -3105,3 +3105,60 @@ def q_table_diff(spark, sf_dir):
         ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
     )
     return table_diff(old, new, keys=["o_orderkey"])
+
+
+@register(
+    "q_embed_stats",
+    """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    x AS (
+      SELECT i AS dim, CAST(v[i] AS DECIMAL(18,6)) AS xd
+      FROM e, unnest(range(1, len(v)+1)) AS u(i)
+    ),
+    agg AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(xd) AS DOUBLE) AS s,
+             CAST(SUM(xd * xd) AS DOUBLE) AS ss
+      FROM x GROUP BY 1
+    )
+    SELECT dim, n, ROUND(s / n, 9) AS mean_val,
+           ROUND((ss - s * s / n) / n, 9) AS var_val
+    FROM agg
+    """,
+)
+def q_embed_stats(spark, sf_dir):
+    """Embedding-column QA: per-dimension count/mean/variance over the
+    corpus (posexplode -> groupBy dim) — the drift/degeneracy check a
+    training pipeline runs on its vector features (a collapsed or
+    shifted dimension shows up here before it poisons a model).
+    Addends are quantized to decimal(18,6) so both moment sums are
+    exact and order-free (float ties at 6 dp are impossible — 5e-7 is
+    not dyadic); the mean/variance arithmetic then happens in identical
+    IEEE doubles, rounded 9 dp."""
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    x = em.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "xv"
+        )
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.col("xv").cast("decimal(18,6)").alias("xd"),
+    )
+    agg = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xd").cast("double").alias("s"),
+        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("ss"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        F.round(F.col("s") / F.col("n"), 9).alias("mean_val"),
+        F.round(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / F.col("n"),
+            9,
+        ).alias("var_val"),
+    )
