@@ -102,3 +102,48 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df).collect()
     }
     assert got == _union_find(edges)
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Empty sources must yield empty results, not HOF/loop errors —
+    an hourly window with no new rows is the common case, not the
+    edge case."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from dex_data_ingestor_spark.operators.entity import edit_distance_pairs
+    from dex_data_ingestor_spark.operators.neardup import (
+        lsh_band_buckets_wide,
+        lsh_match_against_index,
+        minhash_signatures_wide,
+    )
+
+    doc_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    empty_docs = spark.createDataFrame([], doc_schema)
+    wide = minhash_signatures_wide(empty_docs, "doc_id", "text")
+    buckets = lsh_band_buckets_wide(wide, "doc_id")
+    assert buckets.count() == 0
+
+    some_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], doc_schema
+    )
+    idx = lsh_band_buckets_wide(
+        minhash_signatures_wide(some_docs, "doc_id", "text"), "doc_id"
+    )
+    assert lsh_match_against_index(buckets, idx, "doc_id").count() == 0
+
+    edge_schema = StructType([
+        StructField("src", LongType()), StructField("dst", LongType()),
+    ])
+    empty_edges = spark.createDataFrame([], edge_schema)
+    assert connected_components(empty_edges).count() == 0
+
+    name_schema = StructType([
+        StructField("id", LongType()), StructField("name", StringType()),
+    ])
+    empty_names = spark.createDataFrame([], name_schema)
+    assert edit_distance_pairs(empty_names, "id", "name").count() == 0
