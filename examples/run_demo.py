@@ -97,6 +97,27 @@ def main() -> None:
     qv = [float(x) for x in em.filter(F.col("vec_id") == 0).first().embedding]
     top = cosine_topk(em, "vec_id", "embedding", qv, k=5).collect()
     print("   top-5 neighbors of vec 0:", [(r.vec_id, r.cos_sim) for r in top])
+
+    print("== 5. dup clustering, entity match, table diff")
+    from dex_data_ingestor_spark.operators.graph import (
+        component_survivors, connected_components,
+    )
+    from dex_data_ingestor_spark.operators.neardup import ngram_jaccard_pairs
+    from dex_data_ingestor_spark.operators.entity import edit_distance_pairs
+    from dex_data_ingestor_spark.operators.merge import table_diff
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = connected_components(pairs, src="a_id", dst="b_id")
+    surv = component_survivors(comps)
+    print("   near-dup clusters:", surv.count(),
+          "| docs in clusters:", comps.count())
+    cust = load_table(spark, sf_dir, "customer")
+    fuzzy = edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1)
+    print("   name pairs within 1 edit:", fuzzy.count())
+    old_v = cust.filter(F.col("c_custkey") % 2 == 0)
+    diff = table_diff(old_v, cust, keys=["c_custkey"])
+    print("   table diff rows (half removed):",
+          diff.groupBy("status").count().collect())
     spark.stop()
     print("DEMO COMPLETE")
 
