@@ -3162,3 +3162,103 @@ def q_embed_stats(spark, sf_dir):
             9,
         ).alias("var_val"),
     )
+
+
+@register(
+    "q_neardup_verified",
+    f"""
+    WITH {_GRAMS_CTE},
+    hashed AS (
+      SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
+    ),
+    params(k, a, b) AS (VALUES {_MINHASH_VALUES}),
+    sigs AS (
+      SELECT doc_id, k,
+             min((a * gram_hash + b) % 2147483647) AS minhash
+      FROM hashed CROSS JOIN params GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(k / 4) AS INTEGER) AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k)
+               AS band_sig
+      FROM sigs GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
+      FROM bands
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM buckets a
+      JOIN buckets b ON a.band_id = b.band_id
+                    AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+    inter AS (
+      SELECT c.a_id, c.b_id, count(*) AS n_inter
+      FROM cands c
+      JOIN grams ga ON ga.doc_id = c.a_id
+      JOIN grams gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / (ca.n_grams + cb.n_grams - n_inter), 9) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = a_id
+    JOIN counts cb ON cb.doc_id = b_id
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / (ca.n_grams + cb.n_grams - n_inter), 9) >= 0.5
+    """,
+)
+def q_neardup_verified(spark, sf_dir):
+    """The full production near-dup pipeline: LSH band buckets generate
+    CANDIDATE pairs (sub-quadratic), exact n-gram Jaccard then VERIFIES
+    each candidate — the candidates-then-verify shape every large-scale
+    dedup runs (LSH alone has false positives; all-pairs Jaccard is
+    quadratic; the composition is neither). Verification cost is
+    O(candidates), and only candidate docs' gram sets are re-joined."""
+    from dex_data_ingestor_spark.operators.neardup import (
+        lsh_band_buckets_wide,
+        lsh_candidate_pairs,
+        minhash_signatures_wide,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = lsh_band_buckets_wide(
+        minhash_signatures_wide(docs, "doc_id", "text", shingle_n=3),
+        "doc_id", rows_per_band=4,
+    )
+    cands = lsh_candidate_pairs(buckets, "doc_id")
+    grams = shingles(docs, "doc_id", "text", n=3)
+    counts = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    ga = grams.select(F.col("doc_id").alias("a_id"), "gram")
+    gb = grams.select(F.col("doc_id").alias("b_id"), "gram")
+    inter = (
+        cands.join(ga, "a_id")
+        .join(gb, ["b_id", "gram"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("a_id"), F.col("n_grams").alias("a_grams")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("b_id"), F.col("n_grams").alias("b_grams")
+    )
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("a_grams") + F.col("b_grams") - F.col("n_inter")),
+        9,
+    )
+    return (
+        inter.join(ca, "a_id")
+        .join(cb, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+    )
