@@ -3262,3 +3262,56 @@ def q_neardup_verified(spark, sf_dir):
         .filter(F.col("jaccard") >= 0.5)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+@register(
+    "q_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_GRAMS_CTE},
+    counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM inter
+      JOIN counts ca ON ca.doc_id = a_id
+      JOIN counts cb ON cb.doc_id = b_id
+      WHERE ROUND(CAST(n_inter AS DOUBLE)
+                  / (ca.n_grams + cb.n_grams - n_inter), 9) >= 0.5
+    ),
+    sym AS (SELECT a_id AS a, b_id AS b FROM pairs
+            UNION ALL SELECT b_id AS a, a_id AS b FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    labels AS (SELECT src AS doc_id, MIN(dst) AS component
+               FROM reach GROUP BY src)
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    LEFT JOIN labels l ON l.doc_id = d.doc_id
+    WHERE l.doc_id IS NULL OR l.doc_id = l.component
+    """,
+)
+def q_dedup_survivors(spark, sf_dir):
+    """The deduplicated corpus itself: collapse near-dup clusters
+    ([q_dup_clusters]) to their min-id survivor and anti-join the
+    non-survivors away — the materialization a training pipeline
+    actually writes out after dedup. Docs outside any cluster pass
+    through untouched."""
+    from dex_data_ingestor_spark.operators.graph import connected_components
+    from dex_data_ingestor_spark.operators.neardup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs, src="a_id", dst="b_id")
+    rejects = labels.filter(
+        F.col("node") != F.col("component")
+    ).select(F.col("node").alias("doc_id"))
+    return docs.join(rejects, "doc_id", "left_anti").select(
+        "doc_id", "lang"
+    )
