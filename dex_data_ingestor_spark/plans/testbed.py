@@ -3315,3 +3315,47 @@ def q_dedup_survivors(spark, sf_dir):
     return docs.join(rejects, "doc_id", "left_anti").select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "q_seq_packing",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY n_tokens DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM toks
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(floor(start_offset / 512.0) AS INTEGER) AS bin
+    FROM packed
+    """,
+)
+def q_seq_packing(spark, sf_dir):
+    """Training-batch sequence packing (concatenate-and-chop, 512-token
+    chunks, per-language streams): one cumulative-sum window assigns
+    every document the chunk its start offset falls in
+    (operators/corpus.py pack_sequences). The partition key keeps the
+    pack sort distributed — the shape this op must have at 100 TB."""
+    from dex_data_ingestor_spark.operators.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+    )
+    return pack_sequences(
+        toks, "doc_id", "n_toks", budget=512, partition_col="lang"
+    ).select(
+        "doc_id", "lang",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "bin",
+    )
