@@ -3359,3 +3359,46 @@ def q_seq_packing(spark, sf_dir):
         F.col("n_tokens").cast("int").alias("n_tokens"),
         "bin",
     )
+
+
+#: Target language mix for the resampling-weight query — fixed literals
+#: shared verbatim with the oracle SQL.
+_MIX_TARGETS = (("en", 0.4), ("de", 0.15), ("fr", 0.15),
+                ("es", 0.15), ("zh", 0.15))
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS
+) + " ELSE 0.0 END"
+
+
+@register(
+    "q_mix_weights",
+    f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT lang, n_docs,
+           ROUND({_MIX_CASE} * total / n_docs, 9) AS weight
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_mix_weights(spark, sf_dir):
+    """Data-mixing weights: per-language resampling factor
+    target_share * total / actual_count — multiply by it (or feed it to
+    [q_stratified_sample]'s keep-rates) and the corpus lands on the
+    declared mix. Integer inputs times a shared literal keep the one
+    multiply/divide chain bit-stable cross-engine; 9-dp rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = docs.agg(F.count(F.lit(1)).alias("total"))
+    target = F.lit(0.0)
+    for k, v in reversed(_MIX_TARGETS):
+        target = F.when(F.col("lang") == k, F.lit(v)).otherwise(target)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(target * F.col("total") / F.col("n_docs"), 9).alias(
+            "weight"
+        ),
+    )
