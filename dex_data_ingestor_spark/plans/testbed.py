@@ -3402,3 +3402,60 @@ def q_mix_weights(spark, sf_dir):
             "weight"
         ),
     )
+
+
+@register(
+    "q_corr",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx)
+                    * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
+    FROM m
+    """,
+)
+def q_corr(spark, sf_dir):
+    """Statistical aggregate family: per-group Pearson correlation
+    built from EXACT decimal moment sums (sum, sum-of-squares,
+    cross-moment) recombined in identical IEEE double arithmetic —
+    never the engine's native corr(), whose streaming co-moment update
+    order differs between engines (and between partitionings!). The
+    exact-moments form is order-free, so the result is independent of
+    parallelism — which is also why it is the RIGHT form at 100 TB.
+    sqrt is IEEE-exact (unlike pow/log), so it stays bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(
+        n * F.col("syy") - sy * sy
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(num / den, 9).alias("corr_qty_price")
+    )
