@@ -14,7 +14,7 @@ exchange entirely. This is the classic warehouse layout for
 fact-to-fact joins (orders ⋈ lineitem on orderkey) and repeated
 per-key rollups.
 
-Rules encoded here (and asserted by tests/test_bucketing.py on the
+Rules encoded here (and asserted by tests/test_bucketed.py on the
 physical plan):
 
 - both sides bucketed on the SAME keys with the SAME bucket count
@@ -39,17 +39,23 @@ def write_bucketed(
     buckets: int = 32,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed, sorted managed parquet table.
+    """Persist ``df`` as a bucketed, sorted parquet table.
 
     The bucket spec lives in the session catalog; readers via
     ``spark.table(table)`` get the co-location guarantee. (With an
     in-memory catalog the spec lasts for the session; pair with a Hive
     metastore / Unity-style catalog for durability on a real cluster.)
+    ``path`` makes it an external table at that location instead of a
+    managed table under the session warehouse dir — tests use this to
+    keep data out of the repo checkout.
     """
     writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
@@ -64,15 +70,19 @@ def colocated_join(
 
     With matching bucket specs Catalyst plans a SortMergeJoin whose
     children are bucket-aware scans — no Exchange on either side. The
-    physical-plan assertion lives in tests/test_bucketing.py, so a
+    physical-plan assertion lives in tests/test_bucketed.py, so a
     Spark upgrade that silently re-introduces the shuffle fails CI.
     """
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle Exchange operators in the optimized physical
-    plan (AQE-final when available) — the metric bucketing minimizes."""
+    """Number of shuffle Exchange operators in the STATIC physical plan
+    (pre-AQE: stringifying an unexecuted queryExecution shows the
+    initial plan, and a .count() on the DataFrame runs a different
+    queryExecution). Exchanges AQE later replaces (e.g. with a runtime
+    broadcast) still count — use it to assert absences, as the
+    bucketing tests do, not exact counts under AQE."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return sum(
         1

@@ -172,7 +172,11 @@ def table_diff(
     ``changed_cols`` is the comma-joined sorted list of differing
     columns ('' for added/removed).
     """
-    cmp_cols = compare_cols or [c for c in old.columns if c not in keys]
+    cmp_cols = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in keys]
+    )
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in cmp_cols],
@@ -190,7 +194,7 @@ def table_diff(
     j = o.join(n, cond, "full_outer")
     diffs = [
         F.when(
-            F.expr(f"__o_{c} IS DISTINCT FROM __n_{c}"), F.lit(c)
+            ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
         ).otherwise(F.lit(None))
         for c in cmp_cols
     ]

@@ -100,8 +100,10 @@ def countmin_estimates(
     width: int = 64,
 ) -> DataFrame:
     """Point-query the sketch for each row of ``items``: the estimate is
-    the MIN over the depth rows of the probed bucket counts. Output:
-    (item, est)."""
+    the MIN over the depth rows of the probed bucket counts, where an
+    untouched bucket counts as 0 — so an item absent from the sketched
+    data estimates 0 (left join; an inner join would drop the item or
+    min over only its colliding buckets). Output: (item, est)."""
     probes = items.select(
         F.col(item_col).cast("string").alias("item"),
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
@@ -114,7 +116,7 @@ def countmin_estimates(
     )
     return (
         probes.select("item", "i", bucket.alias("bucket"))
-        .join(cms, ["i", "bucket"])
+        .join(cms, ["i", "bucket"], "left")
         .groupBy("item")
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

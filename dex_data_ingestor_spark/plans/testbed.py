@@ -3334,7 +3334,7 @@ def q_dedup_survivors(spark, sf_dir):
       FROM toks
     )
     SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
-           CAST(floor(start_offset / 512.0) AS INTEGER) AS bin
+           CAST(floor(start_offset / 512.0) AS BIGINT) AS bin
     FROM packed
     """,
 )

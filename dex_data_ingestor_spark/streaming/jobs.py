@@ -383,22 +383,24 @@ def stream_neardup_ingest(
 ):
     """Continuous corpus growth with near-dup gating: every micro-batch
     of documents is (1) deduplicated within the batch (LSH candidate
-    pairs, smaller id wins), (2) probed against the persisted band-
-    bucket INDEX of everything accepted so far, and only non-matching
-    docs are accepted — their buckets merged into the index, their ids
-    into the accepted table.
+    pairs, smaller id wins; docs too short to shingle are keyed by an
+    exact text hash in a reserved band so they dedup too), (2) probed
+    against the persisted band-bucket INDEX of everything accepted so
+    far, and only non-matching docs are accepted — their buckets
+    APPENDED to the index, their ids to the accepted table.
 
-    Replay-safe: self-matches (same id already in the index) are
-    excluded from rejection and both writes are keyed merges, so
-    re-running a batch is a no-op — the streaming twin of the
-    reference's idempotent-upsert H4 guarantee, applied to corpus
-    curation. Per batch the probe costs O(batch + matched buckets);
-    the corpus is never self-joined (operators/neardup.py
-    lsh_match_against_index).
+    Both sinks are append-only: no write ever deletes existing data,
+    so a crash mid-batch never loses prior state, and per-batch write
+    cost is O(batch) (a keyed-merge rewrite would be O(corpus) per
+    batch). Replay of a batch re-appends the same rows — duplicates
+    are harmless for the index (identical bucket rows produce the same
+    probe matches) and the accepted table is distinct-on-read
+    (self-matches by id are excluded from rejection, so a replayed doc
+    is re-accepted, not dropped). Existence checks go through Spark's
+    Hadoop FileSystem so scheme-qualified paths (s3a://, hdfs://) work
+    the same as local ones.
     """
-    import os
-
-    from dex_data_ingestor_spark.operators.merge import merge_upsert
+    from dex_data_ingestor_spark.functions.scalars import md5_int64
     from dex_data_ingestor_spark.operators.neardup import (
         lsh_band_buckets_wide,
         lsh_candidate_pairs,
@@ -406,26 +408,35 @@ def stream_neardup_ingest(
         minhash_signatures_wide,
     )
 
-    def _merge_write(path: str, updates: DataFrame, keys: list[str]) -> None:
-        if os.path.exists(path):
-            existing = spark.read.parquet(path)
-        else:
-            existing = spark.createDataFrame([], updates.schema)
-        merged = merge_upsert(existing, updates, keys)
-        tmp = path + "._staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    def _table_exists(path: str) -> bool:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        return hpath.getFileSystem(hconf).exists(hpath)
+
+    def _batch_buckets(batch: DataFrame) -> DataFrame:
+        lsh = lsh_band_buckets_wide(
+            minhash_signatures_wide(batch, id_col, text_col), id_col
+        )
+        # < shingle_n words -> no shingles -> no LSH buckets; key those
+        # by exact text hash in reserved band -1 so they still dedup
+        ws = F.split(F.trim(F.col(text_col)), r"\s+")
+        short = batch.filter(F.size(ws) < 3).select(
+            F.col(id_col),
+            F.lit(-1).alias("band_id"),
+            md5_int64(F.col(text_col)).alias("band_hash"),
+        )
+        return lsh.unionByName(short)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col]).localCheckpoint()
-        wide = minhash_signatures_wide(batch, id_col, text_col)
-        buckets = lsh_band_buckets_wide(wide, id_col).localCheckpoint()
+        buckets = _batch_buckets(batch).localCheckpoint()
         rejects = (
             lsh_candidate_pairs(buckets, id_col)
             .select(F.col("b_id").alias(id_col))
             .distinct()
         )
-        if os.path.exists(index_path):
+        if _table_exists(index_path):
             idx = spark.read.parquet(index_path)
             hits = lsh_match_against_index(buckets, idx, id_col)
             rejects = rejects.union(
@@ -435,12 +446,10 @@ def stream_neardup_ingest(
             ).distinct()
         accepted = batch.join(rejects, id_col, "left_anti")
         acc_ids = accepted.select(id_col).localCheckpoint()
-        _merge_write(
-            index_path,
-            buckets.join(acc_ids, id_col),
-            keys=[id_col, "band_id"],
+        buckets.join(acc_ids, id_col).write.mode("append").parquet(
+            index_path
         )
-        _merge_write(accepted_path, acc_ids, keys=[id_col])
+        acc_ids.write.mode("append").parquet(accepted_path)
 
     return (
         docs_stream.writeStream.foreachBatch(sink)

@@ -15,13 +15,18 @@ from dex_data_ingestor_spark.io import load_table
 
 
 @pytest.fixture(scope="module")
-def bucketed_tables(spark, sf_dir):
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("bucketed_wh"))
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    write_bucketed(li, "b_lineitem", ["l_orderkey"], buckets=8)
+    write_bucketed(
+        li, "b_lineitem", ["l_orderkey"], buckets=8,
+        path=f"{warehouse}/b_lineitem",
+    )
     write_bucketed(
         orders.withColumnRenamed("o_orderkey", "l_orderkey"),
         "b_orders", ["l_orderkey"], buckets=8,
+        path=f"{warehouse}/b_orders",
     )
     yield "b_lineitem", "b_orders"
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

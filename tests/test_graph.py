@@ -147,3 +147,24 @@ def test_operators_tolerate_empty_inputs(spark):
     ])
     empty_names = spark.createDataFrame([], name_schema)
     assert edit_distance_pairs(empty_names, "id", "name").count() == 0
+
+
+def test_countmin_absent_item_estimates_zero(spark):
+    from dex_data_ingestor_spark.operators.sketch import (
+        countmin_estimates,
+        countmin_table,
+    )
+
+    data = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2, ["item"]
+    )
+    cms = countmin_table(data, "item", depth=4, width=64)
+    items = spark.createDataFrame(
+        [("a",), ("b",), ("never-seen",)], ["item"]
+    )
+    est = {
+        r.item: r.est
+        for r in countmin_estimates(cms, items, "item").collect()
+    }
+    assert est["a"] >= 5 and est["b"] >= 2  # CMS never undercounts
+    assert est["never-seen"] == 0           # absent -> 0, not missing
