@@ -56,6 +56,12 @@ def _stat_sig(path: str) -> tuple:
 
 def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     path = os.path.abspath(path)
+    # Memoize regular files only: a directory-backed table can have a
+    # part file replaced in place without changing the directory's own
+    # mtime/size, so the stat signature cannot witness staleness there
+    # (and a cached DataFrame would carry a stale file listing).
+    if not os.path.isfile(path):
+        return spark.read.parquet(path)
     key = (spark.sparkContext.applicationId, path)
     sig = _stat_sig(path)
     hit = _RAW_READS.get(key)

@@ -56,6 +56,9 @@ def asof_lookup(
     staleness: a carried quote older than ``probe_ts - tolerance`` is
     discarded (back to ``default``/NULL) — the financial-data contract
     where a quote from last week must not price today's trade.
+    Freshness is judged per value column against the timestamp of the
+    quote that actually SUPPLIED the carried value (a newer quote with
+    a NULL value does not launder an older value's staleness).
     """
     tagged_q = quotes.select(
         *keys,
@@ -72,28 +75,29 @@ def asof_lookup(
           if c not in probe_cols],
     )
     unioned = tagged_q.unionByName(tagged_p, allowMissingColumns=True)
-    if tolerance is not None:
-        unioned = unioned.withColumn(
-            "__qts", F.when(F.col("__tag") == 0, F.col("__ts"))
-        )
     w = (
         Window.partitionBy(*keys)
         .orderBy("__ts", "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned
-    fresh = None
-    if tolerance is not None:
-        carried_qts = F.last(F.col("__qts"), ignorenulls=True).over(w)
-        fresh = carried_qts >= F.col("__ts") - F.expr(
-            f"INTERVAL {tolerance}"
-        )
     for c in value_cols:
         carried = F.last(F.col(c), ignorenulls=True).over(w)
-        if fresh is not None:
+        if tolerance is not None:
+            # Timestamp of the quote that supplied THIS column's value:
+            # the last quote row where the column was non-null.
+            supplied_ts = F.last(
+                F.when(
+                    (F.col("__tag") == 0) & F.col(c).isNotNull(),
+                    F.col("__ts"),
+                ),
+                ignorenulls=True,
+            ).over(w)
+            fresh = supplied_ts >= F.col("__ts") - F.expr(
+                f"INTERVAL {tolerance}"
+            )
             carried = F.when(fresh, carried)
         filled = filled.withColumn(c, carried)
         if default is not None:
             filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(default)))
-    out = filled.filter(F.col("__tag") == 1).drop("__ts", "__tag")
-    return out.drop("__qts") if tolerance is not None else out
+    return filled.filter(F.col("__tag") == 1).drop("__ts", "__tag")

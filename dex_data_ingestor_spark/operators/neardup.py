@@ -362,3 +362,54 @@ def lsh_match_against_index(
         .select("new_id", "indexed_id")
         .distinct()
     )
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame,
+    grams_a: DataFrame,
+    grams_b: DataFrame,
+    threshold: float = 0.5,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Exact-Jaccard verification of CANDIDATE pairs (the verify half
+    of candidates-then-verify — LSH band collisions alone have false
+    positives that would silently drop unique docs).
+
+    ``grams_a`` / ``grams_b`` are (id, gram) tables with one row per
+    DISTINCT gram per doc (:func:`shingles` output); they may be the
+    same DataFrame for a self-join universe. Cost is O(candidates):
+    both gram tables are semi-join-pruned to the ids that appear in
+    ``pairs`` before the intersection join, so docs without candidates
+    never enter the shuffle.
+
+    Output: (a_col, b_col, jaccard) for pairs with jaccard >=
+    ``threshold``. Pairs whose docs share no gram (jaccard 0, e.g. a
+    doc too short to shingle) do not survive — callers must route
+    unshingleable docs through an exact-hash path instead.
+    """
+    ga = (
+        grams_a.select(F.col(grams_a.columns[0]).alias(a_col), "gram")
+        .join(pairs.select(a_col).distinct(), a_col)
+    )
+    gb = (
+        grams_b.select(F.col(grams_b.columns[0]).alias(b_col), "gram")
+        .join(pairs.select(b_col).distinct(), b_col)
+    )
+    ca = ga.groupBy(a_col).agg(F.count(F.lit(1)).alias("__na"))
+    cb = gb.groupBy(b_col).agg(F.count(F.lit(1)).alias("__nb"))
+    inter = (
+        pairs.join(ga, a_col)
+        .join(gb, [b_col, "gram"])
+        .groupBy(a_col, b_col)
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    jac = F.col("__ni").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__ni")
+    )
+    return (
+        inter.join(ca, a_col)
+        .join(cb, b_col)
+        .select(a_col, b_col, jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

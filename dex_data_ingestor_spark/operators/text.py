@@ -8,6 +8,8 @@ they scale linearly over a 100 TB documents table with zero shuffle
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from dex_data_ingestor_spark.functions.scalars import md5_int64
@@ -174,6 +176,17 @@ def scrub_pii(
     scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
     n_denied = F.lit(0)
     if denylist:
+        # Entries are interpolated into a regex shared verbatim with
+        # SQL oracles; metacharacters would alter the pattern (or break
+        # differently per engine), and \b boundaries are only
+        # well-defined against word characters — so restrict rather
+        # than escape.
+        bad_entries = [w for w in denylist if not re.fullmatch(r"\w+", w)]
+        if bad_entries:
+            raise ValueError(
+                "denylist entries must be word characters only "
+                f"([A-Za-z0-9_]+); got {bad_entries!r}"
+            )
         deny_re = r"\b(" + "|".join(denylist) + r")\b"
         n_denied = F.size(
             F.regexp_extract_all(t, F.lit(deny_re), F.lit(0))

@@ -89,6 +89,12 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
             [], f"{CORRUPT_COL} string, _partial_parse string"
         )
     data_cols = [c for c in df.columns if c != CORRUPT_COL]
+    if not data_cols:
+        raise ValueError(
+            "split_corrupt needs at least one data column besides "
+            f"{CORRUPT_COL!r}: a corrupt-only schema cannot pin the scan "
+            "schema (and Spark rejects corrupt-only file-source queries)"
+        )
     # Both filters must keep a data-column reference: under column
     # pruning (e.g. a bare count()) a corrupt-only reference set is
     # rejected by Spark for raw file sources, and the alternative the

@@ -380,25 +380,40 @@ def stream_neardup_ingest(
     spark: SparkSession,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_n: int = 3,
+    verify_threshold: float = 0.5,
 ):
     """Continuous corpus growth with near-dup gating: every micro-batch
-    of documents is (1) deduplicated within the batch (LSH candidate
-    pairs, smaller id wins; docs too short to shingle are keyed by an
-    exact text hash in a reserved band so they dedup too), (2) probed
+    of documents is (1) deduplicated within the batch, (2) probed
     against the persisted band-bucket INDEX of everything accepted so
     far, and only non-matching docs are accepted — their buckets
-    APPENDED to the index, their ids to the accepted table.
+    APPENDED to the index, their (id, text) rows to the accepted table.
 
-    Both sinks are append-only: no write ever deletes existing data,
-    so a crash mid-batch never loses prior state, and per-batch write
-    cost is O(batch) (a keyed-merge rewrite would be O(corpus) per
-    batch). Replay of a batch re-appends the same rows — duplicates
-    are harmless for the index (identical bucket rows produce the same
-    probe matches) and the accepted table is distinct-on-read
-    (self-matches by id are excluded from rejection, so a replayed doc
-    is re-accepted, not dropped). Existence checks go through Spark's
-    Hadoop FileSystem so scheme-qualified paths (s3a://, hdfs://) work
-    the same as local ones.
+    Rejection is candidates-then-VERIFY (ADVICE r2): an LSH band-hash
+    collision alone is not grounds to drop a doc — every shingleable
+    candidate pair (within-batch and batch-vs-index) must also pass
+    exact n-gram Jaccard >= ``verify_threshold``
+    (neardup.verify_pairs_jaccard), so band collisions cannot silently
+    drop unique docs forever. Docs with fewer than ``shingle_n`` words
+    cannot shingle; they are keyed by an exact text hash in reserved
+    band -1, where a hash match IS the verification (identical text).
+    ``shingle_n`` is shared by the signature computation, the short-doc
+    gate, and both verify steps.
+
+    Index-hit verification reads the accepted table pruned to the
+    candidate partner ids BEFORE shingling, so verify cost is
+    O(candidates); accepted rows are written sorted by id so parquet
+    zone maps prune that scan. Both sinks are append-only: no write
+    ever deletes existing data, so a crash mid-batch never loses prior
+    state, and per-batch write cost is O(batch) (a keyed-merge rewrite
+    would be O(corpus) per batch). Replay of a batch re-appends the
+    same rows — duplicates are harmless for the index (identical
+    bucket rows produce the same probe matches) and the accepted table
+    is distinct-on-read (self-matches by id are excluded from
+    rejection, so a replayed doc is re-accepted, not dropped).
+    Existence checks go through Spark's Hadoop FileSystem so
+    scheme-qualified paths (s3a://, hdfs://) work the same as local
+    ones.
     """
     from dex_data_ingestor_spark.functions.scalars import md5_int64
     from dex_data_ingestor_spark.operators.neardup import (
@@ -406,6 +421,8 @@ def stream_neardup_ingest(
         lsh_candidate_pairs,
         lsh_match_against_index,
         minhash_signatures_wide,
+        shingles,
+        verify_pairs_jaccard,
     )
 
     def _table_exists(path: str) -> bool:
@@ -416,12 +433,13 @@ def stream_neardup_ingest(
 
     def _batch_buckets(batch: DataFrame) -> DataFrame:
         lsh = lsh_band_buckets_wide(
-            minhash_signatures_wide(batch, id_col, text_col), id_col
+            minhash_signatures_wide(batch, id_col, text_col, shingle_n),
+            id_col,
         )
         # < shingle_n words -> no shingles -> no LSH buckets; key those
         # by exact text hash in reserved band -1 so they still dedup
         ws = F.split(F.trim(F.col(text_col)), r"\s+")
-        short = batch.filter(F.size(ws) < 3).select(
+        short = batch.filter(F.size(ws) < shingle_n).select(
             F.col(id_col),
             F.lit(-1).alias("band_id"),
             md5_int64(F.col(text_col)).alias("band_hash"),
@@ -431,25 +449,66 @@ def stream_neardup_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col]).localCheckpoint()
         buckets = _batch_buckets(batch).localCheckpoint()
+        long_b = buckets.filter(F.col("band_id") != -1)
+        short_b = buckets.filter(F.col("band_id") == -1)
+        grams = shingles(batch, id_col, text_col, n=shingle_n)
+        # short docs: band -1 hash equality means identical text
         rejects = (
-            lsh_candidate_pairs(buckets, id_col)
+            lsh_candidate_pairs(short_b, id_col)
             .select(F.col("b_id").alias(id_col))
             .distinct()
         )
+        # shingleable docs: LSH candidates verified by exact Jaccard
+        verified = verify_pairs_jaccard(
+            lsh_candidate_pairs(long_b, id_col),
+            grams,
+            grams,
+            threshold=verify_threshold,
+        )
+        rejects = rejects.union(
+            verified.select(F.col("b_id").alias(id_col)).distinct()
+        )
         if _table_exists(index_path):
             idx = spark.read.parquet(index_path)
-            hits = lsh_match_against_index(buckets, idx, id_col)
+            short_hits = lsh_match_against_index(
+                short_b, idx.filter(F.col("band_id") == -1), id_col
+            ).filter(F.col("new_id") != F.col("indexed_id"))
             rejects = rejects.union(
-                hits.filter(F.col("new_id") != F.col("indexed_id"))
-                .select(F.col("new_id").alias(id_col))
-                .distinct()
+                short_hits.select(F.col("new_id").alias(id_col)).distinct()
+            )
+            hits = lsh_match_against_index(
+                long_b, idx.filter(F.col("band_id") != -1), id_col
+            ).filter(F.col("new_id") != F.col("indexed_id"))
+            # prune the accepted corpus to candidate partners BEFORE
+            # shingling: verify cost stays O(candidates)
+            partners = hits.select(
+                F.col("indexed_id").alias(id_col)
             ).distinct()
-        accepted = batch.join(rejects, id_col, "left_anti")
-        acc_ids = accepted.select(id_col).localCheckpoint()
-        buckets.join(acc_ids, id_col).write.mode("append").parquet(
-            index_path
+            acc_docs = spark.read.parquet(accepted_path).join(
+                partners, id_col
+            )
+            verified_idx = verify_pairs_jaccard(
+                hits.select(
+                    F.col("new_id").alias("a_id"),
+                    F.col("indexed_id").alias("b_id"),
+                ),
+                grams,
+                shingles(acc_docs, id_col, text_col, n=shingle_n),
+                threshold=verify_threshold,
+            )
+            rejects = rejects.union(
+                verified_idx.select(F.col("a_id").alias(id_col)).distinct()
+            )
+        accepted = batch.join(rejects.distinct(), id_col, "left_anti")
+        acc_rows = (
+            accepted.select(id_col, text_col)
+            .sortWithinPartitions(id_col)
+            .localCheckpoint()
         )
-        acc_ids.write.mode("append").parquet(accepted_path)
+        buckets.join(acc_rows.select(id_col), id_col).write.mode(
+            "append"
+        ).parquet(index_path)
+        acc_rows.write.mode("append").parquet(accepted_path)
 
     return (
         docs_stream.writeStream.foreachBatch(sink)

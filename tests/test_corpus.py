@@ -183,3 +183,32 @@ def test_curation_repetition_and_span_gates(spark, sf_dir):
     assert 0 < n_gated <= base
     # the gates compose with the stats columns still attached
     assert "quality_score" in gated.columns
+
+
+def test_verify_pairs_jaccard_kills_false_positive_candidates(spark):
+    """Candidate pairs survive only with exact Jaccard >= threshold —
+    a band-collision pair with disjoint gram sets must not reject a
+    unique doc (ADVICE r2 on stream_neardup_ingest)."""
+    from dex_data_ingestor_spark.operators.neardup import (
+        shingles,
+        verify_pairs_jaccard,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4"),
+            (2, "w1 w2 w3 w4 w5"),   # true near-dup of 1 (jaccard 2/3)
+            (3, "x1 x2 x3 x4"),      # disjoint: a false-positive cand
+        ],
+        "doc_id long, text string",
+    )
+    grams = shingles(docs, "doc_id", "text", 3)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "a_id long, b_id long"
+    )
+    out = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in verify_pairs_jaccard(pairs, grams, grams, 0.5).collect()
+    }
+    assert set(out) == {(1, 2)}
+    assert abs(out[(1, 2)] - 2 / 3) < 1e-12

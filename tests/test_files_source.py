@@ -1,5 +1,6 @@
 """CSV/JSON source layer: declared schemas, corrupt capture, drift."""
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -76,3 +77,11 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     q = back.filter(F.col("o_orderkey") == 1).select("o_orderkey", "o_custkey")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan, plan
+
+
+def test_split_corrupt_rejects_corrupt_only_schema(spark, tmp_path):
+    from dex_data_ingestor_spark.sources.files import CORRUPT_COL, split_corrupt
+
+    df = spark.createDataFrame([("x",)], f"{CORRUPT_COL} string")
+    with pytest.raises(ValueError, match="at least one data column"):
+        split_corrupt(df)

@@ -99,3 +99,35 @@ def test_asof_lookup_tolerance(spark):
         ).collect()
     }
     assert out2 == {1: 100.0, 2: 1.0, 3: 200.0, 4: 1.0}
+
+
+def test_asof_tolerance_null_quote_does_not_refresh_stale_value(spark):
+    """A newer quote whose value column is NULL must not make an older
+    value pass the staleness check — freshness is judged against the
+    quote that supplied the carried value (ADVICE r2)."""
+    import datetime as dt
+
+    from dex_data_ingestor_spark.operators.asof import asof_lookup
+
+    T = dt.datetime
+    quotes = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0), 100.0),
+            (1, T(2024, 1, 1, 12, 0), None),   # newer, but no value
+        ],
+        "k long, ts timestamp_ntz, px double",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, 1, T(2024, 1, 1, 10, 30)),  # 100 is 30 min old -> fresh
+            (1, 2, T(2024, 1, 1, 12, 15)),  # 100 is 135 min old -> stale
+        ],
+        "k long, pid long, ts timestamp_ntz",
+    )
+    out = {
+        r["pid"]: r["px"]
+        for r in asof_lookup(
+            probes, quotes, ["k"], "ts", "ts", ["px"], tolerance="1 hour"
+        ).collect()
+    }
+    assert out == {1: 100.0, 2: None}

@@ -308,3 +308,11 @@ def test_canonicalize_url(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_scrub_pii_rejects_regex_metacharacter_denylist(spark):
+    from dex_data_ingestor_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame([(1, "hello c++")], "id long, text string")
+    with pytest.raises(ValueError, match="word characters only"):
+        scrub_pii(df, "id", "text", denylist=("c++",))
