@@ -96,19 +96,27 @@ def load_table(
 ) -> DataFrame:
     """Load one testbed table, normalizing timestamp physical types.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark only
-    reads as a long (``spark.sql.legacy.parquet.nanosAsLong``); it is
-    converted here to TIMESTAMP_NTZ so every downstream operator sees
-    one timestamp type regardless of file encoding.
+    ``events.ts`` has appeared in two physical encodings across driver
+    generations; both are supported and both yield TIMESTAMP_NTZ with
+    pushdown-able window bounds:
 
-    ``ts_window=(lo, hi)`` (half-open, ``lo < ts <= hi``) applies the
-    incremental range at the SOURCE: a filter on a derived NTZ column
-    cannot push past the conversion expression, so the bounds are
-    translated to raw nanosecond-long bounds that Catalyst pushes into
-    the parquet scan (row-group pruning) — the difference between a
-    window read and a 100 TB full scan. The equivalent exact filter on
-    the converted column still applies afterwards (no-op on correct
-    data; keeps semantics explicit and engine-checkable).
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark reads it
+      natively as TIMESTAMP_NTZ and pushes comparison predicates into
+      the scan directly (``PushedFilters: [GreaterThan(ts,…)]``), so the
+      window filter below is already the scan-pruning form;
+    - parquet TIMESTAMP(NANOS) — Spark only reads it as a long
+      (``spark.sql.legacy.parquet.nanosAsLong``); a filter on the
+      derived NTZ column cannot push past the conversion expression, so
+      the bounds are translated to raw nanosecond-long bounds that
+      Catalyst pushes into the parquet scan (row-group pruning), then
+      the column is converted to TIMESTAMP_NTZ.
+
+    ``ts_window=(lo, hi)`` is the half-open incremental range
+    ``lo < ts <= hi`` — at 100 TB the pushed bounds are the difference
+    between a window read and a full scan. The exact filter on the
+    (converted) NTZ column always applies as well: it is the pushed
+    predicate itself in the µs case and a semantic no-op after the
+    ns-long bounds in the nanos case.
     """
     configure_session(spark)
     df = _read_parquet_cached(spark, os.path.join(sf_dir, f"{name}.parquet"))

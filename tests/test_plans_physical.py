@@ -43,10 +43,12 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
 
 def test_incremental_window_pushes_range_predicate(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_incremental_range")
-    # ns-long source: the range must reach the scan as pushed filters on
-    # the underlying raw long column (row-group pruning at 100 TB).
+    # The range must reach the scan as pushed filters on ts regardless
+    # of the file's physical encoding (row-group pruning at 100 TB):
+    # µs/NTZ events push the half-open bounds directly (GreaterThan);
+    # ns-long events push translated long bounds (GreaterThanOrEqual).
     assert re.search(
-        r"PushedFilters: \[.*GreaterThanOrEqual\(ts,.*\]", plan
+        r"PushedFilters: \[.*GreaterThan(OrEqual)?\(ts,.*\]", plan
     ), plan
     assert re.search(r"LessThanOrEqual\(ts,", plan), plan
 
