@@ -208,20 +208,63 @@ def lsh_band_buckets(
     )
 
 
-def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
-    """Distinct candidate pairs sharing any LSH band bucket."""
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str, max_bucket_size: int = 256
+) -> DataFrame:
+    """Distinct candidate pairs sharing any LSH band bucket, with a
+    hot-bucket cap.
+
+    The naive bucket self-join is O(n^2) *per bucket*: a
+    boilerplate-heavy corpus (license headers, templated pages) can put
+    millions of documents into ONE (band_id, band_hash) bucket, and a
+    single 1M-doc bucket alone would emit 5e11 pairs — a job-killer at
+    100 TB no matter how well the rest of the plan scales. So buckets
+    are sized first (count over the same (band_id, band_hash) key the
+    join shuffles on — co-partitioned, no extra exchange):
+
+    - size <= ``max_bucket_size``: all pairs, exactly as before;
+    - size > ``max_bucket_size``: a sorted adjacent-pair CHAIN —
+      O(n) pairs instead of O(n^2). Near-dup consumers only need
+      CONNECTIVITY, not completeness: the chain keeps every member of
+      the hot bucket reachable, so dup-cluster formation
+      (operators/graph.py min-label propagation) still groups them,
+      and the exact-Jaccard verify stage (verify_pairs_jaccard) prunes
+      the chain edges that were band-collision false positives. What
+      is lost is only non-adjacent *direct* edges inside mega-buckets
+      — by construction those members are near-identical boilerplate,
+      for which transitive closure through the chain is the right
+      semantics anyway.
+
+    Deterministic: the chain orders by id, so output is reproducible
+    run-to-run and the a_id < b_id invariant holds on both paths.
+    """
+    from pyspark.sql import Window
+
     a = buckets.select(
         F.col(id_col).alias("a_id"), "band_id", "band_hash"
     )
-    b = buckets.select(
-        F.col(id_col).alias("b_id"), "band_id", "band_hash"
-    )
-    return (
-        a.join(b, ["band_id", "band_hash"])
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = a.withColumn("__n", F.count(F.lit(1)).over(w))
+    small = sized.filter(F.col("__n") <= max_bucket_size).drop("__n")
+    all_pairs = (
+        small.join(
+            small.select(
+                F.col("a_id").alias("b_id"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
-        .distinct()
     )
+    chained = (
+        sized.filter(F.col("__n") > max_bucket_size)
+        .select(
+            "a_id",
+            F.lead("a_id").over(w.orderBy("a_id")).alias("b_id"),
+        )
+        .filter(F.col("b_id").isNotNull())
+    )
+    return all_pairs.unionByName(chained).distinct()
 
 
 def simhash(

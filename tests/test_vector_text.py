@@ -316,3 +316,61 @@ def test_scrub_pii_rejects_regex_metacharacter_denylist(spark):
     df = spark.createDataFrame([(1, "hello c++")], "id long, text string")
     with pytest.raises(ValueError, match="word characters only"):
         scrub_pii(df, "id", "text", denylist=("c++",))
+
+
+# ---------------------------------------------------------------------------
+# LSH hot-bucket cap (lsh_candidate_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_rows(band_hash, n):
+    return [(i + band_hash * 10_000, 0, band_hash) for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def hot_buckets(spark):
+    """One pathological identical-band bucket (600 docs — boilerplate
+    corpus shape) plus one normal 3-doc bucket."""
+    rows = _bucket_rows(1, 600) + _bucket_rows(2, 3)
+    return spark.createDataFrame(
+        rows, "doc_id long, band_id int, band_hash long"
+    )
+
+
+def test_lsh_hot_bucket_is_chained_not_quadratic(spark, hot_buckets):
+    pairs = ND.lsh_candidate_pairs(hot_buckets, "doc_id").collect()
+    hot = sorted(
+        (r.a_id, r.b_id) for r in pairs if 10_000 <= r.a_id < 20_000
+    )
+    small = sorted((r.a_id, r.b_id) for r in pairs if r.a_id >= 20_000)
+    # hot bucket: 599 chain edges (adjacent sorted ids), not 600*599/2
+    assert hot == [(10_000 + i, 10_000 + i + 1) for i in range(599)]
+    # small bucket: all 3 pairs, exactly the uncapped behavior
+    assert small == [
+        (20_000, 20_001), (20_000, 20_002), (20_001, 20_002)
+    ]
+
+
+def test_lsh_cap_disabled_reproduces_all_pairs(spark, hot_buckets):
+    """With the cap above every bucket size, output equals the
+    classic all-pairs join — the cap cannot change small-corpus
+    results (q_minhash_pairs stability)."""
+    capped = ND.lsh_candidate_pairs(hot_buckets, "doc_id", 256)
+    uncapped = ND.lsh_candidate_pairs(hot_buckets, "doc_id", 10**6)
+    assert uncapped.count() == 600 * 599 // 2 + 3
+    # chain edges are a subset of the uncapped pair set
+    assert capped.join(
+        uncapped, ["a_id", "b_id"], "left_anti"
+    ).count() == 0
+
+
+def test_lsh_chain_preserves_connectivity(spark, hot_buckets):
+    """Every doc in the hot bucket stays reachable: the chain must
+    touch all 600 members so dup-clustering can still group them."""
+    pairs = ND.lsh_candidate_pairs(hot_buckets, "doc_id")
+    members = (
+        pairs.filter(F.col("a_id") < 20_000)
+        .select(F.explode(F.array("a_id", "b_id")).alias("id"))
+        .distinct()
+    )
+    assert members.count() == 600
