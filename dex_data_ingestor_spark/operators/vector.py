@@ -176,10 +176,24 @@ def embedding_neardup_pairs(
     threshold: float,
     block_col: str | None = None,
     round_dp: int = 9,
+    allow_cross: bool = False,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold; optional blocking column keeps
-    the self-join sub-quadratic (block by LSH bucket or IVF cell at
-    scale — only same-block pairs are compared)."""
+    """Pairs with cosine >= threshold; the blocking column keeps the
+    self-join sub-quadratic (block by LSH bucket or IVF cell at scale —
+    only same-block pairs are compared).
+
+    ``block_col=None`` means an all-pairs crossJoin — O(n^2) rows and
+    a certain job-killer on any large table, so it must be requested
+    EXPLICITLY with ``allow_cross=True`` (intended for small
+    validation universes only); omitting the block column alone raises
+    instead of silently planning a quadratic join."""
+    if block_col is None and not allow_cross:
+        raise ValueError(
+            "embedding_neardup_pairs without block_col plans an O(n^2) "
+            "crossJoin; pass block_col (LSH bucket / IVF cell / label) "
+            "or opt in explicitly with allow_cross=True on a small "
+            "universe"
+        )
     # Precompute each row's norm ONCE before the join: higher-order
     # folds are interpreted (not codegen), so evaluating 1 dot per pair
     # instead of 3 is a ~3x win on the quadratic stage. The arithmetic

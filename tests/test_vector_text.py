@@ -75,9 +75,12 @@ def test_blocked_neardup_subset_of_unblocked(spark, em):
     unblocked = {
         (r.a_id, r.b_id)
         for r in V.embedding_neardup_pairs(
-            em.limit(100), "vec_id", "embedding", 0.25
+            em.limit(100), "vec_id", "embedding", 0.25, allow_cross=True
         ).collect()
     }
+    # without the explicit opt-in, the quadratic fallback must refuse
+    with pytest.raises(ValueError, match="crossJoin"):
+        V.embedding_neardup_pairs(em.limit(100), "vec_id", "embedding", 0.25)
     # blocking can only remove cross-block pairs, never invent pairs
     ids100 = {r.vec_id for r in em.limit(100).select("vec_id").collect()}
     assert {p for p in blocked if p[0] in ids100 and p[1] in ids100} <= {
