@@ -27,3 +27,31 @@ def test_all_queries_have_oracle_or_are_flagged():
     # explicit so nothing silently loses oracle coverage.
     allowed_rows_only = {"q_approx_distinct"}  # HLL++: no cross-engine oracle by design
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
+
+
+def test_approx_distinct_bounded_relative_error(spark, sf_dir):
+    """q_approx_distinct is rows-only for the driver (HLL++ estimates
+    are implementation-specific, no cross-engine oracle) — so pin its
+    contract here instead: per-group relative error vs exact distinct
+    must stay within 5x the configured rsd (0.01), a generous bound
+    that still catches a broken sketch or a wrong-column regression."""
+    from pyspark.sql import functions as F
+
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["q_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, n in exact.items():
+        rel_err = abs(approx[etype] - n) / max(n, 1)
+        assert rel_err <= 0.05, (etype, approx[etype], n, rel_err)
