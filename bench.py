@@ -5,12 +5,19 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Materialization is a noop-sink write (distributed, no driver collect),
 so timings measure the full plan, not result transfer. A small warm-up
 runs first so JIT/codegen cost lands outside the measured loop.
+
+Each query is timed over $SPARK_GRAFT_BENCH_RUNS runs (default 3) and
+the MEDIAN is reported, with per-query spread (max-min) alongside:
+round-over-round single-run deltas on a shared box were dominated by
+environmental noise (r3->r4 "improved" 24% with zero code change), so
+a delta smaller than the recorded spread is noise, not signal.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -49,6 +56,7 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_session(app_name="dex-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -62,14 +70,19 @@ def main() -> None:
     materialize(QUERIES["q_count"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         # one untimed execution per query excludes codegen/JIT compile
         # from the measurement (steady-state throughput is the metric);
-        # the timed run still re-executes the full plan from the scans.
+        # every timed run still re-executes the full plan from the scans.
         materialize(QUERIES[name](spark, sf_dir))
-        t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        spread[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -80,6 +93,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": runs,
+                "stat": "median",
+                "spread_sec": spread,
+                "total_spread_sec": round(sum(spread.values()), 3),
             }
         )
     )
