@@ -237,12 +237,24 @@ def lsh_candidate_pairs(
 
     Deterministic: the chain orders by id, so output is reproducible
     run-to-run and the a_id < b_id invariant holds on both paths.
+
+    Plan shape: ONE explicit repartition on (band_id, band_hash) feeds
+    the sizing window, both self-join sides, and the chain window —
+    every consumer's distribution requirement is satisfied by that
+    single exchange, so the expensive upstream (signature computation,
+    md5 over every gram x K permutations) is computed once and reused
+    (ReusedExchange), not once per branch. The self-join carries a
+    merge-join hint for the same reason: letting AQE broadcast one
+    side would replace that side's shuffle subtree with a
+    BroadcastExchange over a RECOMPUTED signature pipeline — a
+    duplicated scan at any scale, and exactly the wrong trade at
+    100 TB where the bucket table can never broadcast anyway.
     """
     from pyspark.sql import Window
 
     a = buckets.select(
         F.col(id_col).alias("a_id"), "band_id", "band_hash"
-    )
+    ).repartition("band_id", "band_hash")
     w = Window.partitionBy("band_id", "band_hash")
     sized = a.withColumn("__n", F.count(F.lit(1)).over(w))
     small = sized.filter(F.col("__n") <= max_bucket_size).drop("__n")
@@ -250,7 +262,7 @@ def lsh_candidate_pairs(
         small.join(
             small.select(
                 F.col("a_id").alias("b_id"), "band_id", "band_hash"
-            ),
+            ).hint("merge"),
             ["band_id", "band_hash"],
         )
         .filter(F.col("a_id") < F.col("b_id"))
