@@ -109,3 +109,16 @@ def test_partitioned_merge_read_uses_dynamic_pruning(spark, sf_dir, tmp_path):
     pruned = existing.join(F.broadcast(touched), "date", "left_semi")
     plan = _plan(pruned)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_minhash_pairs_reuses_signature_exchange(spark, sf_dir):
+    """The LSH candidate self-join + hot-bucket sizing must NOT
+    recompute the signature pipeline per branch: after execution the
+    final adaptive plan shows the duplicated branches collapsing into
+    ReusedExchange (one md5-over-grams computation feeding the sizing
+    window, both join sides, and the chain window)."""
+    df = QUERIES["q_minhash_pairs"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "isFinalPlan=true" in final, final[:500]
+    assert "ReusedExchange" in final, final
