@@ -136,9 +136,12 @@ WINDOW_HI = "2024-01-20 00:00:00"
 def q_incremental_range(spark, sf_dir):
     """Half-open incremental window ``lo < ts <= hi`` (reference:
     Bifrost.py:90, SqlDbEtl.py:145 — the exactly-once window contract).
-    The range is applied at the source so it pushes into the parquet
-    scan as raw-long bounds (io.load_table ts_window) — a filter on the
-    derived NTZ column alone cannot push past the ns conversion."""
+    The range is applied at the source (io.load_table ts_window) so it
+    reaches the parquet scan as pushed filters under either physical
+    encoding of events.ts: directly on the µs/NTZ column, or as
+    translated raw-long bounds when the file is TIMESTAMP(NANOS) —
+    row-group pruning either way (plan-asserted in
+    tests/test_plans_physical.py)."""
     ev = load_table(
         spark, sf_dir, "events", ts_window=(WINDOW_LO, WINDOW_HI)
     )
