@@ -1,7 +1,7 @@
 """Delta Lake MERGE path (gated): the production form of merge_upsert.
 
-The pure-Spark ``operators.merge.merge_upsert`` (union + row_number +
-column-wise coalesce + overwrite) is the oracle-checked semantics; on a
+The pure-Spark ``operators.merge.merge_upsert`` (union + key-grouped
+column-wise resolve + overwrite) is the oracle-checked semantics; on a
 lakehouse with Delta available, the same contract maps to a real
 ``MERGE INTO`` — transactional, partition-pruned, no full rewrite.
 delta-spark is not installed in the test environment, so everything
@@ -11,13 +11,33 @@ ImportError deep inside a job.
 Reference parity: INSERT ... ON DUPLICATE KEY UPDATE with per-source
 partial update column sets (reference: src/ingestion/tasks/bifrost/
 Bifrost.py:116-124, Stellar.py:138-148 — SURVEY §2.1 F1-F3).
+
+Semantics are constructed to match :func:`..merge.merge_upsert`
+EXACTLY, and a parametrized parity test (tests/test_merge.py) asserts
+it case-by-case whenever delta-spark is importable:
+
+- key conflict: columns in ``update_cols`` (all target non-keys when
+  None) take the update row's value INCLUDING an explicit NULL; other
+  columns keep the existing row's values;
+- new key: the full update row inserts (missing columns NULL-filled);
+- NULL keys match each other (null-safe comparison), mirroring the
+  groupBy-on-keys resolve of the pure-Spark path;
+- ``updates`` must be unique per key, as in ``merge_upsert``.
+
+Why this exists: the pure-parquet path rewrites the table directory
+per merge — correct and oracle-checkable, but a real 100 TB fact
+table needs ACID MERGE with file-level conflict detection, data
+skipping on the key condition, and concurrent reader isolation, which
+is exactly Delta's MERGE INTO. At scale, partition the Delta table by
+date and include the partition column in ``keys`` (or a match
+predicate) so MERGE prunes to the touched partitions.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def delta_available() -> bool:
@@ -33,17 +53,20 @@ def delta_available() -> bool:
 def merge_upsert_delta(
     spark: SparkSession,
     target_path: str,
-    source: DataFrame,
+    updates: DataFrame,
     keys: Sequence[str],
     update_cols: Sequence[str] | None = None,
 ) -> None:
-    """MERGE ``source`` into the Delta table at ``target_path``.
+    """MERGE ``updates`` into the Delta table at ``target_path``.
 
     ``update_cols=None`` updates every non-key column (F1 full upsert);
     a subset gives the reference's partial update sets (F2/F3) — other
     columns keep their existing values, exactly like
-    ``merge.merge_upsert(..., update_cols=...)``.
+    ``merge.merge_upsert(..., update_cols=...)``. See the module
+    docstring for the full semantics contract.
     """
+    if not keys:
+        raise ValueError("merge_upsert_delta requires at least one key")
     if not delta_available():
         raise RuntimeError(
             "delta-spark is not installed; use "
@@ -53,16 +76,27 @@ def merge_upsert_delta(
         )
     from delta.tables import DeltaTable
 
-    target = DeltaTable.forPath(spark, target_path)
-    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    cols = update_cols
-    if cols is None:
-        cols = [c for c in source.columns if c not in set(keys)]
-    update_set = {c: f"s.{c}" for c in cols}
-    (
-        target.alias("t")
-        .merge(source.alias("s"), cond)
-        .whenMatchedUpdate(set=update_set)
-        .whenNotMatchedInsertAll()
-        .execute()
-    )
+    tgt = DeltaTable.forPath(spark, target_path)
+    tgt_df = tgt.toDF()
+    target_cols = tgt_df.columns
+    target_types = dict(tgt_df.dtypes)
+    upd = updates
+    for c in (c for c in target_cols if c not in updates.columns):
+        upd = upd.withColumn(c, F.lit(None).cast(target_types[c]))
+    upd = upd.select(*target_cols)
+
+    non_keys = [c for c in target_cols if c not in keys]
+    update_set = {
+        c: F.col(f"s.{c}")
+        for c in (update_cols if update_cols is not None else non_keys)
+    }
+    # eqNullSafe mirrors merge_upsert's groupBy, where NULL keys
+    # compare equal to each other.
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else (cond & c)
+    merge = tgt.alias("t").merge(upd.alias("s"), cond)
+    if update_set:
+        merge = merge.whenMatchedUpdate(set=update_set)
+    merge.whenNotMatchedInsertAll().execute()

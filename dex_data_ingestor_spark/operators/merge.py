@@ -83,79 +83,6 @@ def merge_upsert(
     return grouped.select(*[resolved[c].alias(c) for c in cols])
 
 
-def delta_available() -> bool:
-    """True when the delta-spark package is importable (the lakehouse
-    MERGE INTO path); the engine never requires it — the pure-parquet
-    :func:`merge_upsert` is semantics-equal and oracle-checked."""
-    try:
-        import delta  # noqa: F401
-    except ImportError:
-        return False
-    return True
-
-
-def merge_upsert_delta(
-    spark,
-    target_path: str,
-    updates: DataFrame,
-    keys: Sequence[str],
-    update_cols: Sequence[str] | None = None,
-) -> None:
-    """ACID upsert into a Delta table at ``target_path`` — the
-    production lakehouse write for the reference's
-    ``INSERT ... ON DUPLICATE KEY UPDATE`` pattern (reference:
-    Bifrost.py:116-124, Stellar.py:84-93,138-148).
-
-    Semantics-equal to :func:`merge_upsert` by construction, and
-    asserted equal by the parity test (tests/test_merge.py) whenever
-    delta-spark is importable:
-
-    - key conflict: columns in ``update_cols`` (all non-keys when
-      None) take the update row's value INCLUDING explicit NULL;
-      other columns keep the existing row's values;
-    - new key: the full update row inserts (missing columns NULL);
-    - ``updates`` must be unique per key, as in :func:`merge_upsert`.
-
-    Why this exists: the pure-parquet path rewrites the table
-    directory per merge — correct and oracle-checkable, but a real
-    100 TB fact table needs ACID MERGE with file-level conflict
-    detection, data skipping on the key condition, and concurrent
-    reader isolation, which is exactly Delta's MERGE INTO. At scale,
-    partition the Delta table by date and include the partition
-    column in ``keys`` (or a match predicate) so MERGE prunes to the
-    touched partitions.
-
-    Requires delta-spark (``pip install delta-spark`` and the Delta
-    SQL extension on the session); guard call sites with
-    :func:`delta_available`.
-    """
-    from delta.tables import DeltaTable  # deferred: optional dependency
-
-    tgt = DeltaTable.forPath(spark, target_path)
-    target_cols = tgt.toDF().columns
-    target_types = dict(tgt.toDF().dtypes)
-    upd = updates
-    for c in (c for c in target_cols if c not in updates.columns):
-        upd = upd.withColumn(c, F.lit(None).cast(target_types[c]))
-    upd = upd.select(*target_cols)
-
-    non_keys = [c for c in target_cols if c not in keys]
-    update_set = {
-        c: F.col(f"s.{c}")
-        for c in (update_cols if update_cols is not None else non_keys)
-    }
-    # eqNullSafe mirrors merge_upsert's groupBy, where NULL keys
-    # compare equal to each other.
-    cond = None
-    for k in keys:
-        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
-        cond = c if cond is None else (cond & c)
-    merge = tgt.alias("t").merge(upd.alias("s"), cond)
-    if update_set:
-        merge = merge.whenMatchedUpdate(set=update_set)
-    merge.whenNotMatchedInsertAll().execute()
-
-
 def cdc_apply(
     changes: DataFrame,
     keys: list[str],

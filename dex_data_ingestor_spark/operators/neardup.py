@@ -208,8 +208,14 @@ def lsh_band_buckets(
     )
 
 
+#: Default hot-bucket cap for lsh_candidate_pairs; oracle SQL mirrors
+#: this value (plans/testbed.py interpolates it), so change it in ONE
+#: place only.
+LSH_MAX_BUCKET = 256
+
+
 def lsh_candidate_pairs(
-    buckets: DataFrame, id_col: str, max_bucket_size: int = 256
+    buckets: DataFrame, id_col: str, max_bucket_size: int = LSH_MAX_BUCKET
 ) -> DataFrame:
     """Distinct candidate pairs sharing any LSH band bucket, with a
     hot-bucket cap.
@@ -223,20 +229,28 @@ def lsh_candidate_pairs(
     join shuffles on — co-partitioned, no extra exchange):
 
     - size <= ``max_bucket_size``: all pairs, exactly as before;
-    - size > ``max_bucket_size``: a sorted adjacent-pair CHAIN —
-      O(n) pairs instead of O(n^2). Near-dup consumers only need
-      CONNECTIVITY, not completeness: the chain keeps every member of
-      the hot bucket reachable, so dup-cluster formation
-      (operators/graph.py min-label propagation) still groups them,
-      and the exact-Jaccard verify stage (verify_pairs_jaccard) prunes
-      the chain edges that were band-collision false positives. What
-      is lost is only non-adjacent *direct* edges inside mega-buckets
-      — by construction those members are near-identical boilerplate,
-      for which transitive closure through the chain is the right
-      semantics anyway.
+    - size > ``max_bucket_size``: sorted stride-1 AND stride-2 edges
+      (i->i+1, i->i+2) — O(2n) pairs instead of O(n^2). Near-dup
+      consumers only need CONNECTIVITY, not completeness: the chain
+      keeps every member of the hot bucket reachable, so dup-cluster
+      formation (operators/graph.py min-label propagation) still
+      groups them, and the exact-Jaccard verify stage
+      (verify_pairs_jaccard) prunes the chain edges that were
+      band-collision false positives. The stride-2 edges make the
+      chain survive an isolated false-positive interloper: if B
+      between A and C fails verification, A-C stay connected via the
+      i->i+2 edge. LIMITATION (accepted trade): when verification
+      prunes chain edges, docs separated by >= 2 consecutive
+      interlopers in id order can lose their transitive link — a pair
+      the uncapped join would have connected directly. In a bucket
+      hot enough to trip the cap, members share a full band (4 equal
+      minhashes), so runs of non-duplicate interlopers are rare; the
+      alternative is the O(n^2) blowup the cap exists to prevent.
 
     Deterministic: the chain orders by id, so output is reproducible
-    run-to-run and the a_id < b_id invariant holds on both paths.
+    run-to-run and the a_id < b_id invariant holds on both paths
+    (enforced by filter even against duplicate (id, band) input rows,
+    which would otherwise produce self-pairs via lead()).
 
     Plan shape: ONE explicit repartition on (band_id, band_hash) feeds
     the sizing window, both self-join sides, and the chain window —
@@ -272,9 +286,14 @@ def lsh_candidate_pairs(
         sized.filter(F.col("__n") > max_bucket_size)
         .select(
             "a_id",
-            F.lead("a_id").over(w.orderBy("a_id")).alias("b_id"),
+            F.lead("a_id", 1).over(w.orderBy("a_id")).alias("b1"),
+            F.lead("a_id", 2).over(w.orderBy("a_id")).alias("b2"),
         )
-        .filter(F.col("b_id").isNotNull())
+        .select(
+            "a_id",
+            F.explode(F.array("b1", "b2")).alias("b_id"),
+        )
+        .filter(F.col("b_id").isNotNull() & (F.col("a_id") < F.col("b_id")))
     )
     return all_pairs.unionByName(chained).distinct()
 

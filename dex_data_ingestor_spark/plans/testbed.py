@@ -1849,6 +1849,44 @@ _MINHASH_VALUES = ", ".join(
     )
 )
 
+_LSH_MAX_BUCKET = __import__(
+    "dex_data_ingestor_spark.operators.neardup", fromlist=["LSH_MAX_BUCKET"]
+).LSH_MAX_BUCKET
+
+#: Oracle mirror of neardup.lsh_candidate_pairs INCLUDING the
+#: hot-bucket cap: buckets at or under LSH_MAX_BUCKET docs emit all
+#: pairs; larger ones emit the sorted stride-1/stride-2 chain. Without
+#: this mirror, any driver corpus with one bucket over the cap would
+#: hash-mismatch the pair-emitting queries even though the engine is
+#: behaving exactly as designed. Expects a CTE named ``buckets`` with
+#: (doc_id, band_id, band_hash); defines ``cand_pairs(a_id, b_id)``.
+_CAPPED_PAIRS_CTE = f"""
+    sized AS (
+      SELECT doc_id, band_id, band_hash,
+             count(*) OVER (PARTITION BY band_id, band_hash) AS bn
+      FROM buckets
+    ),
+    chain_src AS (
+      SELECT doc_id AS a_id,
+             lead(doc_id, 1) OVER (PARTITION BY band_id, band_hash
+                                   ORDER BY doc_id) AS b1,
+             lead(doc_id, 2) OVER (PARTITION BY band_id, band_hash
+                                   ORDER BY doc_id) AS b2
+      FROM sized WHERE bn > {_LSH_MAX_BUCKET}
+    ),
+    cand_pairs AS (
+      SELECT DISTINCT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sized a
+        JOIN sized b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        WHERE a.bn <= {_LSH_MAX_BUCKET} AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a_id, b1 FROM chain_src WHERE b1 IS NOT NULL AND a_id < b1
+        UNION ALL
+        SELECT a_id, b2 FROM chain_src WHERE b2 IS NOT NULL AND a_id < b2
+      )
+    )"""
+
 
 @register(
     "q_minhash_lsh",
@@ -1909,11 +1947,9 @@ def q_minhash_lsh(spark, sf_dir):
     buckets AS (
       SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
       FROM bands
-    )
-    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-    FROM buckets a
-    JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-    WHERE a.doc_id < b.doc_id
+    ),
+    {_CAPPED_PAIRS_CTE}
+    SELECT a_id, b_id FROM cand_pairs
     """,
 )
 def q_minhash_pairs(spark, sf_dir):
@@ -3242,13 +3278,8 @@ def q_embed_stats(spark, sf_dir):
       SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
       FROM bands
     ),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM buckets a
-      JOIN buckets b ON a.band_id = b.band_id
-                    AND a.band_hash = b.band_hash
-      WHERE a.doc_id < b.doc_id
-    ),
+    {_CAPPED_PAIRS_CTE},
+    cands AS (SELECT a_id, b_id FROM cand_pairs),
     counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
     inter AS (
       SELECT c.a_id, c.b_id, count(*) AS n_inter

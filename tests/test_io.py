@@ -11,9 +11,9 @@ import re
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
-from pyspark.sql import functions as F
 
 from dex_data_ingestor_spark.io import load_table
+from tests.conftest import plan_formatted as _plan
 
 WINDOW_LO = "2024-01-10 00:00:00"
 WINDOW_HI = "2024-01-20 00:00:00"
@@ -30,12 +30,6 @@ _TS = [
     dt.datetime(2024, 1, 20, 0, 0, 1),   # past hi -> excluded
 ]
 _INSIDE_IDS = [2, 3, 4]
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
 
 
 def _write_events(tmp_path, unit: str) -> str:

@@ -210,7 +210,7 @@ def test_delta_merge_parity_with_parquet_path(
     rule, same kept columns. Skips with a reason when delta-spark is
     not importable (this sandbox); runs for real on any session built
     with the Delta extension."""
-    from dex_data_ingestor_spark.operators.merge import (
+    from dex_data_ingestor_spark.operators.delta import (
         delta_available,
         merge_upsert_delta,
     )

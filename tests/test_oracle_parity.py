@@ -55,3 +55,39 @@ def test_approx_distinct_bounded_relative_error(spark, sf_dir):
     for etype, n in exact.items():
         rel_err = abs(approx[etype] - n) / max(n, 1)
         assert rel_err <= 0.05, (etype, approx[etype], n, rel_err)
+
+
+def test_minhash_pairs_oracle_parity_on_hot_bucket(spark, tmp_path):
+    """The capped-pairs oracle CTE must mirror the engine EXACTLY when
+    a bucket exceeds LSH_MAX_BUCKET: 300 identical boilerplate docs
+    put 300 docs in each band bucket (> 256 cap), so both sides must
+    emit the stride-1/stride-2 chain, not all pairs. Guards the
+    failure mode where driver data grows a hot bucket and the
+    pair-emitting oracles silently diverge from the capped engine."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+
+    rows = [
+        (i, "the same boilerplate text repeated for every hot bucket doc")
+        for i in range(300)
+    ]
+    rows += [
+        (1000 + i, f"unique document number {i} with entirely different words")
+        for i in range(5)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    df = QUERIES["q_minhash_pairs"](spark, str(tmp_path))
+    problems = compare(df, con, ORACLE_SQL["q_minhash_pairs"])
+    con.close()
+    assert not problems, problems
+    # and the output really is capped: chain edges, not 300*299/2
+    n = df.count()
+    assert n < 300 * 299 // 2, n

@@ -9,12 +9,7 @@ from pyspark.sql import functions as F
 
 from dex_data_ingestor_spark.io import load_table
 from dex_data_ingestor_spark.plans.testbed import QUERIES
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
+from tests.conftest import plan_formatted as _plan
 
 
 def plan_of(spark, sf_dir, name) -> str:

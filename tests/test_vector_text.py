@@ -346,8 +346,11 @@ def test_lsh_hot_bucket_is_chained_not_quadratic(spark, hot_buckets):
         (r.a_id, r.b_id) for r in pairs if 10_000 <= r.a_id < 20_000
     )
     small = sorted((r.a_id, r.b_id) for r in pairs if r.a_id >= 20_000)
-    # hot bucket: 599 chain edges (adjacent sorted ids), not 600*599/2
-    assert hot == [(10_000 + i, 10_000 + i + 1) for i in range(599)]
+    # hot bucket: stride-1 + stride-2 edges over sorted ids
+    # (599 + 598 = 1197), not 600*599/2
+    want = [(10_000 + i, 10_000 + i + 1) for i in range(599)]
+    want += [(10_000 + i, 10_000 + i + 2) for i in range(598)]
+    assert hot == sorted(want)
     # small bucket: all 3 pairs, exactly the uncapped behavior
     assert small == [
         (20_000, 20_001), (20_000, 20_002), (20_001, 20_002)
@@ -367,6 +370,20 @@ def test_lsh_cap_disabled_reproduces_all_pairs(spark, hot_buckets):
     ).count() == 0
 
 
+def test_lsh_chain_survives_one_interloper(spark, hot_buckets):
+    """Stride-2 edges keep neighbors of a single false-positive
+    interloper connected: removing any one node's edges from the
+    chain still leaves its neighbors linked via i->i+2."""
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in ND.lsh_candidate_pairs(hot_buckets, "doc_id").collect()
+        if r.a_id < 20_000
+    }
+    victim = 10_300  # any interior member
+    surviving = {p for p in pairs if victim not in p}
+    assert (victim - 1, victim + 1) in surviving
+
+
 def test_lsh_chain_preserves_connectivity(spark, hot_buckets):
     """Every doc in the hot bucket stays reachable: the chain must
     touch all 600 members so dup-clustering can still group them."""
@@ -377,3 +394,14 @@ def test_lsh_chain_preserves_connectivity(spark, hot_buckets):
         .distinct()
     )
     assert members.count() == 600
+
+
+def test_lsh_chain_no_self_pairs_on_duplicate_bucket_rows(spark):
+    """Duplicate (id, band) input rows must not produce a_id == b_id
+    edges through lead() in the chain path."""
+    rows = [(i, 0, 7) for i in range(300)] * 2  # 600 rows, every id twice
+    dup = spark.createDataFrame(
+        rows, "doc_id long, band_id int, band_hash long"
+    )
+    pairs = ND.lsh_candidate_pairs(dup, "doc_id").collect()
+    assert all(r.a_id < r.b_id for r in pairs)
