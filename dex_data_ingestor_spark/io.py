@@ -120,7 +120,21 @@ def load_table(
     """
     configure_session(spark)
     df = _read_parquet_cached(spark, os.path.join(sf_dir, f"{name}.parquet"))
-    is_ns_long = name == "events" and dict(df.dtypes).get("ts") == "bigint"
+    ts_dtype = dict(df.dtypes).get("ts")
+    if name == "events" and ts_dtype not in (None, "bigint", "timestamp_ntz"):
+        # A third plausible encoding — TIMESTAMP(MICROS, isAdjustedToUTC
+        # =true) — would silently read as session-tz 'timestamp' and
+        # shift ts_window/date-bucket semantics under a hostile session
+        # timezone. Fail loudly instead of drifting: the one-timestamp-
+        # type invariant (everything downstream sees TIMESTAMP_NTZ) is
+        # load-bearing for every oracle-checked window query.
+        raise TypeError(
+            f"events.ts read as '{ts_dtype}'; expected a nanosecond "
+            "long (legacy nanosAsLong) or TIMESTAMP_NTZ. A UTC-adjusted "
+            "parquet timestamp would silently re-zone the incremental "
+            "window — refusing to guess."
+        )
+    is_ns_long = name == "events" and ts_dtype == "bigint"
     if ts_window is not None and is_ns_long:
         lo, hi = ts_window
         # floor(ns/1000) >  lo_us  <=>  ns >= (lo_us + 1) * 1000

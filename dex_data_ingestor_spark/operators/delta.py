@@ -13,8 +13,12 @@ partial update column sets (reference: src/ingestion/tasks/bifrost/
 Bifrost.py:116-124, Stellar.py:138-148 — SURVEY §2.1 F1-F3).
 
 Semantics are constructed to match :func:`..merge.merge_upsert`
-EXACTLY, and a parametrized parity test (tests/test_merge.py) asserts
-it case-by-case whenever delta-spark is importable:
+EXACTLY. A parametrized parity test (tests/test_merge.py) asserts it
+case-by-case, but ONLY when delta-spark is importable — in this
+sandbox it never is (no network; the pip attempt is recorded in
+NOTES.md), so the parity claim is by-construction, not CI-executed.
+Treat this module as unexecuted code until a deployment with
+delta-spark runs that test:
 
 - key conflict: columns in ``update_cols`` (all target non-keys when
   None) take the update row's value INCLUDING an explicit NULL; other
@@ -86,6 +90,16 @@ def merge_upsert_delta(
     upd = upd.select(*target_cols)
 
     non_keys = [c for c in target_cols if c not in keys]
+    # Same contract as merge_upsert: unknown update_cols raise here too,
+    # so a typo surfaces identically on both paths instead of failing
+    # only at Delta MERGE analysis time.
+    unknown = (
+        set(update_cols) - set(non_keys) if update_cols is not None else set()
+    )
+    if unknown:
+        raise ValueError(
+            f"update_cols not in target non-key columns: {sorted(unknown)}"
+        )
     update_set = {
         c: F.col(f"s.{c}")
         for c in (update_cols if update_cols is not None else non_keys)

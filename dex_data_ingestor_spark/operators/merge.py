@@ -56,6 +56,14 @@ def merge_upsert(
 
     non_keys = [c for c in cols if c not in keys]
     update_set = set(update_cols) if update_cols is not None else set(non_keys)
+    # Same contract as merge_upsert_delta: an update_cols entry that is
+    # not a target non-key column is a typo, not a silent no-op (the
+    # Delta path would only surface it at MERGE analysis time).
+    unknown = update_set - set(non_keys)
+    if unknown:
+        raise ValueError(
+            f"update_cols not in target non-key columns: {sorted(unknown)}"
+        )
 
     tagged = existing.withColumn("__src", F.lit(0)).unionByName(
         upd.withColumn("__src", F.lit(1))

@@ -1840,18 +1840,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
-_MINHASH_VALUES = ", ".join(
-    f"({k}, {a}, {b})"
-    for k, (a, b) in enumerate(
-        __import__(
-            "dex_data_ingestor_spark.operators.neardup", fromlist=["MINHASH_PARAMS"]
-        ).MINHASH_PARAMS
-    )
+from dex_data_ingestor_spark.operators.neardup import (  # noqa: E402
+    LSH_MAX_BUCKET as _LSH_MAX_BUCKET,
+    MINHASH_PARAMS as _MINHASH_PARAMS,
 )
 
-_LSH_MAX_BUCKET = __import__(
-    "dex_data_ingestor_spark.operators.neardup", fromlist=["LSH_MAX_BUCKET"]
-).LSH_MAX_BUCKET
+_MINHASH_VALUES = ", ".join(
+    f"({k}, {a}, {b})" for k, (a, b) in enumerate(_MINHASH_PARAMS)
+)
 
 #: Oracle mirror of neardup.lsh_candidate_pairs INCLUDING the
 #: hot-bucket cap: buckets at or under LSH_MAX_BUCKET docs emit all
