@@ -218,7 +218,7 @@ def lsh_candidate_pairs(
     buckets: DataFrame, id_col: str, max_bucket_size: int = LSH_MAX_BUCKET
 ) -> DataFrame:
     """Distinct candidate pairs sharing any LSH band bucket, with a
-    hot-bucket cap.
+    hot-bucket cap via shifted sub-bucket tiling.
 
     The naive bucket self-join is O(n^2) *per bucket*: a
     boilerplate-heavy corpus (license headers, templated pages) can put
@@ -229,43 +229,66 @@ def lsh_candidate_pairs(
     join shuffles on — co-partitioned, no extra exchange):
 
     - size <= ``max_bucket_size``: all pairs, exactly as before;
-    - size > ``max_bucket_size``: sorted stride-1 AND stride-2 edges
-      (i->i+1, i->i+2) — O(2n) pairs instead of O(n^2). Near-dup
-      consumers only need CONNECTIVITY, not completeness: the chain
-      keeps every member of the hot bucket reachable, so dup-cluster
-      formation (operators/graph.py min-label propagation) still
-      groups them, and the exact-Jaccard verify stage
-      (verify_pairs_jaccard) prunes the chain edges that were
-      band-collision false positives. The stride-2 edges make the
-      chain survive an isolated false-positive interloper: if B
-      between A and C fails verification, A-C stay connected via the
-      i->i+2 edge. LIMITATION (accepted trade): when verification
-      prunes chain edges, docs separated by >= 2 consecutive
-      interlopers in id order can lose their transitive link — a pair
-      the uncapped join would have connected directly. In a bucket
-      hot enough to trip the cap, members share a full band (4 equal
-      minhashes), so runs of non-duplicate interlopers are rare; the
-      alternative is the O(n^2) blowup the cap exists to prevent.
+    - size > ``max_bucket_size``: members are ranked by id and tiled
+      into cells of ``max_bucket_size`` TWICE — grouping 0 cuts at rank
+      0, cap, 2*cap, ...; grouping 1 at the same stride shifted by
+      cap/2 — and each cell emits its all-pairs. Cost is O(n * cap)
+      per hot bucket (each member sits in two cells of <= cap), vs
+      O(n^2) uncapped.
 
-    Deterministic: the chain orders by id, so output is reproducible
-    run-to-run and the a_id < b_id invariant holds on both paths
-    (enforced by filter even against duplicate (id, band) input rows,
-    which would otherwise produce self-pairs via lead()).
+      Why two shifted tilings instead of the previous stride-1/2
+      chain: consumers run the exact-Jaccard verify stage
+      (verify_pairs_jaccard) over these candidates, and a chain
+      disconnects true duplicates whenever >= 2 CONSECUTIVE band-
+      collision interlopers get pruned. With shifted tiling, any two
+      members within cap/2 ranks of each other share a cell in at
+      least one grouping (two tiling boundaries are cap/2 apart, so a
+      rank interval shorter than cap/2 cannot cross one of each) and
+      therefore hold a DIRECT pair; splitting a true-dup cluster now
+      requires >= cap/2 consecutive interlopers (128 at the default
+      cap) instead of 2. In a bucket hot enough to trip the cap,
+      members share a full band (4 equal minhashes), so a 128-run of
+      non-duplicates is vanishingly unlikely — near-full recall at the
+      O(n * cap) budget.
+
+    Cap-invariance contract (relied on by the dup-cluster / survivor /
+    curation oracles, which stay UNCAPPED SQL): per hot bucket,
+
+    - connectivity is preserved — adjacent ranks (distance 1 <= cap/2)
+      always share a cell, so the bucket stays one component;
+    - the b-side set equals all-pairs' b-sides (bucket minus its min
+      id): a member that is not its grouping-0 cell's minimum pairs
+      b-side within that cell; a grouping-0 cell minimum at rank
+      k*cap (k >= 1) shares its grouping-1 cell [k*cap - cap/2,
+      k*cap + cap/2) with rank k*cap - 1, a smaller id; only rank 0 —
+      the bucket minimum — is min of both its cells.
+
+    Deterministic: ranks order by id, so output is reproducible
+    run-to-run, and the a_id < b_id filter holds on both paths (even
+    against duplicate (id, band) input rows — duplicates land in the
+    same or adjacent cells and self-pairs fail the strict inequality).
 
     Plan shape: ONE explicit repartition on (band_id, band_hash) feeds
-    the sizing window, both self-join sides, and the chain window —
-    every consumer's distribution requirement is satisfied by that
-    single exchange, so the expensive upstream (signature computation,
-    md5 over every gram x K permutations) is computed once and reused
-    (ReusedExchange), not once per branch. The self-join carries a
-    merge-join hint for the same reason: letting AQE broadcast one
-    side would replace that side's shuffle subtree with a
-    BroadcastExchange over a RECOMPUTED signature pipeline — a
-    duplicated scan at any scale, and exactly the wrong trade at
-    100 TB where the bucket table can never broadcast anyway.
+    the sizing window, the rank window, and both sides of the small-
+    bucket self-join — each requirement is satisfied by that single
+    exchange, so the expensive upstream (signature computation, md5
+    over every gram x K permutations) is computed once and reused
+    (ReusedExchange), not once per branch. Both self-joins carry a
+    merge-join hint: letting AQE broadcast one side would replace that
+    side's shuffle subtree with a BroadcastExchange over a RECOMPUTED
+    signature pipeline — a duplicated scan at any scale, and exactly
+    the wrong trade at 100 TB where the bucket table can never
+    broadcast anyway. The hot-cell self-join keys on (band_id,
+    band_hash, grouping, cell) — joining on the 2-key bucket and
+    filtering cells would re-expand to the O(n^2) per-bucket compare
+    the cap exists to prevent — which costs one extra exchange over
+    HOT-BUCKET rows only (x2 groupings); hot rows are a small fraction
+    of any real corpus, and that exchange is itself reused across the
+    join's two sides.
     """
     from pyspark.sql import Window
 
+    half = max_bucket_size // 2
     a = buckets.select(
         F.col(id_col).alias("a_id"), "band_id", "band_hash"
     ).repartition("band_id", "band_hash")
@@ -282,20 +305,48 @@ def lsh_candidate_pairs(
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
     )
-    chained = (
+    rk = F.row_number().over(w.orderBy("a_id")) - 1
+    cells = (
         sized.filter(F.col("__n") > max_bucket_size)
+        .withColumn("__rk", rk)
         .select(
             "a_id",
-            F.lead("a_id", 1).over(w.orderBy("a_id")).alias("b1"),
-            F.lead("a_id", 2).over(w.orderBy("a_id")).alias("b2"),
+            "band_id",
+            "band_hash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(g).alias("g"),
+                            F.floor(
+                                (F.col("__rk") + F.lit(g * half))
+                                / F.lit(max_bucket_size)
+                            ).alias("cell"),
+                        )
+                        for g in (0, 1)
+                    ]
+                )
+            ).alias("__gc"),
         )
         .select(
             "a_id",
-            F.explode(F.array("b1", "b2")).alias("b_id"),
+            "band_id",
+            "band_hash",
+            F.col("__gc.g").alias("g"),
+            F.col("__gc.cell").alias("cell"),
         )
-        .filter(F.col("b_id").isNotNull() & (F.col("a_id") < F.col("b_id")))
     )
-    return all_pairs.unionByName(chained).distinct()
+    hot_pairs = (
+        cells.join(
+            cells.select(
+                F.col("a_id").alias("b_id"), "band_id", "band_hash", "g", "cell"
+            ).hint("merge"),
+            ["band_id", "band_hash", "g", "cell"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    return all_pairs.unionByName(hot_pairs).distinct()
 
 
 def simhash(

@@ -1851,24 +1851,27 @@ _MINHASH_VALUES = ", ".join(
 
 #: Oracle mirror of neardup.lsh_candidate_pairs INCLUDING the
 #: hot-bucket cap: buckets at or under LSH_MAX_BUCKET docs emit all
-#: pairs; larger ones emit the sorted stride-1/stride-2 chain. Without
-#: this mirror, any driver corpus with one bucket over the cap would
-#: hash-mismatch the pair-emitting queries even though the engine is
-#: behaving exactly as designed. Expects a CTE named ``buckets`` with
-#: (doc_id, band_id, band_hash); defines ``cand_pairs(a_id, b_id)``.
+#: pairs; larger ones emit the SHIFTED SUB-BUCKET TILING — members
+#: ranked by doc_id are tiled into LSH_MAX_BUCKET-sized cells twice
+#: (grouping 0 cut at rank 0, cap, 2cap, ...; grouping 1 shifted by
+#: cap/2), all-pairs within each cell. Without this mirror, any driver
+#: corpus with one bucket over the cap would hash-mismatch the
+#: pair-emitting queries even though the engine is behaving exactly as
+#: designed. Expects a CTE named ``buckets`` with (doc_id, band_id,
+#: band_hash); defines ``cand_pairs(a_id, b_id)``.
 _CAPPED_PAIRS_CTE = f"""
     sized AS (
       SELECT doc_id, band_id, band_hash,
-             count(*) OVER (PARTITION BY band_id, band_hash) AS bn
+             count(*) OVER (PARTITION BY band_id, band_hash) AS bn,
+             row_number() OVER (PARTITION BY band_id, band_hash
+                                ORDER BY doc_id) - 1 AS rk
       FROM buckets
     ),
-    chain_src AS (
-      SELECT doc_id AS a_id,
-             lead(doc_id, 1) OVER (PARTITION BY band_id, band_hash
-                                   ORDER BY doc_id) AS b1,
-             lead(doc_id, 2) OVER (PARTITION BY band_id, band_hash
-                                   ORDER BY doc_id) AS b2
-      FROM sized WHERE bn > {_LSH_MAX_BUCKET}
+    hot_cells AS (
+      SELECT doc_id, band_id, band_hash, g.g,
+             (rk + g.g * {_LSH_MAX_BUCKET // 2}) // {_LSH_MAX_BUCKET} AS cell
+      FROM sized CROSS JOIN (VALUES (0), (1)) AS g(g)
+      WHERE bn > {_LSH_MAX_BUCKET}
     ),
     cand_pairs AS (
       SELECT DISTINCT a_id, b_id FROM (
@@ -1877,9 +1880,12 @@ _CAPPED_PAIRS_CTE = f"""
         JOIN sized b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
         WHERE a.bn <= {_LSH_MAX_BUCKET} AND a.doc_id < b.doc_id
         UNION ALL
-        SELECT a_id, b1 FROM chain_src WHERE b1 IS NOT NULL AND a_id < b1
-        UNION ALL
-        SELECT a_id, b2 FROM chain_src WHERE b2 IS NOT NULL AND a_id < b2
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM hot_cells a
+        JOIN hot_cells b ON a.band_id = b.band_id
+                        AND a.band_hash = b.band_hash
+                        AND a.g = b.g AND a.cell = b.cell
+        WHERE a.doc_id < b.doc_id
       )
     )"""
 

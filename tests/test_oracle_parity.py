@@ -61,7 +61,7 @@ def test_minhash_pairs_oracle_parity_on_hot_bucket(spark, tmp_path):
     """The capped-pairs oracle CTE must mirror the engine EXACTLY when
     a bucket exceeds LSH_MAX_BUCKET: 300 identical boilerplate docs
     put 300 docs in each band bucket (> 256 cap), so both sides must
-    emit the stride-1/stride-2 chain, not all pairs. Guards the
+    emit the shifted sub-bucket tiling, not all pairs. Guards the
     failure mode where driver data grows a hot bucket and the
     pair-emitting oracles silently diverge from the capped engine."""
     import duckdb
@@ -88,6 +88,6 @@ def test_minhash_pairs_oracle_parity_on_hot_bucket(spark, tmp_path):
     problems = compare(df, con, ORACLE_SQL["q_minhash_pairs"])
     con.close()
     assert not problems, problems
-    # and the output really is capped: chain edges, not 300*299/2
+    # and the output really is capped: tiled cell pairs, not 300*299/2
     n = df.count()
     assert n < 300 * 299 // 2, n

@@ -111,7 +111,7 @@ def test_minhash_pairs_reuses_signature_exchange(spark, sf_dir):
     recompute the signature pipeline per branch: after execution the
     final adaptive plan shows the duplicated branches collapsing into
     ReusedExchange (one md5-over-grams computation feeding the sizing
-    window, both join sides, and the chain window)."""
+    window, the hot-cell rank window, and both join sides)."""
     df = QUERIES["q_minhash_pairs"](spark, sf_dir)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001

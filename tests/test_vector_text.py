@@ -340,17 +340,33 @@ def hot_buckets(spark):
     )
 
 
-def test_lsh_hot_bucket_is_chained_not_quadratic(spark, hot_buckets):
+def _expected_tiled_pairs(ids, cap=256):
+    """Python mirror of the hot-bucket shifted sub-bucket tiling:
+    ranks tiled into cap-sized cells twice (cut at 0 and at cap/2),
+    all pairs within each cell, deduped."""
+    ids = sorted(ids)
+    half = cap // 2
+    pairs = set()
+    for g in (0, 1):
+        cells: dict[int, list] = {}
+        for rk, i in enumerate(ids):
+            cells.setdefault((rk + g * half) // cap, []).append(i)
+        for members in cells.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    pairs.add((members[x], members[y]))
+    return pairs
+
+
+def test_lsh_hot_bucket_is_tiled_not_quadratic(spark, hot_buckets):
     pairs = ND.lsh_candidate_pairs(hot_buckets, "doc_id").collect()
-    hot = sorted(
-        (r.a_id, r.b_id) for r in pairs if 10_000 <= r.a_id < 20_000
-    )
+    hot = {(r.a_id, r.b_id) for r in pairs if 10_000 <= r.a_id < 20_000}
     small = sorted((r.a_id, r.b_id) for r in pairs if r.a_id >= 20_000)
-    # hot bucket: stride-1 + stride-2 edges over sorted ids
-    # (599 + 598 = 1197), not 600*599/2
-    want = [(10_000 + i, 10_000 + i + 1) for i in range(599)]
-    want += [(10_000 + i, 10_000 + i + 2) for i in range(598)]
-    assert hot == sorted(want)
+    # hot bucket: exactly the two shifted tilings' within-cell pairs —
+    # O(n*cap), well under 600*599/2
+    want = _expected_tiled_pairs([10_000 + i for i in range(600)])
+    assert hot == want
+    assert len(hot) < 600 * 599 // 2
     # small bucket: all 3 pairs, exactly the uncapped behavior
     assert small == [
         (20_000, 20_001), (20_000, 20_002), (20_001, 20_002)
@@ -364,28 +380,60 @@ def test_lsh_cap_disabled_reproduces_all_pairs(spark, hot_buckets):
     capped = ND.lsh_candidate_pairs(hot_buckets, "doc_id", 256)
     uncapped = ND.lsh_candidate_pairs(hot_buckets, "doc_id", 10**6)
     assert uncapped.count() == 600 * 599 // 2 + 3
-    # chain edges are a subset of the uncapped pair set
+    # tiled cell pairs are a subset of the uncapped pair set
     assert capped.join(
         uncapped, ["a_id", "b_id"], "left_anti"
     ).count() == 0
 
 
-def test_lsh_chain_survives_one_interloper(spark, hot_buckets):
-    """Stride-2 edges keep neighbors of a single false-positive
-    interloper connected: removing any one node's edges from the
-    chain still leaves its neighbors linked via i->i+2."""
-    pairs = {
+def test_lsh_tiling_survives_interloper_runs(spark, hot_buckets):
+    """The shifted-tiling recall guarantee: any two members within
+    cap/2 ranks share a cell, so pruning a run of up to cap/2 - 1
+    consecutive verify-failed interlopers (127 at cap 256 — the old
+    stride-1/2 chain split after just 2) leaves the remaining members
+    in ONE connected component."""
+    pairs = [
         (r.a_id, r.b_id)
         for r in ND.lsh_candidate_pairs(hot_buckets, "doc_id").collect()
         if r.a_id < 20_000
+    ]
+    # adjacent members always share a cell -> direct pair
+    assert (10_299, 10_300) in set(pairs)
+    # prune three separate interloper runs: 127-long (the worst case
+    # the guarantee covers), mid-bucket and straddling a tile boundary
+    victims = (
+        {10_000 + r for r in range(100, 227)}
+        | {10_000 + r for r in range(250, 290)}
+        | {10_599}
+    )
+    parent = {i: i for i in range(10_000, 10_600) if i not in victims}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a not in victims and b not in victims:
+            parent[find(a)] = find(b)
+    assert len({find(x) for x in parent}) == 1
+
+
+def test_lsh_tiling_b_sides_match_all_pairs(spark, hot_buckets):
+    """Cap-invariance contract behind the UNCAPPED cluster/curation
+    oracles: per hot bucket, the b-side set equals all-pairs' b-sides
+    — every member except the bucket's min id."""
+    pairs = ND.lsh_candidate_pairs(hot_buckets, "doc_id")
+    b_sides = {
+        r.b_id
+        for r in pairs.filter(F.col("a_id") < 20_000).collect()
     }
-    victim = 10_300  # any interior member
-    surviving = {p for p in pairs if victim not in p}
-    assert (victim - 1, victim + 1) in surviving
+    assert b_sides == {10_000 + i for i in range(1, 600)}
 
 
-def test_lsh_chain_preserves_connectivity(spark, hot_buckets):
-    """Every doc in the hot bucket stays reachable: the chain must
+def test_lsh_tiling_preserves_connectivity(spark, hot_buckets):
+    """Every doc in the hot bucket stays reachable: the tiling must
     touch all 600 members so dup-clustering can still group them."""
     pairs = ND.lsh_candidate_pairs(hot_buckets, "doc_id")
     members = (
@@ -396,9 +444,10 @@ def test_lsh_chain_preserves_connectivity(spark, hot_buckets):
     assert members.count() == 600
 
 
-def test_lsh_chain_no_self_pairs_on_duplicate_bucket_rows(spark):
+def test_lsh_tiling_no_self_pairs_on_duplicate_bucket_rows(spark):
     """Duplicate (id, band) input rows must not produce a_id == b_id
-    edges through lead() in the chain path."""
+    edges (duplicate ids rank into the same or adjacent cells; the
+    strict a < b filter must drop the collisions)."""
     rows = [(i, 0, 7) for i in range(300)] * 2  # 600 rows, every id twice
     dup = spark.createDataFrame(
         rows, "doc_id long, band_id int, band_hash long"
