@@ -3550,62 +3550,73 @@ def q_corr(spark, sf_dir):
 
 
 # =========================================================================
-# Driver correctness-window ordering (round 3)
+# Driver correctness-window ordering (round 6)
 # =========================================================================
 
 #: The driver verifies the FIRST 50 entries of queries() in dict order
-#: against their oracles each round. Round-5 rotation: the 40 queries
-#: whose latest check is r2 (displaced by the r3 rotation that put the
-#: never-checked set first — that set is now r4-green on record) come
-#: back into the window, plus q_apy (rewritten all-BIGINT this round —
-#: must re-verify after 4 rounds of driver-side hash-red) and the same
-#: nine cross-family canaries. Net effect: every registered query holds
-#: a green row from r4 or enters the r5 window below.
-_WINDOW_R5 = [
-    # latest check r2 — rotated back in (registration order)
-    "q_incremental_range",
-    "q_point_filter",
-    "q_null_filter",
-    "q_blacklist_filter",
-    "q_dim_broadcast_join",
-    "q_surrogate_join",
-    "q_prefix_enrich",
-    "q_min_bootstrap",
-    "q_distinct",
-    "q_dedup_first",
-    "q_count",
-    "q_topk",
-    "q_date_parts",
-    "q_string_norm",
-    "q_tvl",
-    "q_token_price",
-    "q_derived_cols",
-    "q_merge_partial_update",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_hash_split",
-    "q_topk_per_key",
-    "q_stratified_sample",
-    "q_ngram_topk",
-    "q_span_dedup",
-    "q_repetition",
-    "q_contamination",
-    "q_cdc_apply",
-    "q_gap_fill",
-    "q_window_rank",
-    "q_grouping_sets",
-    "q_asof_tolerance",
-    "q_moving_avg",
-    "q_pii_scrub",
-    "q_text_stats",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_ann_ivf",
-    "q_embed_neardup",
-    "q_ngram_jaccard",
-    # red r1-r4 (driver hash only) — rewritten as BIGINT apy_cents
+#: against their oracles each round. Round-6 rotation: the 40 queries
+#: whose latest check is r4 come back in — this set includes
+#: q_minhash_pairs and q_neardup_verified, whose engine path AND oracle
+#: changed in r5 (hot-bucket cap) and AGAIN this round (sub-bucket
+#: tiling), so their r4 green rows predate both changes, plus the
+#: cap-invariance canaries q_dup_clusters / q_dedup_survivors /
+#: q_corpus_curation whose oracles stay deliberately uncapped. The
+#: remaining 10 slots are the standing cross-family canaries (all
+#: r5-green), q_apy among them (red r1-r4; keep watching the fix).
+#:
+#: ROTATION PLAN (steady state from r7 on): the 90-query registry
+#: splits into two ~40-query halves that alternate rounds — the r5
+#: window's non-canary 40 re-enter at r7, this round's 40 re-enter at
+#: r8, and so on — while the 10 canaries stay in every window. Under
+#: this cadence no query's latest green row ever ages past two rounds,
+#: and any query whose engine path or oracle changes in a round is
+#: ALWAYS promoted into the next window regardless of the alternation
+#: (as q_minhash_pairs / q_neardup_verified are this round).
+_WINDOW_R6 = [
+    # latest check r4 — rotated back in (registration order);
+    # q_minhash_pairs / q_neardup_verified re-verify the tiling cap
+    "q_minhash_lsh",
+    "q_minhash_pairs",
+    "q_simhash",
+    "q_multimodal_join",
+    "q_similarity_topk",
+    "q_semi_join",
+    "q_anti_join",
+    "q_window_running",
+    "q_rollup",
+    "q_cube",
+    "q_pivot",
+    "q_setops",
+    "q_asof_lookup",
+    "q_sql_interface",
+    "q_kmv_distinct",
+    "q_quantiles",
+    "q_histogram",
+    "q_corpus_curation",
+    "q_approx_distinct",
+    "q_range_join",
+    "q_time_rollup",
+    "q_stats_agg",
+    "q_string_agg",
+    "q_json_extract",
+    "q_dup_clusters",
+    "q_tfidf",
+    "q_neardup_incremental",
+    "q_profile",
+    "q_cms_topk",
+    "q_shipping_priority",
+    "q_salted_join",
+    "q_late_arrivals",
+    "q_entity_match",
+    "q_table_diff",
+    "q_embed_stats",
+    "q_neardup_verified",
+    "q_dedup_survivors",
+    "q_seq_packing",
+    "q_mix_weights",
+    "q_corr",
+    # standing canaries, one per operator family (all r5-green)
     "q_apy",
-    # green canaries, one per operator family (all r4-green)
     "q_flagship_daily_revenue",
     "q_scan_project",
     "q_group_agg",
@@ -3619,14 +3630,14 @@ _WINDOW_R5 = [
 
 
 def _window_order(registry: dict) -> dict:
-    """Rebuild a registry dict with _WINDOW_R5 first (keeping each
+    """Rebuild a registry dict with _WINDOW_R6 first (keeping each
     family's relative order), everything else after in file order."""
-    out = {n: registry[n] for n in _WINDOW_R5 if n in registry}
+    out = {n: registry[n] for n in _WINDOW_R6 if n in registry}
     out.update((n, v) for n, v in registry.items() if n not in out)
     return out
 
 
-assert len(_WINDOW_R5) == 50, len(_WINDOW_R5)
-assert set(_WINDOW_R5) <= set(QUERIES), set(_WINDOW_R5) - set(QUERIES)
+assert len(_WINDOW_R6) == 50, len(_WINDOW_R6)
+assert set(_WINDOW_R6) <= set(QUERIES), set(_WINDOW_R6) - set(QUERIES)
 QUERIES = _window_order(QUERIES)
 ORACLE_SQL = _window_order(ORACLE_SQL)
