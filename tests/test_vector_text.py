@@ -121,7 +121,10 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert again == {r.doc_id: r.payload_sha for r in out}
 
 
-def test_decode_media_is_explicit_stub():
+def test_decode_media_raises_for_codecless_formats():
+    """Formats without a stdlib codec still fail loudly; the real
+    PPM/BMP/PNG decode paths are golden-pixel-tested in
+    tests/test_multimodal_decode.py."""
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", None)
 
