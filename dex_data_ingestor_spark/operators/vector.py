@@ -169,6 +169,66 @@ def lsh_bucket(
     return df.withColumn(bucket_col, acc)
 
 
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-fold dot product — the SAME addition order as
+    the engine's aggregate-based :func:`dot` and DuckDB's
+    list_dot_product, so the sign decisions that pick LSH buckets are
+    bit-identical across all three."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def lsh_probe_buckets(
+    query_vec: list[float],
+    planes: list[list[float]],
+    hamming_probe: int = 1,
+) -> list[int]:
+    """The multi-probe bucket set for a query: its own sign-bit bucket
+    plus every bucket within Hamming distance ``hamming_probe`` of it
+    (only 0 and 1 supported — distance-1 probing is the standard
+    recall/cost point; each flipped bit crosses exactly one
+    hyperplane). Pure driver-side arithmetic on the plane literals —
+    O(nplanes * dim), no Spark job."""
+    if hamming_probe not in (0, 1):
+        raise ValueError("hamming_probe must be 0 or 1")
+    qb = sum(
+        2**j for j, p in enumerate(planes) if _py_dot(query_vec, p) > 0
+    )
+    probes = [qb]
+    if hamming_probe == 1:
+        probes += [qb ^ (2**j) for j in range(len(planes))]
+    return probes
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    hamming_probe: int = 1,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Hyperplane-LSH approximate nearest neighbors (north-star J3's
+    LSH-bucketed scale path, beside the IVF variant): vectors are
+    sign-bit-bucketed once, the query probes its own bucket plus the
+    Hamming-distance-1 neighbors (multi-probe — each flip crosses one
+    hyperplane, the most likely quantization errors), and brute-force
+    cosine runs only inside the probed buckets. With P planes the scan
+    fraction is ~(P + 1) / 2^P of the corpus. At 100 TB ``lsh_bucket``
+    is a partition/cluster key, making the probe filter partition
+    pruning rather than a scan — and unlike IVF there is no centroid
+    model state at all; the index is pure arithmetic on fixed plane
+    literals, so the incremental path needs no refit."""
+    probes = lsh_probe_buckets(query_vec, planes, hamming_probe)
+    bucketed = lsh_bucket(df, vec_col, planes)
+    pruned = bucketed.filter(F.col("lsh_bucket").isin(probes))
+    return cosine_topk(pruned, id_col, vec_col, query_vec, k, round_dp)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -1785,6 +1785,93 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+_LSH_ANN_NPLANES = 6
+_LSH_ANN_SEED = 7
+
+
+def _lsh_ann_oracle_sql() -> str:
+    """Oracle for q_ann_lsh: replicates the sign-bit bucket (sum of
+    2^j over planes with positive dot product — list_dot_product and
+    the engine's sequential-fold dot add in the same order, so every
+    sign decision is bit-identical), the distance<=1 multi-probe set
+    (query bucket XOR each single bit), and the in-bucket brute-force
+    top-k. Plane values are embedded as literals so both engines
+    bucket against bit-identical constants; 2^j weights are literals
+    too (never libm POW)."""
+    from dex_data_ingestor_spark.operators.vector import hyperplanes
+
+    planes = hyperplanes(_IVF_DIM, _LSH_ANN_NPLANES, seed=_LSH_ANN_SEED)
+    rows = []
+    for j, p in enumerate(planes):
+        lst = "[" + ",".join(repr(x) for x in p) + "]"
+        rows.append(f"({j}, {2**j}, {lst}::DOUBLE[])")
+    values = ",\n      ".join(rows)
+    flips = ", ".join(
+        f"({v})" for v in [0] + [2**j for j in range(_LSH_ANN_NPLANES)]
+    )
+    return f"""
+    WITH pl(j, w, pv) AS (VALUES
+      {values}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id = 0),
+    buck AS (
+      SELECT e.vec_id, e.v,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                           THEN pl.w ELSE 0 END) AS BIGINT) AS b
+      FROM e CROSS JOIN pl GROUP BY e.vec_id, e.v
+    ),
+    qb AS (
+      SELECT CAST(SUM(CASE WHEN list_dot_product(q.qe, pl.pv) > 0
+                           THEN pl.w ELSE 0 END) AS BIGINT) AS b
+      FROM q CROSS JOIN pl
+    ),
+    probes AS (
+      SELECT xor(qb.b, CAST(f.f AS BIGINT)) AS b
+      FROM qb CROSS JOIN (VALUES {flips}) AS f(f)
+    )
+    SELECT bk.vec_id,
+           ROUND(list_dot_product(bk.v, q.qe)
+                 / (sqrt(list_dot_product(bk.v, bk.v))
+                    * sqrt(list_dot_product(q.qe, q.qe))), 9) AS cos_sim
+    FROM buck bk CROSS JOIN q
+    WHERE bk.b IN (SELECT b FROM probes)
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("q_ann_lsh", _lsh_ann_oracle_sql())
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate-nearest-neighbor search (north-star
+    J3's second scale path, beside IVF q_ann_ivf): vectors sign-bit-
+    bucketed against 6 fixed hyperplanes (64 buckets), the query
+    probes its bucket plus the 6 Hamming-distance-1 neighbors, and
+    brute-force cosine runs only there — ~11% of the corpus scanned.
+    Unlike IVF there is no model state at all (no centroids to
+    collect/refit); at 100 TB ``lsh_bucket`` is a partition key and
+    the probe filter is partition pruning. Query point: vec_id 0's
+    own embedding, as in q_ann_ivf."""
+    from dex_data_ingestor_spark.operators.vector import (
+        hyperplanes,
+        lsh_ann_topk,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    qvec = [
+        float(x)
+        for x in em.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    planes = hyperplanes(_IVF_DIM, _LSH_ANN_NPLANES, seed=_LSH_ANN_SEED)
+    return lsh_ann_topk(
+        em, "vec_id", "embedding", planes, qvec, k=10, hamming_probe=1
+    )
+
+
 @register(
     "q_embed_neardup",
     """
@@ -3571,7 +3658,9 @@ def q_corr(spark, sf_dir):
 #: this cadence no query's latest green row ever ages past two rounds,
 #: and any query whose engine path or oracle changes in a round is
 #: ALWAYS promoted into the next window regardless of the alternation
-#: (as q_minhash_pairs / q_neardup_verified are this round).
+#: (as q_minhash_pairs / q_neardup_verified are this round). Queries
+#: ADDED in a round (r6: q_ann_lsh) are locally bitwise-verified at
+#: sf0.001+sf0.01 on registration and join the next round's window.
 _WINDOW_R6 = [
     # latest check r4 — rotated back in (registration order);
     # q_minhash_pairs / q_neardup_verified re-verify the tiling cap
