@@ -178,3 +178,33 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Spark's built-in ``binaryFile`` source: one row per file with
+    (path, modificationTime, length, content) — the ingest source for
+    multimodal corpora (images/audio/video as opaque payloads), feeding
+    operators/multimodal.py's decode/stats/resize kernels directly.
+
+    ``glob`` maps to pathGlobFilter (e.g. ``*.png``) and prunes at FILE
+    LISTING time, before any read. ``max_bytes`` adds a length filter;
+    binaryFile pushes length predicates into the listing too, so
+    oversized media never reach an executor. At 100 TB the directory
+    layout is the partition scheme (e.g. .../date=.../source=...), and
+    listing-level pruning is the difference between scanning a shard
+    and scanning an object store. Each file must fit in one task's
+    memory (the source does not split files) — media that large should
+    be chunk-encoded upstream instead.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

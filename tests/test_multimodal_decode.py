@@ -228,3 +228,41 @@ def test_resize_images_fallback_for_undecodable(spark):
     assert len(r.payload) == max(16, (128 * 128) // 64)
     assert r.media_meta.format == "fake"
     assert r.media_meta.width == 128
+
+
+def test_binary_file_source_to_image_stats(spark, tmp_path):
+    """The full multimodal ingest path: binaryFile source (listing-
+    level glob pruning) -> decode -> image_stats, one Spark job."""
+    from dex_data_ingestor_spark.sources.files import read_binary_files
+
+    imgs = {}
+    for i in range(4):
+        arr = _gradient(3 + i, 5)
+        (tmp_path / f"img_{i}.ppm").write_bytes(encode_ppm(arr))
+        imgs[f"img_{i}.ppm"] = arr
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.ppm")
+    assert files.count() == 4  # the .txt never enters the scan
+    with_ids = files.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("content").alias("payload"),
+    )
+    stats = image_stats(with_ids).join(
+        with_ids.select("doc_id", "fname"), "doc_id"
+    )
+    out = {r.fname: r for r in stats.collect()}
+    assert len(out) == 4
+    for fname, arr in imgs.items():
+        r = out[fname]
+        assert r.decoded
+        assert (r.width, r.height) == (arr.shape[1], arr.shape[0])
+        assert abs(r.mean_px - arr.astype("float64").mean()) < 1e-9
+
+    # length pushdown variant: cap below the largest file
+    sizes = sorted(len(encode_ppm(a)) for a in imgs.values())
+    capped = read_binary_files(
+        spark, str(tmp_path), glob="*.ppm", max_bytes=sizes[-2]
+    )
+    assert capped.count() == 3
