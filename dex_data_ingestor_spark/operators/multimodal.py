@@ -123,6 +123,11 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 #: PNG color type -> channels per pixel (at bit depth 8).
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: Hard ceiling on a single decoded image's bytes (256 MiB). IHDR
+#: dimensions are untrusted input; anything larger is rejected before
+#: allocation so a hostile header cannot OOM an executor.
+MAX_DECODED_BYTES = 1 << 28
+
 
 def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
     """Reverse the five PNG scanline filters (None/Sub/Up/Average/
@@ -200,7 +205,24 @@ def _decode_png(payload: bytes) -> np.ndarray:
     ch = _PNG_CHANNELS.get(color)
     if ch is None:
         raise ValueError(f"PNG color type {color} invalid")
-    arr = _png_unfilter(zlib.decompress(idat), w, h, ch)
+    # Decompression-bomb guards: IHDR dimensions are attacker-
+    # controlled, so bound the decoded size BEFORE any allocation and
+    # cap the inflate at exactly the expected byte count (a tiny IDAT
+    # must not be allowed to expand into gigabytes) — a corrupt file
+    # must quarantine as a row, never OOM an executor.
+    expected = (w * ch + 1) * h
+    if expected > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PNG {w}x{h}x{ch} exceeds MAX_DECODED_BYTES "
+            f"({expected} > {MAX_DECODED_BYTES})"
+        )
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected)
+    if len(raw) != expected or d.decompress(d.unconsumed_tail, 1):
+        raise ValueError(
+            f"PNG data length mismatch (got {len(raw)}, want {expected})"
+        )
+    arr = _png_unfilter(raw, w, h, ch)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -267,12 +289,20 @@ def extract_features(
             payloads = pdf[payload_col]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    # ids pass through untouched (NULL-safe, schema
+                    # re-applied by Arrow)
+                    "doc_id": pdf[id_col],
                     "payload_sha": [
-                        hashlib.sha256(p).hexdigest() for p in payloads
+                        None if p is None else hashlib.sha256(p).hexdigest()
+                        for p in payloads
                     ],
-                    "n_bytes": [len(p) for p in payloads],
-                    "features": [_fake_features(p) for p in payloads],
+                    "n_bytes": [
+                        None if p is None else len(p) for p in payloads
+                    ],
+                    "features": [
+                        None if p is None else _fake_features(p)
+                        for p in payloads
+                    ],
                 }
             )
 
@@ -280,6 +310,23 @@ def extract_features(
         kernel, FEATURES_SCHEMA
     )
 
+
+#: Exceptions a malformed/hostile payload may raise inside a decode
+#: kernel. These quarantine the ROW (decoded=false / fallback path);
+#: anything else is a real bug and should still fail the task. The
+#: contract: one bad file must never kill a 100 TB scan.
+#: MemoryError is included deliberately — the PNG pre-allocation
+#: guards make it unlikely, but a row is still better than a dead
+#: executor if an allocation slips through.
+_QUARANTINE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    TypeError,
+    zlib.error,
+    struct.error,
+    IndexError,
+    MemoryError,
+)
 
 IMAGE_STATS_SCHEMA = T.StructType(
     [
@@ -310,18 +357,24 @@ def image_stats(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                # doc_id may be NULL (pandas NaN) — quarantine, don't
+                # int(None)-crash the task.
+                did = None if pd.isna(doc_id) else int(doc_id)
                 try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
                     arr = decode_media(bytes(payload))
+                    if arr.size == 0:
+                        # 0x0 image: decoded=true with NaN moments
+                        # would poison downstream aggregates
+                        raise ValueError("zero-pixel image")
                     px = arr.astype(np.float64)
                     rows.append(
-                        (int(doc_id), True, arr.shape[1], arr.shape[0],
+                        (did, True, arr.shape[1], arr.shape[0],
                          arr.shape[2], float(px.mean()), float(px.std()))
                     )
-                except (NotImplementedError, ValueError, zlib.error,
-                        struct.error, IndexError):
-                    rows.append(
-                        (int(doc_id), False, None, None, None, None, None)
-                    )
+                except _QUARANTINE_ERRORS:
+                    rows.append((did, False, None, None, None, None, None))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields]
             )
@@ -360,11 +413,15 @@ def resize_images(
     disappears. The Spark-side contract (schema, Arrow batching,
     partition behavior) is identical on both paths."""
 
-    def _resize_one(payload: bytes, meta: dict) -> tuple[bytes, str]:
+    def _resize_one(payload: bytes | None, meta: dict) -> tuple[bytes | None, str]:
+        if payload is None:
+            # NULL payload rides through as NULL, not a task crash
+            return None, meta.get("format") or "fake"
         try:
             arr = decode_media(payload, meta)
-        except (NotImplementedError, ValueError, zlib.error,
-                struct.error, IndexError):
+            if arr.size == 0:
+                raise ValueError("zero-pixel image")
+        except _QUARANTINE_ERRORS:
             cap = max(16, (target_w * target_h) // 64)
             return bytes(payload[:cap]), meta.get("format") or "fake"
         h, w = arr.shape[:2]
@@ -384,14 +441,18 @@ def resize_images(
             metas, payloads = [], []
             for m, p in zip(pdf[meta_col], pdf[payload_col]):
                 m = dict(m) if m is not None else {}
-                data, fmt = _resize_one(bytes(p), m)
+                data, fmt = _resize_one(
+                    None if p is None else bytes(p), m
+                )
                 m["width"], m["height"] = target_w, target_h
                 m["format"] = fmt
                 metas.append(m)
                 payloads.append(data)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    # pass ids through untouched: astype('int64') would
+                    # crash on a NULL id; Arrow re-applies the schema
+                    "doc_id": pdf[id_col],
                     "payload": payloads,
                     "media_meta": metas,
                 }

@@ -170,10 +170,14 @@ def lsh_bucket(
 
 
 def _py_dot(a: list[float], b: list[float]) -> float:
-    """Sequential left-fold dot product — the SAME addition order as
-    the engine's aggregate-based :func:`dot` and DuckDB's
-    list_dot_product, so the sign decisions that pick LSH buckets are
-    bit-identical across all three."""
+    """Sequential left-fold dot product — the same addition order as
+    the engine's aggregate-based :func:`dot`, so the driver-side probe
+    set agrees bit-for-bit with the executor-side bucket assignment.
+    NOTE: DuckDB's list_dot_product is NOT this fold (it differs in
+    the last ULPs — measured, see tests/test_vector_text.py
+    test_lsh_probe_sign_decisions_match_duckdb); cross-engine
+    agreement rests on sign decisions having margins far above
+    accumulation noise, not on bit-identical dots."""
     acc = 0.0
     for x, y in zip(a, b):
         acc = acc + x * y

@@ -1791,13 +1791,16 @@ _LSH_ANN_SEED = 7
 
 def _lsh_ann_oracle_sql() -> str:
     """Oracle for q_ann_lsh: replicates the sign-bit bucket (sum of
-    2^j over planes with positive dot product — list_dot_product and
-    the engine's sequential-fold dot add in the same order, so every
-    sign decision is bit-identical), the distance<=1 multi-probe set
-    (query bucket XOR each single bit), and the in-bucket brute-force
-    top-k. Plane values are embedded as literals so both engines
-    bucket against bit-identical constants; 2^j weights are literals
-    too (never libm POW)."""
+    2^j over planes with positive dot product), the distance<=1
+    multi-probe set (query bucket XOR each single bit), and the
+    in-bucket brute-force top-k. Plane values are embedded as literals
+    so both engines score against bit-identical constants; 2^j weights
+    are literals too (never libm POW). Cross-engine note: DuckDB's
+    list_dot_product is NOT the engine's sequential fold (ULP-level
+    differences, measured) — parity rests on sign margins dwarfing
+    accumulation noise (asserted in tests/test_vector_text.py) and on
+    the 9-dp rounding of cos_sim, the same discipline as q_ann_ivf's
+    argmax."""
     from dex_data_ingestor_spark.operators.vector import hyperplanes
 
     planes = hyperplanes(_IVF_DIM, _LSH_ANN_NPLANES, seed=_LSH_ANN_SEED)

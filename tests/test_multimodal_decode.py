@@ -244,8 +244,11 @@ def test_binary_file_source_to_image_stats(spark, tmp_path):
 
     files = read_binary_files(spark, str(tmp_path), glob="*.ppm")
     assert files.count() == 4  # the .txt never enters the scan
+    # deterministic id from the path: with_ids is evaluated twice
+    # below (stats input + name join), so a nondeterministic id like
+    # monotonically_increasing_id could diverge between evaluations
     with_ids = files.select(
-        F.monotonically_increasing_id().alias("doc_id"),
+        F.xxhash64("path").alias("doc_id"),
         F.element_at(F.split("path", "/"), -1).alias("fname"),
         F.col("content").alias("payload"),
     )
@@ -266,3 +269,66 @@ def test_binary_file_source_to_image_stats(spark, tmp_path):
         spark, str(tmp_path), glob="*.ppm", max_bytes=sizes[-2]
     )
     assert capped.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Hostile/degenerate inputs (quarantine, never a task crash)
+# ---------------------------------------------------------------------------
+
+
+def test_png_bomb_dimensions_rejected():
+    """A tiny payload declaring 50000x50000 RGBA must be rejected
+    BEFORE allocation, not OOM the process."""
+    raw = zlib.compress(b"\x00" * 100)
+    bomb = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 50_000, 50_000, 8, 6, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", raw) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="MAX_DECODED_BYTES"):
+        decode_media(bomb)
+
+
+def test_png_truncated_idat_rejected():
+    """IDAT inflating to fewer bytes than IHDR promises is corrupt."""
+    raw = zlib.compress(b"\x00" * 3)  # far short of a 4x4 RGB image
+    short = _png_bytes(raw, 4, 4, color=2)
+    # _png_bytes compresses again; build manually with the short IDAT
+    short = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", raw) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_media(short)
+
+
+def test_image_stats_quarantines_nulls_and_zero_pixel(spark):
+    """NULL payloads and 0x0 images become decoded=false rows; the job
+    must not crash and must not emit NaN moments."""
+    import math
+
+    rows = [
+        (1, bytearray(encode_ppm(_gradient(2, 2)))),
+        (2, None),                                  # NULL payload
+        (3, bytearray(b"P6\n0 0\n255\n")),          # zero-pixel image
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in image_stats(df).collect()}
+    assert out[1].decoded
+    assert not out[2].decoded and out[2].mean_px is None
+    assert not out[3].decoded and out[3].mean_px is None
+    assert all(
+        r.mean_px is None or not math.isnan(r.mean_px)
+        for r in out.values()
+    )
+
+
+def test_resize_images_null_payload_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, None,
+          {"media_type": "image", "format": "png", "width": 9,
+           "height": 9, "duration_ms": None})],
+        "doc_id long, payload binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "duration_ms:bigint>",
+    )
+    r = resize_images(df, 32, 32).collect()[0]
+    assert r.payload is None
+    assert r.media_meta.width == 32 and r.media_meta.format == "png"

@@ -57,6 +57,82 @@ def test_ivf_full_probe_equals_brute(spark, em, query_vec):
     assert full == brute
 
 
+def test_lsh_ann_single_plane_full_probe_equals_brute(spark, em, query_vec):
+    """With 1 plane and hamming_probe=1 the probe set covers both
+    buckets, so LSH ANN must reproduce brute force exactly."""
+    planes = V.hyperplanes(dim=64, nplanes=1)
+    brute = [r.vec_id for r in V.cosine_topk(em, "vec_id", "embedding", query_vec, 10).collect()]
+    full = [
+        r.vec_id
+        for r in V.lsh_ann_topk(
+            em, "vec_id", "embedding", planes, query_vec, k=10,
+            hamming_probe=1,
+        ).collect()
+    ]
+    assert full == brute
+
+
+def test_lsh_ann_probe_structure_and_in_bucket_exactness(spark, em, query_vec):
+    """6-plane distance-1 probing: the probe set is the query bucket
+    plus one flip per plane; the query's own bucket is always probed
+    (the true NN — vec_id 0 itself at cos 1.0 — must surface); and the
+    result equals the EXACT brute-force top-10 over the probed subset
+    (the approximation lives only in which buckets are probed, never
+    in the in-bucket scoring)."""
+    planes = V.hyperplanes(dim=64, nplanes=6)
+    probes = V.lsh_probe_buckets(query_vec, planes, hamming_probe=1)
+    assert len(probes) == 7 and len(set(probes)) == 7
+    qb = probes[0]
+    assert {qb ^ p for p in probes[1:]} == {2**j for j in range(6)}
+    hits = V.lsh_ann_topk(
+        em, "vec_id", "embedding", planes, query_vec, k=10,
+        hamming_probe=1,
+    ).collect()
+    assert len(hits) == 10
+    assert hits[0].vec_id == 0 and hits[0].cos_sim == 1.0
+    probed = V.lsh_bucket(em, "embedding", planes).filter(
+        F.col("lsh_bucket").isin(probes)
+    )
+    want = [
+        r.vec_id
+        for r in V.cosine_topk(
+            probed, "vec_id", "embedding", query_vec, 10
+        ).collect()
+    ]
+    assert [r.vec_id for r in hits] == want
+
+    with pytest.raises(ValueError, match="hamming_probe"):
+        V.lsh_probe_buckets(query_vec, planes, hamming_probe=2)
+
+
+def test_lsh_probe_sign_decisions_match_duckdb(em, query_vec):
+    """The load-bearing cross-engine claim behind q_ann_lsh: every
+    bucket SIGN decision agrees with DuckDB's list_dot_product on the
+    same literals. Empirical finding (this test documents it): DuckDB's
+    list_dot_product is NOT a sequential left fold — it differs from
+    the fold in the last ULPs (~1e-16 relative; likely unrolled/
+    pairwise accumulation) — so bit-identity of the dot itself is the
+    WRONG invariant. Sign decisions only flip when |dot| falls inside
+    that accumulation noise, which real-valued embeddings against
+    Gaussian hyperplanes never do; the margin is asserted here."""
+    import duckdb
+
+    planes = V.hyperplanes(dim=64, nplanes=6)
+    con = duckdb.connect()
+    for j, p in enumerate(planes):
+        lst = "[" + ",".join(repr(x) for x in p) + "]"
+        qv = "[" + ",".join(repr(x) for x in query_vec) + "]"
+        duck = con.sql(
+            f"SELECT list_dot_product({qv}::DOUBLE[], {lst}::DOUBLE[])"
+        ).fetchone()[0]
+        py = V._py_dot(query_vec, p)
+        assert (duck > 0) == (py > 0), (j, duck, py)
+        assert abs(duck - py) <= 1e-12 * max(1.0, abs(py)), (j, duck, py)
+        # the sign margin dwarfs the cross-engine accumulation noise
+        assert abs(py) > 1e-9, (j, py)
+    con.close()
+
+
 def test_lsh_bucket_deterministic(spark, em):
     planes = V.hyperplanes(dim=64, nplanes=8)
     b1 = {r.vec_id: r.lsh_bucket for r in V.lsh_bucket(em, "embedding", planes).collect()}
