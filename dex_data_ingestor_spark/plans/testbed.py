@@ -2062,6 +2062,71 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 @register(
+    "q_charngram_lsh",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS tx
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, substring(tx, CAST(i AS INTEGER), 5) AS gram
+      FROM t, unnest(range(1, len(tx) - 3)) AS u(i)
+      WHERE len(tx) >= 5
+    ),
+    hashed AS (
+      SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
+    ),
+    params(k, a, b) AS (VALUES {_MINHASH_VALUES}),
+    sigs AS (
+      SELECT doc_id, k,
+             min((a * gram_hash + b) % 2147483647) AS minhash
+      FROM hashed CROSS JOIN params GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(k / 4) AS INTEGER) AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k)
+               AS band_sig
+      FROM sigs GROUP BY 1, 2
+    )
+    SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
+    FROM bands
+    """,
+)
+def q_charngram_lsh(spark, sf_dir):
+    """MinHash + LSH banding over CHARACTER 5-gram shingles — the
+    shingle flavor for whitespace-poor text (CJK, code, URLs) where
+    word n-grams are too coarse (operators/neardup.py char_shingles).
+    Same downstream banding contract as q_minhash_lsh, so the whole
+    candidate/verify/cluster pipeline runs unchanged on either shingle
+    flavor; at scale the char-gram explode is the bigger narrow stage
+    (one row per distinct 5-gram), but the shuffled artifact is still
+    only (id, band, hash)."""
+    from dex_data_ingestor_spark.functions.scalars import md5_int64
+    from dex_data_ingestor_spark.operators.neardup import (
+        MINHASH_P,
+        MINHASH_PARAMS,
+        char_shingles,
+        lsh_band_buckets_wide,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", k=5)
+    hashed = sh.select(
+        F.col("doc_id"), md5_int64(F.col("gram")).alias("gram_hash")
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("gram_hash") + F.lit(b)) % MINHASH_P
+            ).alias(f"m{k}")
+            for k, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    return lsh_band_buckets_wide(sigs, "doc_id", rows_per_band=4)
+
+
+@register(
     "q_simhash",
     """
     WITH toks AS (
@@ -3662,8 +3727,9 @@ def q_corr(spark, sf_dir):
 #: and any query whose engine path or oracle changes in a round is
 #: ALWAYS promoted into the next window regardless of the alternation
 #: (as q_minhash_pairs / q_neardup_verified are this round). Queries
-#: ADDED in a round (r6: q_ann_lsh) are locally bitwise-verified at
-#: sf0.001+sf0.01 on registration and join the next round's window.
+#: ADDED in a round (r6: q_ann_lsh, q_charngram_lsh) are locally
+#: bitwise-verified at sf0.001+sf0.01 on registration and join the
+#: next round's window.
 _WINDOW_R6 = [
     # latest check r4 — rotated back in (registration order);
     # q_minhash_pairs / q_neardup_verified re-verify the tiling cap
