@@ -523,6 +523,20 @@ def test_lsh_tiling_preserves_connectivity(spark, hot_buckets):
     assert members.count() == 600
 
 
+def test_lsh_hot_branch_executes_with_exchange_reuse(spark, hot_buckets):
+    """On data that actually trips the cap, the hot branch runs (it is
+    AQE-empty-propagated away otherwise) and the executed adaptive
+    plan still collapses the duplicated upstream into ReusedExchange
+    instead of recomputing it per join side."""
+    df = ND.lsh_candidate_pairs(hot_buckets, "doc_id")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "isFinalPlan=true" in final, final[:300]
+    assert "ReusedExchange" in final, final
+    # the 4-key hot-cell join really executed (not empty-propagated)
+    assert "cell" in final, final
+
+
 def test_lsh_tiling_no_self_pairs_on_duplicate_bucket_rows(spark):
     """Duplicate (id, band) input rows must not produce a_id == b_id
     edges (duplicate ids rank into the same or adjacent cells; the
