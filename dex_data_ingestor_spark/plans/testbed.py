@@ -1155,6 +1155,66 @@ def q_ngram_topk(spark, sf_dir):
 
 
 @register(
+    "q_dup_substrings",
+    """
+    WITH base AS (
+      SELECT doc_id, text AS t, length(text) AS n
+      FROM documents WHERE length(text) >= 20
+    ),
+    pos AS (
+      SELECT doc_id, n, CAST(i AS INTEGER) AS p,
+             substring(t, CAST(i AS INTEGER), 20) AS gram
+      FROM base, unnest(range(1, n - 18)) AS u(i)
+    ),
+    dup AS (
+      SELECT doc_id, n, p FROM (
+        SELECT doc_id, n, p, count(*) OVER (PARTITION BY gram) AS c
+        FROM pos
+      ) WHERE c > 1
+    ),
+    isl AS (
+      SELECT doc_id, n, p,
+             CASE WHEN max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                   OR p > max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS flag
+      FROM dup
+    ),
+    isl2 AS (
+      SELECT doc_id, n, p,
+             SUM(flag) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, n, island, MIN(p) AS s, MAX(p) + 19 AS e
+      FROM isl2 GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+           ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / n, 9) AS dup_frac
+    FROM spans GROUP BY doc_id, n
+    """,
+)
+def q_dup_substrings(spark, sf_dir):
+    """Exact repeated-substring spans >= 20 chars across the corpus
+    (operators/corpus.py repeated_substring_spans) — the fixed-window
+    equivalent of suffix-array exact-substring dedup: duplicated
+    20-char windows are marked corpus-wide and merged into maximal
+    spans per document (gaps-and-islands). Span-granular boilerplate
+    removal where whole-document near-dup is too blunt; all-integer
+    until the final 9-dp fraction."""
+    from dex_data_ingestor_spark.operators.corpus import (
+        repeated_substring_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_substring_spans(docs, "doc_id", "text", min_len=20)
+
+
+@register(
     "q_span_dedup",
     """
     WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
@@ -3727,9 +3787,9 @@ def q_corr(spark, sf_dir):
 #: and any query whose engine path or oracle changes in a round is
 #: ALWAYS promoted into the next window regardless of the alternation
 #: (as q_minhash_pairs / q_neardup_verified are this round). Queries
-#: ADDED in a round (r6: q_ann_lsh, q_charngram_lsh) are locally
-#: bitwise-verified at sf0.001+sf0.01 on registration and join the
-#: next round's window.
+#: ADDED in a round (r6: q_ann_lsh, q_charngram_lsh,
+#: q_dup_substrings) are locally bitwise-verified at sf0.001+sf0.01
+#: on registration and join the next round's window.
 _WINDOW_R6 = [
     # latest check r4 — rotated back in (registration order);
     # q_minhash_pairs / q_neardup_verified re-verify the tiling cap

@@ -212,3 +212,45 @@ def test_verify_pairs_jaccard_kills_false_positive_candidates(spark):
     }
     assert set(out) == {(1, 2)}
     assert abs(out[(1, 2)] - 2 / 3) < 1e-12
+
+
+def test_repeated_substring_spans_golden(spark):
+    """Hand-constructed corpus with known repeats: a 30-char block
+    shared across two docs merges to exactly one span covering the
+    block; an intra-doc 25-char double occurrence yields two spans;
+    a unique doc emits no row."""
+    import random
+    import string
+
+    from dex_data_ingestor_spark.operators.corpus import (
+        repeated_substring_spans,
+    )
+
+    def filler(seed, n):
+        rng = random.Random(seed)
+        return "".join(rng.choice(string.ascii_letters + string.digits)
+                       for _ in range(n))
+
+    block = "SHARED-BOILERPLATE-BLOCK-30CH!"      # 30 chars
+    chunk = "INTRA-DOC-REPEAT-CHUNK-25"           # 25 chars
+    assert len(block) == 30 and len(chunk) == 25
+    u = {i: filler(i, 40) for i in range(1, 8)}
+    rows = [
+        (1, u[1] + block + u[2]),
+        (2, u[3] + block + u[4]),
+        (3, u[5]),                                # unique -> no row
+        (4, u[6] + chunk + u[7] + chunk + filler(8, 30)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           repeated_substring_spans(df, min_len=20).collect()}
+
+    assert set(out) == {1, 2, 4}
+    # docs 1 and 2: one merged span = exactly the 30-char block
+    for d in (1, 2):
+        assert out[d].n_spans == 1
+        assert out[d].dup_chars == 30
+        assert abs(out[d].dup_frac - 30 / (40 + 30 + 40)) < 1e-9
+    # doc 4: both 25-char occurrences, merged separately
+    assert out[4].n_spans == 2
+    assert out[4].dup_chars == 50
