@@ -1215,6 +1215,91 @@ def q_dup_substrings(spark, sf_dir):
 
 
 @register(
+    "q_strip_dup_substrings",
+    """
+    WITH base AS (SELECT doc_id, text AS t, length(text) AS n
+                  FROM documents),
+    long_docs AS (SELECT * FROM base WHERE n >= 20),
+    pos AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS p,
+             substring(t, CAST(i AS INTEGER), 20) AS gram
+      FROM long_docs, unnest(range(1, n - 18)) AS u(i)
+    ),
+    drops AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, p) AS rn
+        FROM pos
+      ) WHERE rn > 1
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                   OR p > max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS flag
+      FROM drops
+    ),
+    isl2 AS (
+      SELECT doc_id, p,
+             SUM(flag) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(p) AS s, MAX(p) + 19 AS e
+      FROM isl2 GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT doc_id,
+             COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+               + 1 AS ks,
+             s - 1 AS ke
+      FROM spans
+      UNION ALL
+      SELECT sp.doc_id, sp.mx + 1 AS ks, b.n AS ke
+      FROM (SELECT doc_id, MAX(e) AS mx FROM spans GROUP BY 1) sp
+      JOIN base b USING (doc_id)
+    ),
+    segs AS (
+      SELECT k.doc_id, k.ks,
+             substring(b.t, CAST(k.ks AS INTEGER),
+                       CAST(k.ke - k.ks + 1 AS INTEGER)) AS seg
+      FROM kept k JOIN base b USING (doc_id)
+      WHERE k.ke >= k.ks
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY ks) AS text
+      FROM segs GROUP BY 1
+    )
+    SELECT doc_id, text FROM rebuilt
+    UNION ALL
+    SELECT b.doc_id, b.t AS text
+    FROM base b
+    LEFT JOIN (SELECT DISTINCT doc_id FROM spans) s USING (doc_id)
+    WHERE s.doc_id IS NULL
+    """,
+)
+def q_strip_dup_substrings(spark, sf_dir):
+    """The dedup MATERIALIZATION at span granularity: rewrite every
+    document with its later-occurrence repeated spans (>= 20 chars,
+    corpus-wide first-occurrence-wins) removed — the operator behind
+    q_dup_substrings' statistics (operators/corpus.py
+    strip_repeated_substrings). Fully-duplicated documents disappear
+    (the exact-dedup limit); untouched docs pass through
+    byte-identical, which the string hash verifies end to end."""
+    from dex_data_ingestor_spark.operators.corpus import (
+        strip_repeated_substrings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_repeated_substrings(docs, "doc_id", "text", min_len=20)
+
+
+@register(
     "q_span_dedup",
     """
     WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
@@ -3788,8 +3873,9 @@ def q_corr(spark, sf_dir):
 #: ALWAYS promoted into the next window regardless of the alternation
 #: (as q_minhash_pairs / q_neardup_verified are this round). Queries
 #: ADDED in a round (r6: q_ann_lsh, q_charngram_lsh,
-#: q_dup_substrings) are locally bitwise-verified at sf0.001+sf0.01
-#: on registration and join the next round's window.
+#: q_dup_substrings, q_strip_dup_substrings) are locally
+#: bitwise-verified at sf0.001+sf0.01 on registration and join the
+#: next round's window.
 _WINDOW_R6 = [
     # latest check r4 — rotated back in (registration order);
     # q_minhash_pairs / q_neardup_verified re-verify the tiling cap

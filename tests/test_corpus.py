@@ -254,3 +254,41 @@ def test_repeated_substring_spans_golden(spark):
     # doc 4: both 25-char occurrences, merged separately
     assert out[4].n_spans == 2
     assert out[4].dup_chars == 50
+
+
+def test_strip_repeated_substrings_golden(spark):
+    """First-occurrence-wins span removal: doc 1 keeps the shared
+    block (first by (id, pos)), doc 2 loses exactly the block, a
+    byte-identical copy of doc 1 vanishes entirely, unique and short
+    docs pass through byte-identical."""
+    import random
+    import string
+
+    from dex_data_ingestor_spark.operators.corpus import (
+        strip_repeated_substrings,
+    )
+
+    def filler(seed, n):
+        rng = random.Random(100 + seed)
+        return "".join(rng.choice(string.ascii_letters + string.digits)
+                       for _ in range(n))
+
+    block = "SHARED-BOILERPLATE-BLOCK-30CH!"  # 30 chars
+    u = {i: filler(i, 40) for i in range(1, 6)}
+    doc1 = u[1] + block + u[2]
+    rows = [
+        (1, doc1),
+        (2, u[3] + block + u[4]),
+        (3, doc1),          # exact copy of doc 1 -> removed entirely
+        (4, u[5]),          # unique -> unchanged
+        (5, "short text"),  # < 20 chars -> unchanged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           strip_repeated_substrings(df, min_len=20).collect()}
+
+    assert set(out) == {1, 2, 4, 5}       # doc 3 is gone
+    assert out[1] == doc1                  # first occurrence intact
+    assert out[2] == u[3] + u[4]           # exactly the block removed
+    assert out[4] == u[5]
+    assert out[5] == "short text"
