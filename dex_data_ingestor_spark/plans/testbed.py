@@ -1300,6 +1300,97 @@ def q_strip_dup_substrings(spark, sf_dir):
 
 
 @register(
+    "q_scrub_contamination",
+    f"""
+    WITH tagged AS (
+      SELECT doc_id, text AS t, length(text) AS n,
+             {_MD5_INT.format('text')} % 100 AS b
+      FROM documents
+    ),
+    train AS (SELECT * FROM tagged WHERE b < 80),
+    test AS (SELECT * FROM tagged WHERE b >= 90),
+    tpos AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS p,
+             substring(t, CAST(i AS INTEGER), 20) AS gram
+      FROM train, unnest(range(1, n - 18)) AS u(i)
+      WHERE n >= 20
+    ),
+    tgrams AS (
+      SELECT DISTINCT substring(t, CAST(i AS INTEGER), 20) AS gram
+      FROM test, unnest(range(1, n - 18)) AS u(i)
+      WHERE n >= 20
+    ),
+    drops AS (
+      SELECT doc_id, p FROM tpos
+      WHERE gram IN (SELECT gram FROM tgrams)
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                   OR p > max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS flag
+      FROM drops
+    ),
+    isl2 AS (
+      SELECT doc_id, p,
+             SUM(flag) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(p) AS s, MAX(p) + 19 AS e
+      FROM isl2 GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT doc_id,
+             COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+               + 1 AS ks,
+             s - 1 AS ke
+      FROM spans
+      UNION ALL
+      SELECT sp.doc_id, sp.mx + 1 AS ks, tr.n AS ke
+      FROM (SELECT doc_id, MAX(e) AS mx FROM spans GROUP BY 1) sp
+      JOIN train tr USING (doc_id)
+    ),
+    segs AS (
+      SELECT k.doc_id, k.ks,
+             substring(tr.t, CAST(k.ks AS INTEGER),
+                       CAST(k.ke - k.ks + 1 AS INTEGER)) AS seg
+      FROM kept k JOIN train tr USING (doc_id)
+      WHERE k.ke >= k.ks
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY ks) AS text
+      FROM segs GROUP BY 1
+    )
+    SELECT doc_id, text FROM rebuilt
+    UNION ALL
+    SELECT tr.doc_id, tr.t AS text
+    FROM train tr
+    LEFT JOIN (SELECT DISTINCT doc_id FROM spans) s USING (doc_id)
+    WHERE s.doc_id IS NULL
+    """,
+)
+def q_scrub_contamination(spark, sf_dir):
+    """Span-level decontamination materialization: the TRAIN split
+    (content-hash buckets, as q_hash_split) rewritten with every span
+    removed whose 20-char window also appears in the TEST split —
+    the surgical counterpart of q_contamination's report
+    (operators/corpus.py scrub_contaminated_spans). Training docs
+    without eval overlap pass through byte-identical; a train doc
+    fully covered by eval text disappears."""
+    from dex_data_ingestor_spark.operators.corpus import (
+        scrub_contaminated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_contaminated_spans(docs, "doc_id", "text", min_len=20)
+
+
+@register(
     "q_span_dedup",
     """
     WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
@@ -3873,9 +3964,9 @@ def q_corr(spark, sf_dir):
 #: ALWAYS promoted into the next window regardless of the alternation
 #: (as q_minhash_pairs / q_neardup_verified are this round). Queries
 #: ADDED in a round (r6: q_ann_lsh, q_charngram_lsh,
-#: q_dup_substrings, q_strip_dup_substrings) are locally
-#: bitwise-verified at sf0.001+sf0.01 on registration and join the
-#: next round's window.
+#: q_dup_substrings, q_strip_dup_substrings, q_scrub_contamination)
+#: are locally bitwise-verified at sf0.001+sf0.01 on registration and
+#: join the next round's window.
 _WINDOW_R6 = [
     # latest check r4 — rotated back in (registration order);
     # q_minhash_pairs / q_neardup_verified re-verify the tiling cap

@@ -292,3 +292,57 @@ def test_strip_repeated_substrings_golden(spark):
     assert out[2] == u[3] + u[4]           # exactly the block removed
     assert out[4] == u[5]
     assert out[5] == "short text"
+
+
+def test_scrub_contaminated_spans_golden(spark):
+    """Bucket-engineered corpus: a train doc sharing a 30-char block
+    with a test doc loses exactly that block; clean train docs pass
+    byte-identical; test/val docs never appear in the output."""
+    import hashlib
+    import random
+    import string
+
+    from dex_data_ingestor_spark.operators.corpus import (
+        scrub_contaminated_spans,
+    )
+
+    def bucket(text):  # mirrors functions.scalars.md5_int64 % 100
+        return int(hashlib.md5(text.encode()).hexdigest()[:8], 16) % 100
+
+    def filler(seed, n):
+        rng = random.Random(1000 + seed)
+        return "".join(rng.choice(string.ascii_letters + string.digits)
+                       for _ in range(n))
+
+    def engineer(make, pred):
+        for k in range(10_000):
+            t = make(k)
+            if pred(bucket(t)):
+                return t
+        raise AssertionError("no bucket hit")
+
+    block = "EVAL-SET-BOILERPLATE-BLOCK-30!"
+    assert len(block) == 30
+    u1 = filler(1, 40)
+    test_doc = engineer(
+        lambda k: filler(50 + k, 35) + block + filler(900 + k, 35),
+        lambda b: b >= 90,
+    )
+    train_dirty = engineer(
+        lambda k: u1 + block + filler(200 + k, 40),
+        lambda b: b < 80,
+    )
+    train_clean = engineer(
+        lambda k: filler(300 + k, 60), lambda b: b < 80
+    )
+    val_doc = engineer(
+        lambda k: filler(400 + k, 60), lambda b: 80 <= b < 90
+    )
+    rows = [(1, train_dirty), (2, train_clean), (3, test_doc), (4, val_doc)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           scrub_contaminated_spans(df, min_len=20).collect()}
+
+    assert set(out) == {1, 2}             # only the train split emits
+    assert out[1] == train_dirty.replace(block, "")  # block excised
+    assert out[2] == train_clean          # clean doc byte-identical
