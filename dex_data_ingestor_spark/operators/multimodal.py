@@ -128,25 +128,46 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 #: allocation so a hostile header cannot OOM an executor.
 MAX_DECODED_BYTES = 1 << 28
 
+#: Separate CPU budget for the per-byte Python filter paths
+#: (Average/Paeth — a sequential left-neighbor recurrence with a
+#: floor-div, not vectorizable as a prefix sum). None/Up/Sub are numpy
+#: ops and may use the full MAX_DECODED_BYTES; a hostile max-size
+#: all-Paeth PNG otherwise pins an executor core for minutes (a
+#: slow-loris, not an OOM). Once cumulative Average/Paeth scanline
+#: bytes exceed this, the image quarantines (ValueError -> row).
+MAX_SLOW_FILTER_BYTES = 1 << 24
+
 
 def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
     """Reverse the five PNG scanline filters (None/Sub/Up/Average/
-    Paeth). Per-byte Python loop for Sub/Average/Paeth — fine for the
-    metadata-sized images this container decodes; a deployment with
-    real photo corpora swaps PIL in at decode_media's dispatch."""
+    Paeth). None/Up/Sub are vectorized (Sub is a per-lane prefix sum
+    mod 256); Average/Paeth keep a per-byte Python loop bounded by
+    MAX_SLOW_FILTER_BYTES — a deployment with real photo corpora swaps
+    PIL in at decode_media's dispatch."""
     stride = w * ch
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
+    slow_bytes = 0
     for y in range(h):
         ftype = raw[pos]
         row = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
         prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype in (3, 4):
+            slow_bytes += stride
+            if slow_bytes > MAX_SLOW_FILTER_BYTES:
+                raise ValueError(
+                    "PNG Average/Paeth filter work exceeds "
+                    f"MAX_SLOW_FILTER_BYTES ({MAX_SLOW_FILTER_BYTES})"
+                )
         if ftype == 0:
             pass
-        elif ftype == 1:  # Sub
-            for i in range(ch, stride):
-                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif ftype == 1:  # Sub: recon[i] = filt[i] + recon[i-ch] —
+            # per-channel-lane running sum, i.e. cumsum mod 256
+            lanes = np.frombuffer(bytes(row), dtype=np.uint8).reshape(w, ch)
+            row = bytearray(
+                np.cumsum(lanes, axis=0, dtype=np.uint8).tobytes()
+            )
         elif ftype == 2:  # Up
             row = bytearray(
                 (np.frombuffer(bytes(row), dtype=np.uint8) + prev).tobytes()
@@ -184,7 +205,15 @@ def _decode_png(payload: bytes) -> np.ndarray:
     pos, ihdr, idat, plte = 8, None, b"", None
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
         body = payload[pos + 8 : pos + 8 + length]
+        # Chunk CRC is load-bearing: a bit-flipped-but-still-inflatable
+        # IDAT must quarantine as corrupt, not decode silently to wrong
+        # pixels feeding wrong mean/std into image_stats.
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         pos += 12 + length  # length + type + body + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
@@ -337,6 +366,10 @@ IMAGE_STATS_SCHEMA = T.StructType(
         T.StructField("channels", T.IntegerType()),
         T.StructField("mean_px", T.DoubleType()),
         T.StructField("std_px", T.DoubleType()),
+        # Why the row quarantined ("ExcClass: msg", None when decoded).
+        # Bug-shaped failures (TypeError/IndexError) stay distinguishable
+        # from expected codec gaps (NotImplementedError) in aggregate.
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -371,10 +404,14 @@ def image_stats(
                     px = arr.astype(np.float64)
                     rows.append(
                         (did, True, arr.shape[1], arr.shape[0],
-                         arr.shape[2], float(px.mean()), float(px.std()))
+                         arr.shape[2], float(px.mean()), float(px.std()),
+                         None)
                     )
-                except _QUARANTINE_ERRORS:
-                    rows.append((did, False, None, None, None, None, None))
+                except _QUARANTINE_ERRORS as e:
+                    reason = f"{type(e).__name__}: {e}"[:200]
+                    rows.append(
+                        (did, False, None, None, None, None, None, reason)
+                    )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields]
             )
@@ -406,24 +443,30 @@ def resize_images(
     Decodable payloads (PPM/BMP/PNG — :func:`decode_media`) are REALLY
     resized: nearest-neighbor resample to ``(target_w, target_h)``,
     re-encoded as PPM (the stdlib-writable format; alpha/gray expand
-    to RGB first), ``media_meta.format`` updated to ``'ppm'``.
-    Undecodable payloads keep the previous deterministic-truncation
-    stand-in (metadata still updated) so mixed-format corpora flow
-    through — swap PIL into decode_media's dispatch and that fallback
-    disappears. The Spark-side contract (schema, Arrow batching,
-    partition behavior) is identical on both paths."""
+    to RGB first), ``media_meta.format`` updated to ``'ppm'`` and
+    ``width``/``height`` to the target dims. Undecodable/NULL payloads
+    fall back to a deterministic truncation stand-in and — the
+    convention consumers key on — their ``media_meta`` is left
+    UNTOUCHED: only rows whose ``media_meta.format == 'ppm'`` and
+    ``width == target_w`` were actually resized; fallback rows never
+    claim dimensions their payload doesn't have. Swap PIL into
+    decode_media's dispatch and the fallback disappears. The
+    Spark-side contract (schema, Arrow batching, partition behavior)
+    is identical on both paths."""
 
-    def _resize_one(payload: bytes | None, meta: dict) -> tuple[bytes | None, str]:
+    def _resize_one(
+        payload: bytes | None, meta: dict
+    ) -> tuple[bytes | None, bool]:
         if payload is None:
             # NULL payload rides through as NULL, not a task crash
-            return None, meta.get("format") or "fake"
+            return None, False
         try:
             arr = decode_media(payload, meta)
             if arr.size == 0:
                 raise ValueError("zero-pixel image")
         except _QUARANTINE_ERRORS:
             cap = max(16, (target_w * target_h) // 64)
-            return bytes(payload[:cap]), meta.get("format") or "fake"
+            return bytes(payload[:cap]), False
         h, w = arr.shape[:2]
         yy = (np.arange(target_h) * h) // max(target_h, 1)
         xx = (np.arange(target_w) * w) // max(target_w, 1)
@@ -434,18 +477,19 @@ def resize_images(
             out = np.repeat(out[..., :1], 3, axis=2)
         elif out.shape[2] == 4:  # RGBA -> RGB
             out = out[..., :3]
-        return encode_ppm(out), "ppm"
+        return encode_ppm(out), True
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas, payloads = [], []
             for m, p in zip(pdf[meta_col], pdf[payload_col]):
                 m = dict(m) if m is not None else {}
-                data, fmt = _resize_one(
+                data, resized = _resize_one(
                     None if p is None else bytes(p), m
                 )
-                m["width"], m["height"] = target_w, target_h
-                m["format"] = fmt
+                if resized:
+                    m["width"], m["height"] = target_w, target_h
+                    m["format"] = "ppm"
                 metas.append(m)
                 payloads.append(data)
             yield pd.DataFrame(

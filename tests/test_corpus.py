@@ -92,7 +92,10 @@ def test_resize_and_frame_sample_plumbing(spark, sf_dir):
     resized = resize_images(media, 128, 128).collect()
     assert len(resized) == 20
     for r in resized[:5]:
-        assert r.media_meta.width == 128 and r.media_meta.height == 128
+        # fake text payloads are undecodable -> fallback path keeps the
+        # ORIGINAL metadata (height 256 from attach_fake_payload) so
+        # stand-ins never claim resized dimensions
+        assert r.media_meta.height == 256 and r.media_meta.format == "fake"
         assert len(r.payload) <= max(16, (128 * 128) // 64)
     frames = sample_frames(media, every_n_bytes=64)
     fc = frames.groupBy("doc_id").count().collect()

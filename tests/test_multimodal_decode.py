@@ -195,6 +195,9 @@ def test_image_stats_end_to_end(spark):
         assert abs(r.mean_px - px.mean()) < 1e-9
         assert abs(r.std_px - px.std()) < 1e-9
     assert out[3].decoded is False and out[3].width is None
+    # quarantine reason distinguishes codec gaps from bug-shaped errors
+    assert out[3].error.startswith("NotImplementedError")
+    assert out[1].error is None
 
 
 def test_resize_images_real_path(spark):
@@ -226,8 +229,10 @@ def test_resize_images_fallback_for_undecodable(spark):
     )
     r = resize_images(df, 128, 128).collect()[0]
     assert len(r.payload) == max(16, (128 * 128) // 64)
+    # fallback rows keep their ORIGINAL metadata — the payload was not
+    # resized, so media_meta must not claim target dimensions
     assert r.media_meta.format == "fake"
-    assert r.media_meta.width == 128
+    assert r.media_meta.width == 9 and r.media_meta.height == 9
 
 
 def test_binary_file_source_to_image_stats(spark, tmp_path):
@@ -299,6 +304,68 @@ def test_png_truncated_idat_rejected():
         decode_media(short)
 
 
+def test_png_crc_mismatch_quarantines():
+    """A bit-flipped-but-still-inflatable chunk must be rejected via
+    its CRC, not decode silently to wrong pixels."""
+    arr = _gradient(4, 3)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(4))
+    good = _png_bytes(raw, 3, 4, color=2)
+    assert np.array_equal(decode_media(good), arr)  # control
+    # flip one bit inside the IDAT body (after the 4-byte type tag)
+    idat_at = good.index(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 6] ^= 0x01
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_media(bytes(bad))
+
+
+def test_png_truncated_chunk_rejected():
+    """A chunk whose declared length runs past the payload end must
+    raise, not silently read a short body."""
+    arr = _gradient(2, 2)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(2))
+    good = _png_bytes(raw, 2, 2, color=2)
+    # cut mid-IDAT: the chunk header is readable but its declared body
+    # length runs past the end of the payload
+    cut = good.index(b"IDAT") + 6
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(good[:cut])
+
+
+def test_png_slow_filter_budget(monkeypatch):
+    """Average/Paeth scanlines carry a separate CPU budget: a hostile
+    all-Paeth image quarantines instead of pinning a core (slow-loris).
+    Vectorized filters (None/Sub/Up) are not budgeted."""
+    import dex_data_ingestor_spark.operators.multimodal as mm
+
+    arr = _gradient(4, 3)
+    paeth_raw = (
+        bytes([4]) + arr[0].tobytes()  # Paeth row w/ zero predecessors
+        + b"".join(b"\x00" + arr[y].tobytes() for y in range(1, 4))
+    )
+    monkeypatch.setattr(mm, "MAX_SLOW_FILTER_BYTES", 4)
+    with pytest.raises(ValueError, match="MAX_SLOW_FILTER_BYTES"):
+        decode_media(_png_bytes(paeth_raw, 3, 4, color=2))
+    # filter-0-only image of the same size decodes fine under the
+    # tiny slow budget
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(4))
+    assert np.array_equal(decode_media(_png_bytes(raw, 3, 4, color=2)), arr)
+
+
+def test_png_sub_filter_wide_row_vectorized_golden():
+    """Sub filter on a wide row exercises the per-lane cumsum path
+    against an independently-computed expectation."""
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, size=(1, 64, 3), dtype=np.uint8)
+    # forward Sub filter: filt[x] = raw[x] - raw[x-1] (per channel)
+    diffs = pixels[0].astype(np.int16)
+    diffs[1:] -= pixels[0][:-1].astype(np.int16)
+    filt = (diffs % 256).astype(np.uint8)
+    raw = bytes([1]) + filt.tobytes()
+    decoded = decode_media(_png_bytes(raw, 64, 1, color=2))
+    assert np.array_equal(decoded, pixels)
+
+
 def test_image_stats_quarantines_nulls_and_zero_pixel(spark):
     """NULL payloads and 0x0 images become decoded=false rows; the job
     must not crash and must not emit NaN moments."""
@@ -331,4 +398,5 @@ def test_resize_images_null_payload_passthrough(spark):
     )
     r = resize_images(df, 32, 32).collect()[0]
     assert r.payload is None
-    assert r.media_meta.width == 32 and r.media_meta.format == "png"
+    # NULL payload = nothing resized: original metadata preserved
+    assert r.media_meta.width == 9 and r.media_meta.format == "png"
