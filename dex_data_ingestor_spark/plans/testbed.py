@@ -3941,98 +3941,98 @@ def q_corr(spark, sf_dir):
 
 
 # =========================================================================
-# Driver correctness-window ordering (round 6)
+# Driver correctness-window ordering (round 7)
 # =========================================================================
 
 #: The driver verifies the FIRST 50 entries of queries() in dict order
-#: against their oracles each round. Round-6 rotation: the 40 queries
-#: whose latest check is r4 come back in — this set includes
-#: q_minhash_pairs and q_neardup_verified, whose engine path AND oracle
-#: changed in r5 (hot-bucket cap) and AGAIN this round (sub-bucket
-#: tiling), so their r4 green rows predate both changes, plus the
-#: cap-invariance canaries q_dup_clusters / q_dedup_survivors /
-#: q_corpus_curation whose oracles stay deliberately uncapped. The
-#: remaining 10 slots are the standing cross-family canaries (all
-#: r5-green), q_apy among them (red r1-r4; keep watching the fix).
+#: against their oracles each round. Round-7 window, per the standing
+#: ROTATION PLAN (below): the 40 queries whose latest green row is r5
+#: come back in, PLUS the five queries ADDED in r6 (judge-verified at
+#: sf0.01 on registration but still owed a driver row:
+#: q_ann_lsh, q_charngram_lsh, q_dup_substrings,
+#: q_strip_dup_substrings, q_scrub_contamination). That fills 45 of
+#: the 50 slots, so this round carries 5 canaries instead of 10 —
+#: q_apy (red r1-r4; keep watching the fix) plus one per core family;
+#: the 5 benched canaries (q_scan_project, q_group_agg,
+#: q_stream_tumbling, q_yoy_qoq, q_dedup_exact) are r6-green and
+#: re-enter at r8 exactly at the two-round age bound.
 #:
-#: ROTATION PLAN (steady state from r7 on): the 90-query registry
-#: splits into two ~40-query halves that alternate rounds — the r5
-#: window's non-canary 40 re-enter at r7, this round's 40 re-enter at
-#: r8, and so on — while the 10 canaries stay in every window. Under
-#: this cadence no query's latest green row ever ages past two rounds,
-#: and any query whose engine path or oracle changes in a round is
-#: ALWAYS promoted into the next window regardless of the alternation
-#: (as q_minhash_pairs / q_neardup_verified are this round). Queries
-#: ADDED in a round (r6: q_ann_lsh, q_charngram_lsh,
-#: q_dup_substrings, q_strip_dup_substrings, q_scrub_contamination)
-#: are locally bitwise-verified at sf0.001+sf0.01 on registration and
-#: join the next round's window.
-_WINDOW_R6 = [
-    # latest check r4 — rotated back in (registration order);
-    # q_minhash_pairs / q_neardup_verified re-verify the tiling cap
-    "q_minhash_lsh",
-    "q_minhash_pairs",
-    "q_simhash",
-    "q_multimodal_join",
-    "q_similarity_topk",
-    "q_semi_join",
-    "q_anti_join",
-    "q_window_running",
-    "q_rollup",
-    "q_cube",
-    "q_pivot",
-    "q_setops",
-    "q_asof_lookup",
-    "q_sql_interface",
-    "q_kmv_distinct",
-    "q_quantiles",
-    "q_histogram",
-    "q_corpus_curation",
-    "q_approx_distinct",
-    "q_range_join",
-    "q_time_rollup",
-    "q_stats_agg",
-    "q_string_agg",
-    "q_json_extract",
-    "q_dup_clusters",
-    "q_tfidf",
-    "q_neardup_incremental",
-    "q_profile",
-    "q_cms_topk",
-    "q_shipping_priority",
-    "q_salted_join",
-    "q_late_arrivals",
-    "q_entity_match",
-    "q_table_diff",
-    "q_embed_stats",
-    "q_neardup_verified",
-    "q_dedup_survivors",
-    "q_seq_packing",
-    "q_mix_weights",
-    "q_corr",
-    # standing canaries, one per operator family (all r5-green)
+#: ROTATION PLAN (steady state): the registry splits into two
+#: ~40-query halves that alternate rounds — this window's non-canary
+#: set re-enters at r9, the r6 window's at r8 — while canaries ride
+#: every window (trimmed only when owed-new-query slots require, as
+#: this round). Under this cadence no query's latest green row ages
+#: past two rounds, and any query whose engine path or oracle changes
+#: in a round is ALWAYS promoted into the next window regardless of
+#: the alternation. Queries ADDED in a round are locally
+#: bitwise-verified at sf0.001+sf0.01 on registration and join the
+#: next round's window.
+_WINDOW_R7 = [
+    # latest check r5 — rotated back in
+    "q_ann_ivf",
+    "q_asof_tolerance",
+    "q_blacklist_filter",
+    "q_cdc_apply",
+    "q_contamination",
+    "q_count",
+    "q_date_parts",
+    "q_dedup_first",
+    "q_derived_cols",
+    "q_dim_broadcast_join",
+    "q_distinct",
+    "q_embed_neardup",
+    "q_fingerprint",
+    "q_gap_fill",
+    "q_grouping_sets",
+    "q_hash_split",
+    "q_incremental_range",
+    "q_lang_id",
+    "q_merge_partial_update",
+    "q_min_bootstrap",
+    "q_moving_avg",
+    "q_ngram_jaccard",
+    "q_ngram_topk",
+    "q_null_filter",
+    "q_pii_scrub",
+    "q_point_filter",
+    "q_prefix_enrich",
+    "q_repetition",
+    "q_span_dedup",
+    "q_stratified_sample",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_string_norm",
+    "q_surrogate_join",
+    "q_text_stats",
+    "q_token_price",
+    "q_topk",
+    "q_topk_per_key",
+    "q_tvl",
+    "q_window_rank",
+    # added in r6 — judge-verified sf0.01; first driver row owed
+    "q_ann_lsh",
+    "q_charngram_lsh",
+    "q_dup_substrings",
+    "q_strip_dup_substrings",
+    "q_scrub_contamination",
+    # canaries (trimmed to 5 this round; see note above)
     "q_apy",
     "q_flagship_daily_revenue",
-    "q_scan_project",
-    "q_group_agg",
     "q_merge_upsert",
-    "q_stream_tumbling",
     "q_asof_price",
-    "q_yoy_qoq",
-    "q_dedup_exact",
     "q_vector_topk",
 ]
 
 
 def _window_order(registry: dict) -> dict:
-    """Rebuild a registry dict with _WINDOW_R6 first (keeping each
+    """Rebuild a registry dict with _WINDOW_R7 first (keeping each
     family's relative order), everything else after in file order."""
-    out = {n: registry[n] for n in _WINDOW_R6 if n in registry}
+    out = {n: registry[n] for n in _WINDOW_R7 if n in registry}
     out.update((n, v) for n, v in registry.items() if n not in out)
     return out
 
 
-assert len(_WINDOW_R6) == 50, len(_WINDOW_R6)
-assert set(_WINDOW_R6) <= set(QUERIES), set(_WINDOW_R6) - set(QUERIES)
+assert len(_WINDOW_R7) == 50, len(_WINDOW_R7)
+assert set(_WINDOW_R7) <= set(QUERIES), set(_WINDOW_R7) - set(QUERIES)
 QUERIES = _window_order(QUERIES)
 ORACLE_SQL = _window_order(ORACLE_SQL)
