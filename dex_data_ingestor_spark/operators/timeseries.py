@@ -106,3 +106,49 @@ def moving_avg_days(
         (msum / n).alias("moving_avg"),
         n.alias("n_days_present"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_us: int = 30 * 60 * 1_000_000,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Batch gaps-and-islands sessionization: assign each row a
+    per-key ``session_seq`` that increments whenever the gap to the
+    previous row (event time, ordered by ``ts_col`` + tiebreak)
+    exceeds ``gap_us`` microseconds (integral microsecond arithmetic —
+    second-truncation semantics differ between engines).
+
+    The batch complement of the engine's streaming session windows
+    (streaming/jobs.py session_window): the reference's hourly
+    micro-batches (src/main.py:54-66 re-runs tasks on a cron) make
+    batch sessionization the natural shape for its backfills.
+
+    Scale shape: two window passes, BOTH partitioned by the session
+    key — no global window, no shuffle beyond the one hash exchange
+    on ``key_cols`` (the second window reuses the first's
+    partitioning). Skewed keys (one user with millions of events)
+    are bounded by per-key data, and AQE handles the partition-level
+    skew.
+    """
+    tiebreak = order_tiebreak or []
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak)
+    staged = df.withColumn("_prev_ts", F.lag(ts_col).over(w))
+    is_new = F.when(
+        F.col("_prev_ts").isNull()
+        | (
+            F.expr(f"timestampdiff(MICROSECOND, _prev_ts, {ts_col})")
+            > F.lit(gap_us)
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return staged.withColumn(
+        "session_seq", F.sum(is_new).over(running)
+    ).drop("_prev_ts")

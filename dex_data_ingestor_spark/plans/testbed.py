@@ -3940,6 +3940,335 @@ def q_corr(spark, sf_dir):
     )
 
 
+
+
+# =========================================================================
+# Round-7 additions: sessionization, TPC-H composites, outliers, BM25
+# =========================================================================
+
+
+@register(
+    "q_sessionize",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             lag(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                  OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Batch gaps-and-islands sessionization (the batch complement of
+    q_stream_session): per user, a new session starts after a >30 min
+    event-time gap; sessions roll up to start/end/count/value. Gap
+    arithmetic is integral microseconds (engine second-truncation
+    semantics differ — see q_late_arrivals). Both window passes and
+    the final aggregate partition by user_id, so the plan is one hash
+    exchange end-to-end; no global window."""
+    from dex_data_ingestor_spark.operators.timeseries import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    sess = sessionize(
+        ev, ["user_id"], "ts", gap_us=1_800_000_000,
+        order_tiebreak=["event_id"],
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum(F.col("value"), "sum_value"),
+    )
+
+
+@register(
+    "q_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): 6-table star join where
+    customer and supplier must share a nation inside the filtered
+    region. Plan shape for 100 TB: region/nation/supplier fold into
+    one broadcast dim (region filter prunes it first), lineitem joins
+    orders with a shuffle on orderkey, then customer on custkey; the
+    s_nationkey = c_nationkey predicate rides the broadcast join, so
+    the only big exchanges are the two fact-key shuffles."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@register(
+    "q_promo_revenue",
+    """
+    WITH j AS (
+      SELECT date_trunc('month', CAST(l.l_shipdate AS DATE)) AS month,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,6)) AS rev,
+             p.p_type = 'PROMO' AS is_promo
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT month,
+           CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           100.0 * CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
+                        AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE) AS promo_pct
+    FROM j GROUP BY 1
+    """,
+)
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): monthly share of revenue
+    from PROMO-type parts — conditional decimal-exact aggregation over
+    a fact-dim join. The part dim broadcasts; promo_pct is computed in
+    IEEE double FROM the two exact sums (mult + div of bit-identical
+    doubles is deterministic cross-engine), so no rounding is needed."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.trunc(F.to_date("l_shipdate"), "month").alias("month"),
+        rev.alias("rev"),
+        "is_promo",
+    )
+    agg = j.groupBy("month").agg(
+        _dec_sum(
+            F.when(F.col("is_promo"), F.col("rev")).otherwise(F.lit(0.0)),
+            "promo_revenue",
+        ),
+        _dec_sum(F.col("rev"), "total_revenue"),
+    )
+    return agg.select(
+        "month",
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")
+        ).alias("promo_pct"),
+    )
+
+
+@register(
+    "q_outlier_events",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value), 9) AS mean_v,
+             ROUND(stddev_samp(value), 9) AS sd_v
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mean_v) / s.sd_v, 9) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mean_v) / s.sd_v) > 2.5
+    """,
+)
+def q_outlier_events(spark, sf_dir):
+    """Per-group z-score outlier screen (the numeric-column quality
+    gate a training pipeline runs next to the text ones): events whose
+    value sits >2.5 sample standard deviations from their type's mean.
+    Two-pass shape — tiny per-type stats aggregate, broadcast back
+    onto the fact, filter — NOT a window over the full table, so at
+    100 TB the only full-data pass is the final scan+filter. Mean is
+    decimal-exact / count; mean and sd are rounded to 9 dp BEFORE the
+    z computation on both engines so the filter threshold compares
+    bit-identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(
+            _dec_sum_expr(F.col("value")) / F.count("value"), 9
+        ).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 9).alias("sd_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("sd_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id", "event_type", "value", F.round(z, 9).alias("z")
+        )
+    )
+
+
+#: BM25 parameters (Robertson et al.; k1 tf-saturation, b length norm).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "table", "query")
+
+
+def _bm25_contrib_sql(t: str) -> str:
+    """One term's BM25 contribution (DuckDB SQL). idf is rounded to
+    9 dp right after the ln so both engines sum identical doubles."""
+    return (
+        f"CASE WHEN tf_{t} = 0 THEN 0.0 ELSE "
+        f"ROUND(LN((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0), 9) "
+        f"* (tf_{t} * {_BM25_K1 + 1.0}) "
+        f"/ (tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)) "
+        f"END"
+    )
+
+
+@register(
+    "q_bm25",
+    rf"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS dl,
+             COUNT(*) FILTER (term = 'spark') AS tf_spark,
+             COUNT(*) FILTER (term = 'table') AS tf_table,
+             COUNT(*) FILTER (term = 'query') AS tf_query
+      FROM w GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (tf_spark > 0) AS df_spark,
+             COUNT(*) FILTER (tf_table > 0) AS df_table,
+             COUNT(*) FILTER (tf_query > 0) AS df_query
+      FROM per_doc
+    )
+    SELECT doc_id,
+           ROUND({_bm25_contrib_sql("spark")}
+                 + {_bm25_contrib_sql("table")}
+                 + {_bm25_contrib_sql("query")}, 9) AS bm25
+    FROM per_doc CROSS JOIN stats
+    WHERE tf_spark + tf_table + tf_query > 0
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """BM25 relevance scores for a fixed conjunctive query
+    ('spark table query') over the documents corpus — the retrieval
+    scorer a data pipeline uses for query-targeted corpus selection.
+    One tokenize/explode pass yields per-doc length AND per-term
+    frequencies together (conditional aggregation, no per-term join);
+    corpus stats (N, avgdl, per-term df) reduce to ONE row broadcast
+    back. Term contributions are summed in a fixed order with the idf
+    rounded to 9 dp right after the ln — ln is the one libm call, and
+    its argument set is tiny (one distinct double per term), so the
+    9 dp round makes the sum bit-stable cross-engine (verified at
+    sf0.001 + sf0.01). At 100 TB the explode pass dominates and is
+    embarrassingly parallel; everything after it is a broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    tf_cols = [
+        F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{t}")
+        for t in _BM25_TERMS
+    ]
+    per_doc = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def contrib(t: str):
+        tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = F.round(
+            F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0), 9
+        )
+        k1, b = _BM25_K1, _BM25_B
+        score = (
+            idf
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        return F.when(tf == 0, F.lit(0.0)).otherwise(score)
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    total = contrib("spark") + contrib("table") + contrib("query")
+    return scored.filter(
+        sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0
+    ).select("doc_id", F.round(total, 9).alias("bm25"))
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================

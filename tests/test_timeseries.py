@@ -131,3 +131,41 @@ def test_asof_tolerance_null_quote_does_not_refresh_stale_value(spark):
         ).collect()
     }
     assert out == {1: 100.0, 2: None}
+
+
+def test_sessionize_gap_boundaries_golden(spark):
+    """Hand-built timeline: session breaks strictly AFTER the gap
+    threshold (a gap of exactly 30 min does NOT start a new session),
+    per key, with event_id as the tie-break for equal timestamps."""
+    import datetime as dt
+
+    from dex_data_ingestor_spark.operators.timeseries import sessionize
+
+    T = dt.datetime
+    rows = [
+        # user 1: 3 events 10 min apart -> one session
+        (1, 1, T(2024, 1, 1, 10, 0)),
+        (1, 2, T(2024, 1, 1, 10, 10)),
+        (1, 3, T(2024, 1, 1, 10, 20)),
+        # exactly 30:00 later -> SAME session (strict >)
+        (1, 4, T(2024, 1, 1, 10, 50)),
+        # 30:00.000001 later -> NEW session
+        (1, 5, T(2024, 1, 1, 11, 20, 0, 1)),
+        # user 2: lone event, then a 2h gap
+        (2, 6, T(2024, 1, 1, 9, 0)),
+        (2, 7, T(2024, 1, 1, 11, 0)),
+        # duplicate timestamps: event_id tiebreak keeps order stable
+        (3, 8, T(2024, 1, 1, 8, 0)),
+        (3, 9, T(2024, 1, 1, 8, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz"
+    )
+    out = {
+        r.event_id: r.session_seq
+        for r in sessionize(
+            df, ["user_id"], "ts", gap_us=30 * 60 * 1_000_000,
+            order_tiebreak=["event_id"],
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 1, 7: 2, 8: 1, 9: 1}

@@ -547,3 +547,99 @@ def test_lsh_tiling_no_self_pairs_on_duplicate_bucket_rows(spark):
     )
     pairs = ND.lsh_candidate_pairs(dup, "doc_id").collect()
     assert all(r.a_id < r.b_id for r in pairs)
+
+
+def test_bm25_against_independent_python_reimplementation(spark, tmp_path):
+    """q_bm25's Spark plan vs a from-scratch plain-Python BM25 on a
+    tiny hand-built corpus — guards against both engine and oracle
+    encoding the same wrong formula (the parity test alone can't)."""
+    import math
+
+    import pandas as pd
+
+    from dex_data_ingestor_spark.plans.testbed import QUERIES, _BM25_K1, _BM25_B
+
+    corpus = {
+        10: "spark table query extra words here",
+        11: "table table table filler",
+        12: "nothing relevant at all whatsoever",
+        13: "query spark spark spark pad pad pad pad",
+    }
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": list(corpus),
+            "text": list(corpus.values()),
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [len(t) for t in corpus.values()],
+        }
+    ).to_parquet(sf / "documents.parquet")
+
+    got = {
+        r.doc_id: r.bm25
+        for r in QUERIES["q_bm25"](spark, str(sf)).collect()
+    }
+
+    docs = {d: t.split() for d, t in corpus.items()}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    want = {}
+    for d, ws in docs.items():
+        score = 0.0
+        for t in ("spark", "table", "query"):
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for w in docs.values() if t in w)
+            idf = round(math.log((n - df + 0.5) / (df + 0.5) + 1.0), 9)
+            score += (
+                idf * (tf * (_BM25_K1 + 1.0))
+                / (tf + _BM25_K1
+                   * (1.0 - _BM25_B + _BM25_B * len(ws) / avgdl))
+            )
+        if score > 0.0:
+            want[d] = round(score, 9)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=2e-9), (d, got[d], want[d])
+
+
+def test_outlier_events_flags_known_injected_outlier(spark, tmp_path):
+    """q_outlier_events on a synthetic events table with one value far
+    outside its type's distribution: exactly that event is flagged."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {
+            "event_id": i,
+            "ts": base + dt.timedelta(minutes=i),
+            "user_id": i % 3,
+            "event_type": "click",
+            "value": float(100 + (i % 7)),  # tight cluster 100..106
+            "props": "{}",
+        }
+        for i in range(40)
+    ]
+    rows.append(
+        {
+            "event_id": 999,
+            "ts": base,
+            "user_id": 0,
+            "event_type": "click",
+            "value": 10_000.0,  # unambiguous outlier
+            "props": "{}",
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(rows).to_parquet(sf / "events.parquet")
+    out = QUERIES["q_outlier_events"](spark, str(sf)).collect()
+    assert [r.event_id for r in out] == [999]
+    assert out[0].z > 2.5
