@@ -47,6 +47,13 @@ HEADLINE = [
     "q_stream_session",
     "q_dedup_exact",
     "q_simhash",
+    # added r7 (headline set grew 17 -> 22: round-over-round TOTALS are
+    # not comparable across this boundary; compare per-query medians)
+    "q_sessionize",
+    "q_local_supplier_volume",
+    "q_promo_revenue",
+    "q_outlier_events",
+    "q_bm25",
 ]
 
 

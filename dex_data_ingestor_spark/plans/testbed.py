@@ -4269,6 +4269,122 @@ def q_bm25(spark, sf_dir):
     ).select("doc_id", F.round(total, 9).alias("bm25"))
 
 
+
+
+@register(
+    "q_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+      GROUP BY 1
+    )
+    SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 'view>click', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT 'view>click>purchase', (SELECT COUNT(*) FROM p)
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered 3-stage event funnel (view -> later click -> later
+    purchase): how many users reach each stage IN ORDER — the event-
+    analytics staple the reference's hourly rollups can't express.
+    Each stage is a per-user MIN aggregate joined back on user_id, so
+    all three stages shuffle on the same key (AQE co-locates them);
+    no window over the full event stream, no cross product. Events
+    per user bound stage-join fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(ts > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("t2"))
+    )
+    pch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(ts > F.col("t2"))
+        .select("user_id")
+        .distinct()
+    )
+    count = F.count(F.lit(1)).alias("n_users")
+    return (
+        v.agg(count).select(F.lit("view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(count).select(F.lit("view>click").alias("stage"), "n_users")
+        )
+        .unionByName(
+            pch.agg(count).select(
+                F.lit("view>click>purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+
+
+@register(
+    "q_retention",
+    """
+    WITH firstw AS (
+      SELECT user_id,
+             date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort
+      FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+      FROM events
+    )
+    SELECT CAST(f.cohort AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.wk) / 7 AS INTEGER)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM act a JOIN firstw f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each (cohort, week offset) how many were active.
+    Week offset is (days between week-truncated dates) / 7 — exact in
+    both engines (both truncate weeks to Monday; the day diff is a
+    multiple of 7). The per-user first-event aggregate and the
+    distinct (user, week) activity set shuffle on user_id; the final
+    rollup is tiny (weeks x offsets)."""
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    j = act.join(firstw, "user_id")
+    return j.groupBy(
+        F.to_date("cohort").alias("cohort_week"),
+        (
+            F.datediff(F.to_date("wk"), F.to_date("cohort")) / 7
+        ).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================

@@ -169,3 +169,52 @@ def test_sessionize_gap_boundaries_golden(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 1, 7: 2, 8: 1, 9: 1}
+
+
+def test_funnel_requires_stage_order(spark, tmp_path):
+    """q_funnel counts stages only when reached IN ORDER: a user whose
+    purchase precedes their first post-view click must not reach the
+    final stage."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    T = dt.datetime
+    rows = [
+        # user 1: view -> click -> purchase (full funnel)
+        (1, T(2024, 1, 1, 9), 1, "view"),
+        (2, T(2024, 1, 1, 10), 1, "click"),
+        (3, T(2024, 1, 1, 11), 1, "purchase"),
+        # user 2: purchase BEFORE the post-view click -> stops at click
+        (4, T(2024, 1, 2, 9), 2, "view"),
+        (5, T(2024, 1, 2, 9, 30), 2, "purchase"),
+        (6, T(2024, 1, 2, 10), 2, "click"),
+        # user 3: click before any view -> stops at view
+        (7, T(2024, 1, 3, 8), 3, "click"),
+        (8, T(2024, 1, 3, 9), 3, "view"),
+        # user 4: never views -> in no stage
+        (9, T(2024, 1, 4, 9), 4, "click"),
+        (10, T(2024, 1, 4, 10), 4, "purchase"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(
+        [
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": u,
+                "event_type": et,
+                "value": 1.0,
+                "props": "{}",
+            }
+            for i, ts, u, et in rows
+        ]
+    ).to_parquet(sf / "events.parquet")
+    got = {
+        r.stage: r.n_users
+        for r in QUERIES["q_funnel"](spark, str(sf)).collect()
+    }
+    assert got == {"view": 3, "view>click": 2, "view>click>purchase": 1}
