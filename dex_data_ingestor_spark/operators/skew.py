@@ -57,3 +57,45 @@ def explain_shuffle_partitions(df: DataFrame) -> int:
         df._jdf.queryExecution(), "formatted"
     )
     return plan.count("Exchange")
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation for pathologically hot group keys:
+    stage 1 aggregates on (keys + salt) so a hot key's rows spread over
+    ``salt_buckets`` reducers; stage 2 combines the per-salt partials
+    on the true keys (tiny input: |groups| x salt_buckets rows).
+
+    Emits ``n`` (count) and ``sum_<value_col>`` (decimal(18,6)-exact
+    sum surfaced as double) — both exactly associative, so the result
+    is bit-identical to the plain one-stage groupBy regardless of how
+    rows scatter across salts.
+
+    Note Spark's hash aggregate already does map-side partial
+    aggregation, which covers MOST hot-key cases; explicit salting is
+    for when the reduce-side per-key state itself is the bottleneck
+    (e.g. very few distinct keys, so map partials still all land on
+    one reducer)."""
+    salt = (
+        F.xxhash64(F.monotonically_increasing_id()) % salt_buckets
+        + salt_buckets
+    ) % salt_buckets
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__s"),
+        )
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(
+            F.sum("__n").alias("n"),
+            F.sum("__s").cast("double").alias(f"sum_{value_col}"),
+        )
+    )

@@ -4385,6 +4385,32 @@ def q_retention(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_users"))
 
 
+
+
+@register(
+    "q_salted_agg",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation (operators/skew.py
+    salted_sum_count) hash-matched against the UNSALTED plain GROUP BY
+    oracle — redistribution without semantic drift, the groupBy
+    complement of q_salted_join. events has only 5 distinct
+    event_type values, the genuinely skew-shaped case where map-side
+    partials still converge on 5 reducers; salting spreads each hot
+    key's reduce-side combine over 16 salt buckets first. Exactness:
+    count and decimal sums are associative, so the salted result is
+    bit-identical however rows scatter."""
+    from dex_data_ingestor_spark.operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_sum_count(ev, ["event_type"], "value", salt_buckets=16)
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================

@@ -125,3 +125,35 @@ def test_salted_join_rejects_outer(spark, sf_dir):
     for how in ("right", "full", "outer", "right_outer"):
         with pytest.raises(ValueError):
             salted_join(li, supp, ["l_suppkey"], salt_buckets=4, how=how)
+
+
+def test_salted_sum_count_matches_plain_agg_and_adds_salt_stage(spark):
+    """salted_sum_count == plain groupBy (bit-exact, associative aggs)
+    and the physical plan really has the extra salt-stage exchange."""
+    from dex_data_ingestor_spark.operators.skew import (
+        explain_shuffle_partitions,
+        salted_sum_count,
+    )
+
+    rows = [(("hot" if i % 10 else "cold"), float(i) / 7) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r.k: (r.n, r.sum_v)
+        for r in salted_sum_count(df, ["k"], "v", salt_buckets=8).collect()
+    }
+    want = {
+        r.k: (r.n, r.sum_v)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_v"),
+        )
+        .collect()
+    }
+    assert got == want
+    # two-stage: (k, salt) exchange + final (k) exchange
+    assert explain_shuffle_partitions(
+        salted_sum_count(df, ["k"], "v", salt_buckets=8)
+    ) >= 2
