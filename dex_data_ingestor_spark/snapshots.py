@@ -1,0 +1,200 @@
+"""Versioned snapshot tables: a minimal commit-log table format with
+time travel, versioned MERGE, and copy-free rollback.
+
+The reference's warehouse writes are destructive upserts with no
+history (`INSERT ... ON DUPLICATE KEY UPDATE`, reference
+src/ingestion/tasks/bifrost/Bifrost.py:116-124 — a bad batch is
+unrecoverable). The production answer is a transactional table format
+(Delta/Iceberg); delta-spark is environment-gated here (NOTES.md
+records the failed install), so this module implements the same
+commit-log idea self-contained:
+
+- data for each version lives in an immutable directory
+  ``<root>/data/<uuid>/`` written once by Spark executors;
+- a commit is ONE atomic manifest file ``<root>/_log/<v>.json``
+  (``O_CREAT|O_EXCL`` — concurrent committers race on the version
+  number and exactly one wins; the loser retries on the next number);
+- readers resolve a version (latest, explicit, or latest-at-
+  timestamp) from the manifest log and read ONLY that version's data
+  directory — uncommitted/orphaned data dirs are invisible;
+- rollback commits a NEW manifest pointing at an OLD version's data
+  directory — no data is copied or deleted, and history stays intact.
+
+Scale posture: the driver touches only the tiny JSON manifests; all
+data moves through ``spark.read``/``df.write`` (distributed, columnar).
+Manifests record the data directory, not per-file lists — file-level
+stats ranges (data skipping) are the natural extension but belong to a
+real table format; this module deliberately stays small enough to
+audit. Works on any Hadoop-visible FS path for data; the manifest
+commit uses POSIX ``O_EXCL``, so the log directory must be on a
+filesystem with atomic create (local/NFS here; object stores need a
+conditional-put variant).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_log"
+DATA_DIR = "data"
+
+
+class SnapshotConflict(Exception):
+    """Another committer won this version number; retry the commit."""
+
+
+def _log_path(root: str) -> str:
+    return os.path.join(root, LOG_DIR)
+
+
+def _manifest_file(root: str, version: int) -> str:
+    return os.path.join(_log_path(root), f"{version:08d}.json")
+
+
+def _list_manifests(root: str) -> list[dict]:
+    """All committed manifests, ascending by version."""
+    log = _log_path(root)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in sorted(os.listdir(log)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(log, name)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def snapshot_versions(root: str) -> list[dict]:
+    """Commit history (oldest first): version, committed_at (UTC ISO),
+    op, data_dir, and the writer-supplied extra metadata."""
+    return _list_manifests(root)
+
+
+def _resolve(
+    root: str, version: int | None = None, as_of: dt.datetime | str | None = None
+) -> dict:
+    manifests = _list_manifests(root)
+    if not manifests:
+        raise FileNotFoundError(f"no committed snapshots under {root}")
+    if version is not None and as_of is not None:
+        raise ValueError("pass version OR as_of, not both")
+    if version is not None:
+        for m in manifests:
+            if m["version"] == version:
+                return m
+        raise KeyError(f"version {version} not committed under {root}")
+    if as_of is not None:
+        if isinstance(as_of, dt.datetime):
+            as_of = as_of.astimezone(dt.timezone.utc).isoformat()
+        eligible = [m for m in manifests if m["committed_at"] <= as_of]
+        if not eligible:
+            raise KeyError(f"no snapshot committed at or before {as_of}")
+        return eligible[-1]
+    return manifests[-1]
+
+
+def _commit(root: str, data_dir: str, op: str, extra: dict | None) -> dict:
+    """Atomically claim the next version number. O_CREAT|O_EXCL makes
+    exactly one concurrent committer win each number."""
+    os.makedirs(_log_path(root), exist_ok=True)
+    manifests = _list_manifests(root)
+    version = (manifests[-1]["version"] + 1) if manifests else 1
+    manifest = {
+        "version": version,
+        "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        "op": op,
+        "data_dir": data_dir,
+        **(extra or {}),
+    }
+    try:
+        fd = os.open(
+            _manifest_file(root, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL
+        )
+    except FileExistsError as e:
+        raise SnapshotConflict(
+            f"version {version} was committed concurrently under {root}"
+        ) from e
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def snapshot_write(
+    df: DataFrame, root: str, op: str = "write", extra: dict | None = None
+) -> dict:
+    """Write ``df`` as a NEW snapshot version and return its manifest.
+
+    The data directory is written first (executors, parquet); the
+    version exists only once the manifest commit succeeds — a job that
+    dies mid-write leaves an orphan directory readers never see.
+    Raises :class:`SnapshotConflict` if a concurrent committer claims
+    the version number first (data stays; re-commit with
+    :func:`snapshot_commit_existing` or rewrite).
+    """
+    data_dir = os.path.join(root, DATA_DIR, uuid.uuid4().hex)
+    df.write.mode("error").parquet(data_dir)
+    return _commit(root, data_dir, op, extra)
+
+
+def snapshot_commit_existing(
+    root: str, data_dir: str, op: str, extra: dict | None = None
+) -> dict:
+    """Commit an already-written data directory as the next version
+    (rollback, or retry after :class:`SnapshotConflict`)."""
+    return _commit(root, data_dir, op, extra)
+
+
+def snapshot_read(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    as_of: dt.datetime | str | None = None,
+) -> DataFrame:
+    """Read a snapshot: latest by default, or an explicit ``version``,
+    or the latest committed at-or-before ``as_of`` (UTC)."""
+    return spark.read.parquet(_resolve(root, version, as_of)["data_dir"])
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+) -> dict:
+    """MERGE ``updates`` into the latest snapshot and commit the result
+    as a new version (read latest -> merge_upsert -> snapshot_write).
+
+    This is the versioned twin of the reference's destructive per-row
+    upsert loop (Bifrost.py:116-124): same key semantics
+    (operators/merge.py merge_upsert), but every pre-merge state stays
+    readable and a bad batch rolls back with :func:`snapshot_rollback`.
+    Copy-on-write at version granularity — the right trade for
+    daily/hourly batch merges; per-file copy-on-write is what the real
+    table formats add.
+    """
+    from dex_data_ingestor_spark.operators.merge import merge_upsert
+
+    current = snapshot_read(spark, root)
+    merged = merge_upsert(current, updates, keys, update_cols)
+    return snapshot_write(merged, root, op="merge", extra={"keys": list(keys)})
+
+
+def snapshot_rollback(root: str, to_version: int) -> dict:
+    """Commit a new version whose data is an OLD version's directory.
+    No data is copied; history is preserved (the bad version stays
+    readable for the post-mortem)."""
+    target = _resolve(root, version=to_version)
+    return snapshot_commit_existing(
+        root,
+        target["data_dir"],
+        op="rollback",
+        extra={"rolled_back_to": to_version},
+    )

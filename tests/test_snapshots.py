@@ -1,0 +1,113 @@
+"""Versioned snapshot tables: time travel, versioned MERGE, rollback,
+commit atomicity (dex_data_ingestor_spark/snapshots.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dex_data_ingestor_spark import snapshots as S
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_write_merge_time_travel(spark, root):
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, v double"
+    )
+    m1 = S.snapshot_write(v1, root)
+    assert m1["version"] == 1
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    m2 = S.snapshot_merge(spark, root, updates, keys=["k"])
+    assert m2["version"] == 2
+
+    # latest = merged (update applied, insert present, untouched kept)
+    assert _rows(S.snapshot_read(spark, root)) == {
+        (1, "a", 10.0),
+        (2, "b2", 25.0),
+        (3, "c", 30.0),
+    }
+    # time travel by version: v1 unchanged
+    assert _rows(S.snapshot_read(spark, root, version=1)) == _rows(v1)
+    # time travel by timestamp: as_of v1's commit time resolves v1
+    assert _rows(
+        S.snapshot_read(spark, root, as_of=m1["committed_at"])
+    ) == _rows(v1)
+
+
+def test_rollback_reuses_data_dir_and_preserves_history(spark, root):
+    v1 = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    m1 = S.snapshot_write(v1, root)
+    bad = spark.createDataFrame([(1, -1.0), (2, -2.0)], "k long, v double")
+    S.snapshot_write(bad, root, op="write")
+
+    m3 = S.snapshot_rollback(root, to_version=1)
+    assert m3["version"] == 3 and m3["rolled_back_to"] == 1
+    # no data copy: v3 points at v1's directory
+    assert m3["data_dir"] == m1["data_dir"]
+    # latest == v1 content; the bad version stays readable
+    assert _rows(S.snapshot_read(spark, root)) == _rows(v1)
+    assert _rows(S.snapshot_read(spark, root, version=2)) == _rows(bad)
+    assert [m["version"] for m in S.snapshot_versions(root)] == [1, 2, 3]
+
+
+def test_orphan_data_dir_is_invisible(spark, root):
+    v1 = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    S.snapshot_write(v1, root)
+    # simulate a job that died after writing data, before committing
+    orphan = os.path.join(root, S.DATA_DIR, "deadbeef")
+    spark.createDataFrame([(9, 9.0)], "k long, v double").write.parquet(orphan)
+    assert _rows(S.snapshot_read(spark, root)) == _rows(v1)
+    assert len(S.snapshot_versions(root)) == 1
+
+
+def test_concurrent_commit_conflict(spark, root, monkeypatch):
+    """Two committers computing the same next version: exactly one
+    wins the O_EXCL manifest create; the loser gets SnapshotConflict
+    and succeeds on retry with a fresh listing."""
+    v1 = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    m1 = S.snapshot_write(v1, root)
+
+    # racer commits version 2 for real...
+    racer = S.snapshot_commit_existing(root, m1["data_dir"], op="racer")
+    assert racer["version"] == 2
+
+    # ...but the loser computed its version from a listing taken BEFORE
+    # the racer's commit (the actual race window)
+    real = S._list_manifests
+    monkeypatch.setattr(
+        S,
+        "_list_manifests",
+        lambda r: [m for m in real(r) if m["version"] < 2],
+    )
+    with pytest.raises(S.SnapshotConflict):
+        S.snapshot_write(v1, root)
+    monkeypatch.undo()
+
+    # retry with a fresh listing claims the next free number
+    m = S.snapshot_write(v1, root)
+    assert m["version"] == 3
+
+
+def test_resolve_errors(spark, root):
+    with pytest.raises(FileNotFoundError):
+        S.snapshot_read(spark, root)
+    v1 = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    m1 = S.snapshot_write(v1, root)
+    with pytest.raises(KeyError):
+        S.snapshot_read(spark, root, version=99)
+    with pytest.raises(KeyError):
+        S.snapshot_read(spark, root, as_of="1990-01-01T00:00:00+00:00")
+    with pytest.raises(ValueError):
+        S.snapshot_read(spark, root, version=1, as_of=m1["committed_at"])
