@@ -22,12 +22,13 @@ commit-log idea self-contained:
 
 Scale posture: the driver touches only the tiny JSON manifests; all
 data moves through ``spark.read``/``df.write`` (distributed, columnar).
-Manifests record the data directory, not per-file lists — file-level
-stats ranges (data skipping) are the natural extension but belong to a
-real table format; this module deliberately stays small enough to
-audit. Works on any Hadoop-visible FS path for data; the manifest
-commit uses POSIX ``O_EXCL``, so the log directory must be on a
-filesystem with atomic create (local/NFS here; object stores need a
+:func:`snapshot_write_with_stats` additionally records per-file
+min/max ranges (from parquet footers) in the manifest, and
+:func:`snapshot_scan_pruned` uses them for manifest-level data
+skipping — the same idea Delta/Iceberg file skipping implements.
+Works on any Hadoop-visible FS path for data; the manifest commit
+uses POSIX ``O_EXCL``, so the log directory must be on a filesystem
+with atomic create (local/NFS here; object stores need a
 conditional-put variant).
 """
 
@@ -198,3 +199,97 @@ def snapshot_rollback(root: str, to_version: int) -> dict:
         op="rollback",
         extra={"rolled_back_to": to_version},
     )
+
+
+# ---------------------------------------------------------------------------
+# File-level stats + data skipping
+# ---------------------------------------------------------------------------
+
+
+def _file_stats(data_dir: str, cols: Sequence[str]) -> list[dict]:
+    """Per-file min/max for ``cols`` from parquet FOOTERS only (no data
+    pages are read). Runs driver-side here — file counts per version
+    are small at this repo's scale; the 100 TB shape is the same footer
+    read fanned out over executors (mapPartitions over the file list),
+    which is what real table formats do at write time instead."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(data_dir, name)
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[c]).statistics
+                if s is None or not s.has_min_max:
+                    los = []  # unknown -> no stats for this col
+                    break
+                los.append(s.min)
+                his.append(s.max)
+            if los:
+                stats[c] = [min(los), max(his)]
+        out.append({"file": name, "stats": stats})
+    return out
+
+
+def snapshot_write_with_stats(
+    df: DataFrame,
+    root: str,
+    stats_cols: Sequence[str],
+    op: str = "write",
+    extra: dict | None = None,
+) -> dict:
+    """:func:`snapshot_write` + per-file min/max stats for
+    ``stats_cols`` recorded in the manifest (read from parquet footers
+    after the write). Cluster the data on the stats columns first
+    (``df.repartitionByRange(*stats_cols)``) or the per-file ranges all
+    overlap and skipping prunes nothing."""
+    data_dir = os.path.join(root, DATA_DIR, uuid.uuid4().hex)
+    df.write.mode("error").parquet(data_dir)
+    files = _file_stats(data_dir, stats_cols)
+    return _commit(
+        root,
+        data_dir,
+        op,
+        {**(extra or {}), "files": files, "stats_cols": list(stats_cols)},
+    )
+
+
+def snapshot_scan_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+):
+    """Read only the files whose recorded [min, max] for ``col``
+    overlaps [lo, hi] — manifest-level data skipping, the same idea
+    partition pruning and Delta/Iceberg file skipping implement. Files
+    without recorded stats for ``col`` are conservatively INCLUDED.
+    Returns the DataFrame (caller still applies the exact predicate —
+    skipping is a superset guarantee, not a filter)."""
+    m = _resolve(root, version=version)
+    files = m.get("files")
+    if not files:
+        raise ValueError(
+            f"version {m['version']} has no file stats (written via "
+            "snapshot_write_with_stats?)"
+        )
+    keep = []
+    for f in files:
+        rng = f["stats"].get(col)
+        if rng is None or not (hi < rng[0] or lo > rng[1]):
+            keep.append(os.path.join(m["data_dir"], f["file"]))
+    if not keep:
+        # empty selection: preserve schema by reading the dir and
+        # filtering everything out
+        return spark.read.parquet(m["data_dir"]).limit(0)
+    return spark.read.parquet(*keep)

@@ -111,3 +111,44 @@ def test_resolve_errors(spark, root):
         S.snapshot_read(spark, root, as_of="1990-01-01T00:00:00+00:00")
     with pytest.raises(ValueError):
         S.snapshot_read(spark, root, version=1, as_of=m1["committed_at"])
+
+
+def test_file_stats_skipping_prunes_files_and_keeps_results(spark, root):
+    """Range-clustered write + manifest stats: a narrow range scan
+    reads a strict subset of files yet returns exactly the rows the
+    full-scan filter returns."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 10_000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        .repartitionByRange(8, "k")
+    )
+    m = S.snapshot_write_with_stats(df, root, stats_cols=["k"])
+    assert m["stats_cols"] == ["k"] and len(m["files"]) == 8
+    assert all(f["stats"].get("k") for f in m["files"])
+
+    pruned = S.snapshot_scan_pruned(spark, root, "k", 2000, 2100)
+    assert len(pruned.inputFiles()) < 8  # skipped most files
+    got = _rows(pruned.filter(F.col("k").between(2000, 2100)))
+    want = _rows(
+        S.snapshot_read(spark, root).filter(F.col("k").between(2000, 2100))
+    )
+    assert got == want and len(got) == 101
+
+    # out-of-range scan: schema preserved, zero rows
+    empty = S.snapshot_scan_pruned(spark, root, "k", 10**9, 10**9 + 5)
+    assert empty.columns == ["k", "v"] and empty.count() == 0
+
+
+def test_scan_pruned_includes_files_without_stats(spark, root):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    m = S.snapshot_write_with_stats(df, root, stats_cols=["missing_col"])
+    # no stats recorded for the column -> every file conservatively kept
+    pruned = S.snapshot_scan_pruned(spark, root, "missing_col", 0, 1)
+    assert pruned.count() == 100
