@@ -516,3 +516,55 @@ def stream_neardup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_merge_snapshots(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    root: str,
+    keys: list[str],
+    spark: SparkSession,
+    update_cols: list[str] | None = None,
+):
+    """Streaming upsert sink over the commit-log snapshot table
+    (snapshots.py) — the versioned, atomic successor of
+    :func:`foreach_batch_merge`'s staging-copy dance.
+
+    Exactly-once by two mechanisms: (a) each version commit is ONE
+    atomic manifest create, so readers never observe a half-written
+    merge; (b) every commit records its micro-batch id, and a REPLAYED
+    batch (id <= the last committed id — the at-least-once case after
+    a sink failure) is skipped outright instead of relying on merge
+    idempotence. Every pre-merge state stays time-travelable for
+    audit/rollback. Single-writer per table root (Structured Streaming
+    guarantees one active sink per checkpoint); a SnapshotConflict
+    here means a second writer is misconfigured and should surface.
+
+    Returns the started query (AvailableNow).
+    """
+    from dex_data_ingestor_spark import snapshots as S
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        versions = S.snapshot_versions(root)
+        last = max((m.get("batch_id", -1) for m in versions), default=-1)
+        if batch_id <= last:
+            return  # replayed micro-batch: already committed
+        if versions:
+            merged = merge_upsert(
+                S.snapshot_read(spark, root), batch_df, keys, update_cols
+            )
+        else:
+            merged = batch_df
+        S.snapshot_write(
+            merged,
+            root,
+            op="stream-merge",
+            extra={"batch_id": batch_id, "keys": list(keys)},
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

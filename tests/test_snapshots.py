@@ -152,3 +152,63 @@ def test_scan_pruned_includes_files_without_stats(spark, root):
     # no stats recorded for the column -> every file conservatively kept
     pruned = S.snapshot_scan_pruned(spark, root, "missing_col", 0, 1)
     assert pruned.count() == 100
+
+
+def test_streaming_snapshot_sink_batchid_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Snapshot-backed streaming merge sink: committed content equals
+    the batch merge of all micro-batches; a replayed batch id commits
+    nothing new; history holds one version per micro-batch."""
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.streaming.jobs import (
+        events_stream_from_parquet,
+        foreach_batch_merge_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    ev.limit(120).write.mode("overwrite").parquet(src)  # file 1 (+2)
+    ev.subtract(ev.limit(120)).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "tbl")
+    stream = events_stream_from_parquet(
+        spark, src, max_files_per_trigger=1
+    ).select("event_id", "user_id", "event_type", "value")
+    q = foreach_batch_merge_snapshots(
+        stream, str(tmp_path / "ckpt"), root, keys=["event_id"], spark=spark
+    )
+    q.awaitTermination(timeout=180)
+
+    got = {
+        (r.event_id, r.value)
+        for r in S.snapshot_read(spark, root).collect()
+    }
+    want = {
+        (r.event_id, r.value)
+        for r in ev.select("event_id", "value").distinct().collect()
+    }
+    assert got == want and len(got) == 200
+
+    versions = S.snapshot_versions(root)
+    n_before = len(versions)
+    assert n_before >= 1
+    assert [m["op"] for m in versions] == ["stream-merge"] * n_before
+
+    # at-least-once replay: re-running the whole stream with a FRESH
+    # checkpoint replays all batch ids from 0, all <= last committed
+    # -> zero new versions
+    last_bid = max(m["batch_id"] for m in versions)
+    q2 = foreach_batch_merge_snapshots(
+        events_stream_from_parquet(spark, src, max_files_per_trigger=1)
+        .select("event_id", "user_id", "event_type", "value"),
+        str(tmp_path / "ckpt_fresh"),
+        root,
+        keys=["event_id"],
+        spark=spark,
+    )
+    q2.awaitTermination(timeout=180)
+    assert len(S.snapshot_versions(root)) == n_before
+    assert last_bid == max(
+        m["batch_id"] for m in S.snapshot_versions(root)
+    )
