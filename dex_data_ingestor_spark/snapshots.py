@@ -293,3 +293,49 @@ def snapshot_scan_pruned(
         # filtering everything out
         return spark.read.parquet(m["data_dir"]).limit(0)
     return spark.read.parquet(*keep)
+
+
+# ---------------------------------------------------------------------------
+# Lifecycle: compaction + vacuum
+# ---------------------------------------------------------------------------
+
+
+def snapshot_compact(
+    spark: SparkSession, root: str, target_files: int = 1
+) -> dict:
+    """Rewrite the LATEST version's data as ``target_files`` files and
+    commit it as a new version (op='compact') — the small-files answer
+    for high-frequency micro-batch merges (each stream-merge commit
+    writes a full version; hourly cadence x small batches = many tiny
+    files; compaction folds them without changing content). History is
+    unchanged: the uncompacted version stays readable."""
+    current = snapshot_read(spark, root)
+    compacted = current.coalesce(max(1, target_files))
+    return snapshot_write(compacted, root, op="compact")
+
+
+def snapshot_vacuum(root: str, keep_last: int = 3) -> list[str]:
+    """Delete data directories referenced ONLY by versions older than
+    the last ``keep_last`` manifests; returns the removed dirs.
+
+    Reference-counted by data_dir: rollback/compact commits may point
+    several versions at one directory, and a directory survives if ANY
+    retained version references it. Retained manifests stay readable;
+    older manifests remain in the log (history is an audit trail) but
+    their time-travel reads will fail once vacuumed — same contract as
+    Delta's VACUUM vs retention window."""
+    import shutil
+
+    manifests = _list_manifests(root)
+    if len(manifests) <= keep_last:
+        return []
+    retained = {m["data_dir"] for m in manifests[-keep_last:]}
+    removable = {
+        m["data_dir"] for m in manifests[:-keep_last]
+    } - retained
+    removed = []
+    for d in sorted(removable):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed.append(d)
+    return removed

@@ -212,3 +212,46 @@ def test_streaming_snapshot_sink_batchid_idempotent(
     assert last_bid == max(
         m["batch_id"] for m in S.snapshot_versions(root)
     )
+
+
+def test_compact_folds_files_without_changing_content(spark, root):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    ).repartition(8)
+    S.snapshot_write(df, root)
+    before = S.snapshot_read(spark, root)
+    assert len(before.inputFiles()) == 8
+
+    m = S.snapshot_compact(spark, root, target_files=1)
+    assert m["op"] == "compact" and m["version"] == 2
+    after = S.snapshot_read(spark, root)
+    assert len(after.inputFiles()) == 1
+    assert _rows(after) == _rows(before)
+    # uncompacted version still readable
+    assert len(S.snapshot_read(spark, root, version=1).inputFiles()) == 8
+
+
+def test_vacuum_is_reference_counted_and_keeps_retained(spark, root):
+    v = [
+        spark.createDataFrame([(i, float(i))], "k long, v double")
+        for i in range(4)
+    ]
+    m1 = S.snapshot_write(v[0], root)
+    S.snapshot_write(v[1], root)
+    S.snapshot_write(v[2], root)
+    # v4 is a rollback to v1: shares v1's data_dir
+    S.snapshot_rollback(root, to_version=1)
+
+    removed = S.snapshot_vacuum(root, keep_last=2)
+    # v1's dir is referenced by retained v4 -> must survive; only v2's
+    # dir is removable (v3 retained)
+    assert len(removed) == 1
+    assert m1["data_dir"] not in removed
+    assert _rows(S.snapshot_read(spark, root)) == _rows(v[0])  # v4
+    assert _rows(S.snapshot_read(spark, root, version=3)) == _rows(v[2])
+    with pytest.raises(Exception):
+        S.snapshot_read(spark, root, version=2).collect()  # vacuumed
+    # under the keep threshold: no-op
+    assert S.snapshot_vacuum(root, keep_last=10) == []
