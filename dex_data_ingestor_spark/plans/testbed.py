@@ -4411,6 +4411,59 @@ def q_salted_agg(spark, sf_dir):
     return salted_sum_count(ev, ["event_type"], "value", salt_buckets=16)
 
 
+
+
+@register(
+    "q_rolling_dau",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    )
+    SELECT d.day,
+           COUNT(DISTINCT a.user_id) AS dau7
+    FROM days d
+    JOIN active a
+      ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY 1
+    """,
+)
+def q_rolling_dau(spark, sf_dir):
+    """7-day rolling distinct active users per day — the windowed
+    COUNT DISTINCT the product dashboards run. Sliding distinct does
+    not decompose into window partials, so the scalable plan EXPLODES
+    each distinct (user, day) activity pair into the <=7 target days
+    it contributes to, then counts distinct users per target day:
+    input to the heavy stage is the (user, day) DISTINCT set (bounded
+    by users x days, far below raw events), the fan-out is a fixed
+    7x, and both stages shuffle on small keys. The oracle uses the
+    equivalent range join. Emitted days are restricted to days that
+    EXIST in the data (join with the distinct-day set), so engine and
+    oracle agree on the domain."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    contributes = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("target_day"),
+    )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    return (
+        contributes.join(
+            days, contributes.target_day == days.day, "inner"
+        )
+        .groupBy(F.col("day"))
+        .agg(F.countDistinct("user_id").alias("dau7"))
+    )
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
