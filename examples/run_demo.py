@@ -118,6 +118,26 @@ def main() -> None:
     diff = table_diff(old_v, cust, keys=["c_custkey"])
     print("   table diff rows (half removed):",
           diff.groupBy("status").count().collect())
+
+    print("== 6. versioned snapshot table: merge, time travel, rollback")
+    from dex_data_ingestor_spark import snapshots as S
+
+    tbl = os.path.join(work, "tokens_tbl")
+    S.snapshot_write(cust.limit(50), tbl)
+    S.snapshot_merge(
+        spark, tbl,
+        cust.limit(60).withColumn("c_acctbal", F.col("c_acctbal") + 1),
+        keys=["c_custkey"],
+    )
+    print("   versions:", [
+        (m["version"], m["op"]) for m in S.snapshot_versions(tbl)
+    ])
+    print("   latest rows:", S.snapshot_read(spark, tbl).count(),
+          "| v1 rows (time travel):",
+          S.snapshot_read(spark, tbl, version=1).count())
+    S.snapshot_rollback(tbl, to_version=1)
+    print("   after rollback latest == v1:",
+          S.snapshot_read(spark, tbl).count())
     spark.stop()
     print("DEMO COMPLETE")
 
