@@ -54,6 +54,11 @@ HEADLINE = [
     "q_promo_revenue",
     "q_outlier_events",
     "q_bm25",
+    # VERDICT r6 #3: the heaviest corpus operators (explode-per-
+    # character span dedup, char-5-gram MinHash LSH) were unbenched —
+    # a regression there was invisible. Headline set is now 24.
+    "q_dup_substrings",
+    "q_charngram_lsh",
 ]
 
 

@@ -58,3 +58,94 @@ def test_delta_merge_gated(spark, tmp_path):
     src = spark.range(3).withColumnRenamed("id", "k")
     with pytest.raises(RuntimeError, match="merge_upsert"):
         merge_upsert_delta(spark, str(tmp_path / "t"), src, ["k"])
+
+
+def test_kafka_wire_parity_over_microbatches(spark, tmp_path):
+    """VERDICT r6 #6: the wire path exercised END-TO-END without a
+    broker — recorded segment files in Kafka's exact wire schema play
+    back through readStream (maxFilesPerTrigger=1 => one micro-batch
+    per segment, >= 2 batches), parse_json_payload runs INSIDE the
+    stream, and the streamed union must equal the batch-side parse of
+    the same wire rows (including the malformed-record NULL-struct
+    contract). This is the MemoryStream-style parity twin: identical
+    transform, streaming vs batch execution."""
+    import json
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def wire_rows(recs, part, base_off):
+        out = []
+        for i, rec in enumerate(recs):
+            val = (
+                rec.encode() if isinstance(rec, str)
+                else json.dumps(rec).encode()
+            )
+            out.append(
+                (
+                    str(base_off + i).encode(),
+                    val,
+                    "events",
+                    part,
+                    base_off + i,
+                    dt.datetime(2026, 8, 14, 12, 0)
+                    + dt.timedelta(seconds=base_off + i),
+                    0,
+                )
+            )
+        return out
+
+    seg1 = wire_rows(
+        [{"event_id": 1, "kind": "swap", "value": 1.5},
+         {"event_id": 2, "kind": "mint", "value": 2.0},
+         "{not json"],                       # malformed -> NULL struct
+        part=0, base_off=0,
+    )
+    seg2 = wire_rows(
+        [{"event_id": 3, "kind": "burn", "value": 3.25},
+         {"event_id": 4, "kind": "swap", "value": 4.0}],
+        part=1, base_off=100,
+    )
+
+    seg_dir = str(tmp_path / "segments")
+    for seg in (seg1, seg2):   # one file per write => one per batch
+        spark.createDataFrame(seg, KAFKA_WIRE_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(seg_dir)
+
+    stream = (
+        spark.readStream.schema(KAFKA_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(seg_dir)
+    )
+    parsed = parse_json_payload(stream, payload_schema)
+
+    batches: list[tuple[int, list]] = []
+    q = (
+        parsed.writeStream.foreachBatch(
+            lambda df, bid: batches.append((bid, df.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    non_empty = [b for b in batches if b[1]]
+    assert len(non_empty) >= 2, f"expected >=2 micro-batches: {batches}"
+
+    batch_side = parse_json_payload(
+        spark.createDataFrame(seg1 + seg2, KAFKA_WIRE_SCHEMA),
+        payload_schema,
+    ).collect()
+    key = lambda r: (r.kafka_ts, r.event_id)  # noqa: E731
+    streamed = sorted((r for _, rows in batches for r in rows), key=key)
+    assert streamed == sorted(batch_side, key=key)
+    # malformed record arrived as a NULL struct, not a dropped row
+    assert sum(1 for r in streamed if r.event_id is None) == 1

@@ -97,3 +97,75 @@ def test_curation_pipeline_end_to_end_at_scale(spark, skewed_corpus):
         ).select("doc_id").collect()
     ]
     assert sorted(ids) == sorted(again)
+
+
+@pytest.mark.slow
+def test_span_dedup_boilerplate_corpus_at_scale(spark):
+    """VERDICT r6 #5: the span family above toy size. A 3000-doc
+    corpus where HALF the docs embed the same 400-char license header
+    runs through strip_repeated_substrings end-to-end; asserts
+
+    - the shuffled explode stays inside the hash/winnow budget
+      (winnow=10 emits < 0.5x — expected ~0.18x — of the one-row-per-
+      character exact explode, 8-byte keys either way), recording the
+      amplification factor for the round notes;
+    - exactly one header survives corpus-wide (the min-(id,pos)
+      occurrence); every other copy's doc loses ~the header length;
+    - output is byte-deterministic across re-runs.
+    """
+    import random
+    import string
+
+    from dex_data_ingestor_spark.operators.corpus import (
+        _window_keys,
+        strip_repeated_substrings,
+    )
+
+    rng = random.Random(20260814)
+    header = "".join(
+        rng.choice(string.ascii_letters + string.digits + " ")
+        for _ in range(400)
+    )
+    n_docs, n_boiler = 3000, 1500
+
+    def body(seed, n=300):
+        r = random.Random(seed)
+        return "".join(
+            r.choice(string.ascii_letters + string.digits + " ")
+            for _ in range(n)
+        )
+
+    rows = [
+        (i, (header + body(i)) if i < n_boiler else body(i, 700))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    LN, W = 20, 10
+    base = df.select(
+        "doc_id", F.col("text").alias("__t"), F.length("text").alias("__n")
+    ).filter(F.length("__t") >= LN)
+    n_exact = _window_keys(base, "doc_id", LN, True, 1).count()
+    n_winn = _window_keys(base, "doc_id", LN, True, W).count()
+    amplification = n_exact / n_winn
+    # expected ~(W+1)/2 = 5.5x fewer shuffled rows; assert > 2x with
+    # plenty of slack for structured (non-uniform-hash) text
+    assert n_winn < 0.5 * n_exact, (n_winn, n_exact)
+    print(f"winnow explode reduction: {amplification:.1f}x "
+          f"({n_exact} -> {n_winn} rows)")
+
+    out = {r.doc_id: r.text for r in strip_repeated_substrings(
+        df, min_len=LN, winnow=W).collect()}
+    # doc 0 keeps the header; every other boilerplate doc loses it to
+    # within the winnow boundary tolerance
+    assert out[0].startswith(header)
+    for d in (1, 2, n_boiler - 1):
+        assert len(out[d]) <= 300 + 2 * (W - 1)
+        assert header not in out[d]
+    # non-boilerplate docs pass through byte-identical
+    for d in (n_boiler, n_docs - 1):
+        assert out[d] == rows[d][1]
+
+    again = {r.doc_id: r.text for r in strip_repeated_substrings(
+        df, min_len=LN, winnow=W).collect()}
+    assert out == again
