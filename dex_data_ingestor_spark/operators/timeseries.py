@@ -152,3 +152,44 @@ def sessionize(
     return staged.withColumn(
         "session_seq", F.sum(is_new).over(running)
     ).drop("_prev_ts")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build: turn an append-only
+    changelog (one row per attribute change, the shape the reference's
+    hourly incremental pulls produce — see SqlDbEtl's bookmark window)
+    into versioned dimension rows with validity intervals:
+
+    ``(keys..., attrs..., effective_from, effective_to, is_current)``
+
+    where ``effective_from`` is the change's own timestamp,
+    ``effective_to`` is the NEXT change's timestamp for the same key
+    (half-open interval, NULL for the live row), and ``is_current``
+    marks the latest version. Point-in-time dimension lookups then
+    join on ``effective_from <= t AND (t < effective_to OR
+    effective_to IS NULL)`` — the warehouse-side complement of the
+    as-of join (operators/asof.py).
+
+    Scale shape: ONE window pass partitioned by the dimension key —
+    a single hash exchange on ``key_cols``; no self-join, no global
+    ordering. Ties on ``ts_col`` are broken by ``order_tiebreak``
+    (give it the changelog's monotone id) so intervals are
+    deterministic under same-timestamp updates; a tie produces a
+    zero-width (from == to) superseded version, never a lost row.
+    """
+    tiebreak = order_tiebreak or []
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak)
+    nxt = F.lead(ts_col).over(w)
+    return df.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -4464,6 +4464,196 @@ def q_rolling_dau(spark, sf_dir):
     )
 
 
+@register(
+    "q_scd2",
+    """
+    SELECT user_id, event_id, event_type, value,
+           CAST(ts AS TIMESTAMP) AS effective_from,
+           lead(CAST(ts AS TIMESTAMP)) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS effective_to,
+           lead(CAST(ts AS TIMESTAMP)) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+             AS is_current
+    FROM events
+    """,
+)
+def q_scd2(spark, sf_dir):
+    """Slowly-Changing-Dimension Type 2 build
+    (operators/timeseries.scd2_intervals): the events changelog
+    becomes versioned dimension rows with half-open validity
+    intervals — effective_from = the change's timestamp,
+    effective_to = the key's next change (NULL while live),
+    is_current on the latest version. The warehouse materialization
+    the reference's row-at-a-time upserts overwrite away
+    (Bifrost.py keeps only the latest row; SCD2 keeps history).
+    ONE window pass partitioned by the dimension key — a single
+    hash exchange, no self-join; event_id tiebreak makes
+    same-timestamp updates deterministic."""
+    from dex_data_ingestor_spark.operators.timeseries import (
+        scd2_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    return scd2_intervals(
+        ev, ["user_id"], "ts", ["event_id", "event_type", "value"],
+        order_tiebreak=["event_id"],
+    )
+
+
+@register(
+    "q_market_share",
+    """
+    WITH j AS (
+      SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS INTEGER) AS yr,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,6)) AS rev,
+             n.n_name = 'NATION_2' AS is_target
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT yr,
+           CAST(SUM(CASE WHEN is_target THEN rev ELSE 0 END)
+                AS DOUBLE) AS nation_revenue,
+           CAST(SUM(rev) AS DOUBLE) AS region_revenue,
+           CAST(SUM(CASE WHEN is_target THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM j GROUP BY 1
+    """,
+)
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): one nation's yearly
+    share of its region's supplier revenue. region/nation/supplier
+    fold into one broadcast dim (region filter prunes first); the
+    only big exchange is lineitem-orders on orderkey; the share is
+    IEEE division of two decimal-exact sums (bit-stable without
+    rounding, as q_promo_revenue)."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select(
+            "s_suppkey", (F.col("n_name") == "NATION_2").alias("is_target")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(F.to_date("o_orderdate")).cast("int").alias("yr"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("yr", rev.alias("rev"), "is_target")
+    )
+    agg = j.groupBy("yr").agg(
+        _dec_sum(
+            F.when(F.col("is_target"), F.col("rev")).otherwise(F.lit(0.0)),
+            "nation_revenue",
+        ),
+        _dec_sum(F.col("rev"), "region_revenue"),
+    )
+    return agg.select(
+        "yr",
+        "nation_revenue",
+        "region_revenue",
+        (F.col("nation_revenue") / F.col("region_revenue")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+@register(
+    "q_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): supplier(s) with the maximum
+    quarterly revenue — the scalar-subquery-on-an-aggregate pattern.
+    Plan: one partial-aggregated shuffle on suppkey builds the
+    quarterly revenue table; its one-row MAX broadcasts back as the
+    filter (no window over all suppliers, no second shuffle); the
+    supplier dim broadcasts. Equality on the decimal-exact revenue
+    doubles is deterministic cross-engine, so ties emit all
+    max-revenue suppliers identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "total_rev",
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("__mx"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == F.col("__mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "q_chunk_documents",
+    """
+    SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+           CAST(k * 150 + 1 AS INTEGER) AS chunk_start,
+           substring(text, CAST(k * 150 + 1 AS INTEGER), 200)
+             AS chunk_text
+    FROM documents,
+         unnest(range(0, CAST(ceil(length(text) / 150.0) AS INTEGER)))
+           AS u(k)
+    WHERE length(text) > 0
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping-window document chunking
+    (operators/corpus.chunk_documents): 200-char chunks every 150
+    chars (50-char overlap) with 0-based chunk ids and 1-based start
+    offsets — the RAG-indexing / embedding-prep materialization.
+    Pure narrow transform + explode: zero shuffles; the byte
+    amplification is the explicit chunk_size/stride overlap cost."""
+    from dex_data_ingestor_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_size=200, stride=150
+    )
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================

@@ -467,3 +467,38 @@ def test_winnowed_strip_residue_bound(spark):
     assert out[3] == rows[2][1]               # unique doc untouched
     residue = out.get(2, "")
     assert len(residue) <= 2 * (W - 1)        # copy ~vanishes
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Chunking invariants: chunks start every `stride` chars, overlap
+    by chunk_size - stride, concatenating each chunk's leading
+    `stride` chars rebuilds the document, short docs emit one chunk,
+    empty docs emit none."""
+    from dex_data_ingestor_spark.operators.corpus import chunk_documents
+
+    rows = [
+        (1, "".join(chr(ord("a") + (i % 26)) for i in range(500))),
+        (2, "tiny"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=200, stride=150).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    assert set(by_doc) == {1, 2}
+    c1 = by_doc[1]
+    assert len(c1) == 4                       # ceil(500/150)
+    assert [r.chunk_start for r in c1] == [1, 151, 301, 451]
+    # overlap: each chunk re-covers the previous one's tail 50 chars
+    for a, b in zip(c1, c1[1:]):
+        assert a.chunk_text[150:] == b.chunk_text[:50]
+    # coverage: stride-prefixes concatenate back to the document
+    rebuilt = "".join(r.chunk_text[:150] for r in c1)
+    assert rebuilt == rows[0][1]
+    assert by_doc[2][0].chunk_text == "tiny" and len(by_doc[2]) == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=100, stride=150)

@@ -218,3 +218,58 @@ def test_funnel_requires_stage_order(spark, tmp_path):
         for r in QUERIES["q_funnel"](spark, str(sf)).collect()
     }
     assert got == {"view": 3, "view>click": 2, "view>click>purchase": 1}
+
+
+def test_scd2_intervals_golden(spark):
+    """Versioned dimension build: per-key versions chain half-open
+    intervals (each effective_to == next effective_from), exactly one
+    is_current row per key, same-timestamp ties break on the
+    changelog id into a zero-width superseded version."""
+    import datetime as dt
+
+    from dex_data_ingestor_spark.operators.timeseries import (
+        scd2_intervals,
+    )
+
+    t0 = dt.datetime(2026, 8, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, 10, ts(0), "bronze"),
+        (1, 11, ts(5), "silver"),
+        (1, 12, ts(9), "gold"),
+        (2, 13, ts(2), "bronze"),
+        # same-timestamp tie for user 3: id order decides
+        (3, 15, ts(1), "first"),
+        (3, 14, ts(1), "zeroth"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, change_id long, ts timestamp, tier string"
+    )
+    out = scd2_intervals(
+        df, ["user_id"], "ts", ["tier"], order_tiebreak=["change_id"]
+    ).collect()
+
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.effective_from,
+                                        r.tier)):
+        by_user.setdefault(r.user_id, []).append(r)
+
+    u1 = sorted(by_user[1], key=lambda r: r.effective_from)
+    assert [r.tier for r in u1] == ["bronze", "silver", "gold"]
+    # intervals chain half-open with no gaps
+    assert u1[0].effective_to == u1[1].effective_from
+    assert u1[1].effective_to == u1[2].effective_from
+    assert u1[2].effective_to is None and u1[2].is_current
+    assert not u1[0].is_current and not u1[1].is_current
+
+    assert by_user[2][0].is_current and by_user[2][0].effective_to is None
+
+    u3 = sorted(by_user[3], key=lambda r: (r.effective_from, not r.is_current))
+    zeroth = [r for r in by_user[3] if r.tier == "zeroth"][0]
+    first = [r for r in by_user[3] if r.tier == "first"][0]
+    # tie: lower change_id version is superseded at zero width
+    assert zeroth.effective_to == zeroth.effective_from
+    assert not zeroth.is_current and first.is_current
