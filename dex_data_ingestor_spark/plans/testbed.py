@@ -2332,33 +2332,21 @@ def q_minhash_pairs(spark, sf_dir):
 def q_charngram_lsh(spark, sf_dir):
     """MinHash + LSH banding over CHARACTER 5-gram shingles — the
     shingle flavor for whitespace-poor text (CJK, code, URLs) where
-    word n-grams are too coarse (operators/neardup.py char_shingles).
-    Same downstream banding contract as q_minhash_lsh, so the whole
-    candidate/verify/cluster pipeline runs unchanged on either shingle
-    flavor; at scale the char-gram explode is the bigger narrow stage
-    (one row per distinct 5-gram), but the shuffled artifact is still
-    only (id, band, hash)."""
-    from dex_data_ingestor_spark.functions.scalars import md5_int64
+    word n-grams are too coarse (operators/neardup.py
+    char_minhash_signatures_wide). Same downstream banding contract as
+    q_minhash_lsh, so the whole candidate/verify/cluster pipeline runs
+    unchanged on either shingle flavor. The signature stage is the
+    zero-shuffle HOF form with NO array_distinct (min over the gram
+    multiset == min over its set; the exploded distinct form paid
+    O(len^2) per doc — 33.5 s -> 3.3 s at sf0.1); the shuffled
+    artifact is only (id, band, hash)."""
     from dex_data_ingestor_spark.operators.neardup import (
-        MINHASH_P,
-        MINHASH_PARAMS,
-        char_shingles,
+        char_minhash_signatures_wide,
         lsh_band_buckets_wide,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", k=5)
-    hashed = sh.select(
-        F.col("doc_id"), md5_int64(F.col("gram")).alias("gram_hash")
-    )
-    sigs = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(a) * F.col("gram_hash") + F.lit(b)) % MINHASH_P
-            ).alias(f"m{k}")
-            for k, (a, b) in enumerate(MINHASH_PARAMS)
-        ]
-    )
+    sigs = char_minhash_signatures_wide(docs, "doc_id", "text", k=5)
     return lsh_band_buckets_wide(sigs, "doc_id", rows_per_band=4)
 
 
