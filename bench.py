@@ -59,6 +59,10 @@ HEADLINE = [
     # a regression there was invisible. Headline set is now 24.
     "q_dup_substrings",
     "q_charngram_lsh",
+    # the winnowed scale configuration of the span family, benched
+    # next to the exact path so the 2/(w+1) explode saving is a
+    # recorded number, not a claim (rows-only registry entry).
+    "q_dup_substrings_winnowed",
 ]
 
 

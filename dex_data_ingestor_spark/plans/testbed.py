@@ -4452,6 +4452,31 @@ def q_rolling_dau(spark, sf_dir):
     )
 
 
+@register("q_dup_substrings_winnowed")  # rows-only: no SQL oracle
+def q_dup_substrings_winnowed(spark, sf_dir):
+    """The SCALE configuration of q_dup_substrings: same repeated-
+    substring span statistics, but positions are winnowed (w=10
+    content-defined argmin sampling over the xxhash64 gram array) so
+    only ~2/(w+1) of character positions explode and shuffle —
+    measured 5.5x row reduction (tests/test_scale_stress.py). No SQL
+    oracle BY DESIGN: DuckDB has no twin of Spark's seeded xxhash64,
+    so the winnowed selection set is not cross-engine expressible;
+    correctness is bounded instead by pytest properties
+    (tests/test_corpus.py: winnowed dup positions are a subset of
+    exact ones, every repeat >= min_len + w - 1 is detected, span
+    boundaries within w-1 chars). Registered so the driver tracks
+    rows/schema stability and the bench records the scale path next
+    to the exact one."""
+    from dex_data_ingestor_spark.operators.corpus import (
+        repeated_substring_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_substring_spans(
+        docs, "doc_id", "text", min_len=20, winnow=10
+    )
+
+
 @register(
     "q_scd2",
     """
