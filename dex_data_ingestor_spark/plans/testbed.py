@@ -4452,6 +4452,106 @@ def q_rolling_dau(spark, sf_dir):
     )
 
 
+@register(
+    "q_source_quality",
+    """
+    WITH d AS (
+      SELECT source, lang, length(text) AS n_chars,
+             count(*) OVER (PARTITION BY sha256(text)) AS c
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 9) AS dup_rate,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM d GROUP BY 1
+    """,
+)
+def q_source_quality(spark, sf_dir):
+    """Per-source crawl-curation report: document volume, corpus-wide
+    exact-duplicate rate (how much of the source is copies of content
+    seen anywhere), bytes, and language spread — the table a crawl
+    pipeline thresholds to blocklist low-value sources BEFORE paying
+    per-document processing. Two shuffles: one on the content digest
+    for the duplicate count (count-over-window keeps the rows — same
+    single-pass shape as q_dup_substrings), one partial-aggregated
+    rollup to sources. The integer dup counts make dup_rate a
+    round(int/int, 9) — bit-stable cross-engine."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.count(F.lit(1)).over(
+        Window.partitionBy(F.sha2(F.col("text"), 256))
+    )
+    d = docs.select(
+        "source", "lang", F.length("text").alias("n_chars"), c.alias("c")
+    )
+    dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dup.cast("bigint").alias("n_dup_docs"),
+        F.round(
+            dup.cast("double") / F.count(F.lit(1)), 9
+        ).alias("dup_rate"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "q_token_budget",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY n_tokens DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 20000
+    """,
+)
+def q_token_budget(spark, sf_dir):
+    """Token-budget corpus selection: per language, keep documents in
+    deterministic priority order (token count desc, id) until the
+    language's training-token budget is exhausted — the selection
+    that turns mix weights (q_mix_weights) into an actual document
+    set. One cumulative-sum window partitioned by language (the
+    pack_sequences shape): a single hash exchange, integer arithmetic
+    throughout. At 100 TB the per-language window is the sort to
+    watch — shard the priority order by a salt and budget per shard
+    when one language dominates."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.filter(F.col("cum_tokens") <= 20000)
+
+
 @register("q_dup_substrings_winnowed")  # rows-only: no SQL oracle
 def q_dup_substrings_winnowed(spark, sf_dir):
     """The SCALE configuration of q_dup_substrings: same repeated-
