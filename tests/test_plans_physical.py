@@ -117,3 +117,39 @@ def test_minhash_pairs_reuses_signature_exchange(spark, sf_dir):
     final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "isFinalPlan=true" in final, final[:500]
     assert "ReusedExchange" in final, final
+
+
+def test_chunk_documents_is_fully_narrow(spark, sf_dir):
+    """RAG chunking must be a pure transform+explode — ANY exchange
+    here is a regression (the operator's whole value at 100 TB is
+    that chunks never leave their document's task)."""
+    plan = plan_of(spark, sf_dir, "q_chunk_documents")
+    assert "Exchange" not in plan, plan
+
+
+def test_scd2_single_key_exchange(spark, sf_dir):
+    """The SCD2 build is ONE window pass: exactly one hash exchange
+    (on the dimension key) and no join in the plan."""
+    plan = plan_of(spark, sf_dir, "q_scd2")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_token_budget_single_exchange(spark, sf_dir):
+    """Token-budget selection is one cumulative window partitioned by
+    language: a single hash exchange end-to-end."""
+    plan = plan_of(spark, sf_dir, "q_token_budget")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_span_family_shuffles_hash_key_not_gram(spark, sf_dir):
+    """The span family's corpus-wide exchange must carry the 64-bit
+    xxhash64 key, NOT the raw min_len-char gram string (VERDICT r6 #2:
+    the raw form is ~21x the bytes through the heaviest shuffle)."""
+    plan = plan_of(spark, sf_dir, "q_dup_substrings")
+    assert "xxhash64" in plan, plan
+    # the window/exchange key is the hash: no plan node partitions by
+    # a string-typed gram column
+    assert "hashpartitioning(key#" in plan.replace(" ", "").lower() or (
+        "partitionBy" not in plan
+    ), plan
