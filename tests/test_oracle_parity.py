@@ -25,7 +25,13 @@ def test_all_queries_have_oracle_or_are_flagged():
     missing = set(QUERIES) - set(ORACLE_SQL)
     # rows-only checks are allowed but must be deliberate; keep the list
     # explicit so nothing silently loses oracle coverage.
-    allowed_rows_only = {"q_approx_distinct"}  # HLL++: no cross-engine oracle by design
+    allowed_rows_only = {
+        # HLL++: no cross-engine oracle by design (5%-error pytest bound)
+        "q_approx_distinct",
+        # winnowed selection has no cross-engine xxhash64 twin; bounded
+        # by the subset/detection/boundary properties in test_corpus.py
+        "q_dup_substrings_winnowed",
+    }
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
 
 
