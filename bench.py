@@ -56,7 +56,8 @@ HEADLINE = [
     "q_bm25",
     # VERDICT r6 #3: the heaviest corpus operators (explode-per-
     # character span dedup, char-5-gram MinHash LSH) were unbenched —
-    # a regression there was invisible. Headline set is now 24.
+    # a regression there was invisible. With these two plus the
+    # winnowed span entry below, the headline set is 25.
     "q_dup_substrings",
     "q_charngram_lsh",
     # the winnowed scale configuration of the span family, benched

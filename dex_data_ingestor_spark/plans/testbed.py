@@ -4124,7 +4124,8 @@ def q_promo_revenue(spark, sf_dir):
     SELECT e.event_id, e.event_type, e.value,
            ROUND((e.value - s.mean_v) / s.sd_v, 9) AS z
     FROM events e JOIN stats s USING (event_type)
-    WHERE abs((e.value - s.mean_v) / s.sd_v) > 2.5
+    WHERE s.sd_v > 0
+      AND abs((e.value - s.mean_v) / s.sd_v) > 2.5
     """,
 )
 def q_outlier_events(spark, sf_dir):
@@ -4145,9 +4146,15 @@ def q_outlier_events(spark, sf_dir):
         F.round(F.stddev_samp("value"), 9).alias("sd_v"),
     )
     z = (F.col("value") - F.col("mean_v")) / F.col("sd_v")
+    # sd == 0 (a constant-valued group) must be excluded EXPLICITLY:
+    # Spark's non-ANSI x/0.0 is NULL (rows silently drop) while
+    # DuckDB's IEEE division yields inf/NaN which compare > 2.5 (rows
+    # all emit) — the one divergence this filter closes. NULL sd
+    # (single-row groups) already agrees: NULL predicates are false
+    # in both engines.
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(z) > 2.5)
+        .filter((F.col("sd_v") > 0) & (F.abs(z) > 2.5))
         .select(
             "event_id", "event_type", "value", F.round(z, 9).alias("z")
         )

@@ -58,18 +58,35 @@ def _manifest_file(root: str, version: int) -> str:
     return os.path.join(_log_path(root), f"{version:08d}.json")
 
 
-def _list_manifests(root: str) -> list[dict]:
-    """All committed manifests, ascending by version."""
+def _manifest_names(root: str) -> list[str]:
+    """Committed manifest FILENAMES, ascending by version — no JSON
+    parse; the commit path needs only names (next version, latest)."""
     log = _log_path(root)
     if not os.path.isdir(log):
         return []
-    out = []
-    for name in sorted(os.listdir(log)):
-        if not name.endswith(".json"):
-            continue
-        with open(os.path.join(log, name)) as f:
-            out.append(json.load(f))
-    return out
+    return sorted(n for n in os.listdir(log) if n.endswith(".json"))
+
+
+def _read_manifest(root: str, name: str) -> dict:
+    with open(os.path.join(_log_path(root), name)) as f:
+        return json.load(f)
+
+
+def _list_manifests(root: str) -> list[dict]:
+    """All committed manifests, ascending by version (full parse — use
+    only where the whole history is genuinely needed: versions listing,
+    as_of resolution, vacuum)."""
+    return [_read_manifest(root, n) for n in _manifest_names(root)]
+
+
+def _latest_manifest(root: str) -> dict | None:
+    """Latest manifest with ONE file read — the commit and streaming
+    paths call this per commit/micro-batch, so it must not scale with
+    table history (a high-frequency merge table reaches thousands of
+    versions; re-parsing the whole log per commit would be O(n^2)
+    driver I/O over the table lifetime)."""
+    names = _manifest_names(root)
+    return _read_manifest(root, names[-1]) if names else None
 
 
 def snapshot_versions(root: str) -> list[dict]:
@@ -81,18 +98,26 @@ def snapshot_versions(root: str) -> list[dict]:
 def _resolve(
     root: str, version: int | None = None, as_of: dt.datetime | str | None = None
 ) -> dict:
-    manifests = _list_manifests(root)
-    if not manifests:
+    names = _manifest_names(root)
+    if not names:
         raise FileNotFoundError(f"no committed snapshots under {root}")
     if version is not None and as_of is not None:
         raise ValueError("pass version OR as_of, not both")
     if version is not None:
-        for m in manifests:
-            if m["version"] == version:
-                return m
-        raise KeyError(f"version {version} not committed under {root}")
+        name = f"{version:08d}.json"
+        if name not in names:
+            raise KeyError(f"version {version} not committed under {root}")
+        return _read_manifest(root, name)
+    if as_of is None:
+        return _read_manifest(root, names[-1])
+    manifests = _list_manifests(root)
     if as_of is not None:
         if isinstance(as_of, dt.datetime):
+            # a NAIVE datetime is taken as UTC (the manifests' zone);
+            # astimezone() on naive input would silently reinterpret it
+            # in the box's LOCAL zone and time-travel to a wrong version
+            if as_of.tzinfo is None:
+                as_of = as_of.replace(tzinfo=dt.timezone.utc)
             as_of = as_of.astimezone(dt.timezone.utc).isoformat()
         eligible = [m for m in manifests if m["committed_at"] <= as_of]
         if not eligible:
@@ -105,14 +130,22 @@ def _commit(root: str, data_dir: str, op: str, extra: dict | None) -> dict:
     """Atomically claim the next version number. O_CREAT|O_EXCL makes
     exactly one concurrent committer win each number."""
     os.makedirs(_log_path(root), exist_ok=True)
-    manifests = _list_manifests(root)
-    version = (manifests[-1]["version"] + 1) if manifests else 1
+    latest = _latest_manifest(root)
+    version = (latest["version"] + 1) if latest else 1
+    # carry the per-writer transaction watermarks forward so the
+    # streaming sink's replay guard survives interleaved non-stream
+    # commits (compact/rollback/manual merge) and needs only the
+    # LATEST manifest to decide — O(1) per micro-batch.
+    txn = dict(latest.get("txn", {})) if latest else {}
+    extra = dict(extra or {})
+    txn.update(extra.pop("txn", {}))
     manifest = {
         "version": version,
         "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
         "op": op,
         "data_dir": data_dir,
-        **(extra or {}),
+        **({"txn": txn} if txn else {}),
+        **extra,
     }
     try:
         fd = os.open(
@@ -148,7 +181,14 @@ def snapshot_commit_existing(
     root: str, data_dir: str, op: str, extra: dict | None = None
 ) -> dict:
     """Commit an already-written data directory as the next version
-    (rollback, or retry after :class:`SnapshotConflict`)."""
+    (rollback, or retry after :class:`SnapshotConflict`). Refuses a
+    directory that no longer exists (e.g. a VACUUMED old version) —
+    committing it would make the table's LATEST version unreadable."""
+    if not os.path.isdir(data_dir):
+        raise FileNotFoundError(
+            f"cannot commit {data_dir}: directory missing (vacuumed or "
+            "never written) — the commit would brick the latest version"
+        )
     return _commit(root, data_dir, op, extra)
 
 
@@ -308,13 +348,29 @@ def snapshot_compact(
     for high-frequency micro-batch merges (each stream-merge commit
     writes a full version; hourly cadence x small batches = many tiny
     files; compaction folds them without changing content). History is
-    unchanged: the uncompacted version stays readable."""
-    current = snapshot_read(spark, root)
+    unchanged: the uncompacted version stays readable.
+
+    If the prior version recorded file stats (written via
+    :func:`snapshot_write_with_stats`), the compacted version
+    RECOMPUTES them for the same columns — compaction is routine
+    maintenance and must not silently break
+    :func:`snapshot_scan_pruned` readers."""
+    prior = _resolve(root)
+    current = spark.read.parquet(prior["data_dir"])
     compacted = current.coalesce(max(1, target_files))
+    stats_cols = prior.get("stats_cols")
+    if stats_cols:
+        return snapshot_write_with_stats(
+            compacted, root, stats_cols, op="compact"
+        )
     return snapshot_write(compacted, root, op="compact")
 
 
-def snapshot_vacuum(root: str, keep_last: int = 3) -> list[str]:
+def snapshot_vacuum(
+    root: str,
+    keep_last: int = 3,
+    orphans_min_age_s: float | None = None,
+) -> list[str]:
     """Delete data directories referenced ONLY by versions older than
     the last ``keep_last`` manifests; returns the removed dirs.
 
@@ -323,19 +379,44 @@ def snapshot_vacuum(root: str, keep_last: int = 3) -> list[str]:
     retained version references it. Retained manifests stay readable;
     older manifests remain in the log (history is an audit trail) but
     their time-travel reads will fail once vacuumed — same contract as
-    Delta's VACUUM vs retention window."""
+    Delta's VACUUM vs retention window.
+
+    ``orphans_min_age_s`` additionally reclaims ORPHAN data dirs —
+    directories no manifest references at all (writer died between
+    data write and manifest commit, or lost a SnapshotConflict race).
+    The format guarantees producing these, so a vacuum that cannot
+    reclaim them leaks full-copy dirs unboundedly on long-lived
+    tables. Only dirs whose mtime is older than the threshold are
+    removed, so an IN-FLIGHT write (data written, commit imminent) is
+    never raced — pick an age far above the longest expected
+    write-to-commit gap (Delta's VACUUM has the same tombstone-age
+    contract)."""
     import shutil
+    import time
 
     manifests = _list_manifests(root)
-    if len(manifests) <= keep_last:
-        return []
-    retained = {m["data_dir"] for m in manifests[-keep_last:]}
-    removable = {
-        m["data_dir"] for m in manifests[:-keep_last]
-    } - retained
+    referenced = {m["data_dir"] for m in manifests}
     removed = []
-    for d in sorted(removable):
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-            removed.append(d)
+    if len(manifests) > keep_last:
+        retained = {m["data_dir"] for m in manifests[-keep_last:]}
+        removable = {
+            m["data_dir"] for m in manifests[:-keep_last]
+        } - retained
+        for d in sorted(removable):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed.append(d)
+    if orphans_min_age_s is not None:
+        data_root = os.path.join(root, DATA_DIR)
+        now = time.time()
+        if os.path.isdir(data_root):
+            for name in sorted(os.listdir(data_root)):
+                d = os.path.join(data_root, name)
+                if (
+                    os.path.isdir(d)
+                    and d not in referenced
+                    and now - os.path.getmtime(d) >= orphans_min_age_s
+                ):
+                    shutil.rmtree(d)
+                    removed.append(d)
     return removed

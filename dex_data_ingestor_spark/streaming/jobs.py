@@ -525,6 +525,7 @@ def foreach_batch_merge_snapshots(
     keys: list[str],
     spark: SparkSession,
     update_cols: list[str] | None = None,
+    txn_app_id: str | None = None,
 ):
     """Streaming upsert sink over the commit-log snapshot table
     (snapshots.py) — the versioned, atomic successor of
@@ -532,24 +533,35 @@ def foreach_batch_merge_snapshots(
 
     Exactly-once by two mechanisms: (a) each version commit is ONE
     atomic manifest create, so readers never observe a half-written
-    merge; (b) every commit records its micro-batch id, and a REPLAYED
-    batch (id <= the last committed id — the at-least-once case after
-    a sink failure) is skipped outright instead of relying on merge
-    idempotence. Every pre-merge state stays time-travelable for
-    audit/rollback. Single-writer per table root (Structured Streaming
+    merge; (b) every commit records ``(txn_app_id, batch_id)`` in the
+    manifest's carried-forward ``txn`` map, and a REPLAYED batch —
+    SAME app id, batch id <= that app's watermark (the at-least-once
+    case after a sink failure) — is skipped outright instead of
+    relying on merge idempotence. Scoping the guard by app id is what
+    Delta's idempotent writes do with (txnAppId, txnVersion): a bare
+    batch-id compare would silently DISCARD all data from a rebuilt
+    checkpoint or a replacement stream (their batch numbering restarts
+    at 0) pointed at the same table root. ``txn_app_id`` defaults to
+    the checkpoint dir — replace the checkpoint, and the sink treats
+    the query as a new writer and merges instead of skipping. Every
+    pre-merge state stays time-travelable for audit/rollback.
+    Single-writer per table root at a time (Structured Streaming
     guarantees one active sink per checkpoint); a SnapshotConflict
-    here means a second writer is misconfigured and should surface.
+    here means a second concurrent writer is misconfigured and should
+    surface.
 
     Returns the started query (AvailableNow).
     """
     from dex_data_ingestor_spark import snapshots as S
 
+    app_id = txn_app_id or checkpoint_dir
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        versions = S.snapshot_versions(root)
-        last = max((m.get("batch_id", -1) for m in versions), default=-1)
-        if batch_id <= last:
-            return  # replayed micro-batch: already committed
-        if versions:
+        latest = S._latest_manifest(root)
+        last_for_app = (latest or {}).get("txn", {}).get(app_id, -1)
+        if batch_id <= last_for_app:
+            return  # replayed micro-batch of THIS writer: committed
+        if latest is not None:
             merged = merge_upsert(
                 S.snapshot_read(spark, root), batch_df, keys, update_cols
             )
@@ -559,7 +571,11 @@ def foreach_batch_merge_snapshots(
             merged,
             root,
             op="stream-merge",
-            extra={"batch_id": batch_id, "keys": list(keys)},
+            extra={
+                "batch_id": batch_id,
+                "keys": list(keys),
+                "txn": {app_id: batch_id},
+            },
         )
 
     return (

@@ -83,13 +83,17 @@ def test_concurrent_commit_conflict(spark, root, monkeypatch):
     racer = S.snapshot_commit_existing(root, m1["data_dir"], op="racer")
     assert racer["version"] == 2
 
-    # ...but the loser computed its version from a listing taken BEFORE
-    # the racer's commit (the actual race window)
-    real = S._list_manifests
+    # ...but the loser computed its version from a log read taken
+    # BEFORE the racer's commit (the actual race window)
+    real = S._latest_manifest
     monkeypatch.setattr(
         S,
-        "_list_manifests",
-        lambda r: [m for m in real(r) if m["version"] < 2],
+        "_latest_manifest",
+        lambda r: next(
+            m
+            for m in reversed(S._list_manifests(r))
+            if m["version"] < 2
+        ),
     )
     with pytest.raises(S.SnapshotConflict):
         S.snapshot_write(v1, root)
@@ -195,23 +199,49 @@ def test_streaming_snapshot_sink_batchid_idempotent(
     assert n_before >= 1
     assert [m["op"] for m in versions] == ["stream-merge"] * n_before
 
-    # at-least-once replay: re-running the whole stream with a FRESH
-    # checkpoint replays all batch ids from 0, all <= last committed
-    # -> zero new versions
-    last_bid = max(m["batch_id"] for m in versions)
+    # at-least-once replay of THE SAME WRITER: clearing the checkpoint
+    # but keeping its path renumbers batches from 0 under the same txn
+    # app id (default = checkpoint path) -> every batch id is <= the
+    # app's committed watermark, zero new versions. This is Delta's
+    # (txnAppId, txnVersion) contract — and like Delta, an operator who
+    # deletes a checkpoint but feeds DIFFERENT data must change the
+    # app id (txn_app_id param) or the replay guard will skip it.
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
     q2 = foreach_batch_merge_snapshots(
         events_stream_from_parquet(spark, src, max_files_per_trigger=1)
         .select("event_id", "user_id", "event_type", "value"),
-        str(tmp_path / "ckpt_fresh"),
+        str(tmp_path / "ckpt"),
         root,
         keys=["event_id"],
         spark=spark,
     )
     q2.awaitTermination(timeout=180)
     assert len(S.snapshot_versions(root)) == n_before
-    assert last_bid == max(
-        m["batch_id"] for m in S.snapshot_versions(root)
+
+    # a REPLACEMENT stream (different checkpoint => different app id)
+    # must NOT be mistaken for a replay: its batches MERGE instead of
+    # being dropped (the bare-batch-id guard failed exactly this);
+    # content is unchanged by merge idempotence, history grows.
+    q3 = foreach_batch_merge_snapshots(
+        events_stream_from_parquet(spark, src, max_files_per_trigger=1)
+        .select("event_id", "user_id", "event_type", "value"),
+        str(tmp_path / "ckpt_replacement"),
+        root,
+        keys=["event_id"],
+        spark=spark,
     )
+    q3.awaitTermination(timeout=180)
+    versions2 = S.snapshot_versions(root)
+    assert len(versions2) > n_before
+    # both writers' watermarks are carried in the latest manifest
+    assert len(versions2[-1]["txn"]) == 2
+    got2 = {
+        (r.event_id, r.value)
+        for r in S.snapshot_read(spark, root).collect()
+    }
+    assert got2 == want
 
 
 def test_compact_folds_files_without_changing_content(spark, root):
@@ -255,3 +285,84 @@ def test_vacuum_is_reference_counted_and_keeps_retained(spark, root):
         S.snapshot_read(spark, root, version=2).collect()  # vacuumed
     # under the keep threshold: no-op
     assert S.snapshot_vacuum(root, keep_last=10) == []
+
+
+def test_rollback_to_vacuumed_version_refuses(spark, root):
+    """Committing a manifest that points at a deleted data dir would
+    brick the table's LATEST version — commit_existing must refuse."""
+    import pytest
+
+    for i in range(4):
+        S.snapshot_write(
+            spark.createDataFrame([(i,)], "k long"), root
+        )
+    removed = S.snapshot_vacuum(root, keep_last=2)
+    assert removed
+    with pytest.raises(FileNotFoundError, match="missing"):
+        S.snapshot_rollback(root, to_version=1)
+    # the table is still readable at latest after the refused rollback
+    assert S.snapshot_read(spark, root).count() == 1
+
+
+def test_as_of_naive_datetime_is_utc(spark, root, monkeypatch):
+    """A naive as_of must be interpreted as UTC (the manifests' zone),
+    NOT the box's local zone — astimezone() on naive input would
+    time-travel to a wrong version on any non-UTC machine."""
+    import datetime as dt
+    import json
+    import os
+
+    S.snapshot_write(spark.createDataFrame([(1,)], "k long"), root)
+    S.snapshot_write(spark.createDataFrame([(2,)], "k long"), root)
+    # pin the two commit times to known UTC instants
+    log = os.path.join(root, "_log")
+    for name, iso in (
+        ("00000001.json", "2026-08-14T10:00:00+00:00"),
+        ("00000002.json", "2026-08-14T12:00:00+00:00"),
+    ):
+        path = os.path.join(log, name)
+        m = json.load(open(path))
+        m["committed_at"] = iso
+        json.dump(m, open(path, "w"))
+    # naive 11:00 == 11:00 UTC -> version 1, on EVERY box timezone
+    got = S.snapshot_read(
+        spark, root, as_of=dt.datetime(2026, 8, 14, 11, 0)
+    ).collect()
+    assert [r.k for r in got] == [1]
+
+
+def test_compact_preserves_file_stats(spark, root):
+    """Compaction of a stats-tracked table must keep scan pruning
+    working (recompute stats for the same columns), not silently
+    break snapshot_scan_pruned readers."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    ).repartitionByRange(4, "k")
+    S.snapshot_write_with_stats(df, root, ["k"])
+    m = S.snapshot_compact(spark, root, target_files=2)
+    assert m["op"] == "compact" and m.get("stats_cols") == ["k"]
+    pruned = S.snapshot_scan_pruned(spark, root, "k", 0, 10)
+    assert pruned.filter("k <= 10").count() == 11
+
+
+def test_vacuum_reclaims_aged_orphans_only(spark, root):
+    """Orphan data dirs (writer died pre-commit / lost the commit
+    race) are the one garbage class the format guarantees producing;
+    vacuum must be able to reclaim them — but only past the age
+    threshold, so an in-flight write is never raced."""
+    import os
+
+    S.snapshot_write(spark.createDataFrame([(1,)], "k long"), root)
+    # orphan: data written, manifest never committed
+    orphan = os.path.join(root, "data", "deadbeef")
+    spark.createDataFrame([(9,)], "k long").write.parquet(orphan)
+    # young orphan survives a 1-hour threshold
+    assert S.snapshot_vacuum(root, keep_last=1,
+                             orphans_min_age_s=3600) == []
+    assert os.path.isdir(orphan)
+    # aged orphan (threshold 0) is reclaimed; referenced dir survives
+    removed = S.snapshot_vacuum(root, keep_last=1, orphans_min_age_s=0)
+    assert removed == [orphan]
+    assert S.snapshot_read(spark, root).count() == 1
