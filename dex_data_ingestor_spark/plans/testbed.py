@@ -4559,6 +4559,109 @@ def q_token_budget(spark, sf_dir):
     return c.filter(F.col("cum_tokens") <= 20000)
 
 
+@register(
+    "q_returned_items",
+    """
+    WITH r AS (
+      SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue_lost
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o.o_orderdate AS DATE) < DATE '1996-07-01'
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, nation, revenue_lost
+    FROM r ORDER BY revenue_lost DESC, c_custkey LIMIT 20
+    """,
+)
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in a half-year window. The returnflag +
+    date filters push to the fact scans; nation broadcasts; the final
+    top-20 is a TakeOrdered (no global sort). revenue_lost DESC with
+    c_custkey as tiebreak keeps the LIMIT deterministic cross-engine
+    (the sums are decimal-exact doubles, so ordering compares
+    bit-identical values)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "nation").agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "revenue_lost",
+        )
+    )
+    return agg.orderBy(
+        F.col("revenue_lost").desc(), F.col("c_custkey")
+    ).limit(20)
+
+
+@register(
+    "q_parts_supplier_count",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    excluded AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS n_suppliers
+    FROM ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_size <= 25
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY 1, 2
+    """,
+)
+def q_parts_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship count): distinct
+    suppliers per (brand, size) for small parts, EXCLUDING a supplier
+    blacklist — the NOT IN becomes a broadcast anti-join. The
+    part-supplier association is the distinct (partkey, suppkey)
+    projection of lineitem (this schema has no partsupp table): one
+    distinct shuffle, then a broadcast dim join and a count-distinct
+    aggregate. Null-safety note: NOT IN with NULLs in the subquery
+    would differ from an anti-join, but s_suppkey is a non-null key."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= 25
+    ).select("p_partkey", "p_brand", "p_size")
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000
+    ).select(F.col("s_suppkey"))
+    kept = ps.join(
+        F.broadcast(excluded),
+        ps.l_suppkey == excluded.s_suppkey,
+        "left_anti",
+    )
+    return (
+        kept.join(F.broadcast(part), kept.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
 @register("q_dup_substrings_winnowed")  # rows-only: no SQL oracle
 def q_dup_substrings_winnowed(spark, sf_dir):
     """The SCALE configuration of q_dup_substrings: same repeated-
