@@ -45,6 +45,22 @@ from pyspark.sql import DataFrame, SparkSession
 LOG_DIR = "_log"
 DATA_DIR = "data"
 
+#: Writer-transaction watermarks (the streaming sink's replay guard)
+#: are dropped once this many versions pass without that writer
+#: committing — Delta bounds the same state with a time-based txn
+#: retention; version-based is equivalent here and needs no clock. A
+#: writer idle for 10k versions that then replays is treated as new
+#: (its merge is idempotent), while the map stays O(active writers).
+TXN_RETENTION_VERSIONS = 10_000
+
+
+def _has_fs_scheme(path: str) -> bool:
+    """True for scheme-qualified (non-local) paths like hdfs:// or
+    s3a:// — driver-side os.path checks do not apply to those."""
+    import re
+
+    return re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) is not None
+
 
 class SnapshotConflict(Exception):
     """Another committer won this version number; retry the commit."""
@@ -110,20 +126,19 @@ def _resolve(
         return _read_manifest(root, name)
     if as_of is None:
         return _read_manifest(root, names[-1])
-    manifests = _list_manifests(root)
-    if as_of is not None:
-        if isinstance(as_of, dt.datetime):
-            # a NAIVE datetime is taken as UTC (the manifests' zone);
-            # astimezone() on naive input would silently reinterpret it
-            # in the box's LOCAL zone and time-travel to a wrong version
-            if as_of.tzinfo is None:
-                as_of = as_of.replace(tzinfo=dt.timezone.utc)
-            as_of = as_of.astimezone(dt.timezone.utc).isoformat()
-        eligible = [m for m in manifests if m["committed_at"] <= as_of]
-        if not eligible:
-            raise KeyError(f"no snapshot committed at or before {as_of}")
-        return eligible[-1]
-    return manifests[-1]
+    if isinstance(as_of, dt.datetime):
+        # a NAIVE datetime is taken as UTC (the manifests' zone);
+        # astimezone() on naive input would silently reinterpret it
+        # in the box's LOCAL zone and time-travel to a wrong version
+        if as_of.tzinfo is None:
+            as_of = as_of.replace(tzinfo=dt.timezone.utc)
+        as_of = as_of.astimezone(dt.timezone.utc).isoformat()
+    eligible = [
+        m for m in _list_manifests(root) if m["committed_at"] <= as_of
+    ]
+    if not eligible:
+        raise KeyError(f"no snapshot committed at or before {as_of}")
+    return eligible[-1]
 
 
 def _commit(root: str, data_dir: str, op: str, extra: dict | None) -> dict:
@@ -138,7 +153,17 @@ def _commit(root: str, data_dir: str, op: str, extra: dict | None) -> dict:
     # LATEST manifest to decide — O(1) per micro-batch.
     txn = dict(latest.get("txn", {})) if latest else {}
     extra = dict(extra or {})
-    txn.update(extra.pop("txn", {}))
+    # new entries arrive as {app: batch_id}; stored form is
+    # {app: {"b": batch_id, "v": committing_version}} so stale
+    # writers can be expired by version distance (see
+    # TXN_RETENTION_VERSIONS) instead of growing the map forever.
+    for app, b in extra.pop("txn", {}).items():
+        txn[app] = {"b": b, "v": version}
+    txn = {
+        app: e
+        for app, e in txn.items()
+        if version - e["v"] <= TXN_RETENTION_VERSIONS
+    }
     manifest = {
         "version": version,
         "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
@@ -182,9 +207,13 @@ def snapshot_commit_existing(
 ) -> dict:
     """Commit an already-written data directory as the next version
     (rollback, or retry after :class:`SnapshotConflict`). Refuses a
-    directory that no longer exists (e.g. a VACUUMED old version) —
-    committing it would make the table's LATEST version unreadable."""
-    if not os.path.isdir(data_dir):
+    LOCAL directory that no longer exists (e.g. a VACUUMED old
+    version) — committing it would make the table's LATEST version
+    unreadable. Scheme-qualified paths (hdfs://, s3a://) are not
+    checkable driver-side without a Hadoop FS handle and pass
+    through — the module docstring's remote-data layout keeps
+    rollback/retry working there."""
+    if not _has_fs_scheme(data_dir) and not os.path.isdir(data_dir):
         raise FileNotFoundError(
             f"cannot commit {data_dir}: directory missing (vacuumed or "
             "never written) — the commit would brick the latest version"
@@ -231,13 +260,17 @@ def snapshot_merge(
 def snapshot_rollback(root: str, to_version: int) -> dict:
     """Commit a new version whose data is an OLD version's directory.
     No data is copied; history is preserved (the bad version stays
-    readable for the post-mortem)."""
+    readable for the post-mortem). The target's file stats (if any)
+    are carried into the new manifest — same data dir, same footers —
+    so :func:`snapshot_scan_pruned` readers and a later
+    :func:`snapshot_compact` keep working after a rollback."""
     target = _resolve(root, version=to_version)
+    extra: dict = {"rolled_back_to": to_version}
+    for k in ("files", "stats_cols"):
+        if k in target:
+            extra[k] = target[k]
     return snapshot_commit_existing(
-        root,
-        target["data_dir"],
-        op="rollback",
-        extra={"rolled_back_to": to_version},
+        root, target["data_dir"], op="rollback", extra=extra
     )
 
 
@@ -395,7 +428,14 @@ def snapshot_vacuum(
     import time
 
     manifests = _list_manifests(root)
-    referenced = {m["data_dir"] for m in manifests}
+    # normalize BOTH sides before comparing: manifests store the
+    # writer's verbatim spelling of data_dir, while the orphan scan
+    # builds paths from THIS caller's root spelling — a relative-vs-
+    # absolute mismatch would make every referenced dir (including
+    # the live latest) look like an orphan and get deleted.
+    referenced = {
+        os.path.realpath(m["data_dir"]) for m in manifests
+    }
     removed = []
     if len(manifests) > keep_last:
         retained = {m["data_dir"] for m in manifests[-keep_last:]}
@@ -414,7 +454,7 @@ def snapshot_vacuum(
                 d = os.path.join(data_root, name)
                 if (
                     os.path.isdir(d)
-                    and d not in referenced
+                    and os.path.realpath(d) not in referenced
                     and now - os.path.getmtime(d) >= orphans_min_age_s
                 ):
                     shutil.rmtree(d)

@@ -557,13 +557,22 @@ def foreach_batch_merge_snapshots(
     app_id = txn_app_id or checkpoint_dir
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # ONE manifest read per batch: the replay decision and the
+        # merge base come from the SAME snapshot (re-resolving latest
+        # for the read would open a window where a maintenance commit
+        # lands in between and the guard's decision no longer matches
+        # the merge base).
         latest = S._latest_manifest(root)
-        last_for_app = (latest or {}).get("txn", {}).get(app_id, -1)
+        entry = (latest or {}).get("txn", {}).get(app_id, {})
+        last_for_app = entry.get("b", -1) if isinstance(entry, dict) else entry
         if batch_id <= last_for_app:
             return  # replayed micro-batch of THIS writer: committed
         if latest is not None:
             merged = merge_upsert(
-                S.snapshot_read(spark, root), batch_df, keys, update_cols
+                spark.read.parquet(latest["data_dir"]),
+                batch_df,
+                keys,
+                update_cols,
             )
         else:
             merged = batch_df

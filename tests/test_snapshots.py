@@ -366,3 +366,64 @@ def test_vacuum_reclaims_aged_orphans_only(spark, root):
     removed = S.snapshot_vacuum(root, keep_last=1, orphans_min_age_s=0)
     assert removed == [orphan]
     assert S.snapshot_read(spark, root).count() == 1
+
+
+def test_rollback_preserves_file_stats(spark, root):
+    """Rolling back to a stats-tracked version must carry its file
+    stats into the rollback manifest (same data dir, same footers):
+    scan pruning keeps working and a later compact keeps stats."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    ).repartitionByRange(2, "k")
+    S.snapshot_write_with_stats(df, root, ["k"])
+    S.snapshot_write(df.limit(1), root)          # the "bad" version
+    m = S.snapshot_rollback(root, to_version=1)
+    assert m.get("stats_cols") == ["k"] and m.get("files")
+    assert S.snapshot_scan_pruned(spark, root, "k", 0, 10).count() > 0
+    m2 = S.snapshot_compact(spark, root)
+    assert m2.get("stats_cols") == ["k"]
+
+
+def test_vacuum_orphans_with_different_root_spelling(spark, root):
+    """Orphan reclamation must normalize paths before comparing: a
+    caller spelling the root differently (here: a redundant '.') must
+    NOT mistake the live latest version's dir for an orphan."""
+    import os
+
+    S.snapshot_write(spark.createDataFrame([(1,)], "k long"), root)
+    alt_root = os.path.join(os.path.dirname(root), ".",
+                            os.path.basename(root))
+    removed = S.snapshot_vacuum(alt_root, keep_last=1,
+                                orphans_min_age_s=0)
+    assert removed == []
+    assert S.snapshot_read(spark, root).count() == 1
+
+
+def test_commit_existing_allows_remote_scheme_paths(spark, root):
+    """The vacuumed-dir guard only applies to local paths: a
+    scheme-qualified (hdfs://, s3a://) data dir cannot be checked
+    driver-side and must pass through, or rollback/conflict-retry
+    breaks on the documented remote-data layout."""
+    S.snapshot_write(spark.createDataFrame([(1,)], "k long"), root)
+    m = S.snapshot_commit_existing(
+        root, "s3a://bucket/tbl/data/abc", op="remote-commit"
+    )
+    assert m["version"] == 2
+
+
+def test_txn_watermarks_expire_by_version_distance(spark, root,
+                                                   monkeypatch):
+    """The carried-forward txn map must not grow forever: writers idle
+    past TXN_RETENTION_VERSIONS are expired (Delta's txn retention,
+    version-based)."""
+    monkeypatch.setattr(S, "TXN_RETENTION_VERSIONS", 2)
+    df = spark.createDataFrame([(1,)], "k long")
+    S.snapshot_write(df, root, extra={"txn": {"appA": 0}})   # v1
+    S.snapshot_write(df, root, extra={"txn": {"appB": 0}})   # v2
+    S.snapshot_write(df, root)                               # v3
+    m = S.snapshot_write(df, root)                           # v4
+    txn = m["txn"]
+    assert "appA" not in txn          # v4 - v1 > 2 -> expired
+    assert txn["appB"]["b"] == 0      # v4 - v2 <= 2 -> retained
