@@ -138,6 +138,31 @@ def main() -> None:
     S.snapshot_rollback(tbl, to_version=1)
     print("   after rollback latest == v1:",
           S.snapshot_read(spark, tbl).count())
+
+    print("== 7. span-level dedup, chunking, token budget, SCD2")
+    from dex_data_ingestor_spark.operators.corpus import (
+        chunk_documents,
+        repeated_substring_spans,
+        strip_repeated_substrings,
+    )
+    from dex_data_ingestor_spark.operators.timeseries import scd2_intervals
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(docs, min_len=20)   # hash-keyed
+    print("   docs with repeated >=20-char spans:", spans.count())
+    stripped = strip_repeated_substrings(docs, min_len=20)
+    print("   docs surviving span-strip (full dups vanish):",
+          stripped.count(), "/", docs.count())
+    chunks = chunk_documents(docs, chunk_size=200, stride=150)
+    print("   RAG chunks (200c window / 150c stride):", chunks.count())
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    dim = scd2_intervals(ev, ["user_id"], "ts",
+                         ["event_type", "value"],
+                         order_tiebreak=["event_id"])
+    print("   SCD2 versions:", dim.count(), "| current rows:",
+          dim.filter("is_current").count())
     spark.stop()
     print("DEMO COMPLETE")
 
