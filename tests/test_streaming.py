@@ -395,3 +395,44 @@ def test_stream_neardup_ingest_is_incremental_and_idempotent(
     # index holds exactly the accepted docs' buckets (2 bands per doc)
     idx = spark.read.parquet(index_path)
     assert {r.doc_id for r in idx.select("doc_id").collect()} == accepted1
+
+
+def test_stream_chunk_documents_batch_parity(spark, sf_dir, tmp_path):
+    """chunk_documents is a stateless narrow transform, so it composes
+    into a stream unchanged: chunking two document micro-batches
+    through readStream yields exactly the batch-side chunks (the
+    stream->RAG-indexing ingest path)."""
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(src)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    chunks = chunk_documents(stream, chunk_size=200, stride=150)
+
+    batches: list[list] = []
+    q = (
+        chunks.writeStream.foreachBatch(
+            lambda df, bid: batches.append(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len([b for b in batches if b]) >= 2
+
+    key = lambda r: (r.doc_id, r.chunk_id)  # noqa: E731
+    streamed = sorted((r for b in batches for r in b), key=key)
+    batch_side = sorted(
+        chunk_documents(docs, chunk_size=200, stride=150).collect(),
+        key=key,
+    )
+    assert streamed == batch_side
