@@ -4878,6 +4878,447 @@ def q_chunk_documents(spark, sf_dir):
 
 
 # =========================================================================
+# Third round-7 batch: remaining TPC-H composite shapes (Q4, Q7, Q9,
+# Q13, Q17, Q18, Q19, Q22 — the ones this schema can express; Q2/Q11/
+# Q20/Q21 need partsupp / commitdate columns the testdata lacks)
+# =========================================================================
+
+
+@register(
+    "q_order_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE)
+              > CAST(o.o_orderdate AS DATE) + 90
+      )
+    GROUP BY 1
+    """,
+)
+def q_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): count orders per
+    priority that had at least one LATE lineitem (shipped > 90 days
+    after the order date; this schema has no commitdate/receiptdate,
+    so lateness is defined against o_orderdate). The EXISTS becomes a
+    LEFT SEMI join on orderkey with the lateness predicate as a join
+    condition — one shuffle on the key, the quarter filter pushed to
+    the orders scan, and semi-join short-circuits per key (no
+    dedup-then-join). Date arithmetic is whole days on DATE-truncated
+    values, exact cross-engine."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            F.to_date(li.l_shipdate)
+            > F.date_add(F.to_date(orders.o_orderdate), 90)
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "q_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(CAST(l.l_shipdate AS DATE)) AS INTEGER) AS yr,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): bilateral trade volume
+    between two nations by ship year. Plan for 100 TB: supplier and
+    customer each pre-join their nation BROADCAST and pre-filter to
+    the two nations of interest — so the fact rows that survive to
+    the pair-disjunction filter are already the ~2/25 slice on each
+    side; the only big exchanges are lineitem-orders (orderkey) and
+    the customer shuffle (custkey). The OR of nation pairs is applied
+    after both dims attach (it needs both sides), but each side's
+    IN-list prefilter keeps the joined cardinality minimal."""
+    pair = ["NATION_1", "NATION_2"]
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(pair)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year(F.to_date("l_shipdate")).cast("int").alias("yr"),
+    ).agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"
+        )
+    )
+
+
+@register(
+    "q_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(CAST(o.o_orderdate AS DATE)) AS INTEGER) AS yr,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): revenue from parts whose
+    name matches a pattern, by supplier nation and order year (this
+    schema has no partsupp.supplycost, so profit = discounted
+    revenue). The part filter runs FIRST and the filtered part keys
+    broadcast into lineitem — at 100 TB that broadcast prunes the
+    fact scan to the matching-part slice before the orderkey shuffle;
+    supplier+nation fold into a second broadcast dim."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(F.to_date("o_orderdate")).cast("int").alias("yr"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    return j.groupBy("nation", "yr").agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit"
+        )
+    )
+
+
+@register(
+    "q_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '5-LOW'
+      GROUP BY 1
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY 1
+    """,
+)
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed how many (non-low-priority) orders — INCLUDING
+    the zero-order customers, which is why the join must be LEFT
+    OUTER with the priority predicate INSIDE the join condition (a
+    WHERE would silently drop the NULL-extended rows and the zero
+    bucket with them). Two aggregations: the first shuffles on
+    custkey (same key as the join — one exchange serves both under
+    AQE), the second is a tiny histogram shuffle on n_orders."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "5-LOW"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    """
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                         AS DOUBLE) / COUNT(*)) AS qty_threshold
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < a.qty_threshold
+    """,
+)
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lineitems whose quantity is below 20% of the part's average.
+    The correlated AVG subquery becomes a per-part aggregate joined
+    back on partkey — both sides shuffle on the SAME key, so AQE
+    plans one exchange per side and a co-partitioned join, never a
+    recompute-per-row correlated loop. The brand filter broadcasts.
+    Threshold determinism: avg = decimal-exact sum cast double / n,
+    then *0.2 in IEEE double — bit-identical both engines, so the
+    strict < picks identical rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (_dec_sum_expr(F.col("l_quantity")) / F.count(F.lit(1)))
+        ).alias("qty_threshold")
+    ).select(F.col("l_partkey").alias("a_partkey"), "qty_threshold")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    small = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return small.agg(
+        (_dec_sum_expr(F.col("l_extendedprice")) / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+@register(
+    "q_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             > 150.0
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds a threshold, with their customers. The
+    HAVING is a partial-aggregated shuffle on orderkey; the surviving
+    order keys are a tiny fraction, so the orders join downstream of
+    it is skew-safe and AQE shrinks it to broadcast at runtime when
+    the filtered side fits. Quantity sums are decimal-exact doubles,
+    so the > 150.0 cut is bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > 150.0)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_matched
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 30
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 21 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    GROUP BY ALL
+    """,
+)
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    an OR of three (brand, size-range, quantity-range) clauses across
+    a joined pair. The part-only conjuncts (brand OR-union, size
+    OR-union) are IMPLIED disjunction-wide, so Catalyst can push the
+    derived part filter below the join and the quantity envelope
+    (1..40) to the lineitem scan, leaving the exact mixed disjunction
+    as the post-join residual — the classic Q19 plan. The filtered
+    part side broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 30)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(21, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(cond).agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+
+
+@register(
+    "q_inactive_customers",
+    """
+    WITH thresh AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_bal
+    FROM customer c, thresh t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01'
+      )
+    GROUP BY 1
+    """,
+)
+def q_inactive_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global-sales-opportunity): well-funded
+    customers with NO RECENT orders (none since 2000 — every customer
+    in this data has *some* order, so recency defines churn), by
+    market segment. Two classic subquery decorrelations: the scalar
+    AVG becomes a one-row broadcast crossed into the filter (never a
+    recompute per row), and NOT EXISTS becomes a LEFT ANTI join on
+    custkey with the date filter pushed to the orders scan BEFORE the
+    anti join (shrinking its build side). At 100 TB the anti join
+    shuffles on the key once; the average's strict > compares
+    bit-identical doubles (decimal-exact sum / count)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    thresh = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (_dec_sum_expr(F.col("c_acctbal")) / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(thresh)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    inactive = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dec_sum(F.col("c_acctbal"), "total_bal"),
+    )
+
+
+# =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
 
