@@ -1214,10 +1214,13 @@ def q_dup_substrings(spark, sf_dir):
     return repeated_substring_spans(docs, "doc_id", "text", min_len=20)
 
 
-@register(
-    "q_strip_dup_substrings",
-    """
-    WITH base AS (SELECT doc_id, text AS t, length(text) AS n
+#: CTE chain of the span-strip oracle (shared by q_strip_dup_substrings
+#: and the q_curate_stripped composition): rewrites every document with
+#: its later-occurrence repeated >= 20-char spans removed; docs whose
+#: text is entirely later-occurrence content are ABSENT from
+#: stripped_docs (the exact-dedup limit).
+_STRIP_CTES = """
+    base AS (SELECT doc_id, text AS t, length(text) AS n
                   FROM documents),
     long_docs AS (SELECT * FROM base WHERE n >= 20),
     pos AS (
@@ -1274,13 +1277,23 @@ def q_dup_substrings(spark, sf_dir):
     rebuilt AS (
       SELECT doc_id, string_agg(seg, '' ORDER BY ks) AS text
       FROM segs GROUP BY 1
+    ),
+    stripped_docs AS (
+      SELECT doc_id, text FROM rebuilt
+      UNION ALL
+      SELECT b.doc_id, b.t AS text
+      FROM base b
+      LEFT JOIN (SELECT DISTINCT doc_id FROM spans) s USING (doc_id)
+      WHERE s.doc_id IS NULL
     )
-    SELECT doc_id, text FROM rebuilt
-    UNION ALL
-    SELECT b.doc_id, b.t AS text
-    FROM base b
-    LEFT JOIN (SELECT DISTINCT doc_id FROM spans) s USING (doc_id)
-    WHERE s.doc_id IS NULL
+"""
+
+
+@register(
+    "q_strip_dup_substrings",
+    f"""
+    WITH {_STRIP_CTES}
+    SELECT doc_id, text FROM stripped_docs
     """,
 )
 def q_strip_dup_substrings(spark, sf_dir):
@@ -5316,6 +5329,95 @@ def q_inactive_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         _dec_sum(F.col("c_acctbal"), "total_bal"),
     )
+
+
+@register(
+    "q_curate_stripped",
+    f"""
+    WITH {_STRIP_CTES},
+    curate_src AS (
+      SELECT s.doc_id, s.text, d.lang
+      FROM stripped_docs s JOIN documents d USING (doc_id)
+    ),
+    stats AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS n_punct,
+             length(text) AS n_chars_calc,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 w -> w IN ('the','a','an','of','and','to','in','is')))
+               AS n_stop,
+             sha256(text) AS sha
+      FROM curate_src
+    ), scored AS (
+      SELECT doc_id, lang, n_words, sha,
+             ROUND(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+               + (1.0 - LEAST((CAST(n_punct AS DOUBLE) / n_chars_calc) * 4.0,
+                              1.0)) * 0.25
+               + LEAST((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25,
+               9) AS quality_score
+      FROM stats
+    ), gated AS (
+      SELECT * FROM scored
+      WHERE lang = 'en' AND quality_score >= 0.3 AND n_words >= 5
+    ), exact_kept AS (
+      SELECT doc_id, n_words, quality_score FROM gated
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY sha ORDER BY doc_id) = 1
+    ), {_GRAMS_CTE.replace("FROM documents", "FROM curate_src WHERE doc_id IN (SELECT doc_id FROM exact_kept)")},
+    hashed AS (
+      SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
+    ),
+    params(k, a, b) AS (VALUES {_MINHASH_VALUES}),
+    sigs AS (
+      SELECT doc_id, k, min((a * gram_hash + b) % 2147483647) AS minhash
+      FROM hashed CROSS JOIN params GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(k / 4) AS INTEGER) AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS band_sig
+      FROM sigs GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
+      FROM bands
+    ),
+    losers AS (
+      SELECT DISTINCT b.doc_id FROM buckets a
+      JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_id, n_words, quality_score FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def q_curate_stripped(spark, sf_dir):
+    """The FULL boilerplate-aware curation pipeline, oracle-checked as
+    one statement: corpus-wide repeated-span STRIP first (>= 20-char
+    spans excised, first occurrence wins; full duplicates vanish at
+    this stage — operators/corpus.py strip_repeated_substrings wired
+    through curate_documents' strip_substrings_min_len gate), THEN
+    language filter -> quality gate -> exact dedup -> MinHash-LSH
+    near-dup removal, all computed ON THE STRIPPED TEXT. This is the
+    composition a training-data pipeline actually runs: shared
+    license headers / templates must not count toward quality scores
+    or shingle signatures, or boilerplate-heavy near-dups evade the
+    LSH stage. winnow stays 1 (the exact, oracle-checkable path);
+    production at 100 TB flips span_winnow to ~10 for the strided
+    scale plan (q_dup_substrings_winnowed records that path's cost).
+    """
+    from dex_data_ingestor_spark.operators.corpus import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_documents(
+        docs,
+        allowed_langs=("en",),
+        min_quality=0.3,
+        min_words=5,
+        near_dup=True,
+        strip_substrings_min_len=20,
+    )
+    return out.select("doc_id", "n_words", "quality_score")
 
 
 # =========================================================================

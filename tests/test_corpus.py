@@ -502,3 +502,71 @@ def test_chunk_documents_overlap_and_coverage(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_size=100, stride=150)
+
+
+def test_curation_strip_gate_composes(spark):
+    """curate_documents(strip_substrings_min_len=...) excises shared
+    boilerplate BEFORE stats/dedup: two docs that differ only by a
+    license header collapse to one survivor (the header strip makes
+    them exact duplicates); the header survives once, in the lowest
+    doc id; a full duplicate vanishes at the strip stage; winnowed
+    (w>1) survivors are a subset of the exact-gate survivors' ids
+    plus possibly-extra docs (strip-less tolerance), and the gate-off
+    run keeps a superset of gate-on ids."""
+    import random
+    import string
+
+    def filler(seed, n):
+        rng = random.Random(4200 + seed)
+        words = []
+        while sum(len(w) + 1 for w in words) < n:
+            words.append("".join(rng.choice(string.ascii_lowercase)
+                                 for _ in range(rng.randint(3, 9))))
+        return " ".join(words)
+
+    header = ("LICENSE HEADER the of and to in is a an " * 3).strip()
+    body1 = "the quick brown fox " + filler(1, 400)
+    body2 = "the lazy grey wolf " + filler(2, 400)
+    rows = [
+        (1, header + " " + body1, "en"),
+        (2, header + " " + body2, "en"),   # same header, distinct body
+        (3, header + " " + body1, "en"),   # full dup of doc 1
+        (4, filler(4, 400) + " the of and to is in a an the of", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    gated = curate_documents(
+        df, allowed_langs=("en",), min_quality=0.0, min_words=5,
+        near_dup=False, strip_substrings_min_len=20,
+    )
+    out = {r.doc_id: r for r in gated.collect()}
+    # doc 3 vanishes at the strip stage (entirely later-occurrence);
+    # docs 2 keeps only its body; doc 1 keeps the header (first
+    # occurrence) — so 1, 2, 4 survive with stats over stripped text
+    assert set(out) == {1, 2, 4}
+    n_words_doc2 = out[2].n_words
+    assert n_words_doc2 < len(rows[1][1].split())  # header words gone
+
+    # gate off keeps a superset of ids (doc 3 still falls — to the
+    # exact sha-dedup stage instead of the strip stage)
+    ungated = {
+        r.doc_id
+        for r in curate_documents(
+            df, allowed_langs=("en",), min_quality=0.0, min_words=5,
+            near_dup=False,
+        ).select("doc_id").collect()
+    }
+    assert set(out) <= ungated
+
+    # winnowed scale path composes too and stays deterministic
+    w1 = curate_documents(
+        df, allowed_langs=("en",), min_quality=0.0, min_words=5,
+        near_dup=False, strip_substrings_min_len=20, span_winnow=5,
+    )
+    w2 = curate_documents(
+        df, allowed_langs=("en",), min_quality=0.0, min_words=5,
+        near_dup=False, strip_substrings_min_len=20, span_winnow=5,
+    )
+    ids1 = sorted(r.doc_id for r in w1.select("doc_id").collect())
+    assert ids1 == sorted(r.doc_id for r in w2.select("doc_id").collect())
+    assert set(ids1) <= ungated
