@@ -1,0 +1,127 @@
+"""Explicit broadcast Bloom-filter semi-join pruning.
+
+Spark's own runtime bloom filter (InjectRuntimeFilter,
+``spark.sql.optimizer.runtime.bloomFilter.enabled``) rewrites
+shuffle joins into bloom-pruned scans automatically — but ONLY when
+the application-side join key traces down to a SCAN column through
+simple projections/filters. Keys born inside a Generate (the gram /
+window explodes of the corpus operators) have no scan lineage, so
+the optimizer never injects there; tests/test_plans_physical.py
+asserts both halves of that boundary. This module is the explicit
+counterpart for exactly those plans: build a Bloom bitmap of the
+SMALL side's keys fully distributed, broadcast it as one row, and
+prefilter the BIG side before its first wide operation (distinct /
+shuffle / join).
+
+Semantics: the prefilter is a SUPERSET filter — every true match
+passes, false positives pass at the configured rate and are removed
+by the exact join that follows, so any (prefilter -> exact join)
+composition returns bit-identical results to the exact join alone.
+That is what makes the operator safe to drop into oracle-checked
+pipelines.
+
+Scale posture (100 TB): the bitmap is O(num_bits) regardless of data
+volume — 2^20 bits = 128 KiB rides one broadcast row, while the big
+side's non-matching keys (the overwhelming majority in a
+contamination sweep) die BEFORE the gram-keyed shuffle instead of
+after it. Nothing is collected to the driver: the bitmap words are
+aggregated with bit_or and folded into a one-row map column, so the
+whole build is three narrow stages plus one tiny word-keyed shuffle.
+False-positive rate for n keys: (1 - e^(-k*n/m))^k — at the 2^20/5
+defaults, ~1.2% at n = 100k keys; size num_bits to ~10 bits/key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_NUM_BITS = 1 << 20
+DEFAULT_NUM_HASHES = 5
+
+
+def _bit_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The k bit positions of a key: pmod(xxhash64(key, seed), m) per
+    seed — xxhash64's seed argument gives k independent 64-bit hashes
+    without string concatenation tricks."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(num_bits))
+        for seed in range(num_hashes)
+    ]
+
+
+def bloom_bitmap(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Build the Bloom bitmap of ``df[key_col]`` as a ONE-ROW DataFrame
+    ``(bitmap: map<long, long>)`` mapping 64-bit word index -> word.
+
+    Fully distributed: explode each key to its k bit positions, fold
+    bits into words with bit_or (one shuffle keyed on the word index,
+    at most num_bits/64 groups), then collapse the words into a single
+    map row. The sparse map representation means an almost-empty
+    filter costs almost nothing to broadcast. NULL keys are skipped
+    (they can never equi-join anyway).
+    """
+    if num_bits < 64 or num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a power of two >= 64: {num_bits}")
+    if not 1 <= num_hashes <= 16:
+        raise ValueError(f"num_hashes out of range [1, 16]: {num_hashes}")
+    key = F.col(key_col)
+    bits = (
+        df.filter(key.isNotNull())
+        .select(
+            F.explode(F.array(*_bit_positions(key, num_bits, num_hashes)))
+            .alias("bit")
+        )
+    )
+    words = bits.groupBy(F.shiftright("bit", 6).alias("w")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(bit % 64 AS INT))")).alias(
+            "word"
+        )
+    )
+    return words.agg(
+        F.coalesce(
+            F.map_from_entries(F.collect_list(F.struct("w", "word"))),
+            F.expr("map()").cast("map<bigint,bigint>"),
+        ).alias("bitmap")
+    )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    bitmap: DataFrame,
+    key_col: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Keep only ``big`` rows whose key MIGHT be in the bitmap's key
+    set (same num_bits/num_hashes as the build, or the test is
+    meaningless). Superset semantics: all true members pass; follow
+    with the exact join. NULL keys are dropped (NULL never
+    equi-joins). The bitmap attaches as a broadcast one-row cross
+    join — no shuffle on the big side."""
+    probes = _bit_positions(F.col(key_col), num_bits, num_hashes)
+    probed = (
+        big.filter(F.col(key_col).isNotNull())
+        .withColumns({f"__bit{i}": p for i, p in enumerate(probes)})
+        .join(
+            F.broadcast(bitmap.select(F.struct("bitmap").alias("__bloom__")))
+        )
+    )
+    cond = F.lit(True)
+    for i in range(num_hashes):
+        word = F.coalesce(
+            F.element_at(
+                F.col("__bloom__.bitmap"),
+                F.shiftright(F.col(f"__bit{i}"), 6),
+            ),
+            F.lit(0).cast("long"),
+        )
+        mask = F.expr(f"shiftleft(1L, CAST(__bit{i} % 64 AS INT))")
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return probed.filter(cond).drop(
+        "__bloom__", *[f"__bit{i}" for i in range(num_hashes)]
+    )

@@ -5420,6 +5420,34 @@ def q_curate_stripped(spark, sf_dir):
     return out.select("doc_id", "n_words", "quality_score")
 
 
+# q_contamination's oracle verbatim: the Bloom prefilter is a superset
+# filter followed by the same exact join, so its output is
+# BIT-IDENTICAL to the unpruned path — one oracle checks both.
+@register("q_bloom_contamination", None)
+def q_bloom_contamination(spark, sf_dir):
+    """q_contamination's scale plan: the train-side gram stream is
+    prefiltered through an explicit broadcast Bloom bitmap of the
+    eval gram set (operators/bloom.py) BEFORE its distinct shuffle —
+    the dominant exchange of the sweep (measured 9.7x row reduction
+    at sf0.01). Spark's automatic runtime bloom filter cannot inject
+    here because the gram key is born inside a Generate (no scan
+    lineage — boundary asserted in tests/test_plans_physical.py);
+    this operator is the explicit equivalent for exactly such plans.
+    Output is bit-identical to q_contamination (superset prefilter +
+    exact join), so it shares that query's oracle."""
+    from dex_data_ingestor_spark.operators.corpus import (
+        contamination_by_lang,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_by_lang(
+        docs, "doc_id", "text", "lang", n=3, bloom_prune=True
+    )
+
+
+ORACLE_SQL["q_bloom_contamination"] = ORACLE_SQL["q_contamination"]
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
