@@ -64,6 +64,13 @@ HEADLINE = [
     # next to the exact path so the 2/(w+1) explode saving is a
     # recorded number, not a claim (rows-only registry entry).
     "q_dup_substrings_winnowed",
+    # added late r7 (set 25 -> 28): the strip->curate composition is
+    # the heaviest end-to-end pipeline in the registry, and the
+    # bloom-pruned contamination sweep is benched NEXT TO the exact
+    # one so the prefilter's win/cost is a recorded number.
+    "q_contamination",
+    "q_bloom_contamination",
+    "q_curate_stripped",
 ]
 
 

@@ -50,10 +50,13 @@ def marker_hits(text, markers: tuple[str, ...]) -> Column:
     )
 
 
-def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document statistics: char/word/token counts, punctuation and
-    stopword ratios, and a composite quality score (round-9 for
-    cross-engine determinism of the derived ratios)."""
+def text_stat_exprs(text_col: str) -> dict:
+    """The per-document stat expressions of :func:`text_stats` as a
+    name -> Column dict. Every one is NARROW (pure per-row compute),
+    so callers that already hold the document row should attach them
+    with ``withColumns`` — a self-join against ``text_stats`` output
+    would re-evaluate the whole upstream plan and add a pointless
+    keyed exchange."""
     t = F.col(text_col)
     n_chars = F.length(t)
     word_arr = words(t)
@@ -76,15 +79,24 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.25,
         9,
     )
+    return {
+        "n_chars_calc": n_chars,
+        "n_words": n_words,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "avg_word_len": avg_word_len,
+        "quality_score": quality,
+    }
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document statistics: char/word/token counts, punctuation and
+    stopword ratios, and a composite quality score (round-9 for
+    cross-engine determinism of the derived ratios)."""
+    exprs = text_stat_exprs(text_col)
     return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars_calc"),
-        n_words.alias("n_words"),
-        n_tokens.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        avg_word_len.alias("avg_word_len"),
-        quality.alias("quality_score"),
+        F.col(id_col), *[c.alias(n) for n, c in exprs.items()]
     )
 
 

@@ -153,3 +153,53 @@ def test_span_family_shuffles_hash_key_not_gram(spark, sf_dir):
     assert "hashpartitioning(key#" in plan.replace(" ", "").lower() or (
         "partitionBy" not in plan
     ), plan
+
+
+def test_order_priority_uses_semi_join_with_residual(spark, sf_dir):
+    """Q4 shape: EXISTS must plan as one LEFT SEMI join (per-key
+    short-circuit, no dedup-then-join) with the lateness predicate
+    riding the join, and the quarter filter pushed to the orders
+    scan."""
+    plan = plan_of(spark, sf_dir, "q_order_priority")
+    assert "LeftSemi" in plan, plan
+    assert re.search(r"PushedFilters: \[.*o_orderdate.*\]", plan) or (
+        "GreaterThanOrEqual(o_orderdate" in plan
+    ), plan
+
+
+def test_product_profit_broadcasts_both_dims(spark, sf_dir):
+    """Q9 shape: the filtered part keys and the supplier+nation fold
+    must BOTH broadcast — the only sort-merge-worthy exchange is
+    lineitem-orders on orderkey."""
+    plan = plan_of(spark, sf_dir, "q_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_customer_distribution_left_join_keeps_zero_bucket(spark, sf_dir):
+    """Q13 shape: the priority predicate must stay INSIDE the left
+    join (a post-join Filter on the orders side would drop the
+    zero-order customers)."""
+    plan = plan_of(spark, sf_dir, "q_customer_distribution")
+    assert "LeftOuter" in plan, plan
+    # partial aggregation on the custkey count before the histogram
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_small_qty_revenue_copartitions_threshold_join(spark, sf_dir):
+    """Q17 shape: the per-part average joins back to lineitem on the
+    SAME key both sides shuffle on — no nested-loop / cartesian from
+    the decorrelated scalar subquery."""
+    plan = plan_of(spark, sf_dir, "q_small_qty_revenue")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bloom_prefilter_is_broadcast_and_jvm_only(spark, sf_dir):
+    """The explicit Bloom path must attach the bitmap as a broadcast
+    (one-row cross join, no shuffle on the big side) and stay fully
+    JVM-side."""
+    plan = plan_of(spark, sf_dir, "q_bloom_contamination")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "xxhash64" in plan, plan
