@@ -163,6 +163,41 @@ def main() -> None:
                          order_tiebreak=["event_id"])
     print("   SCD2 versions:", dim.count(), "| current rows:",
           dim.filter("is_current").count())
+
+    print("== 8. boilerplate-aware curation + Bloom-pruned decontamination")
+    from dex_data_ingestor_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_prefilter,
+    )
+    from dex_data_ingestor_spark.operators.corpus import (
+        contamination_by_lang,
+    )
+
+    stripped_curated = curate_documents(
+        docs, allowed_langs=("en",), min_quality=0.3, min_words=5,
+        near_dup=True, strip_substrings_min_len=20,
+    )
+    print("   strip->curate survivors:", stripped_curated.count(),
+          "/", docs.count())
+    cont = contamination_by_lang(docs, bloom_prune=True).orderBy("lang")
+    for r in cont.collect():
+        print(f"   contamination[{r.lang}]: {r.n_contaminated}/"
+              f"{r.n_eval_grams} eval grams in train")
+    # the prefilter's effect, measured: train grams surviving the bitmap
+    from dex_data_ingestor_spark.functions.scalars import md5_int64
+    from dex_data_ingestor_spark.operators.neardup import _grams_from_words
+
+    gr = docs.select(
+        (md5_int64(F.col("text")) % 100).alias("b"),
+        F.explode(
+            _grams_from_words(F.split(F.trim(F.col("text")), r"\s+"), 3)
+        ).alias("gram"),
+    )
+    ev_grams = gr.filter("b >= 90").select("gram").distinct()
+    train_grams = gr.filter("b < 80").select("gram")
+    kept = bloom_prefilter(train_grams, bloom_bitmap(ev_grams, "gram"), "gram")
+    print("   bloom prefilter: train grams", train_grams.count(),
+          "->", kept.count(), "before the distinct shuffle")
     spark.stop()
     print("DEMO COMPLETE")
 
