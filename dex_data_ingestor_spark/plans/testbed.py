@@ -5448,6 +5448,101 @@ def q_bloom_contamination(spark, sf_dir):
 ORACLE_SQL["q_bloom_contamination"] = ORACLE_SQL["q_contamination"]
 
 
+@register(
+    "q_chunk_dedup",
+    """
+    WITH chunks AS (
+      SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+             CAST(k * 150 + 1 AS INTEGER) AS chunk_start,
+             substring(text, CAST(k * 150 + 1 AS INTEGER), 200)
+               AS chunk_text
+      FROM documents,
+           unnest(range(0, CAST(ceil(length(text) / 150.0) AS INTEGER)))
+             AS u(k)
+      WHERE length(text) > 0
+    )
+    SELECT doc_id, chunk_id, chunk_start, chunk_text
+    FROM chunks
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY sha256(chunk_text)
+      ORDER BY doc_id, chunk_id) = 1
+    """,
+)
+def q_chunk_dedup(spark, sf_dir):
+    """RAG-index chunk dedup: chunk every document (200-char windows,
+    150-char stride) then keep ONE copy of each distinct chunk text —
+    the materialization an embedding pipeline runs so duplicated
+    boilerplate is embedded once, not once per source document.
+    Survivor rule is deterministic (lowest (doc_id, chunk_id)).
+    Scale: the chunk explode is narrow; the dedup groups on
+    sha256(chunk_text) — a fixed-width key through the one shuffle,
+    never the 200-char text (same hash-key discipline as the exact
+    doc dedup and the span family)."""
+    from dex_data_ingestor_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_size=200, stride=150)
+    keyed = chunks.withColumn("__sha", F.sha2(F.col("chunk_text"), 256))
+    return dedup_first(
+        keyed, ["__sha"], [F.col("doc_id"), F.col("chunk_id")]
+    ).drop("__sha")
+
+
+@register(
+    "q_rare_word_score",
+    """
+    WITH inst AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    freq AS (
+      SELECT w, COUNT(*) AS n FROM inst GROUP BY 1
+    ),
+    common AS (SELECT w FROM freq WHERE n >= 50)
+    SELECT i.doc_id,
+           COUNT(*) AS n_inst,
+           CAST(SUM(CASE WHEN c.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           CAST(SUM(CASE WHEN c.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS rare_frac
+    FROM inst i LEFT JOIN common c USING (w)
+    GROUP BY 1
+    """,
+)
+def q_rare_word_score(spark, sf_dir):
+    """Corpus-relative rarity score (the Gopher-style 'unusual words'
+    quality signal): per document, the fraction of word instances
+    whose corpus-wide frequency is below 50. Plan for 100 TB: the
+    COMMON vocabulary (freq >= 50) is a SMALL set by Zipf's law, so
+    it broadcasts and the rarity test is a broadcast left join on the
+    exploded instances — the per-doc aggregate then shuffles on
+    doc_id once. The frequency count itself is one word-keyed
+    shuffle with map-side partial aggregation. No raw-text keys
+    anywhere past the explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    inst = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    common = (
+        inst.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+        .select(F.col("w").alias("cw"))
+    )
+    j = inst.join(F.broadcast(common), inst.w == F.col("cw"), "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_inst"),
+        F.sum(F.when(F.col("cw").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rare"),
+        (
+            F.sum(F.when(F.col("cw").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rare_frac"),
+    )
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
