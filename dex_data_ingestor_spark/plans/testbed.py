@@ -5405,6 +5405,16 @@ def q_curate_stripped(spark, sf_dir):
     LSH stage. winnow stays 1 (the exact, oracle-checkable path);
     production at 100 TB flips span_winnow to ~10 for the strided
     scale plan (q_dup_substrings_winnowed records that path's cost).
+
+    Scale note on the single-statement form: the exact-dedup window
+    and the LSH candidate/anti-join branches form a diamond over the
+    strip output, so the declarative plan re-evaluates the strip
+    subtree once per branch (~3x; visible in the sf0.1 bench entry).
+    At 100 TB you would not do that: the stripped corpus is itself a
+    product artifact — write it (snapshot table / parquet), then run
+    curation over the materialized copy, paying the strip exactly
+    once. The one-statement composition here exists so the whole
+    pipeline stays oracle-checkable end to end.
     """
     from dex_data_ingestor_spark.operators.corpus import curate_documents
 
