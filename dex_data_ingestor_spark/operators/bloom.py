@@ -25,10 +25,12 @@ volume — 2^20 bits = 128 KiB rides one broadcast row, while the big
 side's non-matching keys (the overwhelming majority in a
 contamination sweep) die BEFORE the gram-keyed shuffle instead of
 after it. Nothing is collected to the driver: the bitmap words are
-aggregated with bit_or and folded into a one-row map column, so the
-whole build is three narrow stages plus one tiny word-keyed shuffle.
-False-positive rate for n keys: (1 - e^(-k*n/m))^k — at the 2^20/5
-defaults, ~1.2% at n = 100k keys; size num_bits to ~10 bits/key.
+aggregated with bit_or and densified into a one-row array<long>
+column through a spark.range spine join, so the whole build is
+narrow stages plus one tiny word-keyed shuffle. False-positive rate
+for n keys is the Bloom bound (1 - e^(-k*n/m))^k up to the
+double-hashing caveat in _bit_positions — at the 2^20/5 defaults,
+~1.2% at n = 100k keys; size num_bits to ~10 bits/key.
 """
 
 from __future__ import annotations
@@ -40,12 +42,23 @@ DEFAULT_NUM_HASHES = 5
 
 
 def _bit_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    """The k bit positions of a key: pmod(xxhash64(key, seed), m) per
-    seed — xxhash64's seed argument gives k independent 64-bit hashes
-    without string concatenation tricks."""
+    """The k bit positions of a key via Kirsch-Mitzenmacher double
+    hashing over ONE xxhash64 evaluation: the 64-bit hash splits into
+    h1 (low 32 bits) and h2 (high 32 bits, forced odd), and
+    pos_i = pmod(h1 + i*h2, m). This is the standard practical Bloom
+    scheme (Guava's BloomFilter uses the same construction) — the k
+    positions are NOT independent hash functions: two keys that
+    collide on the base 64-bit hash collide at ALL k positions, so
+    the textbook (1 - e^(-k*n/m))^k false-positive formula holds only
+    up to the base-collision rate (~n^2 / 2^64 — negligible at any n
+    a broadcastable bitmap can serve). One hash evaluation per key
+    instead of k keeps the probe side cheap."""
+    h = F.xxhash64(key)
+    h1 = h.bitwiseAND(F.lit((1 << 32) - 1))
+    h2 = F.shiftrightunsigned(h, 32).bitwiseOR(F.lit(1))
     return [
-        F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(num_bits))
-        for seed in range(num_hashes)
+        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits))
+        for i in range(num_hashes)
     ]
 
 

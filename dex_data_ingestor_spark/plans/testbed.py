@@ -4991,9 +4991,13 @@ def q_nation_volume(spark, sf_dir):
     )
     li = load_table(spark, sf_dir, "lineitem")
     j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # broadcast supplier prune FIRST: only lineitems of the two
+        # nations' suppliers (~2/25) ride the orderkey and custkey
+        # exchanges — Spark does not reorder inner joins, so the
+        # written order IS the executed order
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(
             (
                 (F.col("supp_nation") == "NATION_1")

@@ -183,18 +183,15 @@ def main() -> None:
     for r in cont.collect():
         print(f"   contamination[{r.lang}]: {r.n_contaminated}/"
               f"{r.n_eval_grams} eval grams in train")
-    # the prefilter's effect, measured: train grams surviving the bitmap
-    from dex_data_ingestor_spark.functions.scalars import md5_int64
-    from dex_data_ingestor_spark.operators.neardup import _grams_from_words
-
-    gr = docs.select(
-        (md5_int64(F.col("text")) % 100).alias("b"),
-        F.explode(
-            _grams_from_words(F.split(F.trim(F.col("text")), r"\s+"), 3)
-        ).alias("gram"),
+    # the prefilter's effect, measured: train grams surviving the
+    # bitmap — same gram population as the operator, by construction
+    from dex_data_ingestor_spark.operators.corpus import (
+        corpus_gram_buckets,
     )
-    ev_grams = gr.filter("b >= 90").select("gram").distinct()
-    train_grams = gr.filter("b < 80").select("gram")
+
+    gr = corpus_gram_buckets(docs)
+    ev_grams = gr.filter("bucket >= 90").select("gram").distinct()
+    train_grams = gr.filter("bucket < 80").select("gram")
     kept = bloom_prefilter(train_grams, bloom_bitmap(ev_grams, "gram"), "gram")
     print("   bloom prefilter: train grams", train_grams.count(),
           "->", kept.count(), "before the distinct shuffle")

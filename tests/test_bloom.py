@@ -13,15 +13,12 @@ from dex_data_ingestor_spark.operators.bloom import (
 
 
 def _grams(spark, sf_dir):
-    from dex_data_ingestor_spark.functions.scalars import md5_int64
-    from dex_data_ingestor_spark.operators.neardup import _grams_from_words
+    from dex_data_ingestor_spark.operators.corpus import (
+        corpus_gram_buckets,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
-    b = md5_int64(F.col("text")) % 100
-    return docs.select(
-        b.alias("__b"), F.explode(_grams_from_words(ws, 3)).alias("gram")
-    )
+    return corpus_gram_buckets(docs).withColumnRenamed("bucket", "__b")
 
 
 def test_prefilter_is_superset_and_join_exact(spark, sf_dir):

@@ -177,13 +177,18 @@ def test_product_profit_broadcasts_both_dims(spark, sf_dir):
 
 
 def test_customer_distribution_left_join_keeps_zero_bucket(spark, sf_dir):
-    """Q13 shape: the priority predicate must stay INSIDE the left
-    join (a post-join Filter on the orders side would drop the
-    zero-order customers)."""
+    """Q13 shape: the priority predicate must reach the ORDERS-side
+    scan (Catalyst pushes a right-side join-condition predicate below
+    a left join, which preserves the zero-order customers), never a
+    post-join Filter that would drop the null-extended rows."""
     plan = plan_of(spark, sf_dir, "q_customer_distribution")
     assert "LeftOuter" in plan, plan
-    # partial aggregation on the custkey count before the histogram
-    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert re.search(
+        r"PushedFilters: \[.*Not\(EqualTo\(o_orderpriority,5-LOW\)\).*\]",
+        plan,
+    ), plan
+    # partial map-side count before the custkey exchange
+    assert "partial_count" in plan, plan
 
 
 def test_small_qty_revenue_copartitions_threshold_join(spark, sf_dir):
@@ -197,9 +202,13 @@ def test_small_qty_revenue_copartitions_threshold_join(spark, sf_dir):
 
 def test_bloom_prefilter_is_broadcast_and_jvm_only(spark, sf_dir):
     """The explicit Bloom path must attach the bitmap as a broadcast
-    (one-row cross join, no shuffle on the big side) and stay fully
-    JVM-side."""
+    (the key-less one-row attach can ONLY plan as a
+    BroadcastNestedLoopJoin — a regressed shuffled attach would plan
+    SortMergeJoin/ShuffledHashJoin, both absent here since every join
+    in this query is broadcast-sized) and stay fully JVM-side."""
     plan = plan_of(spark, sf_dir, "q_bloom_contamination")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the bitmap attach
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "bitmap" in plan, plan  # probe filter references the array
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "xxhash64" in plan, plan
