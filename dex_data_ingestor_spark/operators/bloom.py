@@ -121,6 +121,30 @@ def bloom_bitmap(
     )
 
 
+def bloom_member_expr(
+    key: Column,
+    bitmap: Column,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> Column:
+    """Boolean might-be-member test of ``key`` against a dense
+    ``array<long>`` bitmap column — a pure Column expression (no
+    column-name references, no F.expr), so it composes anywhere a
+    Column does, INCLUDING inside higher-order-function lambdas: e.g.
+    ``F.filter(grams, lambda g: bloom_member_expr(g, F.col("bitmap")))``
+    probes every gram of a document in one narrow pass — the
+    map-only form streaming pipelines need (no explode, no state).
+    bit_get does the variable-position bit test (shiftleft/shiftright
+    masks would need literal shift amounts)."""
+    cond = F.lit(True)
+    for bit in _bit_positions(key, num_bits, num_hashes):
+        word = F.element_at(
+            bitmap, (F.shiftright(bit, 6) + 1).cast("int")
+        )
+        cond = cond & (F.bit_get(word, F.pmod(bit, F.lit(64))) == 1)
+    return cond
+
+
 def bloom_prefilter(
     big: DataFrame,
     bitmap: DataFrame,
@@ -134,24 +158,10 @@ def bloom_prefilter(
     with the exact join. NULL keys are dropped (NULL never
     equi-joins). The bitmap attaches as a broadcast one-row cross
     join — no shuffle on the big side."""
-    probes = _bit_positions(F.col(key_col), num_bits, num_hashes)
-    probed = (
-        big.filter(F.col(key_col).isNotNull())
-        .withColumns({f"__bit{i}": p for i, p in enumerate(probes)})
-        .join(
-            F.broadcast(bitmap.select(F.struct("bitmap").alias("__bloom__")))
-        )
+    probed = big.filter(F.col(key_col).isNotNull()).join(
+        F.broadcast(bitmap.select(F.struct("bitmap").alias("__bloom__")))
     )
-    cond = F.lit(True)
-    for i in range(num_hashes):
-        # array element_at is 1-based and O(1); the word index is
-        # always in range because pmod bounds bit < num_bits
-        word = F.element_at(
-            F.col("__bloom__.bitmap"),
-            (F.shiftright(F.col(f"__bit{i}"), 6) + 1).cast("int"),
-        )
-        mask = F.expr(f"shiftleft(1L, CAST(__bit{i} % 64 AS INT))")
-        cond = cond & (word.bitwiseAND(mask) != 0)
-    return probed.filter(cond).drop(
-        "__bloom__", *[f"__bit{i}" for i in range(num_hashes)]
+    cond = bloom_member_expr(
+        F.col(key_col), F.col("__bloom__.bitmap"), num_bits, num_hashes
     )
+    return probed.filter(cond).drop("__bloom__")

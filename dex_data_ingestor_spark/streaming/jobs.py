@@ -518,6 +518,82 @@ def stream_neardup_ingest(
     )
 
 
+def stream_contamination_guard(
+    docs_stream: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Ingest-time train/eval decontamination guard: annotate a
+    document STREAM with how many of its word n-grams might also
+    occur in the (static) held-out eval corpus, so contaminated docs
+    are quarantined at ingest instead of discovered in a batch sweep
+    later.
+
+    Mechanics: the eval corpus's gram Bloom bitmap is built ONCE on
+    the static side (operators/bloom.bloom_bitmap — fully
+    distributed, one broadcastable array<long> row) and attached to
+    the stream via a stream-static broadcast join; each document's
+    grams are then probed INSIDE a higher-order filter
+    (bloom_member_expr), so the whole guard is map-only — no explode,
+    no stateful aggregation, no watermark, and it composes with any
+    downstream sink. The gram array is projected to a column BEFORE
+    the lambda (HOF lambdas re-evaluate argument expressions per
+    element — the r2 shingle lesson).
+
+    Output adds ``n_grams``, ``n_flagged``, and ``contaminated``
+    (n_flagged > 0). Bloom semantics make the guard CONSERVATIVE:
+    every true overlap is flagged; false positives (rate set by
+    num_bits/num_hashes, ~1.2% at the defaults for 100k eval grams)
+    can only over-quarantine, never leak eval text into training —
+    the safe direction. Quarantined docs can be exact-verified
+    offline against the real gram set (scrub_contaminated_spans
+    recovers the clean remainder span-by-span).
+    """
+    from dex_data_ingestor_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_member_expr,
+    )
+    from dex_data_ingestor_spark.operators.neardup import _grams_from_words
+
+    eval_grams = (
+        eval_docs.select(
+            F.explode(
+                _grams_from_words(
+                    F.split(F.trim(F.col(text_col)), r"\s+"), n
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    bm = bloom_bitmap(eval_grams, "gram", num_bits, num_hashes)
+
+    with_grams = docs_stream.withColumn(
+        "__grams",
+        _grams_from_words(F.split(F.trim(F.col(text_col)), r"\s+"), n),
+    )
+    probed = with_grams.join(
+        F.broadcast(bm.select(F.struct("bitmap").alias("__bloom__")))
+    )
+    flagged = F.size(
+        F.filter(
+            F.col("__grams"),
+            lambda g: bloom_member_expr(
+                g, F.col("__bloom__.bitmap"), num_bits, num_hashes
+            ),
+        )
+    )
+    return (
+        probed.withColumn("n_grams", F.size("__grams"))
+        .withColumn("n_flagged", flagged)
+        .withColumn("contaminated", F.col("n_flagged") > 0)
+        .drop("__grams", "__bloom__")
+    )
+
+
 def foreach_batch_merge_snapshots(
     stream_df: DataFrame,
     checkpoint_dir: str,

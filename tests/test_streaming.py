@@ -436,3 +436,73 @@ def test_stream_chunk_documents_batch_parity(spark, sf_dir, tmp_path):
         key=key,
     )
     assert streamed == batch_side
+
+
+def test_stream_contamination_guard(spark, tmp_path):
+    """The ingest-time decontamination guard: a doc stream annotated
+    against a static eval corpus's gram bitmap. Planted overlaps are
+    flagged (no false negatives BY CONSTRUCTION), clean docs pass at
+    this corpus size (bitmap far oversized -> FP ~ 0), the guard is
+    map-only (works with append sinks, no watermark), and the stream
+    output equals the batch-side run of the same transformation."""
+    import random
+    import string
+
+    from dex_data_ingestor_spark.streaming.jobs import (
+        stream_contamination_guard,
+    )
+
+    def filler(seed, n_words):
+        rng = random.Random(7000 + seed)
+        return " ".join(
+            "".join(rng.choice(string.ascii_lowercase) for _ in range(5))
+            for _ in range(n_words)
+        )
+
+    eval_text = "held out evaluation answer " + filler(0, 30)
+    eval_docs = spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    )
+    rows = [
+        (1, filler(1, 40)),                                  # clean
+        (2, filler(2, 10) + " held out evaluation answer "   # planted
+             + filler(3, 10)),
+        (3, filler(4, 40)),                                  # clean
+        (4, eval_text),                                      # full copy
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "guard_src")
+    docs.filter("doc_id <= 2").coalesce(1).write.mode("overwrite").parquet(src)
+    docs.filter("doc_id > 2").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    guarded = stream_contamination_guard(stream, eval_docs)
+    q = (
+        guarded.writeStream.format("memory")
+        .queryName("guard_out")
+        .option("checkpointLocation", str(tmp_path / "guard_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    out = {r.doc_id: r for r in spark.sql("SELECT * FROM guard_out").collect()}
+
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2].contaminated and out[4].contaminated  # planted overlap
+    assert not out[1].contaminated and not out[3].contaminated
+    assert out[4].n_flagged == out[4].n_grams  # full copy: all grams hit
+    assert 0 < out[2].n_flagged < out[2].n_grams
+
+    # batch parity: identical transformation on the batch frame
+    batch = {
+        r.doc_id: r
+        for r in stream_contamination_guard(docs, eval_docs).collect()
+    }
+    for d in out:
+        assert (out[d].n_grams, out[d].n_flagged, out[d].contaminated) == (
+            batch[d].n_grams, batch[d].n_flagged, batch[d].contaminated
+        )
