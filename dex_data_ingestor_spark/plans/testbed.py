@@ -5463,6 +5463,44 @@ ORACLE_SQL["q_bloom_contamination"] = ORACLE_SQL["q_contamination"]
 
 
 @register(
+    "q_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_qualifying
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    GROUP BY ALL
+    """,
+)
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): pure
+    scan-filter-aggregate with three range predicates — the query
+    whose entire cost is how much of the scan the predicates prune.
+    All three predicates push to the parquet scan (date + two
+    numeric ranges -> row-group min/max pruning at 100 TB); no join,
+    no wide operator, one partial-aggregated exchange of a single
+    row per task. The discount BETWEEN bounds (0.02/0.04) are exact
+    binary fractions' nearest doubles in BOTH engines' literals, so
+    the boundary comparisons are bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dec_sum(
+            F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"
+        ),
+        F.count(F.lit(1)).alias("n_qualifying"),
+    )
+
+
+@register(
     "q_chunk_dedup",
     """
     WITH chunks AS (

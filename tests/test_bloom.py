@@ -135,3 +135,41 @@ def test_native_runtime_bloom_cannot_inject_through_generate(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Hypothesis: for arbitrary key sets and configs, every built key
+    passes its own membership test — the Bloom invariant the
+    prefilter's superset semantics rest on."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        keys=st.lists(
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+                min_size=0,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        num_bits=st.sampled_from([64, 1024, 1 << 16]),
+        num_hashes=st.integers(min_value=1, max_value=8),
+    )
+    def check(keys, num_bits, num_hashes):
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        bm = bloom_bitmap(df, "k", num_bits, num_hashes)
+        kept = {
+            r.k
+            for r in bloom_prefilter(
+                df, bm, "k", num_bits, num_hashes
+            ).collect()
+        }
+        assert kept == set(keys)  # no false negative, ever
+
+    check()

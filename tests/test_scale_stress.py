@@ -169,3 +169,56 @@ def test_span_dedup_boilerplate_corpus_at_scale(spark):
     again = {r.doc_id: r.text for r in strip_repeated_substrings(
         df, min_len=LN, winnow=W).collect()}
     assert out == again
+
+
+@pytest.mark.slow
+def test_bloom_prefilter_selectivity_at_scale(spark):
+    """Bloom prune on a contamination-shaped workload at stress size:
+    8,000 train docs vs 200 eval docs with a planted 1% overlap. The
+    recorded numbers are the scale contract: the prefilter passes
+    every true-overlap gram (superset), keeps under ~2x the true
+    match count (FP-bounded at ~12 bits/key), and therefore cuts the
+    rows entering the train-side distinct exchange by >10x."""
+    import random
+    import string
+
+    def doc(seed, n_words=60):
+        rng = random.Random(90_000 + seed)
+        return " ".join(
+            "".join(rng.choice(string.ascii_lowercase) for _ in range(6))
+            for _ in range(n_words)
+        )
+
+    eval_rows = [(100_000 + i, doc(100_000 + i)) for i in range(200)]
+    train_rows = [(i, doc(i)) for i in range(8_000)]
+    # plant overlap: 1% of train docs embed an eval doc's phrase
+    for i in range(0, 8_000, 100):
+        planted = eval_rows[(i // 100) % 200][1].split()[:12]
+        train_rows[i] = (i, " ".join(planted) + " " + train_rows[i][1])
+
+    from dex_data_ingestor_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_prefilter,
+    )
+    from dex_data_ingestor_spark.operators.neardup import _grams_from_words
+
+    def grams(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return df.select(
+            F.explode(
+                _grams_from_words(F.split(F.col("text"), r"\s+"), 3)
+            ).alias("gram")
+        )
+
+    ev = grams(eval_rows).distinct()
+    tr = grams(train_rows)
+    bm = bloom_bitmap(ev, "gram")
+
+    n_train = tr.count()
+    n_true = tr.join(ev, "gram", "left_semi").count()
+    n_kept = bloom_prefilter(tr, bm, "gram").count()
+
+    assert n_true > 0
+    assert n_kept >= n_true                      # superset, always
+    assert n_kept <= max(2 * n_true, n_true + n_train // 50)  # FP-bounded
+    assert n_train / n_kept > 10                 # the shuffle-rows saving
