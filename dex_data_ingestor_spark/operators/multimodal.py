@@ -10,9 +10,11 @@ PPM (P6), uncompressed BMP (24/32-bit), and PNG (8-bit gray / RGB /
 RGBA / palette, non-interlaced; inflate via ``zlib``, all five
 scanline filters) — into ``numpy`` ``(H, W, C)`` uint8 arrays, with
 ``image_stats`` and the ``resize_images`` decodable path running that
-kernel end-to-end over ``mapInPandas``. Formats whose codecs are
-genuinely absent from this container (JPEG/WebP/audio/video) raise
-NotImplementedError from the sniffer; ``extract_features`` keeps its
+kernel end-to-end over ``mapInPandas``; audio is real too —
+``audio_stats`` decodes RIFF/WAVE integer and float PCM (stdlib
+struct) and screens on RMS/peak/zero-crossings. Formats whose codecs
+are genuinely absent from this container (JPEG/WebP, compressed
+audio, video) raise NotImplementedError; ``extract_features`` keeps its
 deterministic digest features so the distributed plumbing stays
 testable on arbitrary payloads.
 """
@@ -279,6 +281,155 @@ def decode_media(payload: bytes, media_meta=None) -> np.ndarray:
     raise NotImplementedError(
         f"no stdlib codec for payload format '{fmt}' "
         "(PPM/BMP/PNG decode natively; plug PIL/av for the rest)"
+    )
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload to ``(samples, sample_rate)`` where
+    samples is float64 shape ``(n_frames, n_channels)`` scaled to
+    [-1, 1]. Stdlib-only manual RIFF chunk walk (no ``wave`` module:
+    it cannot read float PCM and swallows chunk-order variants):
+    integer PCM 8/16/24/32-bit (format tag 1) and IEEE float32/64
+    (tag 3) decode; compressed formats (ADPCM, mu-law, MP3-in-WAV...)
+    raise NotImplementedError. Hardened like the image path: bounded
+    by MAX_DECODED_BYTES, truncated chunks rejected, declared sizes
+    never trusted past the buffer."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        body_start = pos + 8
+        body_end = body_start + csize
+        if body_end > end:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too short")
+            tag, n_ch, rate, _br, block, bits = struct.unpack_from(
+                "<HHIIHH", payload, body_start
+            )
+            fmt = (tag, n_ch, rate, block, bits)
+        elif cid == b"data":
+            data = payload[body_start:body_end]
+        pos = body_end + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, n_ch, rate, block, bits = fmt
+    if n_ch < 1 or rate < 1:
+        raise ValueError(f"bad fmt: channels={n_ch} rate={rate}")
+    if tag not in (1, 3):
+        raise NotImplementedError(
+            f"no stdlib codec for WAVE format tag {tag} "
+            "(integer/float PCM decode natively)"
+        )
+    if (tag, bits) not in ((1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64)):
+        raise NotImplementedError(f"unsupported PCM width {bits} (tag {tag})")
+    bytes_per = bits // 8
+    if 8 * len(data) > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"decoded audio would exceed {MAX_DECODED_BYTES} bytes"
+        )
+    n_frames = len(data) // (bytes_per * n_ch)
+    usable = n_frames * bytes_per * n_ch
+    raw = data[:usable]
+    if tag == 3:
+        x = np.frombuffer(raw, dtype=np.float32 if bits == 32 else np.float64)
+        samples = x.astype(np.float64)
+    elif bits == 8:
+        samples = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        x = np.where(x >= 1 << 23, x - (1 << 24), x)
+        samples = x.astype(np.float64) / float(1 << 23)
+    else:
+        dtype = np.int16 if bits == 16 else np.int32
+        samples = np.frombuffer(raw, dtype=dtype).astype(np.float64) / float(
+            1 << (bits - 1)
+        )
+    return samples.reshape(-1, n_ch), rate
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def audio_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode over mapInPandas: per WAV payload, decode via
+    :func:`_decode_wav` and emit rate/channels/duration plus the
+    screening features an audio training pipeline gates on — RMS
+    level (silence / clipping screen), absolute peak, and
+    zero-crossing rate of the first channel (a crude
+    noisiness/voicedness signal). Undecodable or compressed payloads
+    quarantine per row with the error recorded, exactly like
+    image_stats: one bad file must never kill a 100 TB scan."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                did = None if pd.isna(doc_id) else int(doc_id)
+                try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    samples, rate = _decode_wav(bytes(payload))
+                    if samples.shape[0] == 0:
+                        raise ValueError("zero-frame audio")
+                    mono = samples[:, 0]
+                    zc = (
+                        float(np.count_nonzero(np.diff(np.signbit(mono))))
+                        / max(len(mono) - 1, 1)
+                    )
+                    rows.append(
+                        (
+                            did,
+                            True,
+                            int(rate),
+                            int(samples.shape[1]),
+                            int(samples.shape[0]),
+                            1000.0 * samples.shape[0] / rate,
+                            float(np.sqrt(np.mean(samples**2))),
+                            float(np.max(np.abs(samples))),
+                            zc,
+                            None,
+                        )
+                    )
+                except _QUARANTINE_ERRORS as e:
+                    reason = f"{type(e).__name__}: {e}"[:200]
+                    rows.append(
+                        (did, False, None, None, None, None, None, None,
+                         None, reason)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        kernel, AUDIO_STATS_SCHEMA
     )
 
 

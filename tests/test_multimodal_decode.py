@@ -400,3 +400,123 @@ def test_resize_images_null_payload_passthrough(spark):
     assert r.payload is None
     # NULL payload = nothing resized: original metadata preserved
     assert r.media_meta.width == 9 and r.media_meta.format == "png"
+
+
+# ---------------------------------------------------------------------------
+# WAV / audio_stats
+# ---------------------------------------------------------------------------
+
+
+def _wav_via_stdlib(rate, n_ch, bits, frames):
+    """Golden WAV built by the INDEPENDENT stdlib `wave` encoder
+    (integer PCM only): frames is an int numpy array (n, ch)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(n_ch)
+    w.setsampwidth(bits // 8)
+    w.setframerate(rate)
+    if bits == 8:
+        data = (frames + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = frames.astype("<i2").tobytes()
+    elif bits == 24:
+        x = frames.astype(np.int32)
+        b = np.zeros((x.size, 3), dtype=np.uint8)
+        flat = x.reshape(-1)
+        b[:, 0] = flat & 0xFF
+        b[:, 1] = (flat >> 8) & 0xFF
+        b[:, 2] = (flat >> 16) & 0xFF
+        data = b.tobytes()
+    else:
+        data = frames.astype("<i4").tobytes()
+    w.writeframes(data)
+    w.close()
+    return buf.getvalue()
+
+
+def _wav_float32(rate, n_ch, frames):
+    """Hand-built float-PCM WAV (format tag 3) — stdlib wave can't
+    write these, so construct the RIFF by hand."""
+    import struct as st
+
+    data = frames.astype("<f4").tobytes()
+    fmt = st.pack("<HHIIHH", 3, n_ch, rate, rate * n_ch * 4, n_ch * 4, 32)
+    body = (
+        b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_wav_decode_golden_sine(spark):
+    """A 440 Hz int16 sine decodes with exact rate/channels/frames,
+    duration, RMS ~ 1/sqrt(2) of amplitude, and ~2*440 zero
+    crossings/sec; 8/24/32-bit and stereo variants agree with the
+    independent stdlib encoder."""
+    import numpy as np
+
+    from dex_data_ingestor_spark.operators.multimodal import audio_stats
+
+    rate, secs = 8000, 1.0
+    t = np.arange(int(rate * secs)) / rate
+    sine = np.sin(2 * np.pi * 440 * t)
+
+    payloads = [
+        (1, _wav_via_stdlib(rate, 1, 16, (sine * 30000).astype(int).reshape(-1, 1))),
+        (2, _wav_via_stdlib(rate, 2, 16, np.column_stack([
+            (sine * 30000).astype(int), (sine * 15000).astype(int)]))),
+        (3, _wav_via_stdlib(rate, 1, 8, (sine * 120).astype(int).reshape(-1, 1))),
+        (4, _wav_via_stdlib(rate, 1, 24, (sine * (1 << 22)).astype(int).reshape(-1, 1))),
+        (5, _wav_via_stdlib(rate, 1, 32, (sine * (1 << 30)).astype(int).reshape(-1, 1))),
+        (6, _wav_float32(rate, 1, sine.astype(np.float32).reshape(-1, 1))),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in audio_stats(df).collect()}
+
+    for d, row in out.items():
+        assert row.decoded, (d, row.error)
+        assert row.sample_rate == rate and row.n_frames == rate
+        assert abs(row.duration_ms - 1000.0) < 1e-9
+    assert out[2].channels == 2 and out[1].channels == 1
+    # sine RMS = amp/sqrt(2); int16 amp 30000/32768
+    exp_rms = (30000 / 32768) / np.sqrt(2)
+    assert abs(out[1].rms - exp_rms) < 0.01
+    assert abs(out[6].rms - 1 / np.sqrt(2)) < 0.01
+    # 440 Hz -> ~880 sign changes per second
+    assert abs(out[1].zero_crossing_rate * rate - 880) < 10
+    assert out[1].peak <= 1.0
+
+
+def test_wav_quarantine_paths(spark):
+    """Hostile/unsupported audio quarantines per row with the reason
+    recorded: truncated chunk, compressed format tag, junk bytes,
+    NULL payload, zero frames."""
+    import struct as st
+
+    from dex_data_ingestor_spark.operators.multimodal import audio_stats
+
+    good = _wav_float32(8000, 1, __import__("numpy").zeros((10, 1)))
+    adpcm = good.replace(st.pack("<HH", 3, 1), st.pack("<HH", 2, 1), 1)
+    truncated = good[:-6]
+    rows = [
+        (1, b"garbage not riff"),
+        (2, adpcm),                       # fmt tag 2 (ADPCM)
+        (3, truncated),
+        (4, None),
+        (5, _wav_float32(8000, 1, __import__("numpy").zeros((0, 1)))),
+        (6, good),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in audio_stats(df).collect()}
+    assert out[6].decoded
+    for d in (1, 2, 3, 4, 5):
+        assert not out[d].decoded, d
+        assert out[d].error
+    assert out[2].error.startswith("NotImplementedError")
+    assert out[1].error.startswith("ValueError")
