@@ -374,7 +374,10 @@ def snapshot_scan_pruned(
 
 
 def snapshot_compact(
-    spark: SparkSession, root: str, target_files: int = 1
+    spark: SparkSession,
+    root: str,
+    target_files: int = 1,
+    cluster_by: Sequence[str] | None = None,
 ) -> dict:
     """Rewrite the LATEST version's data as ``target_files`` files and
     commit it as a new version (op='compact') — the small-files answer
@@ -383,6 +386,19 @@ def snapshot_compact(
     files; compaction folds them without changing content). History is
     unchanged: the uncompacted version stays readable.
 
+    ``cluster_by`` additionally range-clusters the rewrite
+    (repartitionByRange + sortWithinPartitions on the given columns):
+    each output file then covers a DISJOINT value range, so the
+    per-file min/max footer stats become selective and
+    :func:`snapshot_scan_pruned` on those columns prunes to the few
+    overlapping files instead of reading everything — the
+    OPTIMIZE-with-clustering maintenance step of the lakehouse
+    formats (Delta ZORDER / Iceberg sort orders, in its
+    single-dimension form). Micro-batch ingest appends in arrival
+    order, so without a clustering rewrite the stats of every file
+    span the whole key domain and skipping never fires. The clustered
+    columns are added to the recorded stats set.
+
     If the prior version recorded file stats (written via
     :func:`snapshot_write_with_stats`), the compacted version
     RECOMPUTES them for the same columns — compaction is routine
@@ -390,8 +406,14 @@ def snapshot_compact(
     :func:`snapshot_scan_pruned` readers."""
     prior = _resolve(root)
     current = spark.read.parquet(prior["data_dir"])
-    compacted = current.coalesce(max(1, target_files))
-    stats_cols = prior.get("stats_cols")
+    stats_cols = list(prior.get("stats_cols") or [])
+    if cluster_by:
+        compacted = current.repartitionByRange(
+            max(1, target_files), *cluster_by
+        ).sortWithinPartitions(*cluster_by)
+        stats_cols = sorted(set(stats_cols) | set(cluster_by))
+    else:
+        compacted = current.coalesce(max(1, target_files))
     if stats_cols:
         return snapshot_write_with_stats(
             compacted, root, stats_cols, op="compact"

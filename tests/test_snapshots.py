@@ -427,3 +427,37 @@ def test_txn_watermarks_expire_by_version_distance(spark, root,
     txn = m["txn"]
     assert "appA" not in txn          # v4 - v1 > 2 -> expired
     assert txn["appB"]["b"] == 0      # v4 - v2 <= 2 -> retained
+
+
+def test_compact_cluster_by_makes_skipping_selective(spark, root):
+    """Arrival-order ingest leaves every file spanning the whole key
+    domain (skipping can never fire); compact(cluster_by=...) rewrites
+    into disjoint ranges so a narrow scan prunes to few files, with
+    identical content, a recorded stats column, and intact history."""
+    from pyspark.sql import functions as F
+
+    # arrival-order: round-robin shuffle of keys across 8 files
+    df = spark.range(0, 8_000).select(
+        (F.col("id") * 2654435761 % 8_000).alias("k"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    ).repartition(8)
+    S.snapshot_write_with_stats(df, root, stats_cols=["k"])
+
+    # before clustering: every file spans ~the whole domain, nothing prunes
+    wide = S.snapshot_scan_pruned(spark, root, "k", 100, 200)
+    assert len(wide.inputFiles()) == 8
+
+    m = S.snapshot_compact(spark, root, target_files=8, cluster_by=["k"])
+    assert m["op"] == "compact" and "k" in m["stats_cols"]
+
+    pruned = S.snapshot_scan_pruned(spark, root, "k", 100, 200)
+    assert len(pruned.inputFiles()) <= 2  # disjoint ranges -> few files
+    got = _rows(pruned.filter(F.col("k").between(100, 200)))
+    want = _rows(
+        S.snapshot_read(spark, root).filter(F.col("k").between(100, 200))
+    )
+    assert got == want and len(got) > 0
+    # full content unchanged and the unclustered version still readable
+    assert sorted(_rows(S.snapshot_read(spark, root))) == sorted(
+        _rows(S.snapshot_read(spark, root, version=1))
+    )
