@@ -121,6 +121,33 @@ def bloom_bitmap(
     )
 
 
+def bloom_member_expr_from_hash(
+    h64: Column,
+    bitmap: Column,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> Column:
+    """Might-be-member test given the key's PRE-COMPUTED xxhash64
+    value. This is the form to use inside higher-order-function
+    lambdas, where expressions run INTERPRETED with no common-
+    subexpression elimination: hash the keys once with
+    ``F.transform(keys, lambda k: F.xxhash64(k))`` and probe the
+    hash array — ``h64`` is then a bound lambda variable, so its
+    many references here are O(1) lookups, not re-hashes. bit_get
+    does the variable-position bit test (shiftleft/shiftright masks
+    would need literal shift amounts)."""
+    h1 = h64.bitwiseAND(F.lit((1 << 32) - 1))
+    h2 = F.shiftrightunsigned(h64, 32).bitwiseOR(F.lit(1))
+    cond = F.lit(True)
+    for i in range(num_hashes):
+        bit = F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits))
+        word = F.element_at(
+            bitmap, (F.shiftright(bit, 6) + 1).cast("int")
+        )
+        cond = cond & (F.bit_get(word, F.pmod(bit, F.lit(64))) == 1)
+    return cond
+
+
 def bloom_member_expr(
     key: Column,
     bitmap: Column,
@@ -129,20 +156,15 @@ def bloom_member_expr(
 ) -> Column:
     """Boolean might-be-member test of ``key`` against a dense
     ``array<long>`` bitmap column — a pure Column expression (no
-    column-name references, no F.expr), so it composes anywhere a
-    Column does, INCLUDING inside higher-order-function lambdas: e.g.
-    ``F.filter(grams, lambda g: bloom_member_expr(g, F.col("bitmap")))``
-    probes every gram of a document in one narrow pass — the
-    map-only form streaming pipelines need (no explode, no state).
-    bit_get does the variable-position bit test (shiftleft/shiftright
-    masks would need literal shift amounts)."""
-    cond = F.lit(True)
-    for bit in _bit_positions(key, num_bits, num_hashes):
-        word = F.element_at(
-            bitmap, (F.shiftright(bit, 6) + 1).cast("int")
-        )
-        cond = cond & (F.bit_get(word, F.pmod(bit, F.lit(64))) == 1)
-    return cond
+    column-name references, no F.expr). The xxhash64(key) subtree is
+    textually repeated across the probes, which whole-stage codegen
+    de-duplicates in ordinary projections/filters (the
+    bloom_prefilter path); inside HOF lambdas there is NO codegen or
+    CSE, so use :func:`bloom_member_expr_from_hash` over a
+    pre-hashed array there instead."""
+    return bloom_member_expr_from_hash(
+        F.xxhash64(key), bitmap, num_bits, num_hashes
+    )
 
 
 def bloom_prefilter(

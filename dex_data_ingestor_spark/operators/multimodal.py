@@ -319,7 +319,11 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     tag, n_ch, rate, block, bits = fmt
-    if n_ch < 1 or rate < 1:
+    # rate is a raw uint32 from the wire: bound it so a hostile value
+    # can neither wrap the IntegerType stats schema nor blow up
+    # duration math (no real format exceeds 384 kHz; 2^31-1 is the
+    # schema's hard ceiling)
+    if n_ch < 1 or not 1 <= rate <= (1 << 31) - 1:
         raise ValueError(f"bad fmt: channels={n_ch} rate={rate}")
     if tag not in (1, 3):
         raise NotImplementedError(
@@ -336,8 +340,10 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     n_frames = len(data) // (bytes_per * n_ch)
     usable = n_frames * bytes_per * n_ch
     raw = data[:usable]
+    # explicit little-endian dtypes: WAV is LE by definition; native
+    # np.int16/np.float32 would silently byte-swap on a BE host
     if tag == 3:
-        x = np.frombuffer(raw, dtype=np.float32 if bits == 32 else np.float64)
+        x = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8")
         samples = x.astype(np.float64)
     elif bits == 8:
         samples = (
@@ -353,7 +359,7 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         x = np.where(x >= 1 << 23, x - (1 << 24), x)
         samples = x.astype(np.float64) / float(1 << 23)
     else:
-        dtype = np.int16 if bits == 16 else np.int32
+        dtype = "<i2" if bits == 16 else "<i4"
         samples = np.frombuffer(raw, dtype=dtype).astype(np.float64) / float(
             1 << (bits - 1)
         )

@@ -524,8 +524,8 @@ def stream_contamination_guard(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    num_bits: int = 1 << 20,
-    num_hashes: int = 5,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Ingest-time train/eval decontamination guard: annotate a
     document STREAM with how many of its word n-grams might also
@@ -533,16 +533,22 @@ def stream_contamination_guard(
     are quarantined at ingest instead of discovered in a batch sweep
     later.
 
-    Mechanics: the eval corpus's gram Bloom bitmap is built ONCE on
-    the static side (operators/bloom.bloom_bitmap — fully
-    distributed, one broadcastable array<long> row) and attached to
-    the stream via a stream-static broadcast join; each document's
-    grams are then probed INSIDE a higher-order filter
-    (bloom_member_expr), so the whole guard is map-only — no explode,
-    no stateful aggregation, no watermark, and it composes with any
-    downstream sink. The gram array is projected to a column BEFORE
-    the lambda (HOF lambdas re-evaluate argument expressions per
-    element — the r2 shingle lesson).
+    Mechanics: the eval corpus's gram Bloom bitmap is built on the
+    static side (operators/bloom.bloom_bitmap — fully distributed,
+    one broadcastable array<long> row), PERSISTED so it computes once
+    rather than once per micro-batch (stream-static joins re-execute
+    an uncached static subtree on every trigger), and attached to the
+    stream via a stream-static broadcast join. Each document's grams
+    are hashed once into an array (transform) and the HASH array is
+    probed inside a higher-order filter
+    (bloom_member_expr_from_hash): HOF lambdas run interpreted with
+    no common-subexpression elimination, so probing the bound hash
+    variable instead of re-deriving xxhash64 per probe keeps the hot
+    path at one hash per gram. The whole guard is map-only — no
+    explode, no stateful aggregation, no watermark, and it composes
+    with any downstream sink. The gram array is projected to a
+    column BEFORE the lambda (HOF lambdas re-evaluate argument
+    expressions per element — the r2 shingle lesson).
 
     Output adds ``n_grams``, ``n_flagged``, and ``contaminated``
     (n_flagged > 0). Bloom semantics make the guard CONSERVATIVE:
@@ -554,10 +560,15 @@ def stream_contamination_guard(
     recovers the clean remainder span-by-span).
     """
     from dex_data_ingestor_spark.operators.bloom import (
+        DEFAULT_NUM_BITS,
+        DEFAULT_NUM_HASHES,
         bloom_bitmap,
-        bloom_member_expr,
+        bloom_member_expr_from_hash,
     )
     from dex_data_ingestor_spark.operators.neardup import _grams_from_words
+
+    num_bits = DEFAULT_NUM_BITS if num_bits is None else num_bits
+    num_hashes = DEFAULT_NUM_HASHES if num_hashes is None else num_hashes
 
     eval_grams = (
         eval_docs.select(
@@ -569,20 +580,25 @@ def stream_contamination_guard(
         )
         .distinct()
     )
-    bm = bloom_bitmap(eval_grams, "gram", num_bits, num_hashes)
+    # persist: one 16-128 KiB row; caller may unpersist when the
+    # stream stops
+    bm = bloom_bitmap(eval_grams, "gram", num_bits, num_hashes).persist()
 
     with_grams = docs_stream.withColumn(
         "__grams",
         _grams_from_words(F.split(F.trim(F.col(text_col)), r"\s+"), n),
+    ).withColumn(
+        "__gram_hashes",
+        F.transform(F.col("__grams"), lambda g: F.xxhash64(g)),
     )
     probed = with_grams.join(
         F.broadcast(bm.select(F.struct("bitmap").alias("__bloom__")))
     )
     flagged = F.size(
         F.filter(
-            F.col("__grams"),
-            lambda g: bloom_member_expr(
-                g, F.col("__bloom__.bitmap"), num_bits, num_hashes
+            F.col("__gram_hashes"),
+            lambda h: bloom_member_expr_from_hash(
+                h, F.col("__bloom__.bitmap"), num_bits, num_hashes
             ),
         )
     )
@@ -590,7 +606,7 @@ def stream_contamination_guard(
         probed.withColumn("n_grams", F.size("__grams"))
         .withColumn("n_flagged", flagged)
         .withColumn("contaminated", F.col("n_flagged") > 0)
-        .drop("__grams", "__bloom__")
+        .drop("__grams", "__gram_hashes", "__bloom__")
     )
 
 

@@ -520,3 +520,25 @@ def test_wav_quarantine_paths(spark):
         assert out[d].error
     assert out[2].error.startswith("NotImplementedError")
     assert out[1].error.startswith("ValueError")
+
+
+def test_wav_hostile_sample_rate_quarantines(spark):
+    """A declared uint32 rate above int32 range must quarantine (the
+    stats schema field is IntegerType; wraparound or an Arrow cast
+    error would break the one-bad-file contract)."""
+    import struct as st
+
+    import numpy as np
+
+    from dex_data_ingestor_spark.operators.multimodal import audio_stats
+
+    good = _wav_float32(8000, 1, np.zeros((10, 1)))
+    hostile = good.replace(
+        st.pack("<HHI", 3, 1, 8000), st.pack("<HHI", 3, 1, 2**31 + 5), 1
+    )
+    df = spark.createDataFrame(
+        [(1, hostile), (2, good)], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in audio_stats(df).collect()}
+    assert out[2].decoded
+    assert not out[1].decoded and out[1].error.startswith("ValueError")
