@@ -195,6 +195,41 @@ def main() -> None:
     kept = bloom_prefilter(train_grams, bloom_bitmap(ev_grams, "gram"), "gram")
     print("   bloom prefilter: train grams", train_grams.count(),
           "->", kept.count(), "before the distinct shuffle")
+
+    print("== 9. real audio decode (WAV PCM) with per-row quarantine")
+    import io
+    import math
+    import wave as wavmod
+
+    from dex_data_ingestor_spark.operators.multimodal import audio_stats
+
+    def sine_wav(freq, secs=0.5, rate=8000):
+        buf = io.BytesIO()
+        w = wavmod.open(buf, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                int(20000 * math.sin(2 * math.pi * freq * i / rate))
+                .to_bytes(2, "little", signed=True)
+                for i in range(int(rate * secs))
+            )
+        )
+        w.close()
+        return buf.getvalue()
+
+    clips = spark.createDataFrame(
+        [(1, sine_wav(440)), (2, sine_wav(880)), (3, b"not audio")],
+        "doc_id long, payload binary",
+    )
+    for r in audio_stats(clips).orderBy("doc_id").collect():
+        if r.decoded:
+            print(f"   clip {r.doc_id}: {r.sample_rate} Hz, "
+                  f"{r.duration_ms:.0f} ms, rms {r.rms:.3f}, "
+                  f"zcr*rate ~ {r.zero_crossing_rate * r.sample_rate:.0f}")
+        else:
+            print(f"   clip {r.doc_id}: quarantined ({r.error})")
     spark.stop()
     print("DEMO COMPLETE")
 
