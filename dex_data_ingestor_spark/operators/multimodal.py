@@ -277,11 +277,203 @@ def decode_media(payload: bytes, media_meta=None) -> np.ndarray:
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)[0]  # first frame, (H, W, 3)
     fmt = (dict(media_meta).get("format") if media_meta else None) or "unknown"
     raise NotImplementedError(
         f"no stdlib codec for payload format '{fmt}' "
-        "(PPM/BMP/PNG decode natively; plug PIL/av for the rest)"
+        "(PPM/BMP/PNG/GIF decode natively; plug PIL/av for the rest)"
     )
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-variant LZW: variable-width codes packed LSB-first, CLEAR
+    resets the table, EOI terminates; the KwKwK case (a code equal to
+    the next free slot) outputs prev + prev[0]. Bounded: the table
+    can never exceed 4096 entries (spec) and output is capped at
+    ``max_pixels`` (decompression-bomb guard)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh_table():
+        return {i: [i] for i in range(clear)}
+
+    table = fresh_table()
+    next_free = eoi + 1
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = fresh_table()
+                next_free = eoi + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code not in table:
+                    raise ValueError(f"bad first LZW code {code}")
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_free:
+                entry = prev + [prev[0]]  # KwKwK
+            else:
+                raise ValueError(f"LZW code {code} out of sequence")
+            out.extend(entry)
+            if len(out) > max_pixels:
+                raise ValueError("LZW output exceeds pixel budget")
+            if prev is not None and next_free < 4096:
+                table[next_free] = prev + [entry[0]]
+                next_free += 1
+                if next_free == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    raise ValueError("LZW stream ended without EOI")
+
+
+#: Interlaced GIF row order: 4 passes with (start, step).
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(payload: bytes) -> list[np.ndarray]:
+    """Decode GIF87a/89a to a list of full-canvas ``(H, W, 3)`` uint8
+    frames. Stdlib-only: header + color tables via struct slicing,
+    image data via :func:`_gif_lzw_decode`. Handles local/global
+    palettes, interlacing, frame offsets, restore-to-background /
+    keep-previous disposal (both approximated as draw-over-previous,
+    the common browser behavior for the corpora this screens), and
+    the 89a transparency index (transparent pixels keep the prior
+    canvas). Total decoded pixels across frames are bounded by
+    MAX_DECODED_BYTES/3 — one hostile file must never pin an
+    executor."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if width < 1 or height < 1:
+        raise ValueError(f"bad GIF dimensions {width}x{height}")
+    pixel_budget = MAX_DECODED_BYTES // 3
+    # the canvas allocation IS the first bomb surface: bound it before
+    # np.zeros, not after
+    if width * height > pixel_budget:
+        raise ValueError(
+            f"GIF canvas {width}x{height} exceeds pixel budget"
+        )
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(-1, 3)
+        if global_pal.shape[0] != n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+
+    canvas = np.zeros((height, width, 3), dtype=np.uint8)
+    if global_pal is not None and global_pal.shape[0]:
+        canvas[:, :] = global_pal[0]
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    total_px = 0
+
+    def read_subblocks(p: int) -> tuple[bytes, int]:
+        chunks = []
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated sub-blocks")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return b"".join(chunks), p
+            chunks.append(payload[p : p + n])
+            if len(payload[p : p + n]) != n:
+                raise ValueError("truncated sub-block body")
+            p += n
+
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("truncated extension")
+            label = payload[pos]
+            pos += 1
+            body, pos = read_subblocks(pos)
+            if label == 0xF9 and len(body) >= 4:  # graphic control
+                transparent = body[3] if body[0] & 0x01 else None
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unknown GIF block marker 0x{marker:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if left + w > width or top + h > height or w < 1 or h < 1:
+            raise ValueError("GIF frame exceeds canvas")
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            if pal.shape[0] != n:
+                raise ValueError("truncated local color table")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without any color table")
+        if pos >= len(payload):
+            raise ValueError("truncated LZW header")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad LZW min code size {min_code}")
+        data, pos = read_subblocks(pos)
+        total_px += w * h
+        if total_px > pixel_budget:
+            raise ValueError("GIF frames exceed pixel budget")
+        idx = _gif_lzw_decode(data, min_code, w * h)
+        if len(idx) < w * h:
+            raise ValueError("LZW underrun: fewer pixels than frame")
+        ia = np.asarray(idx[: w * h], dtype=np.int32)
+        if int(ia.max()) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        if iflags & 0x40:  # interlaced: reorder rows
+            rows = ia.reshape(h, w)
+            ordered = np.empty_like(rows)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    ordered[y] = rows[src]
+                    src += 1
+            rows = ordered
+        else:
+            rows = ia.reshape(h, w)
+        region = canvas[top : top + h, left : left + w]
+        rgb = pal[rows]
+        if transparent is not None:
+            mask = rows != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:, :] = rgb
+        frames.append(canvas.copy())
+        transparent = None
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return frames
 
 
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -669,31 +861,56 @@ def sample_frames(
     every_n_bytes: int = 64,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    frame_stride: int = 1,
 ) -> DataFrame:
-    """Frame sampling plumbing (video -> frame rows): each payload
-    yields one output row per sampled 'frame' (deterministic byte-window
-    stand-in for a real decoder), exploding 1->N through mapInPandas —
-    the same batch/row-fanout shape a real ffmpeg kernel needs."""
+    """Frame sampling (animation/video -> frame rows), exploding 1->N
+    through mapInPandas — the batch/row-fanout shape a real ffmpeg
+    kernel needs. For GIF payloads the frames are REAL: every
+    ``frame_stride``-th composited full-canvas frame, re-encoded as
+    PPM (the stdlib-writable interchange format, decodable by
+    decode_media downstream). For formats with no in-container codec
+    (MP4 etc.) the deterministic byte-window stand-in keeps the
+    distributed plumbing exercised; its rows are distinguishable by
+    ``real=false``."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("frame_idx", T.IntegerType()),
             T.StructField("frame", T.BinaryType()),
+            T.StructField("real", T.BooleanType()),
         ]
     )
+    if frame_stride < 1:
+        raise ValueError(f"frame_stride must be >= 1: {frame_stride}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, real = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                for i, start in enumerate(
-                    range(0, len(payload), every_n_bytes)
-                ):
+                b = bytes(payload)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        decoded = _decode_gif(b)[::frame_stride]
+                        for i, fr in enumerate(decoded):
+                            ids.append(int(doc_id))
+                            idxs.append(i)
+                            frames.append(encode_ppm(fr))
+                            real.append(True)
+                        continue
+                    except _QUARANTINE_ERRORS:
+                        pass  # corrupt GIF falls back to byte windows
+                for i, start in enumerate(range(0, len(b), every_n_bytes)):
                     ids.append(int(doc_id))
                     idxs.append(i)
-                    frames.append(bytes(payload[start : start + every_n_bytes]))
+                    frames.append(b[start : start + every_n_bytes])
+                    real.append(False)
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "real": real,
+                }
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(

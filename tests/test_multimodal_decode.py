@@ -542,3 +542,190 @@ def test_wav_hostile_sample_rate_quarantines(spark):
     out = {r.doc_id: r for r in audio_stats(df).collect()}
     assert out[2].decoded
     assert not out[1].decoded and out[1].error.startswith("ValueError")
+
+
+# ---------------------------------------------------------------------------
+# GIF decode + real frame sampling
+# ---------------------------------------------------------------------------
+
+
+def _lzw_pack(codes, width):
+    """Pack LZW codes LSB-first at a FIXED width (valid for streams
+    whose dictionary never grows past the width boundary)."""
+    acc = bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _subblocks(data):
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _trivial_lzw(indices, min_code):
+    """Clear before every literal: the dictionary never grows, so the
+    code width stays min_code+1 throughout — a valid (if inefficient)
+    GIF LZW stream."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes = []
+    for i in indices:
+        codes += [clear, i]
+    codes.append(eoi)
+    return _lzw_pack(codes, min_code + 1)
+
+
+def _gif(w, h, frame_specs, palette, version=b"GIF89a"):
+    """Hand-built GIF: frame_specs = [(left, top, fw, fh, indices,
+    iflags, gce_transparent_or_None), ...]; palette padded to a power
+    of two."""
+    import struct as st
+
+    n = 2
+    while n < len(palette):
+        n *= 2
+    pal = list(palette) + [(0, 0, 0)] * (n - len(palette))
+    out = bytearray(version)
+    out += st.pack("<HHBBB", w, h, 0x80 | (n.bit_length() - 2), 0, 0)
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+    min_code = max(2, (n - 1).bit_length())
+    for left, top, fw, fh, indices, iflags, transparent in frame_specs:
+        if transparent is not None:
+            out += bytes((0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0))
+        out += bytes((0x2C,)) + st.pack("<HHHHB", left, top, fw, fh, iflags)
+        out += bytes((min_code,)) + _subblocks(_trivial_lzw(indices, min_code))
+    out += bytes((0x3B,))
+    return bytes(out)
+
+
+_PAL4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+
+
+def test_gif_decode_golden_and_compositing(spark):
+    """Frame 1 paints the full 2x2 canvas; frame 2 overdraws one pixel
+    in a sub-region; frame 3 is fully transparent (canvas persists)."""
+    import numpy as np
+
+    from dex_data_ingestor_spark.operators.multimodal import _decode_gif
+
+    gif = _gif(
+        2, 2,
+        [
+            (0, 0, 2, 2, [0, 1, 2, 3], 0, None),
+            (1, 1, 1, 1, [0], 0, None),
+            (0, 0, 2, 2, [3, 3, 3, 3], 0, 3),  # all transparent
+        ],
+        _PAL4,
+    )
+    frames = _decode_gif(gif)
+    assert len(frames) == 3
+    f1, f2, f3 = frames
+    expect1 = np.array([[_PAL4[0], _PAL4[1]], [_PAL4[2], _PAL4[3]]], np.uint8)
+    assert (f1 == expect1).all()
+    expect2 = expect1.copy()
+    expect2[1, 1] = _PAL4[0]
+    assert (f2 == expect2).all()
+    assert (f3 == expect2).all()  # transparency kept prior canvas
+
+
+def test_gif_lzw_dictionary_growth_kwkwk():
+    """The KwKwK case: codes [CLEAR, 1, 6, EOI] at min_code=2 decode
+    to [1, 1, 1] (code 6 == next_free -> prev + prev[0])."""
+    from dex_data_ingestor_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    data = _lzw_pack([4, 1, 6, 5], 3)
+    assert _gif_lzw_decode(data, 2, 10) == [1, 1, 1]
+
+
+def test_gif_interlaced_row_order(spark):
+    """An 8-row interlaced frame stores rows in pass order (0,4,2,6,
+    1,3,5,7 for h=8); the decoder must put them back."""
+    import numpy as np
+
+    from dex_data_ingestor_spark.operators.multimodal import _decode_gif
+
+    # row y gets palette color y%4; stored in interlace order
+    stored_rows = [0, 4, 2, 6, 1, 3, 5, 7]
+    indices = [y % 4 for y in stored_rows]
+    gif = _gif(1, 8, [(0, 0, 1, 8, indices, 0x40, None)], _PAL4)
+    (frame,) = _decode_gif(gif)
+    got = [tuple(frame[y, 0]) for y in range(8)]
+    assert got == [_PAL4[y % 4] for y in range(8)]
+
+
+def test_gif_hostile_inputs():
+    import struct as st
+
+    import pytest as _pytest
+
+    from dex_data_ingestor_spark.operators.multimodal import _decode_gif
+
+    good = _gif(2, 2, [(0, 0, 2, 2, [0, 1, 2, 3], 0, None)], _PAL4)
+    with _pytest.raises(ValueError):
+        _decode_gif(b"GIF89a" + b"\x00" * 3)        # truncated header
+    with _pytest.raises(ValueError):
+        _decode_gif(good[:-4])                       # truncated stream
+    bomb = bytearray(good)
+    st.pack_into("<HH", bomb, 6, 65535, 65535)       # 12.9 GB canvas
+    with _pytest.raises(ValueError):
+        _decode_gif(bytes(bomb))
+    # frame exceeding canvas
+    bad = _gif(2, 2, [(1, 1, 2, 2, [0, 1, 2, 3], 0, None)], _PAL4)
+    with _pytest.raises(ValueError):
+        _decode_gif(bad)
+
+
+def test_sample_frames_real_gif_and_standin(spark):
+    """GIF payloads yield REAL composited frames (PPM, decodable
+    downstream); junk payloads keep the byte-window stand-in and are
+    marked real=false; frame_stride subsamples."""
+    import numpy as np
+
+    from dex_data_ingestor_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+    )
+
+    gif = _gif(
+        2, 2,
+        [(0, 0, 2, 2, [0, 1, 2, 3], 0, None)]
+        + [(0, 0, 1, 1, [i % 4], 0, None) for i in range(5)],
+        _PAL4,
+    )
+    df = spark.createDataFrame(
+        [(1, gif), (2, b"\x00" * 150)], "doc_id long, payload binary"
+    )
+    out = sample_frames(df, every_n_bytes=64).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.frame_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    assert len(by_doc[1]) == 6 and all(r.real for r in by_doc[1])
+    first = decode_media(bytes(by_doc[1][0].frame))
+    assert first.shape == (2, 2, 3)
+    assert (first[0, 0] == _PAL4[0]).all()
+    assert len(by_doc[2]) == 3 and not any(r.real for r in by_doc[2])
+
+    strided = sample_frames(
+        df.filter("doc_id = 1"), frame_stride=3
+    ).collect()
+    assert len(strided) == 2  # frames 0 and 3 of 6
+
+    # decode_media returns the FIRST frame for a GIF
+    assert (decode_media(gif) == first).all()
