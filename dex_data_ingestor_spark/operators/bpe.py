@@ -1,0 +1,196 @@
+"""Byte-pair-encoding tokenizer training and application.
+
+The tokenizer-training step of an LLM data pipeline, Spark-first:
+
+- ``word_frequencies``: ONE corpus-wide shuffle folds the (possibly
+  100 TB) text into a word -> count table. Everything after operates
+  on that vocabulary-sized table — the classic BPE observation that
+  merge learning needs word SHAPES and their counts, not the corpus.
+- ``learn_bpe_merges``: the canonical iterative loop (Sennrich et al.
+  2016, "Neural Machine Translation of Rare Words with Subword
+  Units"): per round, count adjacent symbol pairs weighted by word
+  frequency, take the most frequent pair, fuse it inside every word's
+  symbol array. Each round is a small job over the vocab table
+  (explode pairs -> groupBy -> take 1 -> transform arrays); the only
+  driver state is the learned merge list itself — O(n_merges), model
+  state like the IVF centroids, never data.
+- ``apply_bpe``: encode a document column with a learned merge list —
+  a single narrow pass (no shuffle): split to words, split words to
+  symbols, replay the merges in learned order via HOF array fusion.
+
+Determinism: pair selection tie-breaks by (count DESC, left symbol,
+right symbol), so the learned vocabulary is byte-reproducible across
+runs and partitionings — the same auditability bar as the dedup
+survivor rules. No SQL oracle exists for the LOOP (iterative
+algorithms are the driver contract's rows-only category), but the
+end state is pinned by golden tests on corpora with hand-derivable
+merge sequences.
+
+Scale notes: rounds are sequential by nature (each merge depends on
+the last), which is why production tokenizers train on a SAMPLE of
+the corpus; ``word_frequencies`` accepts any pre-sampled frame. The
+per-round job reads the cached vocab table; ``learn_bpe_merges``
+persists it and unpersists on exit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: End-of-word sentinel (classic BPE): lets merges distinguish "est"
+#: inside a word from "est" at the end. Chosen outside the split
+#: alphabet of any whitespace tokenization.
+EOW = "</w>"
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """``(word, freq)`` over the corpus — the ONE corpus-sized shuffle
+    of BPE training (map-side partial counts fold most of it before
+    the exchange)."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    w = F.explode(F.split(F.trim(t), r"\s+")).alias("word")
+    return (
+        df.select(w)
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """A word's initial symbol array: its characters plus the
+    end-of-word sentinel."""
+    return F.concat(
+        F.split(word, ""), F.array(F.lit(EOW))
+    )
+
+
+def _fuse_pair(symbols: Column, left: str, right: str) -> Column:
+    """Replace every adjacent (left, right) in ``symbols`` with the
+    fused symbol, left-to-right non-overlapping (the BPE rule:
+    ``a a a`` under merge (a,a) -> ``aa a``). Pure HOF fold — no
+    Python, no explode: the accumulator array is rebuilt element by
+    element, skipping a right symbol that was just consumed."""
+    fused = left + right
+    # F.get (0-based, NULL out of bounds) not element_at: ANSI mode
+    # throws on out-of-range element_at and CaseWhen branches are not
+    # reliably lazy, so the empty-accumulator first step must be
+    # NULL-safe, and slice lengths clamped non-negative.
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+                F.array(F.lit(fused)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def learn_bpe_merges(
+    word_freq: DataFrame,
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a ``(word, freq)`` table.
+
+    Per round: explode each distinct word's adjacent symbol pairs
+    weighted by the word's frequency, aggregate pair counts, pick the
+    (count DESC, left, right) maximum, and fuse it inside every
+    word's symbol array. Stops early when no pair reaches
+    ``min_pair_count``. Returns the ordered merge list — the model.
+    """
+    vocab = word_freq.select(
+        _initial_symbols(F.col("word")).alias("symbols"),
+        F.col("freq").cast("long").alias("freq"),
+    ).persist()
+    try:
+        merges: list[tuple[str, str]] = []
+        for _ in range(n_merges):
+            pairs = vocab.select(
+                F.explode(
+                    F.when(
+                        F.size("symbols") >= 2,
+                        F.zip_with(
+                            F.slice(
+                                F.col("symbols"),
+                                1,
+                                F.size("symbols") - 1,
+                            ),
+                            F.slice(F.col("symbols"), 2, F.size("symbols")),
+                            lambda a, b: F.struct(
+                                a.alias("l"), b.alias("r")
+                            ),
+                        ),
+                    ).otherwise(F.array().cast(
+                        "array<struct<l:string,r:string>>"
+                    ))
+                ).alias("p"),
+                "freq",
+            )
+            top = (
+                pairs.groupBy("p")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("p.l"), F.col("p.r"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < min_pair_count:
+                break
+            left, right = top[0]["p"]["l"], top[0]["p"]["r"]
+            merges.append((left, right))
+            new_vocab = vocab.select(
+                _fuse_pair(F.col("symbols"), left, right).alias("symbols"),
+                "freq",
+            ).persist()
+            new_vocab.count()  # materialize before dropping the parent
+            vocab.unpersist()
+            vocab = new_vocab
+        return merges
+    finally:
+        vocab.unpersist()
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Encode ``text_col`` with a learned merge list: one NARROW pass
+    (zero shuffles) producing an ``array<string>`` token column.
+    Words are split to characters + end-of-word sentinel, then the
+    merges replay in learned order via per-word HOF folds; the
+    per-document token array is the concatenation over words."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    # project the word array first (HOF lambdas re-evaluate argument
+    # expressions per element — the r2 shingle lesson)
+    out = df.withColumn("__words", words)
+    sym = F.transform(F.col("__words"), lambda w: _initial_symbols(w))
+    out = out.withColumn("__sym", sym)
+    enc = F.col("__sym")
+
+    # closure FACTORY, not a default-arg lambda: PySpark infers HOF
+    # arity from the lambda signature, so `lambda s, lr=(l, r)` would
+    # be treated as the binary (element, index) form and bind lr to
+    # the INT index column
+    def _fuser(left: str, right: str):
+        return lambda s: _fuse_pair(s, left, right)
+
+    for left, right in merges:
+        enc = F.transform(enc, _fuser(left, right))
+    return (
+        out.withColumn(out_col, F.flatten(enc))
+        .drop("__words", "__sym")
+    )

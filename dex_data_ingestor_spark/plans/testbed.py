@@ -5540,6 +5540,38 @@ def q_chunk_dedup(spark, sf_dir):
     ).drop("__sha")
 
 
+@register("q_bpe_tokens")  # rows-only BY DESIGN: iterative merge
+# learning (each round depends on the last) is the driver contract's
+# explicit non-SQL-expressible category; the learned merge sequence
+# and the encoding fold are golden-pinned in test_vector_text.py on
+# the hand-derivable Sennrich corpus.
+def q_bpe_tokens(spark, sf_dir):
+    """Tokenizer training + encoding end-to-end (operators/bpe.py):
+    learn 6 BPE merges from the English documents' word-frequency
+    table (ONE corpus shuffle; every training round after that runs
+    on the vocabulary-sized table — the classic BPE observation),
+    then encode the same documents in one narrow pass and report
+    per-doc token counts. Deterministic: pair selection tie-breaks
+    (count DESC, left, right), so the learned vocabulary — the model
+    — is byte-reproducible across runs and partitionings. Driver
+    state is the 6-entry merge list only."""
+    from dex_data_ingestor_spark.operators.bpe import (
+        apply_bpe,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    )
+    merges = learn_bpe_merges(word_frequencies(docs), n_merges=6)
+    enc = apply_bpe(docs.select("doc_id", "text"), merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
 @register(
     "q_rare_word_score",
     """

@@ -31,6 +31,10 @@ def test_all_queries_have_oracle_or_are_flagged():
         # winnowed selection has no cross-engine xxhash64 twin; bounded
         # by the subset/detection/boundary properties in test_corpus.py
         "q_dup_substrings_winnowed",
+        # iterative BPE merge learning (the driver contract's explicit
+        # rows-only category); the merge sequence and encoding are
+        # golden-pinned in test_vector_text.py
+        "q_bpe_tokens",
     }
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
 

@@ -643,3 +643,61 @@ def test_outlier_events_flags_known_injected_outlier(spark, tmp_path):
     out = QUERIES["q_outlier_events"](spark, str(sf)).collect()
     assert [r.event_id for r in out] == [999]
     assert out[0].z > 2.5
+
+
+def test_bpe_learns_classic_merge_sequence(spark):
+    """The Sennrich corpus {low x5, lower x2, newest x6, widest x3}
+    has a hand-derivable merge sequence under (count DESC, l, r)
+    tie-breaking: (e,s) -> (es,t) -> (est,</w>) -> (l,o) -> (lo,w)."""
+    from dex_data_ingestor_spark.operators.bpe import (
+        EOW,
+        apply_bpe,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2
+        + [("newest",)] * 6 + [("widest",)] * 3
+    )
+    docs = spark.createDataFrame(rows, "text string")
+    wf = word_frequencies(docs)
+    assert {(r.word, r.freq) for r in wf.collect()} == {
+        ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)
+    }
+
+    merges = learn_bpe_merges(wf, n_merges=5)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("est", EOW), ("l", "o"), ("lo", "w")
+    ]
+    # determinism: same input -> identical merge list
+    assert learn_bpe_merges(wf, n_merges=5) == merges
+
+    enc = apply_bpe(
+        spark.createDataFrame([(1, "low newest")], "doc_id long, text string"),
+        merges,
+    ).collect()[0].bpe_tokens
+    assert enc == ["low", EOW, "n", "e", "w", "est" + EOW]
+
+
+def test_bpe_fuse_nonoverlapping_and_early_stop(spark):
+    """Greedy left-to-right non-overlap ('aaa' under (a,a) -> [aa, a])
+    and early stop when no pair reaches min_pair_count."""
+    from dex_data_ingestor_spark.operators.bpe import (
+        EOW,
+        apply_bpe,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame([("aaa aaa",)], "text string")
+    enc = apply_bpe(
+        spark.createDataFrame([(1, "aaa")], "doc_id long, text string"),
+        [("a", "a")],
+    ).collect()[0].bpe_tokens
+    assert enc == ["aa", "a", EOW]
+
+    # one distinct word x2: top pair (a,a) has count 2; after a few
+    # merges the word is a single symbol and learning must stop early
+    merges = learn_bpe_merges(word_frequencies(docs), n_merges=50)
+    assert 0 < len(merges) <= 4
