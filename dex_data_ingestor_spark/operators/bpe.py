@@ -28,9 +28,14 @@ merge sequences.
 
 Scale notes: rounds are sequential by nature (each merge depends on
 the last), which is why production tokenizers train on a SAMPLE of
-the corpus; ``word_frequencies`` accepts any pre-sampled frame. The
-per-round job reads the cached vocab table; ``learn_bpe_merges``
-persists it and unpersists on exit.
+the corpus; ``word_frequencies`` accepts any pre-sampled frame. Each
+round localCheckpoints the vocab table (the graph.py iterative
+pattern) so analysis cost stays constant and no recompute can replay
+the whole merge chain. Encoding auto-switches engines: small merge
+lists stay pure-expression (codegen); realistic vocabularies
+(hundreds+ merges) use an Arrow-batched pandas UDF, because stacking
+one HOF layer per merge grows the expression tree linearly until the
+analyzer/codegen breaks.
 """
 
 from __future__ import annotations
@@ -107,55 +112,96 @@ def learn_bpe_merges(
     word's symbol array. Stops early when no pair reaches
     ``min_pair_count``. Returns the ordered merge list — the model.
     """
+    # localCheckpoint per round (the graph.py iterative pattern):
+    # truncates the lineage so round N's analysis cost is constant
+    # instead of reprocessing N nested fuse layers, and a lost
+    # partition can never trigger a recompute through the whole merge
+    # chain. On a real cluster set a checkpoint dir and use
+    # checkpoint() for fault tolerance instead.
     vocab = word_freq.select(
         _initial_symbols(F.col("word")).alias("symbols"),
         F.col("freq").cast("long").alias("freq"),
-    ).persist()
-    try:
-        merges: list[tuple[str, str]] = []
-        for _ in range(n_merges):
-            pairs = vocab.select(
-                F.explode(
-                    F.when(
-                        F.size("symbols") >= 2,
-                        F.zip_with(
-                            F.slice(
-                                F.col("symbols"),
-                                1,
-                                F.size("symbols") - 1,
-                            ),
-                            F.slice(F.col("symbols"), 2, F.size("symbols")),
-                            lambda a, b: F.struct(
-                                a.alias("l"), b.alias("r")
-                            ),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            F.explode(
+                F.when(
+                    F.size("symbols") >= 2,
+                    F.zip_with(
+                        F.slice(
+                            F.col("symbols"),
+                            1,
+                            F.size("symbols") - 1,
                         ),
-                    ).otherwise(F.array().cast(
-                        "array<struct<l:string,r:string>>"
-                    ))
-                ).alias("p"),
-                "freq",
-            )
-            top = (
-                pairs.groupBy("p")
-                .agg(F.sum("freq").alias("n"))
-                .orderBy(F.col("n").desc(), F.col("p.l"), F.col("p.r"))
-                .limit(1)
-                .collect()
-            )
-            if not top or top[0]["n"] < min_pair_count:
+                        F.slice(F.col("symbols"), 2, F.size("symbols")),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<l:string,r:string>>"
+                ))
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
+        merges.append((left, right))
+        vocab = vocab.select(
+            _fuse_pair(F.col("symbols"), left, right).alias("symbols"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+#: Above this many merges the expression engine's one-HOF-per-merge
+#: tree risks analyzer blowup / codegen method limits — switch to the
+#: pandas kernel.
+MAX_EXPR_MERGES = 48
+
+
+def _encode_words_python(words, merges: list[tuple[str, str]]):
+    """Reference BPE encode (rank loop): repeatedly merge the
+    lowest-rank adjacent pair until none applies — equivalent to
+    replaying merges in learned order, which the engine-parity test
+    pins against the expression path."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+    out: list[str] = []
+    for w in words:
+        sym = list(w) + [EOW]
+        while len(sym) > 1:
+            best = None
+            for i in range(len(sym) - 1):
+                r = rank.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is None:
                 break
-            left, right = top[0]["p"]["l"], top[0]["p"]["r"]
-            merges.append((left, right))
-            new_vocab = vocab.select(
-                _fuse_pair(F.col("symbols"), left, right).alias("symbols"),
-                "freq",
-            ).persist()
-            new_vocab.count()  # materialize before dropping the parent
-            vocab.unpersist()
-            vocab = new_vocab
-        return merges
-    finally:
-        vocab.unpersist()
+            left, right = merges[best[0]]
+            fused, j, merged = left + right, 0, []
+            while j < len(sym):
+                if (
+                    j + 1 < len(sym)
+                    and sym[j] == left
+                    and sym[j + 1] == right
+                ):
+                    merged.append(fused)
+                    j += 2
+                else:
+                    merged.append(sym[j])
+                    j += 1
+            sym = merged
+        out.extend(sym)
+    return out
 
 
 def apply_bpe(
@@ -164,15 +210,44 @@ def apply_bpe(
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     lowercase: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """Encode ``text_col`` with a learned merge list: one NARROW pass
     (zero shuffles) producing an ``array<string>`` token column.
-    Words are split to characters + end-of-word sentinel, then the
-    merges replay in learned order via per-word HOF folds; the
-    per-document token array is the concatenation over words."""
+
+    ``engine='expr'``: words split to characters + end-of-word
+    sentinel, merges replayed in learned order via per-word HOF folds
+    — pure JVM, right for SMALL merge lists. ``engine='pandas'``: an
+    Arrow-batched pandas UDF runs the classic rank-loop encoder —
+    right for realistic vocabularies, where stacking one HOF layer
+    per merge would grow the expression tree linearly until analysis
+    or codegen breaks. ``'auto'`` switches at MAX_EXPR_MERGES; the
+    two engines are parity-tested against each other."""
+    if engine == "auto":
+        engine = "expr" if len(merges) <= MAX_EXPR_MERGES else "pandas"
+    if engine not in ("expr", "pandas"):
+        raise ValueError(f"unknown engine {engine!r}")
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
+    if engine == "pandas":
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(T.ArrayType(T.StringType()))
+        def _encode(texts):
+            import pandas as pd
+
+            return pd.Series(
+                [
+                    _encode_words_python(
+                        (s or "").split(), merges
+                    )
+                    for s in texts
+                ]
+            )
+
+        return df.withColumn(out_col, _encode(t))
     words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
     # project the word array first (HOF lambdas re-evaluate argument
     # expressions per element — the r2 shingle lesson)

@@ -278,7 +278,9 @@ def decode_media(payload: bytes, media_meta=None) -> np.ndarray:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return _decode_gif(payload)[0]  # first frame, (H, W, 3)
+        # max_frames=1: the still-image contract never pays for (or
+        # composites) the rest of an animation
+        return _decode_gif(payload, max_frames=1)[0]
     fmt = (dict(media_meta).get("format") if media_meta else None) or "unknown"
     raise NotImplementedError(
         f"no stdlib codec for payload format '{fmt}' "
@@ -286,23 +288,26 @@ def decode_media(payload: bytes, media_meta=None) -> np.ndarray:
     )
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
     """GIF-variant LZW: variable-width codes packed LSB-first, CLEAR
     resets the table, EOI terminates; the KwKwK case (a code equal to
     the next free slot) outputs prev + prev[0]. Bounded: the table
     can never exceed 4096 entries (spec) and output is capped at
-    ``max_pixels`` (decompression-bomb guard)."""
+    ``max_pixels`` (decompression-bomb guard). Output and table
+    entries are ``bytes`` — every emitted symbol is a palette index
+    < 256, and a list[int] here cost ~28x the intended byte budget
+    in CPython object overhead."""
     clear = 1 << min_code_size
     eoi = clear + 1
 
     def fresh_table():
-        return {i: [i] for i in range(clear)}
+        return {i: bytes((i,)) for i in range(clear)}
 
     table = fresh_table()
     next_free = eoi + 1
     width = min_code_size + 1
-    out: list[int] = []
-    prev: list[int] | None = None
+    out = bytearray()
+    prev: bytes | None = None
     acc = bits = 0
     for byte in data:
         acc |= byte << bits
@@ -318,7 +323,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[in
                 prev = None
                 continue
             if code == eoi:
-                return out
+                return bytes(out)
             if prev is None:
                 if code not in table:
                     raise ValueError(f"bad first LZW code {code}")
@@ -326,14 +331,14 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[in
             elif code in table:
                 entry = table[code]
             elif code == next_free:
-                entry = prev + [prev[0]]  # KwKwK
+                entry = prev + prev[:1]  # KwKwK
             else:
                 raise ValueError(f"LZW code {code} out of sequence")
-            out.extend(entry)
+            out += entry
             if len(out) > max_pixels:
                 raise ValueError("LZW output exceeds pixel budget")
             if prev is not None and next_free < 4096:
-                table[next_free] = prev + [entry[0]]
+                table[next_free] = prev + entry[:1]
                 next_free += 1
                 if next_free == (1 << width) and width < 12:
                     width += 1
@@ -345,17 +350,25 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[in
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _decode_gif(payload: bytes) -> list[np.ndarray]:
+def _decode_gif(
+    payload: bytes, max_frames: int | None = None
+) -> list[np.ndarray]:
     """Decode GIF87a/89a to a list of full-canvas ``(H, W, 3)`` uint8
-    frames. Stdlib-only: header + color tables via struct slicing,
-    image data via :func:`_gif_lzw_decode`. Handles local/global
-    palettes, interlacing, frame offsets, restore-to-background /
-    keep-previous disposal (both approximated as draw-over-previous,
-    the common browser behavior for the corpora this screens), and
-    the 89a transparency index (transparent pixels keep the prior
-    canvas). Total decoded pixels across frames are bounded by
-    MAX_DECODED_BYTES/3 — one hostile file must never pin an
-    executor."""
+    frames (at most ``max_frames`` when given — decoding stops there,
+    so a first-frame caller never pays for the whole animation).
+    Stdlib-only: header + color tables via struct slicing, image data
+    via :func:`_gif_lzw_decode`. Handles local/global palettes,
+    interlacing, frame offsets, restore-to-background / keep-previous
+    disposal (both approximated as draw-over-previous, the common
+    browser behavior for the corpora this screens), and the 89a
+    transparency index (transparent pixels keep the prior canvas).
+
+    Bomb guards: the budget counts FULL-CANVAS pixels per emitted
+    frame (each frame appends a canvas copy — a 620-byte GIF with a
+    big canvas and many 1-pixel frames otherwise allocates
+    gigabytes), bounding both the canvas allocation and the copies;
+    LZW output is capped per frame. One hostile file must never pin
+    an executor."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
@@ -442,13 +455,15 @@ def _decode_gif(payload: bytes) -> list[np.ndarray]:
         if not 2 <= min_code <= 11:
             raise ValueError(f"bad LZW min code size {min_code}")
         data, pos = read_subblocks(pos)
-        total_px += w * h
+        # budget the CANVAS copy this frame will append, not just the
+        # sub-frame: that copy is the dominant allocation
+        total_px += width * height
         if total_px > pixel_budget:
             raise ValueError("GIF frames exceed pixel budget")
         idx = _gif_lzw_decode(data, min_code, w * h)
         if len(idx) < w * h:
             raise ValueError("LZW underrun: fewer pixels than frame")
-        ia = np.asarray(idx[: w * h], dtype=np.int32)
+        ia = np.frombuffer(idx[: w * h], dtype=np.uint8).astype(np.int32)
         if int(ia.max()) >= pal.shape[0]:
             raise ValueError("palette index out of range")
         if iflags & 0x40:  # interlaced: reorder rows
@@ -471,6 +486,8 @@ def _decode_gif(payload: bytes) -> list[np.ndarray]:
             region[:, :] = rgb
         frames.append(canvas.copy())
         transparent = None
+        if max_frames is not None and len(frames) >= max_frames:
+            break
     if not frames:
         raise ValueError("GIF contains no image frames")
     return frames

@@ -650,7 +650,7 @@ def test_gif_lzw_dictionary_growth_kwkwk():
     )
 
     data = _lzw_pack([4, 1, 6, 5], 3)
-    assert _gif_lzw_decode(data, 2, 10) == [1, 1, 1]
+    assert _gif_lzw_decode(data, 2, 10) == b"\x01\x01\x01"
 
 
 def test_gif_interlaced_row_order(spark):
@@ -729,3 +729,27 @@ def test_sample_frames_real_gif_and_standin(spark):
 
     # decode_media returns the FIRST frame for a GIF
     assert (decode_media(gif) == first).all()
+
+
+def test_gif_many_tiny_frames_canvas_bomb_bounded():
+    """The 620-byte bomb: a big (in-budget) canvas plus many 1-pixel
+    frames must hit the pixel budget (each frame appends a CANVAS
+    copy), not allocate gigabytes."""
+    import pytest as _pytest
+
+    from dex_data_ingestor_spark.operators.multimodal import (
+        MAX_DECODED_BYTES,
+        _decode_gif,
+        decode_media,
+    )
+
+    side = 4096  # 16.7M-px canvas, ~5 canvas copies fit the budget
+    frames = [(0, 0, 1, 1, [0], 0, None)] * 40
+    frames[0] = (0, 0, 1, 1, [0], 0, None)
+    gif = _gif(side, side, frames, _PAL4)
+    assert len(gif) < 2000
+    with _pytest.raises(ValueError, match="pixel budget"):
+        _decode_gif(gif)
+    # the first-frame contract still decodes cheaply (max_frames=1)
+    first = decode_media(gif)
+    assert first.shape == (side, side, 3)

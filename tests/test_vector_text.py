@@ -701,3 +701,35 @@ def test_bpe_fuse_nonoverlapping_and_early_stop(spark):
     # merges the word is a single symbol and learning must stop early
     merges = learn_bpe_merges(word_frequencies(docs), n_merges=50)
     assert 0 < len(merges) <= 4
+
+
+def test_bpe_engines_agree(spark):
+    """The expression engine (ordered merge replay via HOF folds) and
+    the pandas engine (classic rank-loop encoder) produce identical
+    tokens, including on texts with repeated/fused-prefix symbols."""
+    from dex_data_ingestor_spark.operators.bpe import (
+        apply_bpe,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2
+        + [("newest",)] * 6 + [("widest",)] * 3 + [("aaa banana",)] * 4
+    )
+    corpus = spark.createDataFrame(rows, "text string")
+    merges = learn_bpe_merges(word_frequencies(corpus), n_merges=8)
+    docs = spark.createDataFrame(
+        [(i, t) for i, (t,) in enumerate(set(rows))]
+        + [(99, "unseen wordforms aaaa")],
+        "doc_id long, text string",
+    )
+    ex = {r.doc_id: r.bpe_tokens
+          for r in apply_bpe(docs, merges, engine="expr").collect()}
+    pd_ = {r.doc_id: r.bpe_tokens
+           for r in apply_bpe(docs, merges, engine="pandas").collect()}
+    assert ex == pd_
+    # auto switches to pandas for a long merge list without error
+    long_merges = merges + [(f"x{i}", f"y{i}") for i in range(60)]
+    out = apply_bpe(docs, long_merges).collect()
+    assert {r.doc_id: r.bpe_tokens for r in out} == ex  # extra merges no-op
