@@ -570,3 +570,31 @@ def test_curation_strip_gate_composes(spark):
     ids1 = sorted(r.doc_id for r in w1.select("doc_id").collect())
     assert ids1 == sorted(r.doc_id for r in w2.select("doc_id").collect())
     assert set(ids1) <= ungated
+
+
+def test_curation_strip_materialized_equals_inline(spark, sf_dir, tmp_path):
+    """The materialize-then-curate switch (the 100 TB shape: pay the
+    strip once instead of once per dedup branch) returns the same
+    survivor set and stats as the single-statement composition, and
+    leaves the stripped corpus on disk as a readable artifact."""
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(
+        allowed_langs=("en",), min_quality=0.3, min_words=5,
+        near_dup=True, strip_substrings_min_len=20,
+    )
+    inline = {
+        (r.doc_id, r.n_words, r.quality_score)
+        for r in curate_documents(docs, **kw)
+        .select("doc_id", "n_words", "quality_score").collect()
+    }
+    mat_dir = str(tmp_path / "stripped")
+    materialized = {
+        (r.doc_id, r.n_words, r.quality_score)
+        for r in curate_documents(
+            docs, strip_materialize_dir=mat_dir, **kw
+        ).select("doc_id", "n_words", "quality_score").collect()
+    }
+    assert inline == materialized
+    artifact = spark.read.parquet(mat_dir)
+    assert set(artifact.columns) == {"doc_id", "__stripped"}
+    assert artifact.count() > 0
