@@ -5501,6 +5501,88 @@ def q_forecast_revenue(spark, sf_dir):
 
 
 @register(
+    "q_revenue_share",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    total AS (
+      SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS t
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT nation, revenue,
+           revenue / t AS share,
+           CAST(RANK() OVER (ORDER BY revenue DESC, nation)
+                AS BIGINT) AS rev_rank
+    FROM rev, total
+    """,
+)
+def q_revenue_share(spark, sf_dir):
+    """Ratio-to-report: each nation's share of total revenue plus its
+    rank. The rank window runs over the ALREADY-AGGREGATED 25-row
+    nation table, so the single-partition window exchange moves 25
+    rows, not the fact table (the mistake to avoid at 100 TB is
+    windowing before aggregating). Determinism: the denominator is
+    NOT ``SUM(revenue) OVER ()`` — re-adding the per-nation doubles
+    follows each engine's own iteration order and diverged in the
+    last ULP at sf0.01 — but a decimal-EXACT grand total computed
+    straight from the fact rows (order-free) and attached as a
+    one-row broadcast; the share division is then bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("nation")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )
+    total = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "t"
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy().orderBy(
+        F.col("revenue").desc(), F.col("nation")
+    )
+    return rev.join(F.broadcast(total)).select(
+        "nation",
+        "revenue",
+        (F.col("revenue") / F.col("t")).alias("share"),
+        F.rank().over(w_rank).cast("bigint").alias("rev_rank"),
+    )
+
+
+@register(
     "q_chunk_dedup",
     """
     WITH chunks AS (
