@@ -5501,6 +5501,110 @@ def q_forecast_revenue(spark, sf_dir):
 
 
 @register(
+    "q_vwap",
+    """
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS vwap,
+           COUNT(*) AS n_trades
+    FROM lineitem
+    WHERE l_partkey % 50 = 0
+    GROUP BY 1
+    """,
+)
+def q_vwap(spark, sf_dir):
+    """Volume-weighted average price — THE canonical market metric
+    the reference's price tables feed (lineitem read as a trade tape:
+    extendedprice = notional, quantity = size, so VWAP = sum(notional)
+    / sum(size) without ever materializing a per-trade price ratio —
+    the per-row division would lose exactness AND force a second
+    aggregate). Both sums are decimal-exact (order-free), the final
+    division is one IEEE op — bit-stable cross-engine. One
+    partially-aggregated shuffle on the instrument key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 50 == 0
+    )
+    return li.groupBy("l_partkey").agg(
+        (
+            _dec_sum_expr(F.col("l_extendedprice"))
+            / _dec_sum_expr(F.col("l_quantity"))
+        ).alias("vwap"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
+@register(
+    "q_twap",
+    """
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             lead(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS v_units,
+             date_diff('microsecond', ts, nxt) AS dur_us
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(CAST(v_units AS DECIMAL(38,0))
+                    * CAST(dur_us AS DECIMAL(38,0))) AS DOUBLE)
+             / (1000000.0 * CAST(SUM(CAST(dur_us AS DECIMAL(38,0)))
+                                 AS DOUBLE)) AS twap,
+           COUNT(*) AS n_segments
+    FROM seg GROUP BY 1
+    """,
+)
+def q_twap(spark, sf_dir):
+    """Time-weighted average price: each observation holds until the
+    key's next event, so its weight is the microsecond gap to the
+    successor (the final observation has no duration and drops — the
+    standard TWAP convention). Exactness: value quantizes to integer
+    micro-units (the _dec_sum discipline), the unit x duration
+    products and their sums ride DECIMAL(38,0) — exact in both
+    engines for |value| < 9.2e12 and total gaps < ~1e20 µs — and only
+    the FINAL division is IEEE. Plan: one window pass and the
+    aggregate share the user_id partitioning — a single exchange
+    end-to-end."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("ts").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    v_units = (
+        F.col("value").cast("decimal(18,6)") * 1000000
+    ).cast("long")
+    # timestampdiff works on both NTZ and tz-aware encodings (the
+    # sessionize convention) — a long cast of TIMESTAMP_NTZ does not
+    dur_us = F.expr("timestampdiff(MICROSECOND, ts, nxt)")
+    seg = seq.select(
+        "user_id",
+        v_units.alias("v_units"),
+        dur_us.alias("dur_us"),
+    )
+    num = F.sum(
+        F.col("v_units").cast("decimal(38,0)")
+        * F.col("dur_us").cast("decimal(38,0)")
+    ).cast("double")
+    den = F.lit(1000000.0) * F.sum(
+        F.col("dur_us").cast("decimal(38,0)")
+    ).cast("double")
+    return seg.groupBy("user_id").agg(
+        (num / den).alias("twap"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+@register(
     "q_revenue_share",
     """
     WITH rev AS (
