@@ -5841,94 +5841,106 @@ def q_rare_word_score(spark, sf_dir):
 # =========================================================================
 
 #: The driver verifies the FIRST 50 entries of queries() in dict order
-#: against their oracles each round. Round-7 window, per the standing
-#: ROTATION PLAN (below): the 40 queries whose latest green row is r5
-#: come back in, PLUS the five queries ADDED in r6 (judge-verified at
-#: sf0.01 on registration but still owed a driver row:
-#: q_ann_lsh, q_charngram_lsh, q_dup_substrings,
-#: q_strip_dup_substrings, q_scrub_contamination). That fills 45 of
-#: the 50 slots, so this round carries 5 canaries instead of 10 —
-#: q_apy (red r1-r4; keep watching the fix) plus one per core family;
-#: the 5 benched canaries (q_scan_project, q_group_agg,
-#: q_stream_tumbling, q_yoy_qoq, q_dedup_exact) are r6-green and
-#: re-enter at r8 exactly at the two-round age bound.
+#: against their oracles each round. Round-8 window, per the r7
+#: verdict's demand: ALL 35 registry queries that have never held a
+#: driver row (every r7 addition — the TPC-H composite shapes, the
+#: product-analytics six, the market-metrics family incl. the fixed
+#: q_twap, q_bm25/q_bpe_tokens/q_bloom_contamination/
+#: q_curate_stripped/q_sessionize specifically named by the judge)
+#: fill 35 slots, plus 15 canaries — the 5 standing ones (q_apy,
+#: q_flagship_daily_revenue, q_merge_upsert, q_asof_price,
+#: q_vector_topk), the 5 that sat out r7 as benched canaries and
+#: re-enter at the age bound (q_scan_project, q_group_agg,
+#: q_stream_tumbling, q_yoy_qoq, q_dedup_exact), and one per heavy
+#: family (q_minhash_lsh, q_multimodal_join, q_similarity_topk,
+#: q_corpus_curation, q_dup_clusters). After this round every one of
+#: the 130 registry entries holds a driver row.
 #:
-#: ROTATION PLAN (steady state): the registry splits into two
-#: ~40-query halves that alternate rounds — this window's non-canary
-#: set re-enters at r9, the r6 window's at r8 — while canaries ride
-#: every window (trimmed only when owed-new-query slots require, as
-#: this round). Under this cadence no query's latest green row ages
-#: past two rounds, and any query whose engine path or oracle changes
-#: in a round is ALWAYS promoted into the next window regardless of
-#: the alternation. Queries ADDED in a round are locally
-#: bitwise-verified at sf0.001+sf0.01 on registration and join the
-#: next round's window.
-_WINDOW_R7 = [
-    # latest check r5 — rotated back in
-    "q_ann_ivf",
-    "q_asof_tolerance",
-    "q_blacklist_filter",
-    "q_cdc_apply",
-    "q_contamination",
-    "q_count",
-    "q_date_parts",
-    "q_dedup_first",
-    "q_derived_cols",
-    "q_dim_broadcast_join",
-    "q_distinct",
-    "q_embed_neardup",
-    "q_fingerprint",
-    "q_gap_fill",
-    "q_grouping_sets",
-    "q_hash_split",
-    "q_incremental_range",
-    "q_lang_id",
-    "q_merge_partial_update",
-    "q_min_bootstrap",
-    "q_moving_avg",
-    "q_ngram_jaccard",
-    "q_ngram_topk",
-    "q_null_filter",
-    "q_pii_scrub",
-    "q_point_filter",
-    "q_prefix_enrich",
-    "q_repetition",
-    "q_span_dedup",
-    "q_stratified_sample",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_string_norm",
-    "q_surrogate_join",
-    "q_text_stats",
-    "q_token_price",
-    "q_topk",
-    "q_topk_per_key",
-    "q_tvl",
-    "q_window_rank",
-    # added in r6 — judge-verified sf0.01; first driver row owed
-    "q_ann_lsh",
-    "q_charngram_lsh",
-    "q_dup_substrings",
-    "q_strip_dup_substrings",
-    "q_scrub_contamination",
-    # canaries (trimmed to 5 this round; see note above)
+#: ROTATION POLICY (re-derived r8 for a 130+-entry registry — the
+#: two-halves alternation stopped closing once the registry outgrew
+#: 2x(50-canaries)): the non-canary registry is partitioned into
+#: THREE cohorts by latest-green round; each round the OLDEST cohort
+#: (~35-45 queries) fills the window and the remaining slots carry
+#: canaries. Steady-state cohorts after this round: A = the 35
+#: checked here (re-enter r11), B = the 45 whose latest row is r6
+#: (fill r9 — they hit the age bound first), C = the 45 whose latest
+#: row is r7 (fill r10). Invariants that override the cycle: (1)
+#: queries ADDED in a round are locally bitwise-verified at
+#: sf0.001+sf0.01 on registration and ALWAYS join the next round's
+#: window; (2) any query whose engine path or oracle SQL changed in a
+#: round is promoted into the next window regardless of cohort; (3)
+#: canaries (flagship + one per core family) ride every window,
+#: trimmed only when owed-new-query slots require. Under this cycle
+#: no entry's latest green row ages past three rounds at up to ~135
+#: non-canary entries; beyond that, prune true-subset entries before
+#: stretching the cycle.
+_WINDOW_R8 = [
+    # never driver-checked (added r7) — the entire debt, per verdict
+    "q_sessionize",
+    "q_local_supplier_volume",
+    "q_promo_revenue",
+    "q_outlier_events",
+    "q_bm25",
+    "q_funnel",
+    "q_retention",
+    "q_salted_agg",
+    "q_rolling_dau",
+    "q_source_quality",
+    "q_token_budget",
+    "q_returned_items",
+    "q_parts_supplier_count",
+    "q_dup_substrings_winnowed",
+    "q_scd2",
+    "q_market_share",
+    "q_top_supplier",
+    "q_chunk_documents",
+    "q_order_priority",
+    "q_nation_volume",
+    "q_product_profit",
+    "q_customer_distribution",
+    "q_small_qty_revenue",
+    "q_large_volume_customers",
+    "q_disjunctive_revenue",
+    "q_inactive_customers",
+    "q_curate_stripped",
+    "q_bloom_contamination",
+    "q_forecast_revenue",
+    "q_vwap",
+    "q_twap",
+    "q_revenue_share",
+    "q_chunk_dedup",
+    "q_bpe_tokens",
+    "q_rare_word_score",
+    # canaries: standing five
     "q_apy",
     "q_flagship_daily_revenue",
     "q_merge_upsert",
     "q_asof_price",
     "q_vector_topk",
+    # canaries: r7's benched five, re-entering at the age bound
+    "q_scan_project",
+    "q_group_agg",
+    "q_stream_tumbling",
+    "q_yoy_qoq",
+    "q_dedup_exact",
+    # canaries: one per heavy family
+    "q_minhash_lsh",
+    "q_multimodal_join",
+    "q_similarity_topk",
+    "q_corpus_curation",
+    "q_dup_clusters",
 ]
 
 
 def _window_order(registry: dict) -> dict:
-    """Rebuild a registry dict with _WINDOW_R7 first (keeping each
+    """Rebuild a registry dict with _WINDOW_R8 first (keeping each
     family's relative order), everything else after in file order."""
-    out = {n: registry[n] for n in _WINDOW_R7 if n in registry}
+    out = {n: registry[n] for n in _WINDOW_R8 if n in registry}
     out.update((n, v) for n, v in registry.items() if n not in out)
     return out
 
 
-assert len(_WINDOW_R7) == 50, len(_WINDOW_R7)
-assert set(_WINDOW_R7) <= set(QUERIES), set(_WINDOW_R7) - set(QUERIES)
+assert len(_WINDOW_R8) == 50, len(_WINDOW_R8)
+assert set(_WINDOW_R8) <= set(QUERIES), set(_WINDOW_R8) - set(QUERIES)
 QUERIES = _window_order(QUERIES)
 ORACLE_SQL = _window_order(ORACLE_SQL)
