@@ -71,6 +71,10 @@ HEADLINE = [
     "q_contamination",
     "q_bloom_contamination",
     "q_curate_stripped",
+    # added r8 (set 28 -> 29): the materialize-then-curate DEFAULT
+    # path benched next to the single-statement diamond above, so the
+    # pay-the-strip-once saving is a recorded number (VERDICT r7 #3).
+    "q_curate_materialized",
 ]
 
 

@@ -5417,9 +5417,41 @@ def q_curate_stripped(spark, sf_dir):
     At 100 TB you would not do that: the stripped corpus is itself a
     product artifact — write it (snapshot table / parquet), then run
     curation over the materialized copy, paying the strip exactly
-    once. The one-statement composition here exists so the whole
-    pipeline stays oracle-checkable end to end.
+    once. curate_documents does exactly that BY DEFAULT now
+    (strip_materialize_dir="auto"); this entry passes None to keep
+    the whole pipeline oracle-checkable as one statement, and
+    q_curate_materialized benches the default against the same
+    oracle.
     """
+    from dex_data_ingestor_spark.operators.corpus import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_documents(
+        docs,
+        allowed_langs=("en",),
+        min_quality=0.3,
+        min_words=5,
+        near_dup=True,
+        strip_substrings_min_len=20,
+        strip_materialize_dir=None,
+    )
+    return out.select("doc_id", "n_words", "quality_score")
+
+
+# Output is bit-identical to q_curate_stripped (a parquet round-trip
+# of the strip stage is lossless), so it shares that oracle verbatim.
+@register("q_curate_materialized", None)
+def q_curate_materialized(spark, sf_dir):
+    """q_curate_stripped's DEFAULT-path twin: curate_documents with
+    strip_materialize_dir="auto", which pays the corpus-wide
+    repeated-span strip ONCE (write the stripped corpus, curate from
+    the materialized copy) instead of once per dedup branch of the
+    single-statement diamond (~3x strip re-evaluation — the r7 bench's
+    most expensive entry at 8.0 s). Registered so the scale-default
+    path holds both a driver correctness row and a bench number next
+    to the one-statement form. At 100 TB the materialize target is a
+    warehouse table, not scratch (operators/corpus.py
+    _auto_strip_dir)."""
     from dex_data_ingestor_spark.operators.corpus import curate_documents
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5432,6 +5464,9 @@ def q_curate_stripped(spark, sf_dir):
         strip_substrings_min_len=20,
     )
     return out.select("doc_id", "n_words", "quality_score")
+
+
+ORACLE_SQL["q_curate_materialized"] = ORACLE_SQL["q_curate_stripped"]
 
 
 # q_contamination's oracle verbatim: the Bloom prefilter is a superset

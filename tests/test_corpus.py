@@ -584,7 +584,7 @@ def test_curation_strip_materialized_equals_inline(spark, sf_dir, tmp_path):
     )
     inline = {
         (r.doc_id, r.n_words, r.quality_score)
-        for r in curate_documents(docs, **kw)
+        for r in curate_documents(docs, strip_materialize_dir=None, **kw)
         .select("doc_id", "n_words", "quality_score").collect()
     }
     mat_dir = str(tmp_path / "stripped")
