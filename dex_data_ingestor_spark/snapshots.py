@@ -279,37 +279,56 @@ def snapshot_rollback(root: str, to_version: int) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _file_stats(data_dir: str, cols: Sequence[str]) -> list[dict]:
-    """Per-file min/max for ``cols`` from parquet FOOTERS only (no data
-    pages are read). Runs driver-side here — file counts per version
-    are small at this repo's scale; the 100 TB shape is the same footer
-    read fanned out over executors (mapPartitions over the file list),
-    which is what real table formats do at write time instead."""
+def _one_file_stats(path: str, cols: Sequence[str]) -> dict:
+    """min/max for ``cols`` from ONE parquet file's FOOTER (no data
+    pages are read). Pure function of the path — runs executor-side."""
     import pyarrow.parquet as pq
 
-    out = []
-    for name in sorted(os.listdir(data_dir)):
-        if not name.endswith(".parquet"):
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, list] = {}
+    for c in cols:
+        if c not in idx:
             continue
-        path = os.path.join(data_dir, name)
-        md = pq.ParquetFile(path).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        stats: dict[str, list] = {}
-        for c in cols:
-            if c not in idx:
-                continue
-            los, his = [], []
-            for rg in range(md.num_row_groups):
-                s = md.row_group(rg).column(idx[c]).statistics
-                if s is None or not s.has_min_max:
-                    los = []  # unknown -> no stats for this col
-                    break
-                los.append(s.min)
-                his.append(s.max)
-            if los:
-                stats[c] = [min(los), max(his)]
-        out.append({"file": name, "stats": stats})
-    return out
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx[c]).statistics
+            if s is None or not s.has_min_max:
+                los = []  # unknown -> no stats for this col
+                break
+            los.append(s.min)
+            his.append(s.max)
+        if los:
+            stats[c] = [min(los), max(his)]
+    return {"file": os.path.basename(path), "stats": stats}
+
+
+def _file_stats(spark: SparkSession, data_dir: str, cols: Sequence[str]
+                ) -> list[dict]:
+    """Per-file min/max for ``cols``, the footer reads FANNED OUT over
+    executors — the shape real table formats use at write time. The
+    driver only holds the file NAME list (it already owns that: the
+    names go in the manifest) and the O(#files) stat dicts coming
+    back, which likewise land in the manifest; no per-file I/O
+    serializes on the driver. At 10^5-10^6 files per 100 TB version
+    this is a wide, trivially-parallel metadata stage instead of a
+    driver-side scan."""
+    names = sorted(
+        n for n in os.listdir(data_dir) if n.endswith(".parquet")
+    )
+    if not names:
+        return []
+    cols = list(cols)
+    sc = spark.sparkContext
+    slices = min(len(names), max(sc.defaultParallelism, 1))
+    out = (
+        sc.parallelize(
+            [os.path.join(data_dir, n) for n in names], slices
+        )
+        .map(lambda p: _one_file_stats(p, cols))
+        .collect()
+    )
+    return sorted(out, key=lambda d: d["file"])
 
 
 def snapshot_write_with_stats(
@@ -326,7 +345,7 @@ def snapshot_write_with_stats(
     overlap and skipping prunes nothing."""
     data_dir = os.path.join(root, DATA_DIR, uuid.uuid4().hex)
     df.write.mode("error").parquet(data_dir)
-    files = _file_stats(data_dir, stats_cols)
+    files = _file_stats(df.sparkSession, data_dir, stats_cols)
     return _commit(
         root,
         data_dir,
