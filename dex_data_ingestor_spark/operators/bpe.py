@@ -156,10 +156,15 @@ def learn_bpe_merges(
             break
         left, right = top[0]["p"]["l"], top[0]["p"]["r"]
         merges.append((left, right))
+        prev = vocab
         vocab = vocab.select(
             _fuse_pair(F.col("symbols"), left, right).alias("symbols"),
             "freq",
         ).localCheckpoint(eager=True)
+        # the new checkpoint is materialized (eager) — release the
+        # prior round's blocks or executor storage accumulates
+        # O(n_merges) cached vocabulary copies over a long run
+        prev.unpersist()
     return merges
 
 
@@ -236,12 +241,21 @@ def apply_bpe(
 
         @pandas_udf(T.ArrayType(T.StringType()))
         def _encode(texts):
+            import re
+
             import pandas as pd
 
+            # Java \s is ASCII-only ([ \t\n\x0B\f\r]); Python
+            # str.split() breaks on ALL Unicode whitespace (U+00A0,
+            # U+2028, ...), which would silently change tokenization
+            # the moment 'auto' crosses MAX_EXPR_MERGES. Match the
+            # expression path (and word_frequencies) exactly.
+            ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
             return pd.Series(
                 [
                     _encode_words_python(
-                        (s or "").split(), merges
+                        [w for w in ascii_ws.split(s or "") if w],
+                        merges,
                     )
                     for s in texts
                 ]

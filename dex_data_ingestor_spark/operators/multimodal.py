@@ -373,7 +373,9 @@ def _decode_gif(
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
         raise ValueError("truncated GIF header")
-    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    width, height, flags, bg_idx, _ar = struct.unpack_from(
+        "<HHBBB", payload, 6
+    )
     if width < 1 or height < 1:
         raise ValueError(f"bad GIF dimensions {width}x{height}")
     pixel_budget = MAX_DECODED_BYTES // 3
@@ -396,7 +398,9 @@ def _decode_gif(
 
     canvas = np.zeros((height, width, 3), dtype=np.uint8)
     if global_pal is not None and global_pal.shape[0]:
-        canvas[:, :] = global_pal[0]
+        # header's background-color index fills the initial canvas
+        # (clamped: hostile files can point past the palette)
+        canvas[:, :] = global_pal[min(bg_idx, global_pal.shape[0] - 1)]
     frames: list[np.ndarray] = []
     transparent: int | None = None
     total_px = 0
@@ -904,6 +908,15 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames, real = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                # per-row quarantine, like image_stats/audio_stats: a
+                # NULL payload/id emits one real=false placeholder row
+                # instead of raising through the whole scan
+                if payload is None or pd.isna(doc_id):
+                    ids.append(None if pd.isna(doc_id) else int(doc_id))
+                    idxs.append(0)
+                    frames.append(None)
+                    real.append(False)
+                    continue
                 b = bytes(payload)
                 if b[:6] in (b"GIF87a", b"GIF89a"):
                     try:

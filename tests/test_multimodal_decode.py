@@ -588,7 +588,7 @@ def _trivial_lzw(indices, min_code):
     return _lzw_pack(codes, min_code + 1)
 
 
-def _gif(w, h, frame_specs, palette, version=b"GIF89a"):
+def _gif(w, h, frame_specs, palette, version=b"GIF89a", bg=0):
     """Hand-built GIF: frame_specs = [(left, top, fw, fh, indices,
     iflags, gce_transparent_or_None), ...]; palette padded to a power
     of two."""
@@ -599,7 +599,7 @@ def _gif(w, h, frame_specs, palette, version=b"GIF89a"):
         n *= 2
     pal = list(palette) + [(0, 0, 0)] * (n - len(palette))
     out = bytearray(version)
-    out += st.pack("<HHBBB", w, h, 0x80 | (n.bit_length() - 2), 0, 0)
+    out += st.pack("<HHBBB", w, h, 0x80 | (n.bit_length() - 2), bg, 0)
     for r, g, b in pal:
         out += bytes((r, g, b))
     min_code = max(2, (n - 1).bit_length())
@@ -753,3 +753,45 @@ def test_gif_many_tiny_frames_canvas_bomb_bounded():
     # the first-frame contract still decodes cheaply (max_frames=1)
     first = decode_media(gif)
     assert first.shape == (side, side, 3)
+
+
+def test_gif_nonzero_background_index_fills_canvas():
+    """The header's background-color index (not palette entry 0) is the
+    initial canvas fill: a first frame covering only one pixel leaves
+    the rest of the canvas showing palette[bg]. A bg index pointing
+    past the palette clamps instead of crashing."""
+    import numpy as np
+
+    from dex_data_ingestor_spark.operators.multimodal import _decode_gif
+
+    gif = _gif(2, 2, [(0, 0, 1, 1, [0], 0, None)], _PAL4, bg=2)
+    f1 = _decode_gif(gif)[0]
+    assert (f1[0, 0] == _PAL4[0]).all()
+    for y, x in ((0, 1), (1, 0), (1, 1)):
+        assert (f1[y, x] == _PAL4[2]).all()
+
+    hostile = _gif(2, 2, [(0, 0, 1, 1, [0], 0, None)], _PAL4, bg=255)
+    f1 = _decode_gif(hostile)[0]  # clamped to the last palette entry
+    assert (f1[1, 1] == _PAL4[3]).all()
+
+
+def test_sample_frames_null_payload_and_id_quarantine(spark):
+    """One NULL payload (or NULL id) row must not kill the scan
+    (the contract image_stats/audio_stats already honor): it emits a
+    single real=false placeholder row and every other row still
+    decodes."""
+    from dex_data_ingestor_spark.operators.multimodal import sample_frames
+
+    gif = _gif(2, 2, [(0, 0, 2, 2, [0, 1, 2, 3], 0, None)], _PAL4)
+    df = spark.createDataFrame(
+        [(1, gif), (2, None), (None, b"\x00" * 10)],
+        "doc_id long, payload binary",
+    )
+    out = sample_frames(df, every_n_bytes=64).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].real
+    assert len(by_doc[2]) == 1
+    assert not by_doc[2][0].real and by_doc[2][0].frame is None
+    assert len(by_doc[None]) == 1 and not by_doc[None][0].real

@@ -733,3 +733,20 @@ def test_bpe_engines_agree(spark):
     long_merges = merges + [(f"x{i}", f"y{i}") for i in range(60)]
     out = apply_bpe(docs, long_merges).collect()
     assert {r.doc_id: r.bpe_tokens for r in out} == ex  # extra merges no-op
+
+    # non-ASCII whitespace: Java \s+ (the expr path / word_frequencies)
+    # is ASCII-only, so U+00A0/U+2028-separated words stay ONE token
+    # stream element-wise in BOTH engines; a pandas kernel using
+    # Python's all-Unicode str.split() would silently split them when
+    # 'auto' crosses MAX_EXPR_MERGES
+    nbsp_docs = spark.createDataFrame(
+        [(0, "low\u00a0lower"), (1, "new\u2028est"), (2, "a\u00a0b c")],
+        "doc_id long, text string",
+    )
+    ex_nb = {r.doc_id: r.bpe_tokens
+             for r in apply_bpe(nbsp_docs, merges, engine="expr").collect()}
+    pd_nb = {r.doc_id: r.bpe_tokens
+             for r in apply_bpe(nbsp_docs, merges, engine="pandas").collect()}
+    assert ex_nb == pd_nb
+    # and the NBSP really did NOT act as a separator
+    assert "\u00a0" in "".join(ex_nb[0])
