@@ -28,7 +28,10 @@ merge sequences.
 
 Scale notes: rounds are sequential by nature (each merge depends on
 the last), which is why production tokenizers train on a SAMPLE of
-the corpus; ``word_frequencies`` accepts any pre-sampled frame. Each
+the corpus; ``word_frequencies`` accepts any pre-sampled frame.
+``merge_batch`` amortizes the per-round job cost by accepting up to
+k symbol-disjoint merges from one ranking (interfering pairs skip to
+the next recount) — k=1 stays exact classic BPE. Each
 round localCheckpoints the vocab table (the graph.py iterative
 pattern) so analysis cost stays constant and no recompute can replay
 the whole merge chain. Encoding auto-switches engines: small merge
@@ -103,6 +106,7 @@ def learn_bpe_merges(
     word_freq: DataFrame,
     n_merges: int,
     min_pair_count: int = 2,
+    merge_batch: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a ``(word, freq)`` table.
 
@@ -111,6 +115,21 @@ def learn_bpe_merges(
     (count DESC, left, right) maximum, and fuse it inside every
     word's symbol array. Stops early when no pair reaches
     ``min_pair_count``. Returns the ordered merge list — the model.
+
+    ``merge_batch`` > 1 learns up to that many merges per Spark job
+    (the standard batched variant that makes production vocab sizes
+    tractable — 50k merges at k=1 is 50k sequential jobs): the round's
+    top-k ranking is filtered greedily, accepting a pair only if its
+    symbols (and its fused output symbol) are disjoint from every
+    pair already accepted this round; interfering pairs are SKIPPED,
+    not merged — their counts are stale the moment an earlier
+    acceptance fuses a shared symbol, so they wait for the next
+    round's recount (the invalidation rule). k=1 is exact classic
+    BPE. k>1 matches the sequential sequence whenever no pair
+    CREATED by an accepted merge would outrank a later acceptance
+    (guaranteed on interference-free corpora, the common case for
+    natural-language tails; the golden tests pin both an exact-parity
+    corpus and an interference skip).
     """
     # localCheckpoint per round (the graph.py iterative pattern):
     # truncates the lineage so round N's analysis cost is constant
@@ -122,8 +141,10 @@ def learn_bpe_merges(
         _initial_symbols(F.col("word")).alias("symbols"),
         F.col("freq").cast("long").alias("freq"),
     ).localCheckpoint(eager=True)
+    if merge_batch < 1:
+        raise ValueError(f"merge_batch must be >= 1: {merge_batch}")
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         pairs = vocab.select(
             F.explode(
                 F.when(
@@ -145,25 +166,42 @@ def learn_bpe_merges(
             ).alias("p"),
             "freq",
         )
+        k = min(merge_batch, n_merges - len(merges))
         top = (
             pairs.groupBy("p")
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.col("n").desc(), F.col("p.l"), F.col("p.r"))
-            .limit(1)
+            .limit(k)
             .collect()
         )
-        if not top or top[0]["n"] < min_pair_count:
+        # greedy symbol-disjoint acceptance down the ranking; a pair
+        # touching any symbol an earlier acceptance reads OR produces
+        # has a stale count after that fusion — skip it (it is
+        # recounted next round), never merge on stale numbers
+        accepted: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for row in top:
+            if row["n"] < min_pair_count:
+                break
+            left, right = row["p"]["l"], row["p"]["r"]
+            if left in used or right in used:
+                continue
+            accepted.append((left, right))
+            used.update((left, right, left + right))
+        if not accepted:
             break
-        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
-        merges.append((left, right))
+        merges.extend(accepted)
         prev = vocab
+        fused_col = F.col("symbols")
+        for left, right in accepted:
+            # in-order chained fusion == applying them sequentially
+            fused_col = _fuse_pair(fused_col, left, right)
         vocab = vocab.select(
-            _fuse_pair(F.col("symbols"), left, right).alias("symbols"),
-            "freq",
+            fused_col.alias("symbols"), "freq"
         ).localCheckpoint(eager=True)
         # the new checkpoint is materialized (eager) — release the
         # prior round's blocks or executor storage accumulates
-        # O(n_merges) cached vocabulary copies over a long run
+        # O(n_rounds) cached vocabulary copies over a long run
         prev.unpersist()
     return merges
 

@@ -750,3 +750,39 @@ def test_bpe_engines_agree(spark):
     assert ex_nb == pd_nb
     # and the NBSP really did NOT act as a separator
     assert "\u00a0" in "".join(ex_nb[0])
+
+
+def test_bpe_batched_merges_parity_and_invalidation(spark):
+    """merge_batch semantics (the production-vocab path: up to k
+    merges per Spark job):
+
+    1. On a symbol-disjoint corpus the k=3 batch reproduces the exact
+       sequential (k=1) merge sequence — counts are hand-derivable:
+       (a,a):18 > (c,c):15 > (e,e):12, pairwise disjoint, and every
+       pair a fusion CREATES ((aa,aa):6 etc.) ranks below the next
+       acceptance.
+    2. On an interfering corpus ((a,b):3 ties (b,</w>):3, shared b)
+       the batch must accept only (a,b), skip the stale (b,</w>), and
+       recount — landing on the same sequence exact BPE produces.
+    """
+    from dex_data_ingestor_spark.operators.bpe import (
+        EOW,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    rows = [("aaaa",)] * 6 + [("cccc",)] * 5 + [("eeee",)] * 4
+    wf = word_frequencies(spark.createDataFrame(rows, "text string"))
+    golden = [("a", "a"), ("c", "c"), ("e", "e")]
+    assert learn_bpe_merges(wf, n_merges=3) == golden
+    assert learn_bpe_merges(wf, n_merges=3, merge_batch=3) == golden
+
+    wf2 = word_frequencies(
+        spark.createDataFrame([("ab",)] * 3, "text string")
+    )
+    seq = learn_bpe_merges(wf2, n_merges=2)
+    assert seq == [("a", "b"), ("ab", EOW)]
+    assert learn_bpe_merges(wf2, n_merges=2, merge_batch=2) == seq
+
+    with pytest.raises(ValueError, match="merge_batch"):
+        learn_bpe_merges(wf2, n_merges=1, merge_batch=0)
