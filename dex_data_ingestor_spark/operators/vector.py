@@ -304,6 +304,40 @@ def l2_normalize(vec_col: str, out_col: str = "unit_vec"):
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embeddings with a coarse quantizer,
+    then drop within-cluster near-duplicates — pairs whose cosine
+    similarity reaches ``threshold`` — keeping each duplicate group's
+    lowest id (the same deterministic survivor rule as the MinHash-LSH
+    curation stage). Returns the survivor rows with their cluster id
+    attached.
+
+    Scale shape: the clustering is exactly what bounds the pairwise
+    stage — only same-cell pairs are ever compared (sub-quadratic by
+    construction; at web scale K is chosen so cells hold ~10^2-10^3
+    vectors and the per-cell all-pairs is embarrassingly parallel
+    after ONE shuffle on the cell key). Assignment itself is a narrow
+    pass against broadcast plan-time centroid literals; refine them
+    first with :func:`kmeans_refine` if seeded planes are too coarse.
+    The min-id survivor makes the output byte-reproducible across
+    runs and partitionings — auditable training data."""
+    indexed = ivf_assign(df, vec_col, centroids, cell_col)
+    pairs = embedding_neardup_pairs(
+        indexed, id_col, vec_col, threshold, block_col=cell_col
+    )
+    losers = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return indexed.join(losers, id_col, "left_anti")
+
+
 def kmeans_refine(
     df: DataFrame,
     vec_col: str,

@@ -2150,6 +2150,88 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+_SEMDEDUP_THRESHOLD = 0.3
+
+
+def _semdedup_oracle_sql() -> str:
+    """Oracle for q_semdedup: the same centroid literals and argmax
+    tie rule as q_ann_ivf's assignment (score DESC, cell DESC —
+    Spark's greatest(struct) order), then within-cell pairs at
+    ROUND(cos, 9) >= threshold and the min-id survivor anti-join.
+    Cross-engine float discipline is inherited wholesale from the
+    driver-green q_ann_ivf (argmax margins dwarf list_dot_product
+    accumulation noise) and q_embed_neardup (9-dp rounded threshold
+    comparison)."""
+    import math
+
+    from dex_data_ingestor_spark.operators.vector import seeded_centroids
+
+    cents = seeded_centroids(_IVF_DIM, _IVF_NCELLS, seed=_IVF_SEED)
+    rows = []
+    for i, c in enumerate(cents):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        lst = "[" + ",".join(repr(x) for x in c) + "]"
+        rows.append(f"({i}, {lst}::DOUBLE[], {cn!r})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH cent(cell, cv, cn) AS (VALUES
+      {values}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vec_id, v, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cell DESC) AS rn
+        FROM (
+          SELECT e.vec_id, e.v, c.cell,
+                 list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * c.cn) AS score
+          FROM e CROSS JOIN cent c)
+      ) WHERE rn = 1
+    ),
+    losers AS (
+      SELECT DISTINCT b.vec_id AS b_id
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))),
+                  9) >= {_SEMDEDUP_THRESHOLD}
+    )
+    SELECT a.vec_id, a.cell
+    FROM assign a LEFT JOIN losers l ON a.vec_id = l.b_id
+    WHERE l.b_id IS NULL
+    """
+
+
+@register("q_semdedup", _semdedup_oracle_sql())
+def q_semdedup(spark, sf_dir):
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023 — the
+    embedding-space counterpart of MinHash near-dup removal, J2+J3
+    composed): assign every embedding to its max-cosine seeded
+    centroid (the q_ann_ivf quantizer — narrow pass, broadcast
+    plan-time literals), compare ONLY within-cell pairs (the
+    clustering is what makes web-scale semantic dedup sub-quadratic),
+    drop any vector whose cosine to a lower-id cell-mate reaches the
+    threshold, and emit the survivors with their cluster id. Survivor
+    rule is min-id — byte-reproducible, matching the LSH curation
+    stage. One cell-keyed exchange for the pair stage, one distinct +
+    broadcastable anti-join for the losers."""
+    from dex_data_ingestor_spark.operators.vector import (
+        seeded_centroids,
+        semantic_dedup,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(_IVF_DIM, _IVF_NCELLS, seed=_IVF_SEED)
+    out = semantic_dedup(
+        em, "vec_id", "embedding", cents,
+        threshold=_SEMDEDUP_THRESHOLD,
+    )
+    return out.select("vec_id", "cell")
+
+
 @register(
     "q_ngram_jaccard",
     f"""

@@ -786,3 +786,36 @@ def test_bpe_batched_merges_parity_and_invalidation(spark):
 
     with pytest.raises(ValueError, match="merge_batch"):
         learn_bpe_merges(wf2, n_merges=1, merge_batch=0)
+
+
+def test_semantic_dedup_survivor_rule(spark, em):
+    """semantic_dedup == (assign to cells) minus (every id with a
+    lower-id cell-mate at/above the threshold): the min-id survivor
+    rule, computed independently here from the same building blocks."""
+    cents = V.seeded_centroids(dim=64, ncells=8)
+    out = V.semantic_dedup(
+        em, "vec_id", "embedding", cents, threshold=0.3
+    ).collect()
+    survivors = {r.vec_id for r in out}
+    cells = {r.vec_id: r.cell for r in out}
+
+    indexed = V.ivf_assign(em, "embedding", cents)
+    want_cells = {r.vec_id: r.cell for r in indexed.collect()}
+    pairs = V.embedding_neardup_pairs(
+        indexed, "vec_id", "embedding", 0.3, block_col="cell"
+    ).collect()
+    losers = {r.b_id for r in pairs}
+    allids = set(want_cells)
+
+    assert survivors == allids - losers
+    assert losers and survivors  # threshold actually bites, keeps some
+    # surviving rows carry their assignment unchanged
+    assert cells == {i: want_cells[i] for i in survivors}
+    # determinism: second run, byte-identical survivor set
+    again = {
+        r.vec_id
+        for r in V.semantic_dedup(
+            em, "vec_id", "embedding", cents, threshold=0.3
+        ).collect()
+    }
+    assert again == survivors
