@@ -5953,6 +5953,112 @@ def q_rare_word_score(spark, sf_dir):
     )
 
 
+@register(
+    "q_dsir_weights",
+    rf"""
+    WITH inst AS (
+      SELECT doc_id, source,
+             {_MD5_INT.format('w')} % 4096 AS f
+      FROM (SELECT doc_id, source,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents WHERE length(trim(text)) > 0)
+    ),
+    feat AS (
+      SELECT f, COUNT(*) AS s_f,
+             COUNT(*) FILTER (source IN ('src0', 'src1')) AS t_f
+      FROM inst GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(s_f) AS BIGINT) AS big_s,
+             CAST(SUM(t_f) AS BIGINT) AS big_t
+      FROM feat
+    ),
+    w AS (
+      SELECT f,
+             CAST(FLOOR(ln(
+               ((t_f + 0.5) * (big_s + 2048.0))
+               / ((s_f + 0.5) * (big_t + 2048.0))
+             ) * 1000000.0 + 0.5) AS BIGINT) AS w_f
+      FROM feat CROSS JOIN tot
+    )
+    SELECT i.doc_id,
+           COUNT(*) AS n_inst,
+           CAST(SUM(w.w_f) AS BIGINT) AS num,
+           CAST(SUM(w.w_f) AS DOUBLE) / 1000000.0 AS importance
+    FROM inst i JOIN w USING (f)
+    GROUP BY 1
+    """,
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    log-likelihood ratio between a TARGET distribution (here the
+    src0/src1 slice standing in for a curated corpus) and the raw
+    pool, over hashed word features — the standard
+    select-web-data-that-looks-like-wikipedia operator. Sampling
+    proportional to exp(importance) is then plain q_hash_split-style
+    thresholding.
+
+    Cross-engine float engineering (the q_twap + q_bm25 disciplines
+    composed): every ln argument is a ratio of EXACT half-integer
+    products (counts + 0.5 smoothing, all < 2^53 — the one division
+    is IEEE on identical operands), and each feature's log-ratio is
+    quantized to integer micro-units via pure-IEEE
+    floor(ln(r)*1e6 + 0.5) BEFORE aggregation — so the per-doc sum is
+    an order-free exact BIGINT sum (float summation order across
+    partitions can never reorder it), and only the display division
+    by 1e6 is IEEE. ln is the one libm call; its argument set is tiny
+    (<= 4096 distinct feature ratios) and micro-unit quantization
+    absorbs last-ULP libm divergence (verified sf0.001 + sf0.01).
+
+    Plan: one f-keyed exchange builds the <=4096-row feature table
+    (conditional agg gives raw and target counts in one pass), the
+    one-row totals and the weight table broadcast back onto the
+    instance stream, one doc_id exchange aggregates. At 100 TB the
+    explode dominates and is embarrassingly parallel; the weight
+    model is O(buckets) — model state, never data."""
+    from dex_data_ingestor_spark.functions.scalars import md5_int64
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    inst = words.select(
+        "doc_id", "source", (md5_int64(F.col("w")) % 4096).alias("f")
+    )
+    feat = inst.groupBy("f").agg(
+        F.count(F.lit(1)).alias("s_f"),
+        F.count(
+            F.when(F.col("source").isin("src0", "src1"), 1)
+        ).alias("t_f"),
+    )
+    tot = feat.agg(
+        F.sum("s_f").cast("bigint").alias("big_s"),
+        F.sum("t_f").cast("bigint").alias("big_t"),
+    )
+    ratio = (
+        (F.col("t_f") + 0.5) * (F.col("big_s") + 2048.0)
+    ) / ((F.col("s_f") + 0.5) * (F.col("big_t") + 2048.0))
+    w = (
+        feat.crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.floor(F.log(ratio) * 1000000.0 + F.lit(0.5)).alias("w_f"),
+        )
+    )
+    return (
+        inst.join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_inst"),
+            F.sum("w_f").cast("bigint").alias("num"),
+            (F.sum("w_f").cast("double") / 1000000.0).alias("importance"),
+        )
+    )
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
