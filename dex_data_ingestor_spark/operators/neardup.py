@@ -429,6 +429,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT: |grams(a) ∩ grams(b)| /
+    |grams(a)| — how much of document a lives inside document b.
+
+    The metric Jaccard cannot express: a short document quoted
+    verbatim inside a long one has near-zero Jaccard (the union is
+    dominated by the long doc) but containment ~1 — exactly the
+    quote/excerpt/eval-leak shape a contamination sweep needs.
+    DIRECTED output: both (a,b) and (b,a) rows can appear, each with
+    its own containment; ids are distinct (self-pairs dropped).
+
+    Same sub-quadratic shape as :func:`ngram_jaccard_pairs` — the
+    shared-gram equi-join prunes the pair space, gram counts join
+    back per side — so the 100 TB posture is identical (hot grams are
+    the skew risk; the gram explode dominates and partially
+    aggregates map-side). Containment is n_inter / a_grams, an
+    integer ratio: one IEEE division, 9 dp rounded, bit-stable
+    cross-engine."""
+    sh = shingles(df, id_col, text_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sh.select(F.col(id_col).alias("a_id"), "gram")
+    b = sh.select(F.col(id_col).alias("b_id"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(
+        F.col(id_col).alias("a_id"), F.col("n_grams").alias("a_grams")
+    )
+    return (
+        inter.join(ca, "a_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("a_grams"), 9
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def char_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = 5
 ) -> DataFrame:

@@ -2261,6 +2261,41 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+@register(
+    "q_ngram_containment",
+    f"""
+    WITH {_GRAMS_CTE},
+    counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT a_id, b_id,
+             ROUND(CAST(n_inter AS DOUBLE) / ca.n_grams, 9) AS containment
+      FROM inter JOIN counts ca ON ca.doc_id = a_id
+    ) WHERE containment >= 0.5
+    """,
+)
+def q_ngram_containment(spark, sf_dir):
+    """Directed n-gram containment pairs — |grams(a) ∩ grams(b)| /
+    |grams(a)|, the asymmetric overlap Jaccard cannot see: a short
+    document quoted inside a long one scores ~1 here but ~0 Jaccard.
+    The quote/excerpt/eval-leak detector of the contamination family
+    (operators/neardup.py ngram_containment_pairs); same pruned
+    shared-gram join shape as q_ngram_jaccard, integer-ratio scoring,
+    one IEEE division rounded to 9 dp."""
+    from dex_data_ingestor_spark.operators.neardup import (
+        ngram_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
 from dex_data_ingestor_spark.operators.neardup import (  # noqa: E402
     LSH_MAX_BUCKET as _LSH_MAX_BUCKET,
     MINHASH_PARAMS as _MINHASH_PARAMS,

@@ -819,3 +819,26 @@ def test_semantic_dedup_survivor_rule(spark, em):
         ).collect()
     }
     assert again == survivors
+
+
+def test_containment_detects_quote_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a long one: containment
+    (short in long) == 1.0 while Jaccard at the same threshold finds
+    nothing — the asymmetric metric's whole reason to exist. The
+    reverse direction (long in short) stays below threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = " ".join(f"w{i}" for i in range(200)) + " " + short
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = {
+        (r.a_id, r.b_id): r.containment
+        for r in ND.ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    jac = ND.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    assert jac == []
