@@ -6094,6 +6094,84 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+@register(
+    "q_unigram_logloss",
+    rf"""
+    WITH inst AS (
+      SELECT doc_id, {_MD5_INT.format('w')} % 65536 AS f
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents WHERE length(trim(text)) > 0)
+    ),
+    feat AS (SELECT f, COUNT(*) AS c_f FROM inst GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_f) AS BIGINT) AS big_n FROM feat),
+    w AS (
+      SELECT f,
+             CAST(FLOOR(-ln(CAST(c_f AS DOUBLE) / big_n) * 1000000.0
+                        + 0.5) AS BIGINT) AS nll_f
+      FROM feat CROSS JOIN tot
+    )
+    SELECT i.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(w.nll_f) AS BIGINT) AS nll_units,
+           CAST(SUM(w.nll_f) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_nll
+    FROM inst i JOIN w USING (f)
+    GROUP BY 1
+    """,
+)
+def q_unigram_logloss(spark, sf_dir):
+    """Per-document cross-entropy under a corpus unigram language
+    model — the perplexity-filtering quality signal (CCNet, Wenzek et
+    al. 2020: keep web text the LM finds unsurprising; production
+    uses a KenLM 5-gram — this is the honest unigram hashed-feature
+    form, same pipeline role, avg_nll in nats). High avg_nll = rare/
+    garbled tokens; low = boilerplate.
+
+    Same exactness scaffold as q_dsir_weights: each hashed feature's
+    negative log-probability -ln(c_f / N) has exact integer operands
+    (one IEEE division), is quantized to integer micro-nats via
+    pure-IEEE floor(x*1e6 + 0.5) (<= 65536 distinct libm args,
+    absorbed by the quantum), and per-doc totals are order-free exact
+    BIGINT sums; the final avg division is one IEEE op on exact
+    < 2^53 operands. Plan: one f-keyed exchange for the LM (65536
+    rows — bounded broadcast no matter the corpus size; THE reason to
+    hash rather than broadcast a raw 10^8-word vocab), one doc_id
+    exchange for the totals."""
+    from dex_data_ingestor_spark.functions.scalars import md5_int64
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    inst = words.select(
+        "doc_id", (md5_int64(F.col("w")) % 65536).alias("f")
+    )
+    feat = inst.groupBy("f").agg(F.count(F.lit(1)).alias("c_f"))
+    tot = feat.agg(F.sum("c_f").cast("bigint").alias("big_n"))
+    w = feat.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.floor(
+            -F.log(F.col("c_f").cast("double") / F.col("big_n"))
+            * 1000000.0
+            + F.lit(0.5)
+        ).alias("nll_f"),
+    )
+    return (
+        inst.join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_f").cast("bigint").alias("nll_units"),
+            (
+                F.sum("nll_f").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+            ).alias("avg_nll"),
+        )
+    )
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
