@@ -313,3 +313,125 @@ def winnowing_fingerprints(
         ),
     )
     return base.select(F.col(id_col), F.explode("__fps").alias("fp")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature corpus models: unigram-LM log-loss + DSIR importance
+# ---------------------------------------------------------------------------
+
+
+def _hashed_instances(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per token instance with its hashed feature bucket
+    (md5 % n_buckets — the engine-portable hash). Empty documents are
+    excluded, matching the tokenization used corpus-wide."""
+    words = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        id_col,
+        *extra_cols,
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
+    )
+    return words.select(
+        id_col,
+        *extra_cols,
+        (md5_int64(F.col("__w")) % n_buckets).alias("f"),
+    )
+
+
+def _maybe_collect_model(w: DataFrame, materialize_model: bool) -> DataFrame:
+    """The model/apply diamond switch (the curate-pipeline lesson):
+    the single-statement form scans the corpus once per plan branch;
+    collecting the O(n_buckets) weight table severs that lineage so
+    scoring is ONE further corpus pass. The collect is bounded by the
+    bucket count — model state like the IVF centroids, never data."""
+    if not materialize_model:
+        return w
+    rows = w.collect()
+    return w.sparkSession.createDataFrame(rows, w.schema)
+
+
+def unigram_logloss(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 65536,
+    materialize_model: bool = False,
+) -> DataFrame:
+    """Per-document average negative log-likelihood under a corpus
+    hashed-unigram LM (the CCNet perplexity-filtering signal; see
+    q_unigram_logloss for the float-exactness argument: micro-nat
+    quantization before aggregation makes per-doc sums order-free
+    exact integers)."""
+    inst = _hashed_instances(df, id_col, text_col, n_buckets)
+    feat = inst.groupBy("f").agg(F.count(F.lit(1)).alias("c_f"))
+    tot = feat.agg(F.sum("c_f").cast("bigint").alias("big_n"))
+    w = feat.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.floor(
+            -F.log(F.col("c_f").cast("double") / F.col("big_n"))
+            * 1000000.0
+            + F.lit(0.5)
+        ).alias("nll_f"),
+    )
+    w = _maybe_collect_model(w, materialize_model)
+    return (
+        inst.join(F.broadcast(w), "f")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_f").cast("bigint").alias("nll_units"),
+            (
+                F.sum("nll_f").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    materialize_model: bool = False,
+) -> DataFrame:
+    """DSIR hashed-feature importance weights: per-document
+    log-likelihood ratio of the ``target_pred`` slice vs the raw pool
+    (see q_dsir_weights for the exactness discipline). ``target_pred``
+    is any row predicate over ``df``'s columns (e.g. a source or
+    language gate)."""
+    inst = _hashed_instances(
+        df.withColumn("__tgt", target_pred), id_col, text_col,
+        n_buckets, extra_cols=("__tgt",),
+    )
+    feat = inst.groupBy("f").agg(
+        F.count(F.lit(1)).alias("s_f"),
+        F.count(F.when(F.col("__tgt"), 1)).alias("t_f"),
+    )
+    tot = feat.agg(
+        F.sum("s_f").cast("bigint").alias("big_s"),
+        F.sum("t_f").cast("bigint").alias("big_t"),
+    )
+    half_b = n_buckets / 2.0
+    ratio = (
+        (F.col("t_f") + 0.5) * (F.col("big_s") + half_b)
+    ) / ((F.col("s_f") + 0.5) * (F.col("big_t") + half_b))
+    w = feat.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.floor(F.log(ratio) * 1000000.0 + F.lit(0.5)).alias("w_f"),
+    )
+    w = _maybe_collect_model(w, materialize_model)
+    return (
+        inst.join(F.broadcast(w), "f")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_inst"),
+            F.sum("w_f").cast("bigint").alias("num"),
+            (F.sum("w_f").cast("double") / 1000000.0).alias("importance"),
+        )
+    )

@@ -6046,51 +6046,23 @@ def q_dsir_weights(spark, sf_dir):
     (<= 4096 distinct feature ratios) and micro-unit quantization
     absorbs last-ULP libm divergence (verified sf0.001 + sf0.01).
 
-    Plan: one f-keyed exchange builds the <=4096-row feature table
+    Plan: an f-keyed exchange builds the <=4096-row feature table
     (conditional agg gives raw and target counts in one pass), the
     one-row totals and the weight table broadcast back onto the
-    instance stream, one doc_id exchange aggregates. At 100 TB the
-    explode dominates and is embarrassingly parallel; the weight
-    model is O(buckets) — model state, never data."""
-    from dex_data_ingestor_spark.functions.scalars import md5_int64
+    instance stream, one doc_id exchange aggregates. Honest plan
+    note: the single-statement form scans the corpus once per branch
+    of the model/apply diamond (~3x — same shape the curate pipeline
+    had); model-fit-then-apply is inherently two passes, and at
+    100 TB you MATERIALIZE the O(buckets) weight table (write it, or
+    collect it as model state like the IVF centroids — it is bounded
+    by the bucket count, never data-sized) and score in ONE further
+    pass. The one-statement composition is kept here because it is
+    what the oracle can check end-to-end."""
+    from dex_data_ingestor_spark.operators.text import dsir_importance
 
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
-        "doc_id",
-        "source",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
-    )
-    inst = words.select(
-        "doc_id", "source", (md5_int64(F.col("w")) % 4096).alias("f")
-    )
-    feat = inst.groupBy("f").agg(
-        F.count(F.lit(1)).alias("s_f"),
-        F.count(
-            F.when(F.col("source").isin("src0", "src1"), 1)
-        ).alias("t_f"),
-    )
-    tot = feat.agg(
-        F.sum("s_f").cast("bigint").alias("big_s"),
-        F.sum("t_f").cast("bigint").alias("big_t"),
-    )
-    ratio = (
-        (F.col("t_f") + 0.5) * (F.col("big_s") + 2048.0)
-    ) / ((F.col("s_f") + 0.5) * (F.col("big_t") + 2048.0))
-    w = (
-        feat.crossJoin(F.broadcast(tot))
-        .select(
-            "f",
-            F.floor(F.log(ratio) * 1000000.0 + F.lit(0.5)).alias("w_f"),
-        )
-    )
-    return (
-        inst.join(F.broadcast(w), "f")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_inst"),
-            F.sum("w_f").cast("bigint").alias("num"),
-            (F.sum("w_f").cast("double") / 1000000.0).alias("importance"),
-        )
+    return dsir_importance(
+        docs, F.col("source").isin("src0", "src1"), n_buckets=4096
     )
 
 
@@ -6134,42 +6106,17 @@ def q_unigram_logloss(spark, sf_dir):
     pure-IEEE floor(x*1e6 + 0.5) (<= 65536 distinct libm args,
     absorbed by the quantum), and per-doc totals are order-free exact
     BIGINT sums; the final avg division is one IEEE op on exact
-    < 2^53 operands. Plan: one f-keyed exchange for the LM (65536
+    < 2^53 operands. Plan: an f-keyed exchange for the LM (65536
     rows — bounded broadcast no matter the corpus size; THE reason to
     hash rather than broadcast a raw 10^8-word vocab), one doc_id
-    exchange for the totals."""
-    from dex_data_ingestor_spark.functions.scalars import md5_int64
+    exchange for the totals. Same honest model/apply diamond note as
+    q_dsir_weights: single-statement = one corpus scan per branch; at
+    100 TB materialize/collect the bounded LM table and score in one
+    further pass."""
+    from dex_data_ingestor_spark.operators.text import unigram_logloss
 
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
-    )
-    inst = words.select(
-        "doc_id", (md5_int64(F.col("w")) % 65536).alias("f")
-    )
-    feat = inst.groupBy("f").agg(F.count(F.lit(1)).alias("c_f"))
-    tot = feat.agg(F.sum("c_f").cast("bigint").alias("big_n"))
-    w = feat.crossJoin(F.broadcast(tot)).select(
-        "f",
-        F.floor(
-            -F.log(F.col("c_f").cast("double") / F.col("big_n"))
-            * 1000000.0
-            + F.lit(0.5)
-        ).alias("nll_f"),
-    )
-    return (
-        inst.join(F.broadcast(w), "f")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("nll_f").cast("bigint").alias("nll_units"),
-            (
-                F.sum("nll_f").cast("double")
-                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
-            ).alias("avg_nll"),
-        )
-    )
+    return unigram_logloss(docs, n_buckets=65536)
 
 
 # =========================================================================
@@ -6200,7 +6147,14 @@ def q_unigram_logloss(spark, sf_dir):
 #: canaries. Steady-state cohorts after this round: A = the 35
 #: checked here (re-enter r11), B = the 45 whose latest row is r6
 #: (fill r9 — they hit the age bound first), C = the 45 whose latest
-#: row is r7 (fill r10). Invariants that override the cycle: (1)
+#: row is r7 (fill r10). The FIVE queries added in r8
+#: (q_curate_materialized, q_semdedup, q_dsir_weights,
+#: q_ngram_containment, q_unigram_logloss — each bitwise-verified at
+#: sf0.001+sf0.01 on registration per invariant 1) join cohort B's
+#: r9 window, filling it to exactly 50 with zero canary slots — so
+#: r8 deliberately adds no further oracle-paired entries, and any r9
+#: additions must displace into r10. Invariants that override the
+#: cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a

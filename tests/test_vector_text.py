@@ -842,3 +842,34 @@ def test_containment_detects_quote_jaccard_misses(spark):
         df, "doc_id", "text", n=3, threshold=0.5
     ).collect()
     assert jac == []
+
+
+def test_hashed_model_materialize_severs_diamond(spark, sf_dir):
+    """materialize_model=True (collect the O(n_buckets) weight table —
+    model state, never data) must return byte-identical results to the
+    single-statement form AND cut the corpus scans in the plan: the
+    inline form scans documents once per model/apply branch, the
+    materialized form exactly once for the apply side plus once for
+    the model fit already executed."""
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.operators.text import (
+        dsir_importance,
+        unigram_logloss,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for fn, kw in (
+        (unigram_logloss, {}),
+        (dsir_importance, {"target_pred": F.col("lang") == "en"}),
+    ):
+        inline = {tuple(r) for r in fn(docs, **kw).collect()}
+        mat_df = fn(docs, materialize_model=True, **kw)
+        materialized = {tuple(r) for r in mat_df.collect()}
+        assert inline == materialized
+        plan = mat_df._sc._jvm.PythonSQLUtils.explainString(
+            mat_df._jdf.queryExecution(), "formatted"
+        )
+        # AQE explain text repeats the tree (final + initial); count
+        # scans in the final-plan section only
+        final = plan.split("Initial Plan")[0]
+        assert final.count("Scan parquet") == 1, final
