@@ -212,3 +212,42 @@ def test_bloom_prefilter_is_broadcast_and_jvm_only(spark, sf_dir):
     assert "bitmap" in plan, plan  # probe filter references the array
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "xxhash64" in plan, plan
+
+
+def test_hashed_model_weight_tables_broadcast_jvm_only(spark, sf_dir):
+    """q_dsir_weights / q_unigram_logloss: the O(buckets) weight table
+    and the one-row totals must come back as BroadcastExchanges (never
+    a shuffled join against the instance stream), and the whole plan
+    stays JVM-side — the scoring join is the hot path over the
+    exploded corpus."""
+    for name in ("q_dsir_weights", "q_unigram_logloss"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("BroadcastExchange") >= 2, (name, plan)
+        assert "Python" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan or (
+            plan.count("BroadcastHashJoin") >= 1
+        ), name
+
+
+def test_semdedup_blocks_on_cell_and_anti_joins_losers(spark, sf_dir):
+    """q_semdedup: the pair stage joins on the cell key (blocked,
+    sub-quadratic — the plan must contain NO cartesian product even
+    though pairs-within-cell is conceptually quadratic), the loser
+    set is removed with a LeftAnti join, and centroid scoring is pure
+    JVM expression (no Python). Join STRATEGY (broadcast vs
+    sort-merge) is size-dependent and deliberately not pinned."""
+    plan = plan_of(spark, sf_dir, "q_semdedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_containment_pairs_share_gram_join_no_cartesian(spark, sf_dir):
+    """q_ngram_containment prunes the pair space through the shared-
+    gram equi-join exactly like the Jaccard twin: no cartesian
+    product anywhere, JVM-only. Strategy not pinned (tiny SF
+    broadcasts; scale sort-merges under AQE)."""
+    plan = plan_of(spark, sf_dir, "q_ngram_containment")
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan
+    assert "Join" in plan, plan
