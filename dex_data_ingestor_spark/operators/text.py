@@ -435,3 +435,55 @@ def dsir_importance(
             (F.sum("w_f").cast("double") / 1000000.0).alias("importance"),
         )
     )
+
+
+def unigram_model_row(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 65536,
+) -> DataFrame:
+    """ONE-ROW dense hashed-unigram LM — the broadcastable model
+    artifact for ingest-time scoring (the same one-row trick as the
+    Bloom bitmap): ``w_arr[f]`` holds bucket f's NLL in integer
+    micro-nats (identical quantization to :func:`unigram_logloss`, so
+    scores agree exactly), ``big_n`` the training token count.
+    Buckets unseen in training get the half-count default
+    -ln(0.5 / N) — the maximum surprise the model can express, the
+    conservative direction for a quality gate. The array is
+    n_buckets * 8 bytes (512 KiB at the default) regardless of corpus
+    size — model state, never data."""
+    toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w")
+    )
+    feat = (
+        toks.select((md5_int64(F.col("__w")) % n_buckets).alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("c_f"))
+    )
+    tot = feat.agg(F.sum("c_f").cast("bigint").alias("big_n"))
+    entries = feat.crossJoin(F.broadcast(tot)).select(
+        "big_n",
+        F.struct(
+            F.col("f").cast("int").alias("key"),
+            F.floor(
+                -F.log(F.col("c_f").cast("double") / F.col("big_n"))
+                * 1000000.0
+                + F.lit(0.5)
+            ).alias("value"),
+        ).alias("e"),
+    )
+    model = entries.groupBy("big_n").agg(
+        F.map_from_entries(F.collect_list("e")).alias("m")
+    )
+    default = F.floor(
+        -F.log(F.lit(0.5) / F.col("big_n")) * 1000000.0 + F.lit(0.5)
+    )
+    return model.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), i.cast("int")), default
+            ),
+        ).alias("w_arr"),
+        "big_n",
+    )

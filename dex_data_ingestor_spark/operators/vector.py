@@ -329,7 +329,17 @@ def semantic_dedup(
     pass against broadcast plan-time centroid literals; refine them
     first with :func:`kmeans_refine` if seeded planes are too coarse.
     The min-id survivor makes the output byte-reproducible across
-    runs and partitionings — auditable training data."""
+    runs and partitionings — auditable training data.
+
+    Hot-cell caveat (the analog of the LSH hot-bucket problem, but
+    WITHOUT a cap): within-cell comparison is all-pairs, so one
+    degenerate cell holding 10^6 vectors is a quadratic stage. Unlike
+    lsh_candidate_pairs, a sub-bucket tiling cap here would CHANGE
+    results (pairs are cosine-verified, so the b-side set is not
+    cap-invariant) — the correct lever is K: size the quantizer so
+    cells hold ~10^2-10^3 vectors (K ≈ n/500, the SemDeDup paper's
+    regime) and kmeans_refine to balance them; audit cell sizes
+    before the pair stage on unfamiliar corpora."""
     indexed = ivf_assign(df, vec_col, centroids, cell_col)
     pairs = embedding_neardup_pairs(
         indexed, id_col, vec_col, threshold, block_col=cell_col

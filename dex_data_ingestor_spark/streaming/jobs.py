@@ -610,6 +610,77 @@ def stream_contamination_guard(
     )
 
 
+def stream_perplexity_guard(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 65536,
+    max_avg_nll: float = 12.0,
+) -> DataFrame:
+    """Ingest-time perplexity gate (the CCNet quality filter as a
+    streaming guard, companion to :func:`stream_contamination_guard`):
+    annotate a document STREAM with its average negative
+    log-likelihood under a hashed-unigram LM fit on a static
+    reference corpus, flagging high-surprise (garbled/alien) text at
+    ingest instead of in a batch sweep later.
+
+    Mechanics mirror the Bloom guard exactly: the model is ONE dense
+    row (operators/text.unigram_model_row — w_arr[f] = micro-nat NLL,
+    512 KiB at the default bucket count regardless of corpus size),
+    PERSISTED so the fit runs once rather than once per micro-batch,
+    and attached via a stream-static broadcast join. Scoring is pure
+    map-only HOF arithmetic: tokens -> md5 bucket per token (hashed
+    once into a projected array) -> an aggregate() fold summing
+    w_arr[f] in EXACT integer micro-nats — bit-identical to the batch
+    unigram_logloss score for the same model (parity-tested). No
+    explode, no state, no watermark; composes with append sinks.
+
+    Output adds ``n_tokens``, ``nll_units`` (exact integer),
+    ``avg_nll`` (NULL for empty docs), and ``garbled``
+    (avg_nll > max_avg_nll; false for empty docs). Unseen buckets
+    score the model's half-count maximum surprise — conservative:
+    out-of-distribution text can only look worse, never sneak in."""
+    from dex_data_ingestor_spark.functions.scalars import md5_int64
+    from dex_data_ingestor_spark.operators.text import unigram_model_row
+
+    # persist: one 512 KiB row; caller may unpersist at stream stop
+    model = unigram_model_row(corpus, text_col, n_buckets).persist()
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    with_f = docs_stream.withColumn("__toks", toks).withColumn(
+        "__fs",
+        F.transform(
+            F.col("__toks"),
+            lambda w: (md5_int64(w) % n_buckets).cast("int"),
+        ),
+    )
+    scored = with_f.join(
+        F.broadcast(model.select(F.struct("w_arr").alias("__lm__")))
+    )
+    score = F.aggregate(
+        F.col("__fs"),
+        F.lit(0).cast("long"),
+        lambda acc, f: acc + F.get(F.col("__lm__.w_arr"), f),
+    )
+    n_tokens = F.size(F.col("__toks"))
+    avg = F.when(
+        n_tokens > 0,
+        score.cast("double") / (n_tokens.cast("double") * F.lit(1e6)),
+    )
+    return (
+        scored.withColumn("n_tokens", n_tokens)
+        .withColumn("nll_units", score)
+        .withColumn("avg_nll", avg)
+        .withColumn(
+            "garbled",
+            F.coalesce(F.col("avg_nll") > max_avg_nll, F.lit(False)),
+        )
+        .drop("__toks", "__fs", "__lm__")
+    )
+
+
 def foreach_batch_merge_snapshots(
     stream_df: DataFrame,
     checkpoint_dir: str,

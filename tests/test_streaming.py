@@ -506,3 +506,67 @@ def test_stream_contamination_guard(spark, tmp_path):
         assert (out[d].n_grams, out[d].n_flagged, out[d].contaminated) == (
             batch[d].n_grams, batch[d].n_flagged, batch[d].contaminated
         )
+
+
+def test_stream_perplexity_guard_matches_batch_scores(spark, tmp_path):
+    """The ingest-time perplexity gate: stream scores must equal the
+    batch unigram_logloss scores EXACTLY (integer micro-nat parity —
+    same model, same quantization), garbled text ranks above
+    boilerplate, and empty docs pass un-flagged with NULL avg_nll."""
+    import random
+    import string
+
+    from dex_data_ingestor_spark.operators.text import unigram_logloss
+    from dex_data_ingestor_spark.streaming.jobs import (
+        stream_perplexity_guard,
+    )
+
+    rng = random.Random(4242)
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(1, 9)]  # repetitive mass
+    garbled = " ".join(
+        "".join(rng.choice(string.ascii_lowercase) for _ in range(8))
+        for _ in range(9)
+    )
+    rows.append((9, garbled))
+    rows.append((10, "   "))  # whitespace-only: excluded from batch
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    batch = {
+        r.doc_id: r
+        for r in unigram_logloss(docs, n_buckets=4096).collect()
+    }
+    assert 10 not in batch  # batch excludes empty docs entirely
+
+    src = str(tmp_path / "pplx_src")
+    docs.filter("doc_id <= 5").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    docs.filter("doc_id > 5").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    guarded = stream_perplexity_guard(
+        stream, docs, n_buckets=4096, max_avg_nll=4.0
+    )
+    q = (
+        guarded.writeStream.format("memory")
+        .queryName("pplx_out")
+        .option("checkpointLocation", str(tmp_path / "pplx_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    out = {r.doc_id: r for r in spark.sql("SELECT * FROM pplx_out").collect()}
+
+    assert set(out) == set(range(1, 11))
+    for i, r in batch.items():  # exact integer micro-nat parity
+        assert out[i].nll_units == r.nll_units, i
+        assert out[i].n_tokens == r.n_tokens
+        assert out[i].avg_nll == r.avg_nll
+    assert out[9].garbled and not out[1].garbled
+    assert out[9].avg_nll > out[1].avg_nll
+    assert out[10].n_tokens == 0 and out[10].avg_nll is None
+    assert out[10].garbled is False
