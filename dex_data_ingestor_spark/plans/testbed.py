@@ -6066,6 +6066,85 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+_DSIR_SAMPLE_K = 100
+
+
+def _dsir_sample_oracle_sql() -> str:
+    """Oracle for q_dsir_sample: the q_dsir_weights SQL verbatim as a
+    CTE, plus the content-hash Gumbel key and the deterministic
+    top-k. The Gumbel perturbation is quantized to integer micro-units
+    (floor(g*1e6 + 0.5)) so the selection key num + g_units is an
+    exact BIGINT — ordering can never flip on libm last-ULP noise."""
+    return f"""
+    WITH dsir AS ({ORACLE_SQL["q_dsir_weights"]}),
+    keyed AS (
+      SELECT d.doc_id, d.n_inst, d.num,
+             d.num + CAST(FLOOR(
+               -ln(-ln(({_MD5_INT.format('doc.text')} + 0.5)
+                        / 4294967296.0))
+               * 1000000.0 + 0.5) AS BIGINT) AS key_units
+      FROM dsir d JOIN documents doc USING (doc_id)
+    )
+    SELECT doc_id, n_inst, num, key_units,
+           CAST(key_units AS DOUBLE) / 1000000.0 AS sample_key
+    FROM keyed
+    ORDER BY key_units DESC, doc_id
+    LIMIT {_DSIR_SAMPLE_K}
+    """
+
+
+@register("q_dsir_sample", _dsir_sample_oracle_sql())
+def q_dsir_sample(spark, sf_dir):
+    """The RESAMPLING step that completes DSIR: select k documents
+    WITHOUT REPLACEMENT with probability proportional to
+    exp(importance), via the Gumbel-top-k identity — add an
+    independent Gumbel(0,1) to each document's log-weight and take
+    the k largest keys. No RNG state anywhere: the Gumbel is derived
+    from the document's CONTENT hash (u = (md5_64(text)+0.5)/2^32 —
+    an exact dyadic rational, so u is bit-identical cross-engine;
+    g = -ln(-ln(u))), which makes the sample reproducible on any
+    cluster size and stable under re-ingestion, the q_hash_split
+    property lifted to weighted sampling.
+
+    Exactness: the importance numerator is already integer micro-units
+    (q_dsir_weights); the Gumbel quantizes to the same units via the
+    pure-IEEE floor(g*1e6 + 0.5) rule, so the selection key is an
+    exact BIGINT sum and the (key DESC, doc_id) top-k is pure integer
+    ordering — the two libm ln calls sit behind the quantization
+    exactly as in q_bm25/q_unigram_logloss. The micro-unit
+    perturbation of the true Gumbel is O(1e-6) in log-space —
+    statistically negligible, determinism absolute. Plan: the dsir
+    subplan + one doc_id-keyed join for the text hash +
+    TakeOrderedAndProject (no global sort)."""
+    from dex_data_ingestor_spark.functions.scalars import md5_int64
+    from dex_data_ingestor_spark.operators.text import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir_importance(
+        docs, F.col("source").isin("src0", "src1"), n_buckets=4096
+    ).select("doc_id", "n_inst", "num")
+    u = (md5_int64(F.col("text")) + F.lit(0.5)) / F.lit(4294967296.0)
+    g_units = F.floor(-F.log(-F.log(u)) * 1000000.0 + F.lit(0.5))
+    keyed = scores.join(
+        docs.select("doc_id", g_units.alias("g_units")), "doc_id"
+    ).select(
+        "doc_id",
+        "n_inst",
+        "num",
+        (F.col("num") + F.col("g_units")).alias("key_units"),
+    )
+    return (
+        keyed.select(
+            "*",
+            (F.col("key_units").cast("double") / 1000000.0).alias(
+                "sample_key"
+            ),
+        )
+        .orderBy(F.col("key_units").desc(), "doc_id")
+        .limit(_DSIR_SAMPLE_K)
+    )
+
+
 @register(
     "q_unigram_logloss",
     rf"""
@@ -6147,14 +6226,15 @@ def q_unigram_logloss(spark, sf_dir):
 #: canaries. Steady-state cohorts after this round: A = the 35
 #: checked here (re-enter r11), B = the 45 whose latest row is r6
 #: (fill r9 — they hit the age bound first), C = the 45 whose latest
-#: row is r7 (fill r10). The FIVE queries added in r8
-#: (q_curate_materialized, q_semdedup, q_dsir_weights,
-#: q_ngram_containment, q_unigram_logloss — each bitwise-verified at
-#: sf0.001+sf0.01 on registration per invariant 1) join cohort B's
-#: r9 window, filling it to exactly 50 with zero canary slots — so
-#: r8 deliberately adds no further oracle-paired entries, and any r9
-#: additions must displace into r10. Invariants that override the
-#: cycle: (1)
+#: row is r7 (fill r10). The SIX queries added in r8 (each
+#: bitwise-verified at sf0.001+sf0.01 on registration per
+#: invariant 1) slot as follows: q_curate_materialized, q_semdedup,
+#: q_dsir_weights, q_ngram_containment, q_unigram_logloss join
+#: cohort B's r9 window, filling it to exactly 50 with zero canary
+#: slots; q_dsir_sample (registered after the B window closed)
+#: displaces into cohort C's r10 window (45+1 = 46, leaving 4 canary
+#: slots). r8 therefore adds no further oracle-paired entries beyond
+#: these six. Invariants that override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a
