@@ -3252,6 +3252,49 @@ def q_dup_clusters(spark, sf_dir):
     )
 
 
+def _cluster_split_oracle_sql() -> str:
+    """Oracle for q_cluster_split: the q_dup_clusters transitive
+    closure verbatim as a CTE, every document joined to its cluster
+    representative (itself when unpaired), split bucket = md5 of the
+    REPRESENTATIVE's text — so cluster members provably share it."""
+    return f"""
+    WITH comp AS ({ORACLE_SQL["q_dup_clusters"]}),
+    rep AS (
+      SELECT d.doc_id,
+             COALESCE(c.component_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    b AS (
+      SELECT r.doc_id, r.rep_id,
+             {_MD5_INT.format('rd.text')} % 100 AS bucket
+      FROM rep r JOIN documents rd ON rd.doc_id = r.rep_id
+    )
+    SELECT doc_id, rep_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """
+
+
+@register("q_cluster_split", _cluster_split_oracle_sql())
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/corpus.py
+    leakage_safe_split): q_hash_split's reproducible content-hash
+    assignment, lifted from documents to NEAR-DUP CLUSTERS — two
+    near-identical docs split independently leak train content into
+    eval ~2·p·(1-p) of the time; here the whole Jaccard-connected
+    component rides the hash of its min-id representative's text, so
+    near-dups (and any re-ingested near-copy that joins the cluster)
+    land in one split BY CONSTRUCTION. Plan = the q_dup_clusters
+    stages + one keyed join to the representative text + a narrow
+    hash."""
+    from dex_data_ingestor_spark.operators.corpus import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
 @register(
     "q_tfidf",
     r"""
@@ -6226,15 +6269,15 @@ def q_unigram_logloss(spark, sf_dir):
 #: canaries. Steady-state cohorts after this round: A = the 35
 #: checked here (re-enter r11), B = the 45 whose latest row is r6
 #: (fill r9 — they hit the age bound first), C = the 45 whose latest
-#: row is r7 (fill r10). The SIX queries added in r8 (each
+#: row is r7 (fill r10). The SEVEN queries added in r8 (each
 #: bitwise-verified at sf0.001+sf0.01 on registration per
 #: invariant 1) slot as follows: q_curate_materialized, q_semdedup,
 #: q_dsir_weights, q_ngram_containment, q_unigram_logloss join
 #: cohort B's r9 window, filling it to exactly 50 with zero canary
-#: slots; q_dsir_sample (registered after the B window closed)
-#: displaces into cohort C's r10 window (45+1 = 46, leaving 4 canary
-#: slots). r8 therefore adds no further oracle-paired entries beyond
-#: these six. Invariants that override the cycle: (1)
+#: slots; q_dsir_sample and q_cluster_split (registered after the B
+#: window closed) displace into cohort C's r10 window (45+2 = 47,
+#: leaving 3 canary slots). r8 adds no further oracle-paired entries
+#: beyond these seven. Invariants that override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a

@@ -598,3 +598,40 @@ def test_curation_strip_materialized_equals_inline(spark, sf_dir, tmp_path):
     artifact = spark.read.parquet(mat_dir)
     assert set(artifact.columns) == {"doc_id", "__stripped"}
     assert artifact.count() > 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The guard property itself: a near-dup pair whose two texts hash
+    to DIFFERENT per-doc buckets (the straddle q_hash_split permits)
+    must share one split here, every cluster member rides its min-id
+    representative, and singletons keep plain content-hash behavior."""
+    from dex_data_ingestor_spark.functions.scalars import md5_int64
+    from dex_data_ingestor_spark.operators.corpus import leakage_safe_split
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again near the riverbank every single morning")
+    # find a suffix making the variant's OWN hash bucket differ from
+    # base's while staying a >=0.5-Jaccard near-dup (tiny tail edit)
+    probe = spark.createDataFrame(
+        [(0, base)] + [(i, base + f" tail{i}") for i in range(1, 9)],
+        "doc_id long, text string",
+    ).select("doc_id", (md5_int64(F.col("text")) % 100).alias("b"))
+    buckets = {r.doc_id: r.b for r in probe.collect()}
+    variant_id = next(i for i in range(1, 9) if buckets[i] != buckets[0])
+    variant = base + f" tail{variant_id}"
+
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant), (3, "an entirely unrelated document "
+                                      "about spark physical planning")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in leakage_safe_split(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    # the pair clusters: both ride doc 1's text hash => same split
+    assert out[1].rep_id == 1 and out[2].rep_id == 1
+    assert out[1].bucket == out[2].bucket
+    assert out[1].split == out[2].split
+    # per-doc hashing WOULD have separated them (the leak this closes)
+    assert buckets[0] != buckets[variant_id]
+    # singleton: its own representative, its own content hash
+    assert out[3].rep_id == 3
