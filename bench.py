@@ -75,6 +75,16 @@ HEADLINE = [
     # path benched next to the single-statement diamond above, so the
     # pay-the-strip-once saving is a recorded number (VERDICT r7 #3).
     "q_curate_materialized",
+    # added late r8 (set 29 -> 35): every new operator family gets a
+    # recorded number from day one — semantic dedup, the DSIR
+    # fit/sample pair, the hashed-unigram LM, containment, and the
+    # cluster-safe split (the heaviest: gram join + iterative CC).
+    "q_semdedup",
+    "q_dsir_weights",
+    "q_dsir_sample",
+    "q_unigram_logloss",
+    "q_ngram_containment",
+    "q_cluster_split",
 ]
 
 
