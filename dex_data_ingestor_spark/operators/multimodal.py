@@ -12,9 +12,12 @@ scanline filters) — into ``numpy`` ``(H, W, C)`` uint8 arrays, with
 ``image_stats`` and the ``resize_images`` decodable path running that
 kernel end-to-end over ``mapInPandas``; audio is real too —
 ``audio_stats`` decodes RIFF/WAVE integer and float PCM (stdlib
-struct) and screens on RMS/peak/zero-crossings. Formats whose codecs
-are genuinely absent from this container (JPEG/WebP, compressed
-audio, video) raise NotImplementedError; ``extract_features`` keeps its
+struct) and screens on RMS/peak/zero-crossings; baseline sequential
+JPEG decodes for real too (``_decode_jpeg`` — Huffman entropy
+decode, dequant, vectorized IDCT, chroma upsampling, YCbCr->RGB).
+Formats whose codecs are genuinely absent from this container
+(progressive JPEG, WebP, compressed audio, video) raise
+NotImplementedError; ``extract_features`` keeps its
 deterministic digest features so the distributed plumbing stays
 testable on arbitrary payloads.
 """
@@ -261,15 +264,377 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return arr
 
 
+# ---------------------------------------------------------------------------
+# JPEG (ITU T.81 baseline sequential DCT, Huffman entropy coding)
+# ---------------------------------------------------------------------------
+
+#: Zigzag scan order: _JPEG_ZIGZAG[k] = (row, col) of the k-th
+#: transmitted coefficient in the natural 8x8 layout.
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _jpeg_idct_matrix() -> np.ndarray:
+    """8x8 DCT-II basis A with A[u, x] = c(u)/2 * cos((2x+1)u*pi/16);
+    the 2-D inverse transform is f = A.T @ F @ A."""
+    a = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_JPEG_IDCT_A = _jpeg_idct_matrix()
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one entropy-coded segment (byte
+    stuffing already removed). Running off the end raises — a
+    truncated scan must quarantine, not loop."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_build_huffman(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table -> {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if k >= len(symbols):
+                raise ValueError("JPEG DHT symbol count mismatch")
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG invalid Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map the t raw magnitude bits to a signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Collect the entropy-coded bytes from ``pos`` to the next
+    non-RST marker, unstuffing 0xFF00 and splitting on RST0-7.
+    Returns (segments, position_of_terminating_marker)."""
+    segments: list[bytearray] = [bytearray()]
+    cur = segments[0]
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            raise ValueError("JPEG scan ends inside a marker")
+        m = payload[pos + 1]
+        if m == 0x00:  # stuffed data byte
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # restart marker
+            cur = bytearray()
+            segments.append(cur)
+            pos += 2
+        else:
+            return [bytes(s) for s in segments], pos
+    raise ValueError("JPEG scan missing terminating marker")
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential DCT JPEG (SOF0/SOF1, Huffman) ->
+    (H, W, C) uint8; C = 1 (grayscale) or 3 (YCbCr -> RGB, BT.601
+    full range). Supports arbitrary chroma subsampling with integer
+    replication upsampling, restart intervals, 8- and 16-bit quant
+    tables, multi-segment DQT/DHT. Progressive (SOF2), arithmetic
+    coding, and hierarchical modes raise NotImplementedError (the
+    quarantine contract). Entropy decoding is a per-bit Python loop —
+    correct and bounded, not fast; the block math (dequant + IDCT +
+    color transform) is vectorized numpy. Bomb guards: dimensions are
+    checked against MAX_DECODED_BYTES before any allocation, and a
+    truncated/garbage scan raises instead of looping.
+
+    Parity note: unlike PNG, JPEG decoding has no bit-exact contract —
+    T.81 Annex A only bounds IDCT error — so outputs match libjpeg to
+    within rounding, not bitwise. Tests pin ANALYTIC cases (flat
+    DC-only blocks, single-AC cosine ramps) where the exact answer is
+    derivable by hand."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    n = len(payload)
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, comps) ; comps = [(cid, hs, vs, tq)]
+    restart = 0
+    out_planes = None
+
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise ValueError("JPEG segment truncated")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    if i + 64 > len(body):
+                        raise ValueError("JPEG DQT truncated")
+                    q = np.frombuffer(body[i : i + 64], np.uint8)
+                    i += 64
+                elif pq == 1:
+                    if i + 128 > len(body):
+                        raise ValueError("JPEG DQT truncated")
+                    q = np.frombuffer(body[i : i + 128], ">u2")
+                    i += 128
+                else:
+                    raise ValueError(f"JPEG DQT precision {pq}")
+                quant[tq] = q.astype(np.float64)
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-decodable
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"JPEG {nc}-component frame")
+            if fh < 1 or fw < 1:
+                raise ValueError(f"bad JPEG dimensions {fw}x{fh}")
+            if fh * fw * max(nc, 3) > MAX_DECODED_BYTES:
+                raise ValueError(
+                    f"JPEG {fw}x{fh}x{nc} exceeds MAX_DECODED_BYTES"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"JPEG sampling {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
+            frame = (fh, fw, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02x} (non-baseline mode)"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if i + 16 > len(body):
+                    raise ValueError("JPEG DHT truncated")
+                counts = body[i : i + 16]
+                i += 16
+                total = sum(counts)
+                if i + total > len(body):
+                    raise ValueError("JPEG DHT symbols truncated")
+                table = _jpeg_build_huffman(counts, body[i : i + total])
+                i += total
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            fh, fw, comps = frame
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "JPEG multi-scan frame (non-interleaved)"
+                )
+            sel = {}
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cs] = (tables >> 4, tables & 0x0F)
+            segments, pos = _jpeg_split_scan(payload, pos)
+            out_planes = _jpeg_decode_scan(
+                segments, frame, sel, quant, huff_dc, huff_ac, restart
+            )
+        else:
+            # APPn / COM / DNL / unknown with a length field: skip
+            pass
+
+    if frame is None or out_planes is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fh, fw, comps = frame
+    if len(comps) == 1:
+        g = np.clip(np.round(out_planes[0][:fh, :fw]), 0, 255)
+        return g.astype(np.uint8)[..., None]
+    y = out_planes[0][:fh, :fw]
+    cb = out_planes[1][:fh, :fw] - 128.0
+    cr = out_planes[2][:fh, :fw] - 128.0
+    rgb = np.empty((fh, fw, 3), dtype=np.float64)
+    rgb[..., 0] = y + 1.402 * cr
+    rgb[..., 1] = y - 0.344136 * cb - 0.714136 * cr
+    rgb[..., 2] = y + 1.772 * cb
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_decode_scan(
+    segments: list[bytes],
+    frame,
+    sel: dict,
+    quant: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart: int,
+) -> list[np.ndarray]:
+    """Entropy-decode an interleaved baseline scan and return one
+    upsampled float64 plane per component (MCU-padded size; caller
+    crops). Restart intervals: DC predictors reset and the bit reader
+    jumps to the next RST-delimited segment."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    n_mcus = mcux * mcuy
+
+    # per component: coefficient array (blocks_y, blocks_x, 64)
+    coef = []
+    for _cid, hs, vs, _tq in comps:
+        coef.append(
+            np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.float64)
+        )
+
+    seg_iter = iter(segments)
+    reader = _JpegBitReader(next(seg_iter))
+    preds = [0] * len(comps)
+    for mcu in range(n_mcus):
+        if restart and mcu and mcu % restart == 0:
+            try:
+                reader = _JpegBitReader(next(seg_iter))
+            except StopIteration:
+                raise ValueError("JPEG missing restart segment") from None
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, (cid, hs, vs, _tq) in enumerate(comps):
+            if cid not in sel:
+                raise ValueError(f"JPEG SOS missing component {cid}")
+            dc_id, ac_id = sel[cid]
+            if dc_id not in huff_dc or ac_id not in huff_ac:
+                raise ValueError("JPEG scan references missing DHT")
+            dc_tab, ac_tab = huff_dc[dc_id], huff_ac[ac_id]
+            for by in range(vs):
+                for bx in range(hs):
+                    block = np.zeros(64, dtype=np.float64)
+                    t = _jpeg_huff_decode(reader, dc_tab)
+                    if t > 11:
+                        raise ValueError("JPEG DC category > 11")
+                    diff = _jpeg_extend(reader.read_bits(t), t)
+                    preds[ci] += diff
+                    block[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(reader, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        block[k] = _jpeg_extend(reader.read_bits(s), s)
+                        k += 1
+                    coef[ci][my * vs + by, mx * hs + bx] = block
+
+    planes = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        if tq not in quant:
+            raise ValueError(f"JPEG missing quant table {tq}")
+        # dequantize in zigzag order, scatter to natural order
+        zz = coef[ci] * quant[tq][None, None, :]
+        nat = np.zeros_like(zz)
+        nat[:, :, _JPEG_ZIGZAG] = zz
+        by, bx = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(by, bx, 8, 8)
+        # batched 2-D IDCT: f = A.T @ F @ A
+        a = _JPEG_IDCT_A
+        spatial = np.einsum("ua,yxab,bv->yxuv", a.T, blocks, a)
+        spatial += 128.0
+        # blocks -> plane, then integer-replicate to full resolution
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if hs != hmax or vs != vmax:
+            if hmax % hs or vmax % vs:
+                raise NotImplementedError(
+                    f"JPEG fractional subsampling {hs}x{vs} of "
+                    f"{hmax}x{vmax}"
+                )
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        planes.append(np.clip(plane, 0.0, 255.0))
+    return planes
+
+
 def decode_media(payload: bytes, media_meta=None) -> np.ndarray:
     """Decode an image payload to an ``(H, W, C)`` uint8 numpy array.
 
-    Real decode for the container-decodable formats, sniffed from the
-    payload's magic bytes: PPM ``P6``, uncompressed BMP, and 8-bit
-    non-interlaced PNG (inflate is stdlib ``zlib``). Anything else —
-    JPEG, WebP, audio, video — needs a codec that is genuinely not in
-    this environment and raises NotImplementedError; deployments with
-    PIL/av/torchaudio extend the dispatch below.
+    Real decode for the formats a stdlib+numpy codec can honestly
+    cover, sniffed from the payload's magic bytes: PPM ``P6``,
+    uncompressed BMP, 8-bit non-interlaced PNG (inflate is stdlib
+    ``zlib``), GIF (first frame), and baseline sequential JPEG
+    (_decode_jpeg — Huffman + dequant + IDCT + YCbCr). Anything else
+    — progressive JPEG, WebP, audio, video — needs a codec that is
+    genuinely not in this environment and raises NotImplementedError;
+    deployments with PIL/av/torchaudio extend the dispatch below.
     """
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
@@ -281,10 +646,13 @@ def decode_media(payload: bytes, media_meta=None) -> np.ndarray:
         # max_frames=1: the still-image contract never pays for (or
         # composites) the rest of an animation
         return _decode_gif(payload, max_frames=1)[0]
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     fmt = (dict(media_meta).get("format") if media_meta else None) or "unknown"
     raise NotImplementedError(
         f"no stdlib codec for payload format '{fmt}' "
-        "(PPM/BMP/PNG/GIF decode natively; plug PIL/av for the rest)"
+        "(PPM/BMP/PNG/GIF/baseline-JPEG decode natively; plug PIL/av "
+        "for the rest)"
     )
 
 

@@ -168,10 +168,15 @@ def test_png_palette_expands_to_rgb():
 
 
 def test_undecodable_formats_still_raise():
-    with pytest.raises(NotImplementedError):
+    # a JPEG SOI with a garbage body now reaches the real baseline
+    # decoder and quarantines as malformed (ValueError), not as a
+    # codec gap
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0JFIF-ish", {"format": "jpeg"})
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", None)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFF0000WEBP", {"format": "webp"})
 
 
 # ---------------------------------------------------------------------------
@@ -795,3 +800,306 @@ def test_sample_frames_null_payload_and_id_quarantine(spark):
     assert len(by_doc[2]) == 1
     assert not by_doc[2][0].real and by_doc[2][0].frame is None
     assert len(by_doc[None]) == 1 and not by_doc[None][0].real
+
+
+# ---------------------------------------------------------------------------
+# JPEG — hand-built baseline encoder (test-side) + analytic goldens
+# ---------------------------------------------------------------------------
+
+_JZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def bytes_stuffed(self):
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+        return bytes(out)
+
+
+def _jhuff_table(symbols):
+    """Canonical uniform-length table for the given symbols: counts +
+    symbol list for the DHT segment and {sym: (len, code)} for the
+    encoder. Length L chosen so the all-ones code stays unused."""
+    n = len(symbols)
+    L = (n + 1).bit_length()
+    counts = [0] * 16
+    counts[L - 1] = n
+    enc = {s: (L, i) for i, s in enumerate(symbols)}
+    return bytes(counts), bytes(symbols), enc
+
+
+def _jcat(v):
+    """JPEG magnitude category + raw bits for a signed value."""
+    if v == 0:
+        return 0, 0
+    t = abs(v).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _jencode_block(bw, coef_zz, pred, dc_enc, ac_enc):
+    """Encode one block's zigzag coefficient list; returns new pred."""
+    dc = coef_zz[0]
+    t, raw = _jcat(dc - pred)
+    length, code = dc_enc[t]
+    bw.write(code, length)
+    if t:
+        bw.write(raw, t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if coef_zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if coef_zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_enc[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s, raw = _jcat(coef_zz[k])
+        length, code = ac_enc[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(raw, s)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_enc[0x00]
+        bw.write(code, length)
+    return dc
+
+
+def _jseg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _make_jpeg(w, h, comp_blocks, sampling, restart=0):
+    """Assemble a baseline JPEG. comp_blocks: per component a list of
+    MCU-ordered zigzag coefficient lists (quant table = identity).
+    sampling: [(hs, vs), ...]."""
+    nc = len(comp_blocks)
+    dqt = _jseg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof_body = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (hs, vs) in enumerate(sampling):
+        sof_body += bytes([ci + 1, (hs << 4) | vs, 0])
+    sof = _jseg(0xC0, sof_body)
+
+    dc_syms = list(range(12))
+    used_ac = {0x00, 0xF0}
+    for blocks in comp_blocks:
+        for zz in blocks:
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    run -= 16
+                s, _ = _jcat(zz[k])
+                used_ac.add((run << 4) | s)
+                run = 0
+    dc_counts, dc_symbols, dc_enc = _jhuff_table(dc_syms)
+    ac_counts, ac_symbols, ac_enc = _jhuff_table(sorted(used_ac))
+    dht = _jseg(0xC4, bytes([0x00]) + dc_counts + dc_symbols) + _jseg(
+        0xC4, bytes([0x10]) + ac_counts + ac_symbols
+    )
+
+    sos_body = bytes([nc])
+    for ci in range(nc):
+        sos_body += bytes([ci + 1, 0x00])
+    sos_body += bytes([0, 63, 0])
+    sos = _jseg(0xDA, sos_body)
+
+    # interleave MCUs; comp_blocks[ci] is already MCU-major with
+    # hs*vs blocks per MCU for that component
+    per_mcu = [hs * vs for hs, vs in sampling]
+    n_mcus = len(comp_blocks[0]) // per_mcu[0]
+    scan = bytearray()
+    bw = _JBitWriter()
+    preds = [0] * nc
+    rst = 0
+    for m in range(n_mcus):
+        if restart and m and m % restart == 0:
+            scan += bw.bytes_stuffed()
+            scan += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            bw = _JBitWriter()
+            preds = [0] * nc
+        for ci in range(nc):
+            for b in range(per_mcu[ci]):
+                zz = comp_blocks[ci][m * per_mcu[ci] + b]
+                preds[ci] = _jencode_block(
+                    bw, zz, preds[ci], dc_enc, ac_enc
+                )
+    scan += bw.bytes_stuffed()
+
+    dri = _jseg(0xDD, struct.pack(">H", restart)) if restart else b""
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(scan)
+        + b"\xff\xd9"
+    )
+
+
+def _flat_zz(v):
+    """Zigzag coefficients of a flat 8x8 block of pixel value v
+    (identity quant): DC = 8*(v-128), all AC zero."""
+    zz = [0] * 64
+    zz[0] = 8 * (v - 128)
+    return zz
+
+
+def test_jpeg_grayscale_flat_blocks_exact():
+    """DC-only analytic golden: four flat 8x8 tiles decode to their
+    exact pixel values (IDCT of a pure-DC block is DC/8, +128 level
+    shift), including the DC差 prediction chain across blocks."""
+    vals = [64, 128, 192, 250]
+    # 16x16 grayscale: 4 MCUs of one block each, raster order
+    jpg = _make_jpeg(
+        16, 16, [[_flat_zz(v) for v in vals]], [(1, 1)]
+    )
+    arr = decode_media(jpg)
+    assert arr.shape == (16, 16, 1)
+    assert (arr[:8, :8, 0] == vals[0]).all()
+    assert (arr[:8, 8:, 0] == vals[1]).all()
+    assert (arr[8:, :8, 0] == vals[2]).all()
+    assert (arr[8:, 8:, 0] == vals[3]).all()
+
+
+def test_jpeg_single_ac_cosine_ramp():
+    """One AC coefficient (natural position (0,1), zigzag index 1):
+    the decoded block must be the analytic horizontal cosine ramp
+    128 + a/(4*sqrt(2)) * cos((2x+1)*pi/16), rounded."""
+    import math
+
+    a = 40
+    zz = [0] * 64
+    zz[1] = a
+    jpg = _make_jpeg(8, 8, [[zz]], [(1, 1)])
+    arr = decode_media(jpg)
+    assert arr.shape == (8, 8, 1)
+    for x in range(8):
+        expect = round(
+            128 + a / (4 * math.sqrt(2))
+            * math.cos((2 * x + 1) * math.pi / 16)
+        )
+        assert (arr[:, x, 0] == expect).all(), (x, arr[:, x, 0], expect)
+
+
+def test_jpeg_color_420_flat_exact():
+    """Flat-color 16x16 4:2:0: one MCU (4 Y blocks + 1 Cb + 1 Cr),
+    chroma replicated 2x2 — decoded RGB equals the hand-computed
+    BT.601 inverse on the flat plane values."""
+    y, cb, cr = 120, 100, 160
+    jpg = _make_jpeg(
+        16, 16,
+        [[_flat_zz(y)] * 4, [_flat_zz(cb)], [_flat_zz(cr)]],
+        [(2, 2), (1, 1), (1, 1)],
+    )
+    arr = decode_media(jpg)
+    assert arr.shape == (16, 16, 3)
+    exp_r = round(y + 1.402 * (cr - 128))
+    exp_g = round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    exp_b = round(y + 1.772 * (cb - 128))
+    assert (arr[..., 0] == exp_r).all()
+    assert (arr[..., 1] == exp_g).all()
+    assert (arr[..., 2] == exp_b).all()
+
+
+def test_jpeg_restart_intervals_reset_prediction():
+    """DRI=2 on a 4-MCU grayscale image: RST markers split the scan
+    and reset DC predictors; values must still decode exactly."""
+    vals = [90, 110, 130, 150]
+    jpg = _make_jpeg(
+        32, 8, [[_flat_zz(v) for v in vals]], [(1, 1)], restart=2
+    )
+    arr = decode_media(jpg)
+    assert arr.shape == (8, 32, 1)
+    for i, v in enumerate(vals):
+        assert (arr[:, 8 * i : 8 * (i + 1), 0] == v).all(), i
+
+
+def test_jpeg_hostile_inputs_quarantine():
+    """Progressive mode, truncated scans, bomb dimensions, and junk
+    all raise (NotImplementedError/ValueError) — per-row quarantine,
+    never a hang or wrong pixels."""
+    good = _make_jpeg(8, 8, [[_flat_zz(128)]], [(1, 1)])
+    # progressive: flip SOF0 -> SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_media(prog)
+    # truncated entropy scan
+    with pytest.raises(ValueError):
+        decode_media(good[:-12])
+    # bomb dimensions (SOF h=w=0xFFFF -> 12.8 GiB RGB)
+    idx = good.index(b"\xff\xc0")
+    bomb = bytearray(good)
+    bomb[idx + 5 : idx + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="MAX_DECODED_BYTES"):
+        decode_media(bytes(bomb))
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\x00garbage")
+
+
+def test_jpeg_through_image_stats(spark):
+    """The crafted JPEG rides the full Spark mapInPandas kernel:
+    image_stats decodes it and reports exact dimensions and mean."""
+    jpg = _make_jpeg(16, 16, [[_flat_zz(v) for v in (64, 128, 192, 250)]],
+                     [(1, 1)])
+    df = spark.createDataFrame(
+        [(1, bytearray(jpg))], "doc_id long, payload binary"
+    )
+    out = image_stats(df).collect()[0]
+    assert out.decoded and (out.width, out.height) == (16, 16)
+    assert abs(out.mean_px - (64 + 128 + 192 + 250) / 4) < 1e-9
+
+
+def test_jpeg_dense_block_matches_independent_idct():
+    """A block with many AC terms (and a 16-zero run forcing ZRL)
+    must match an independently-coded textbook IDCT to within one
+    grey level (the decoder's only freedom is final rounding)."""
+    import math
+
+    zz = [0] * 64
+    zz[0] = 8 * (140 - 128)
+    for k, v in ((1, 31), (2, -17), (5, 23), (9, -40), (28, 55),
+                 (47, -12), (63, 7)):
+        zz[k] = v
+    jpg = _make_jpeg(8, 8, [[zz]], [(1, 1)])
+    arr = decode_media(jpg).astype(np.float64)[..., 0]
+
+    # independent IDCT: natural-order coefficients via the zigzag map
+    nat = np.zeros((8, 8))
+    for k, v in enumerate(zz):
+        nat[_JZZ[k] // 8, _JZZ[k] % 8] = v
+
+    def c(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    acc += (
+                        c(u) * c(v) / 4 * nat[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            expect = min(max(acc + 128.0, 0.0), 255.0)
+            assert abs(arr[x, y] - expect) <= 1.0, (x, y, arr[x, y], expect)
