@@ -1245,6 +1245,61 @@ def resize_images(
     ).mapInPandas(kernel, RESIZED_SCHEMA)
 
 
+def _avi_mjpeg_frames(
+    payload: bytes, frame_stride: int = 1
+) -> list[np.ndarray]:
+    """Motion-JPEG-in-AVI (RIFF) -> decoded frames, every
+    ``frame_stride``-th one. The RIFF tree is walked for video chunks
+    ('##dc'/'##db', including nested 'rec ' lists); each selected
+    chunk body is a standalone baseline JPEG decoded by
+    :func:`_decode_jpeg`. Unlike GIF (whose frames composite, so all
+    must decode), MJPEG frames are independent — striding skips the
+    DECODE cost of unsampled frames, exactly why MJPEG is the
+    screening-friendly video codec. Cumulative decoded bytes are
+    bomb-bounded by MAX_DECODED_BYTES; a non-JPEG video stream or
+    truncated chunk raises (quarantine)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(len(payload), 8 + riff_size)
+    locs: list[tuple[int, int]] = []
+
+    def walk(pos: int, stop: int) -> None:
+        while pos + 8 <= stop:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if body + size > stop:
+                raise ValueError("AVI chunk truncated")
+            if fourcc in (b"RIFF", b"LIST"):
+                walk(body + 4, body + size)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                locs.append((body, size))
+            pos = body + size + (size & 1)
+
+    walk(12, end)
+    if not locs:
+        raise ValueError("AVI contains no video chunks")
+    out: list[np.ndarray] = []
+    total = 0
+    for i, (body, size) in enumerate(locs):
+        if i % frame_stride:
+            continue
+        data = payload[body : body + size]
+        if data[:2] != b"\xff\xd8":
+            raise ValueError("AVI video stream is not MJPEG")
+        arr = _decode_jpeg(data)
+        total += arr.nbytes
+        if total > MAX_DECODED_BYTES:
+            raise ValueError(
+                "AVI decoded frames exceed MAX_DECODED_BYTES"
+            )
+        if arr.shape[2] == 1:  # grayscale MJPEG -> RGB for the PPM
+            arr = np.repeat(arr, 3, axis=2)
+        out.append(arr)
+    return out
+
+
 def sample_frames(
     df: DataFrame,
     every_n_bytes: int = 64,
@@ -1257,10 +1312,12 @@ def sample_frames(
     kernel needs. For GIF payloads the frames are REAL: every
     ``frame_stride``-th composited full-canvas frame, re-encoded as
     PPM (the stdlib-writable interchange format, decodable by
-    decode_media downstream). For formats with no in-container codec
-    (MP4 etc.) the deterministic byte-window stand-in keeps the
-    distributed plumbing exercised; its rows are distinguishable by
-    ``real=false``."""
+    decode_media downstream). VIDEO is real for Motion-JPEG AVI
+    (:func:`_avi_mjpeg_frames` — RIFF walk + per-frame baseline JPEG
+    decode, striding skips undecoded frames entirely). For formats
+    with no in-container codec (MP4/H.264 etc.) the deterministic
+    byte-window stand-in keeps the distributed plumbing exercised;
+    its rows are distinguishable by ``real=false``."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1297,6 +1354,17 @@ def sample_frames(
                         continue
                     except _QUARANTINE_ERRORS:
                         pass  # corrupt GIF falls back to byte windows
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    try:
+                        decoded = _avi_mjpeg_frames(b, frame_stride)
+                        for i, fr in enumerate(decoded):
+                            ids.append(int(doc_id))
+                            idxs.append(i)
+                            frames.append(encode_ppm(fr))
+                            real.append(True)
+                        continue
+                    except _QUARANTINE_ERRORS:
+                        pass  # corrupt/non-MJPEG AVI -> byte windows
                 for i, start in enumerate(range(0, len(b), every_n_bytes)):
                     ids.append(int(doc_id))
                     idxs.append(i)

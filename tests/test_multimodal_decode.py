@@ -1103,3 +1103,49 @@ def test_jpeg_dense_block_matches_independent_idct():
                     )
             expect = min(max(acc + 128.0, 0.0), 255.0)
             assert abs(arr[x, y] - expect) <= 1.0, (x, y, arr[x, y], expect)
+
+
+def _make_avi(jpeg_frames):
+    """Minimal MJPEG AVI: RIFF('AVI ') > LIST('movi') > '00dc' chunks."""
+    movi = b"movi"
+    for jf in jpeg_frames:
+        movi += b"00dc" + struct.pack("<I", len(jf)) + jf
+        if len(jf) & 1:
+            movi += b"\x00"
+    lst = b"LIST" + struct.pack("<I", len(movi)) + movi
+    return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
+def test_avi_mjpeg_frame_sampling(spark):
+    """Video is real for MJPEG AVI: each '00dc' chunk decodes through
+    the baseline JPEG path to an exact flat frame; frame_stride skips
+    frames WITHOUT decoding them; a non-MJPEG AVI falls back to the
+    byte-window stand-in marked real=false."""
+    from dex_data_ingestor_spark.operators.multimodal import sample_frames
+
+    vals = [70, 140, 210]
+    avi = _make_avi(
+        [_make_jpeg(8, 8, [[_flat_zz(v)]], [(1, 1)]) for v in vals]
+    )
+    bogus = _make_avi([b"not a jpeg frame at all"])
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(bogus))],
+        "doc_id long, payload binary",
+    )
+    out = sorted(
+        sample_frames(df, every_n_bytes=64).collect(),
+        key=lambda r: (r.doc_id, r.frame_idx),
+    )
+    mine = [r for r in out if r.doc_id == 1]
+    assert len(mine) == 3 and all(r.real for r in mine)
+    for r, v in zip(mine, vals):
+        arr = decode_media(bytes(r.frame))
+        assert arr.shape == (8, 8, 3)
+        assert (arr == v).all()
+    theirs = [r for r in out if r.doc_id == 2]
+    assert theirs and not any(r.real for r in theirs)
+
+    strided = sample_frames(
+        df.filter("doc_id = 1"), frame_stride=2
+    ).collect()
+    assert len(strided) == 2  # frames 0 and 2
