@@ -137,10 +137,13 @@ def learn_bpe_merges(
     # partition can never trigger a recompute through the whole merge
     # chain. On a real cluster set a checkpoint dir and use
     # checkpoint() for fault tolerance instead.
+    spark = word_freq.sparkSession
+    snap = _persistent_rdd_ids(spark)
     vocab = word_freq.select(
         _initial_symbols(F.col("word")).alias("symbols"),
         F.col("freq").cast("long").alias("freq"),
     ).localCheckpoint(eager=True)
+    owned = _persistent_rdd_ids(spark) - snap
     if merge_batch < 1:
         raise ValueError(f"merge_batch must be >= 1: {merge_batch}")
     merges: list[tuple[str, str]] = []
@@ -191,19 +194,49 @@ def learn_bpe_merges(
         if not accepted:
             break
         merges.extend(accepted)
-        prev = vocab
         fused_col = F.col("symbols")
         for left, right in accepted:
             # in-order chained fusion == applying them sequentially
             fused_col = _fuse_pair(fused_col, left, right)
+        snap = _persistent_rdd_ids(spark)
         vocab = vocab.select(
             fused_col.alias("symbols"), "freq"
         ).localCheckpoint(eager=True)
+        fresh = _persistent_rdd_ids(spark) - snap
         # the new checkpoint is materialized (eager) — release the
         # prior round's blocks or executor storage accumulates
-        # O(n_rounds) cached vocabulary copies over a long run
-        prev.unpersist()
+        # O(n_rounds) cached vocabulary copies over a long run.
+        # NOTE Dataset.unpersist() is a NO-OP for localCheckpoints
+        # (it only consults the SQL CacheManager, which never sees
+        # the checkpoint RDD — verified empirically), so the release
+        # must happen at the RDD level via the JVM's persistent-RDD
+        # registry (_release_rdds).
+        _release_rdds(spark, owned)
+        owned = fresh
+    _release_rdds(spark, owned)
     return merges
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids of currently-persisted RDDs (JVM registry). Used to track
+    exactly which RDD a localCheckpoint pinned, since the Dataset
+    API offers no handle to it."""
+    jsc = spark.sparkContext._jsc  # noqa: SLF001
+    return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _release_rdds(spark, ids: set[int]) -> None:
+    """Unpersist the given RDD ids (non-blocking). Snapshot-diff
+    attribution: in an app running concurrent jobs, an id that
+    appeared during our checkpoint window could in principle belong
+    to another job — callers only pass ids captured across an
+    eagerly-materialized localCheckpoint, where the window is one
+    synchronous call."""
+    jsc = spark.sparkContext._jsc  # noqa: SLF001
+    m = jsc.getPersistentRDDs()
+    for k in list(m.keySet().toArray()):
+        if int(k) in ids:
+            m.get(k).unpersist(False)
 
 
 #: Above this many merges the expression engine's one-HOF-per-merge

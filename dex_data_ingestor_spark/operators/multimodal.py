@@ -417,6 +417,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        if payload[pos + 1] == 0xFF:
+            pos += 1
+            continue
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -539,6 +543,13 @@ def _jpeg_decode_scan(
     crops). Restart intervals: DC predictors reset and the bit reader
     jumps to the next RST-delimited segment."""
     fh, fw, comps = frame
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved —
+        # the MCU is one data unit and sampling factors do not apply
+        # to the scan geometry (a grayscale frame declaring 2x2
+        # sampling still codes ceil(w/8) x ceil(h/8) blocks)
+        cid, _hs, _vs, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-fw // (8 * hmax))
@@ -1264,7 +1275,13 @@ def _avi_mjpeg_frames(
     end = min(len(payload), 8 + riff_size)
     locs: list[tuple[int, int]] = []
 
-    def walk(pos: int, stop: int) -> None:
+    # ITERATIVE walk (explicit stack): a hostile file nesting
+    # thousands of LIST chunks must quarantine via the normal error
+    # path, never blow Python's recursion limit (RecursionError is
+    # not in _QUARANTINE_ERRORS and would kill the whole scan)
+    stack: list[tuple[int, int]] = [(12, end)]
+    while stack:
+        pos, stop = stack.pop()
         while pos + 8 <= stop:
             fourcc = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -1272,12 +1289,10 @@ def _avi_mjpeg_frames(
             if body + size > stop:
                 raise ValueError("AVI chunk truncated")
             if fourcc in (b"RIFF", b"LIST"):
-                walk(body + 4, body + size)
+                stack.append((body + 4, body + size))
             elif fourcc[2:4] in (b"dc", b"db"):
                 locs.append((body, size))
             pos = body + size + (size & 1)
-
-    walk(12, end)
     if not locs:
         raise ValueError("AVI contains no video chunks")
     out: list[np.ndarray] = []

@@ -397,15 +397,8 @@ def ngram_jaccard_pairs(
     The shared-gram equi-join prunes the pair space; gram counts are
     computed once per doc and broadcast through the join.
     """
-    sh = shingles(df, id_col, text_col, n)
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    a = sh.select(F.col(id_col).alias("a_id"), "gram")
-    b = sh.select(F.col(id_col).alias("b_id"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    inter, counts = _gram_pair_intersection(
+        df, id_col, text_col, n, F.col("a_id") < F.col("b_id")
     )
     ca = counts.select(
         F.col(id_col).alias("a_id"), F.col("n_grams").alias("a_grams")
@@ -427,6 +420,26 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _gram_pair_intersection(df, id_col, text_col, n, pair_cond):
+    """Shared plumbing for the exact pairwise gram metrics (Jaccard,
+    containment): distinct n-gram shingles -> per-doc gram counts +
+    the shared-gram equi-join intersection counts for pairs passing
+    ``pair_cond``. Keeping this in ONE place keeps the two metrics
+    structurally in lockstep — a future skew/normalization fix here
+    reaches both."""
+    sh = shingles(df, id_col, text_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sh.select(F.col(id_col).alias("a_id"), "gram")
+    b = sh.select(F.col(id_col).alias("b_id"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(pair_cond)
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return inter, counts
 
 
 def ngram_containment_pairs(
@@ -453,15 +466,8 @@ def ngram_containment_pairs(
     aggregates map-side). Containment is n_inter / a_grams, an
     integer ratio: one IEEE division, 9 dp rounded, bit-stable
     cross-engine."""
-    sh = shingles(df, id_col, text_col, n)
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    a = sh.select(F.col(id_col).alias("a_id"), "gram")
-    b = sh.select(F.col(id_col).alias("b_id"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    inter, counts = _gram_pair_intersection(
+        df, id_col, text_col, n, F.col("a_id") != F.col("b_id")
     )
     ca = counts.select(
         F.col(id_col).alias("a_id"), F.col("n_grams").alias("a_grams")

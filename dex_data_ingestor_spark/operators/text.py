@@ -322,23 +322,54 @@ def winnowing_fingerprints(
 
 def _hashed_instances(
     df: DataFrame,
-    id_col: str,
+    id_col: str | None,
     text_col: str,
     n_buckets: int,
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per token instance with its hashed feature bucket
     (md5 % n_buckets — the engine-portable hash). Empty documents are
-    excluded, matching the tokenization used corpus-wide."""
+    excluded, matching the tokenization used corpus-wide.
+    ``id_col=None`` drops the id (a pure token stream, for model
+    fitting). ONE tokenization definition for every hashed-feature
+    model — the bit-parity between batch scoring and the streaming
+    guard rests on it never forking."""
+    keep = ([id_col] if id_col is not None else []) + list(extra_cols)
     words = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        id_col,
-        *extra_cols,
+        *keep,
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
     )
     return words.select(
-        id_col,
-        *extra_cols,
+        *keep,
         (md5_int64(F.col("__w")) % n_buckets).alias("f"),
+    )
+
+
+def _nll_units(count_expr, total_col):
+    """Integer micro-nat NLL of probability count/total: the ONE
+    quantization expression (pure-IEEE floor(x*1e6 + 0.5) after the
+    single libm ln) shared by batch scoring, the one-row model, and
+    its unseen-bucket default — bit-parity is structural, not a
+    convention."""
+    return F.floor(
+        -F.log(count_expr / total_col) * 1000000.0 + F.lit(0.5)
+    )
+
+
+def _unigram_weight_table(
+    df: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(f, nll_f, big_n) hashed-unigram LM weights over the corpus —
+    the shared model-fit for unigram_logloss and unigram_model_row."""
+    inst = _hashed_instances(df, None, text_col, n_buckets)
+    feat = inst.groupBy("f").agg(F.count(F.lit(1)).alias("c_f"))
+    tot = feat.agg(F.sum("c_f").cast("bigint").alias("big_n"))
+    return feat.crossJoin(F.broadcast(tot)).select(
+        "f",
+        _nll_units(F.col("c_f").cast("double"), F.col("big_n")).alias(
+            "nll_f"
+        ),
+        "big_n",
     )
 
 
@@ -367,15 +398,8 @@ def unigram_logloss(
     quantization before aggregation makes per-doc sums order-free
     exact integers)."""
     inst = _hashed_instances(df, id_col, text_col, n_buckets)
-    feat = inst.groupBy("f").agg(F.count(F.lit(1)).alias("c_f"))
-    tot = feat.agg(F.sum("c_f").cast("bigint").alias("big_n"))
-    w = feat.crossJoin(F.broadcast(tot)).select(
-        "f",
-        F.floor(
-            -F.log(F.col("c_f").cast("double") / F.col("big_n"))
-            * 1000000.0
-            + F.lit(0.5)
-        ).alias("nll_f"),
+    w = _unigram_weight_table(df, text_col, n_buckets).select(
+        "f", "nll_f"
     )
     w = _maybe_collect_model(w, materialize_model)
     return (
@@ -452,32 +476,17 @@ def unigram_model_row(
     conservative direction for a quality gate. The array is
     n_buckets * 8 bytes (512 KiB at the default) regardless of corpus
     size — model state, never data."""
-    toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w")
-    )
-    feat = (
-        toks.select((md5_int64(F.col("__w")) % n_buckets).alias("f"))
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("c_f"))
-    )
-    tot = feat.agg(F.sum("c_f").cast("bigint").alias("big_n"))
-    entries = feat.crossJoin(F.broadcast(tot)).select(
+    entries = _unigram_weight_table(df, text_col, n_buckets).select(
         "big_n",
         F.struct(
             F.col("f").cast("int").alias("key"),
-            F.floor(
-                -F.log(F.col("c_f").cast("double") / F.col("big_n"))
-                * 1000000.0
-                + F.lit(0.5)
-            ).alias("value"),
+            F.col("nll_f").alias("value"),
         ).alias("e"),
     )
     model = entries.groupBy("big_n").agg(
         F.map_from_entries(F.collect_list("e")).alias("m")
     )
-    default = F.floor(
-        -F.log(F.lit(0.5) / F.col("big_n")) * 1000000.0 + F.lit(0.5)
-    )
+    default = _nll_units(F.lit(0.5), F.col("big_n"))
     return model.select(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_buckets - 1)),

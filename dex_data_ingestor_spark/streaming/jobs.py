@@ -645,9 +645,22 @@ def stream_perplexity_guard(
 
     # persist: one 512 KiB row; caller may unpersist at stream stop
     model = unigram_model_row(corpus, text_col, n_buckets).persist()
+    # fail FAST on an empty/misconfigured reference corpus: the
+    # stream-static join against a 0-row model would silently drop
+    # every ingest row — the opposite of a conservative gate
+    if model.count() != 1:
+        raise ValueError(
+            "stream_perplexity_guard: reference corpus produced no "
+            "unigram model (empty or all-whitespace text_col?)"
+        )
 
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    # NULL text must flow through as an empty token list (n_tokens 0,
+    # garbled false), not propagate NULL into size() = -1
+    toks = F.coalesce(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+        ),
+        F.array().cast("array<string>"),
     )
     with_f = docs_stream.withColumn("__toks", toks).withColumn(
         "__fs",

@@ -1149,3 +1149,44 @@ def test_avi_mjpeg_frame_sampling(spark):
         df.filter("doc_id = 1"), frame_stride=2
     ).collect()
     assert len(strided) == 2  # frames 0 and 2
+
+
+def test_jpeg_fill_bytes_and_grayscale_sampling_declared():
+    """Two T.81 conformance cases the first cut rejected: 0xFF fill
+    bytes may pad any marker (B.1.1.2), and a single-component scan
+    is NON-interleaved — a grayscale frame declaring 2x2 sampling
+    still codes plain ceil(w/8) x ceil(h/8) blocks (A.2.2)."""
+    good = _make_jpeg(16, 16, [[_flat_zz(v) for v in (60, 90, 120, 150)]],
+                      [(1, 1)])
+    # inject fill bytes before the SOF marker
+    idx = good.index(b"\xff\xc0")
+    padded = good[:idx] + b"\xff\xff\xff" + good[idx:]
+    arr = decode_media(padded)
+    assert (arr[:8, :8, 0] == 60).all() and (arr[8:, 8:, 0] == 150).all()
+
+    # same block stream, but the SOF declares 2x2 sampling factors —
+    # scan geometry must ignore them for a 1-component frame
+    declared = _make_jpeg(16, 16,
+                          [[_flat_zz(v) for v in (60, 90, 120, 150)]],
+                          [(2, 2)])
+    arr2 = decode_media(declared)
+    assert np.array_equal(arr2, decode_media(good))
+
+
+def test_avi_deeply_nested_lists_quarantine_not_crash(spark):
+    """A hostile AVI nesting thousands of LIST chunks must fall back
+    to byte windows (quarantine path), not blow the recursion limit
+    and kill the scan."""
+    from dex_data_ingestor_spark.operators.multimodal import sample_frames
+
+    depth = 5000
+    inner = b"JUNK" + struct.pack("<I", 0)
+    body = inner
+    for _ in range(depth):
+        body = b"LIST" + struct.pack("<I", 4 + len(body)) + b"rec " + body
+    avi = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    df = spark.createDataFrame(
+        [(1, bytearray(avi))], "doc_id long, payload binary"
+    )
+    out = sample_frames(df, every_n_bytes=4096).collect()
+    assert out and not any(r.real for r in out)

@@ -530,6 +530,7 @@ def test_stream_perplexity_guard_matches_batch_scores(spark, tmp_path):
     )
     rows.append((9, garbled))
     rows.append((10, "   "))  # whitespace-only: excluded from batch
+    rows.append((11, None))   # NULL text: empty token list, not -1
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     batch = {
@@ -561,12 +562,22 @@ def test_stream_perplexity_guard_matches_batch_scores(spark, tmp_path):
     q.awaitTermination(timeout=300)
     out = {r.doc_id: r for r in spark.sql("SELECT * FROM pplx_out").collect()}
 
-    assert set(out) == set(range(1, 11))
+    assert set(out) == set(range(1, 12))
     for i, r in batch.items():  # exact integer micro-nat parity
         assert out[i].nll_units == r.nll_units, i
         assert out[i].n_tokens == r.n_tokens
         assert out[i].avg_nll == r.avg_nll
     assert out[9].garbled and not out[1].garbled
     assert out[9].avg_nll > out[1].avg_nll
-    assert out[10].n_tokens == 0 and out[10].avg_nll is None
-    assert out[10].garbled is False
+    for empty in (10, 11):
+        assert out[empty].n_tokens == 0, empty
+        assert out[empty].avg_nll is None and out[empty].garbled is False
+
+    # empty reference corpus must fail fast, not silently drop rows
+    from dex_data_ingestor_spark.streaming.jobs import (
+        stream_perplexity_guard as _guard,
+    )
+    empty_corpus = spark.createDataFrame([(1, "   ")],
+                                         "doc_id long, text string")
+    with pytest.raises(ValueError, match="no unigram model"):
+        _guard(stream, empty_corpus, n_buckets=64)

@@ -873,3 +873,23 @@ def test_hashed_model_materialize_severs_diamond(spark, sf_dir):
         # scans in the final-plan section only
         final = plan.split("Initial Plan")[0]
         assert final.count("Scan parquet") == 1, final
+
+
+def test_bpe_training_releases_checkpoint_storage(spark):
+    """Executor storage must stay O(1) across merge rounds and end
+    empty: Dataset.unpersist() is a no-op for localCheckpoints (it
+    only consults the SQL CacheManager), so the release happens at
+    the RDD level — this pins that it actually works."""
+    from dex_data_ingestor_spark.operators.bpe import (
+        _persistent_rdd_ids,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    rows = [("low low lower newest widest newest",)] * 4
+    wf = word_frequencies(spark.createDataFrame(rows, "text string"))
+    before = _persistent_rdd_ids(spark)
+    merges = learn_bpe_merges(wf, n_merges=6)
+    assert len(merges) > 0
+    after = _persistent_rdd_ids(spark)
+    assert after <= before, (before, after)
