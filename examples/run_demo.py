@@ -230,6 +230,58 @@ def main() -> None:
                   f"zcr*rate ~ {r.zero_crossing_rate * r.sample_rate:.0f}")
         else:
             print(f"   clip {r.doc_id}: quarantined ({r.error})")
+    print("== 10. data selection: DSIR importance, perplexity, "
+          "semantic dedup, leakage-safe split")
+    from dex_data_ingestor_spark.operators.corpus import leakage_safe_split
+    from dex_data_ingestor_spark.operators.text import (
+        dsir_importance,
+        unigram_logloss,
+    )
+    from dex_data_ingestor_spark.operators.vector import (
+        seeded_centroids,
+        semantic_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        dsir_importance(docs, F.col("source").isin("src0", "src1"),
+                        materialize_model=True)
+        .orderBy(F.col("importance").desc()).limit(3).collect()
+    )
+    print("   top DSIR-importance docs (look most like src0/src1):")
+    for r in top:
+        print(f"     doc {r.doc_id}: importance {r.importance:.3f} "
+              f"({r.n_inst} tokens)")
+    ppl = unigram_logloss(docs, materialize_model=True)
+    lo, hi = ppl.agg(F.min("avg_nll"), F.max("avg_nll")).first()
+    print(f"   unigram log-loss spread: {lo:.2f} .. {hi:.2f} nats/token")
+    em2 = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(dim=64, ncells=8)
+    kept = semantic_dedup(em2, "vec_id", "embedding", cents, 0.3)
+    print(f"   semantic dedup: {em2.count()} vectors -> "
+          f"{kept.count()} survivors")
+    splits = leakage_safe_split(docs).groupBy("split").count().collect()
+    print("   leakage-safe split:",
+          {r["split"]: r["count"] for r in splits})
+
+    print("== 11. real image/video decode: baseline JPEG via MJPEG AVI")
+    from dex_data_ingestor_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+    )
+    from tests.test_multimodal_decode import _flat_zz, _make_avi, _make_jpeg
+
+    avi = _make_avi(
+        [_make_jpeg(8, 8, [[_flat_zz(v)]], [(1, 1)]) for v in (60, 180)]
+    )
+    vids = spark.createDataFrame(
+        [(1, bytearray(avi))], "doc_id long, payload binary"
+    )
+    for r in sample_frames(vids).orderBy("frame_idx").collect():
+        arr = decode_media(bytes(r.frame))
+        print(f"   frame {r.frame_idx}: real={r.real} "
+              f"{arr.shape[1]}x{arr.shape[0]} mean_px {arr.mean():.0f}")
+
     spark.stop()
     print("DEMO COMPLETE")
 
