@@ -1190,3 +1190,73 @@ def test_avi_deeply_nested_lists_quarantine_not_crash(spark):
     )
     out = sample_frames(df, every_n_bytes=4096).collect()
     assert out and not any(r.real for r in out)
+
+
+def test_jpeg_random_coefficient_blocks_roundtrip():
+    """Seeded-random coefficient patterns (negative DC chains, long
+    zero runs, high categories) through the full Huffman/zigzag/
+    dequant path: the decode must match this test's OWN textbook
+    reconstruction of the same integer coefficients to <= 1 grey
+    level (rounding is the decoder's only freedom)."""
+    import math
+    import random
+
+    rng = random.Random(20260814)
+
+    def reference(zz):
+        nat = np.zeros((8, 8))
+        for k, v in enumerate(zz):
+            nat[_JZZ[k] // 8, _JZZ[k] % 8] = v
+
+        def c(u):
+            return 1 / math.sqrt(2) if u == 0 else 1.0
+
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        acc += (
+                            c(u) * c(v) / 4 * nat[u, v]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                out[x, y] = min(max(acc + 128.0, 0.0), 255.0)
+        return out
+
+    blocks = []
+    for _ in range(6):
+        zz = [0] * 64
+        zz[0] = rng.randint(-1000, 1000)
+        for _ in range(rng.randint(0, 12)):
+            zz[rng.randint(1, 63)] = rng.randint(-255, 255)
+        blocks.append(zz)
+
+    jpg = _make_jpeg(48, 8, [blocks], [(1, 1)])
+    arr = decode_media(jpg).astype(np.float64)[..., 0]
+    assert arr.shape == (8, 48)
+    for i, zz in enumerate(blocks):
+        got = arr[:, 8 * i : 8 * (i + 1)]
+        want = reference(zz)
+        assert np.abs(got - want).max() <= 1.0, i
+
+
+def test_jpeg_422_subsampling_geometry():
+    """4:2:2 (hs=2, vs=1): the MCU is 16x8 with two Y blocks beside
+    one Cb/Cr block; chroma replicates horizontally only. Flat planes
+    make the expected RGB exact."""
+    y, cb, cr = 200, 90, 150
+    jpg = _make_jpeg(
+        16, 8,
+        [[_flat_zz(y)] * 2, [_flat_zz(cb)], [_flat_zz(cr)]],
+        [(2, 1), (1, 1), (1, 1)],
+    )
+    arr = decode_media(jpg)
+    assert arr.shape == (8, 16, 3)
+    exp_r = round(y + 1.402 * (cr - 128))
+    exp_g = round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    exp_b = round(y + 1.772 * (cb - 128))
+    assert (arr[..., 0] == exp_r).all()
+    assert (arr[..., 1] == exp_g).all()
+    assert (arr[..., 2] == exp_b).all()
