@@ -295,6 +295,15 @@ def _jpeg_idct_matrix() -> np.ndarray:
 _JPEG_IDCT_A = _jpeg_idct_matrix()
 
 
+#: Slow-loris guard for the per-bit Python entropy loop (the JPEG
+#: analog of MAX_SLOW_FILTER_BYTES): total 8x8 data units decoded per
+#: image. 1<<15 blocks ~ 2 Mpx grayscale / ~8 Mpx 4:2:0 — ample for
+#: screening corpora; a hostile max-dimension file otherwise pins an
+#: executor core for minutes inside pure Python. Deployments that
+#: need full-size photo decode swap PIL in at decode_media's dispatch.
+MAX_JPEG_BLOCKS = 1 << 15
+
+
 class _JpegBitReader:
     """MSB-first bit reader over one entropy-coded segment (byte
     stuffing already removed). Running off the end raises — a
@@ -555,6 +564,12 @@ def _jpeg_decode_scan(
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
     n_mcus = mcux * mcuy
+    units_per_mcu = sum(hs * vs for _c, hs, vs, _t in comps)
+    if n_mcus * units_per_mcu > MAX_JPEG_BLOCKS:
+        raise ValueError(
+            f"JPEG entropy work {n_mcus * units_per_mcu} blocks "
+            f"exceeds MAX_JPEG_BLOCKS ({MAX_JPEG_BLOCKS})"
+        )
 
     # per component: coefficient array (blocks_y, blocks_x, 64)
     coef = []

@@ -1260,3 +1260,23 @@ def test_jpeg_422_subsampling_geometry():
     assert (arr[..., 0] == exp_r).all()
     assert (arr[..., 1] == exp_g).all()
     assert (arr[..., 2] == exp_b).all()
+
+
+def test_jpeg_entropy_block_budget_quarantines():
+    """A frame whose pixel count passes the byte budget but whose
+    data-unit count exceeds MAX_JPEG_BLOCKS must quarantine BEFORE
+    entering the per-bit Python entropy loop (slow-loris guard, the
+    PNG Paeth lesson)."""
+    from dex_data_ingestor_spark.operators.multimodal import (
+        MAX_JPEG_BLOCKS,
+    )
+
+    good = _make_jpeg(8, 8, [[_flat_zz(128)]], [(1, 1)])
+    idx = good.index(b"\xff\xc0")
+    big = bytearray(good)
+    # 4096 x 600 grayscale = 38400 blocks > 32768, bytes well in budget
+    big[idx + 5 : idx + 9] = struct.pack(">HH", 600, 4096)
+    assert 4096 * 600 * 3 < 1 << 28
+    assert (4096 // 8) * (600 // 8) > MAX_JPEG_BLOCKS
+    with pytest.raises(ValueError, match="MAX_JPEG_BLOCKS"):
+        decode_media(bytes(big))
