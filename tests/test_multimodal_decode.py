@@ -1280,3 +1280,40 @@ def test_jpeg_entropy_block_budget_quarantines():
     assert (4096 // 8) * (600 // 8) > MAX_JPEG_BLOCKS
     with pytest.raises(ValueError, match="MAX_JPEG_BLOCKS"):
         decode_media(bytes(big))
+
+
+def test_video_stats_motion_and_quarantine(spark):
+    """video_stats over MJPEG AVIs: a static clip scores motion 0, an
+    alternating-frame clip scores the exact hand-computable mean
+    inter-frame delta, frame_stride changes what 'sampled' means, and
+    junk/NULL rows quarantine instead of failing the scan."""
+    from dex_data_ingestor_spark.operators.multimodal import video_stats
+
+    static = _make_avi(
+        [_make_jpeg(8, 8, [[_flat_zz(100)]], [(1, 1)])] * 3
+    )
+    blink = _make_avi(
+        [_make_jpeg(8, 8, [[_flat_zz(v)]], [(1, 1)])
+         for v in (50, 250, 50, 250)]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(static)), (2, bytearray(blink)),
+         (3, bytearray(b"mp4 stand-in")), (4, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in video_stats(df).collect()}
+    assert out[1].decoded and out[1].n_frames == 3
+    assert out[1].motion == 0.0 and out[1].mean_px == 100.0
+    assert out[2].decoded and out[2].n_frames == 4
+    assert out[2].motion == 200.0  # |250-50| per pixel, every gap
+    assert out[2].mean_px == 150.0
+    assert not out[3].decoded and "not an AVI" in out[3].error
+    assert not out[4].decoded and "NULL payload" in out[4].error
+    # striding: frames 0 and 2 of the blink clip are both 50 -> static
+    strided = {
+        r.doc_id: r
+        for r in video_stats(
+            df.filter("doc_id = 2"), frame_stride=2
+        ).collect()
+    }
+    assert strided[2].n_frames == 2 and strided[2].motion == 0.0
