@@ -1135,10 +1135,44 @@ def _fake_features(payload: bytes) -> list[float]:
     ]
 
 
+def _image_grid_features(arr: np.ndarray) -> list[float]:
+    """REAL image features: a 4x4 grid of mean luminance (BT.601 luma
+    for color, the channel itself for grayscale), scaled to [0, 1] —
+    FEATURE_DIM=16 values. Deterministic, resolution-invariant (each
+    cell averages its pixel block), and meaningful for the downstream
+    similarity/dedup ops: near-identical images land near-identical
+    vectors, unlike a digest."""
+    a = arr.astype(np.float64)
+    if a.shape[2] >= 3:
+        luma = (
+            0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        )
+    else:
+        luma = a[..., 0]
+    h, w = luma.shape
+    ys = [round(i * h / 4) for i in range(5)]
+    xs = [round(i * w / 4) for i in range(5)]
+    out = []
+    for i in range(4):
+        for j in range(4):
+            cell = luma[ys[i] : max(ys[i + 1], ys[i] + 1),
+                        xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out.append(float(cell.mean()) / 255.0)
+    return out
+
+
 def extract_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas.
+
+    DECODABLE image payloads (PPM/BMP/PNG/GIF/baseline JPEG) get REAL
+    features — a 4x4 mean-luminance grid (:func:`_image_grid_features`),
+    the classic cheap perceptual embedding whose cosine distance
+    tracks visual similarity; undecodable payloads keep the
+    deterministic digest pseudo-features so the distributed plumbing
+    (and anything keyed on the vector shape) behaves identically on
+    arbitrary bytes.
 
     Each batch is processed columnar-side; only this stage crosses the
     JVM/Python boundary, and it streams (never materializes a
@@ -1146,6 +1180,14 @@ def extract_features(
     beforehand and keep ``spark.sql.execution.arrow.maxRecordsPerBatch``
     tuned so a batch of payloads fits executor memory.
     """
+
+    def features_of(p):
+        if p is None:
+            return None
+        try:
+            return _image_grid_features(decode_media(bytes(p)))
+        except _QUARANTINE_ERRORS:
+            return _fake_features(p)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1162,10 +1204,7 @@ def extract_features(
                     "n_bytes": [
                         None if p is None else len(p) for p in payloads
                     ],
-                    "features": [
-                        None if p is None else _fake_features(p)
-                        for p in payloads
-                    ],
+                    "features": [features_of(p) for p in payloads],
                 }
             )
 

@@ -1317,3 +1317,38 @@ def test_video_stats_motion_and_quarantine(spark):
         ).collect()
     }
     assert strided[2].n_frames == 2 and strided[2].motion == 0.0
+
+
+def test_extract_features_real_for_decodable_payloads(spark):
+    """Decodable payloads yield the 4x4 mean-luminance grid (exact for
+    flat quadrant images); undecodable bytes keep the digest
+    pseudo-features; and visually-near images land closer in feature
+    space than unrelated ones — the property the digest could never
+    provide."""
+    quad = np.zeros((8, 8, 3), np.uint8)
+    quad[:4, :4] = 255          # top-left white, rest black
+    near = quad.copy()
+    near[0, 7] = 60             # one perturbed pixel
+    far = 255 - quad            # inverted
+    rows = [
+        (1, bytearray(encode_ppm(quad))),
+        (2, bytearray(encode_ppm(near))),
+        (3, bytearray(encode_ppm(far))),
+        (4, bytearray(b"not decodable media")),
+    ]
+    from dex_data_ingestor_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: list(r.features) for r in
+           extract_features(df, "doc_id", "payload").collect()}
+    # flat 2x2-pixel cells: exact luminance means
+    assert out[1][0] == 1.0 and out[1][5] == 1.0  # white quadrant cells
+    assert out[1][2] == 0.0 and out[1][15] == 0.0
+    d_near = sum((a - b) ** 2 for a, b in zip(out[1], out[2]))
+    d_far = sum((a - b) ** 2 for a, b in zip(out[1], out[3]))
+    assert d_near < d_far
+    # digest fallback unchanged for undecodable bytes
+    from dex_data_ingestor_spark.operators.multimodal import _fake_features
+    assert out[4] == pytest.approx(_fake_features(b"not decodable media"))
