@@ -635,3 +635,40 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert buckets[0] != buckets[variant_id]
     # singleton: its own representative, its own content hash
     assert out[3].rep_id == 3
+
+
+def test_leakage_split_property_random_corpora(spark):
+    """Property sweep over seeded-random corpora with planted near-dup
+    families: (1) every Jaccard pair shares a split; (2) the family
+    respects the representative's bucket; (3) buckets stay in [0,100)
+    and the three split labels partition them."""
+    import random
+
+    from dex_data_ingestor_spark.operators.corpus import leakage_safe_split
+    from dex_data_ingestor_spark.operators.neardup import (
+        ngram_jaccard_pairs,
+    )
+
+    for seed in (11, 37):
+        rng = random.Random(seed)
+        rows = []
+        doc_id = 0
+        for fam in range(6):
+            base_words = [f"s{seed}f{fam}w{i}" for i in range(12)]
+            members = rng.randint(1, 3)
+            for m in range(members):
+                words = list(base_words)
+                if m:  # near-dup: perturb one tail word
+                    words[-1] = f"alt{m}"
+                rows.append((doc_id, " ".join(words)))
+                doc_id += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in leakage_safe_split(df).collect()}
+        assert set(out) == {r[0] for r in rows}
+        pairs = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5).collect()
+        for p in pairs:
+            assert out[p.a_id].split == out[p.b_id].split, (seed, p)
+            assert out[p.a_id].bucket == out[p.b_id].bucket
+        for r in out.values():
+            assert 0 <= r.bucket < 100
+            assert r.split in ("train", "val", "test")

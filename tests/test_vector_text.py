@@ -893,3 +893,44 @@ def test_bpe_training_releases_checkpoint_storage(spark):
     assert len(merges) > 0
     after = _persistent_rdd_ids(spark)
     assert after <= before, (before, after)
+
+
+def test_semdedup_survivors_contain_no_same_cell_pair(spark, em):
+    """The semantic-dedup output invariant (stronger than the rule
+    restated): NO two survivors in the same cell may sit at/above the
+    threshold — if they did, the higher id would have been a b-side
+    and dropped. Checked by re-running the pair stage over the
+    survivor set itself."""
+    cents = V.seeded_centroids(dim=64, ncells=8)
+    out = V.semantic_dedup(em, "vec_id", "embedding", cents, threshold=0.3)
+    leftover = V.embedding_neardup_pairs(
+        out, "vec_id", "embedding", 0.3, block_col="cell"
+    ).collect()
+    assert leftover == [], leftover[:5]
+
+
+def test_containment_bounds_and_symmetry_relation(spark, sf_dir):
+    """Containment is a conditional fraction: every emitted value lies
+    in (0, 1]; and for any pair present in BOTH directions the two
+    values share the same intersection, so containment(a,b) *
+    |grams(a)| == containment(b,a) * |grams(b)| within rounding."""
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    pairs = {
+        (r.a_id, r.b_id): r.containment
+        for r in ND.ngram_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.01
+        ).collect()
+    }
+    assert pairs, "threshold 0.01 should emit pairs on the fixture"
+    assert all(0.0 < v <= 1.0 for v in pairs.values())
+    grams = {
+        r.doc_id: r.n
+        for r in ND.shingles(docs, "doc_id", "text", 3)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for (a, b), v in pairs.items():
+        w = pairs.get((b, a))
+        if w is not None:
+            assert abs(v * grams[a] - w * grams[b]) < 1e-3 * max(
+                grams[a], grams[b]
+            ), (a, b)
