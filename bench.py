@@ -85,6 +85,10 @@ HEADLINE = [
     "q_unigram_logloss",
     "q_ngram_containment",
     "q_cluster_split",
+    # added late r8 (set 35 -> 36): the OHLC bar build — the
+    # market-metrics family's scan-heaviest member (full tape, one
+    # partial-aggregated exchange carrying six aggregate states).
+    "q_ohlc_bars",
 ]
 
 

@@ -5823,6 +5823,80 @@ def q_twap(spark, sf_dir):
 
 
 @register(
+    "q_ohlc_bars",
+    """
+    WITH ticks AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_start,
+             value,
+             date_diff('microsecond',
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                       CAST(ts AS TIMESTAMP)) * 2097152 + event_id AS okey
+      FROM events
+    )
+    SELECT event_type, bar_start,
+           arg_min(value, okey) AS open_px,
+           max(value) AS high_px,
+           min(value) AS low_px,
+           arg_max(value, okey) AS close_px,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS volume_units
+    FROM ticks GROUP BY 1, 2
+    """,
+)
+def q_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC candlestick bars — the market-metrics family's
+    third leg (TWAP = time-weighted level, VWAP = volume-weighted
+    level, OHLC = the bar series every charting/backtest consumer
+    reads). Reference analog: the hourly scheduler window over the
+    price stream (main.py:54-66, SqlDbEtl.py:98-99).
+
+    Cross-engine determinism: open/close SELECT a stored double (no
+    arithmetic — bit-exact by construction) under a total order. The
+    ordering key is packed into ONE BIGINT because DuckDB's
+    arg_min/arg_max take only scalar keys: ``us_into_hour * 2^21 +
+    event_id``. us_into_hour < 3.6e9 and event_id < 2^21 at every
+    shipped SF (max observed 99,999 at sf0.1; 2^21 headroom holds to
+    sf≈20), so the key < 2^53 — exact BIGINT on both engines, ties
+    broken by event_id. high/low are plain min/max of stored doubles
+    (exact); the bar's traded volume uses the q_twap micro-unit rule
+    ``floor(value*1e6+0.5)`` summed as BIGINT (bar sums ≤ ~1e13 at
+    sf1 — far under 2^53; DuckDB's HUGEINT sum is cast back).
+
+    Plan: ONE partially-aggregated exchange on (event_type,
+    bar_start) — min_by/max_by/min/max/count/sum all carry map-side
+    partial state, so the shuffle moves one row per (group, task).
+    At 100 TB this is the plan you want: no window function, no
+    second pass; with the tape date-partitioned, bars even aggregate
+    partition-locally."""
+    ev = load_table(spark, sf_dir, "events")
+    okey = (
+        F.expr("timestampdiff(MICROSECOND, date_trunc('hour', ts), ts)")
+        * F.lit(2097152)
+        + F.col("event_id")
+    )
+    ticks = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts"))
+        .cast("timestamp_ntz")
+        .alias("bar_start"),
+        "value",
+        okey.alias("okey"),
+    )
+    return ticks.groupBy("event_type", "bar_start").agg(
+        F.min_by("value", "okey").alias("open_px"),
+        F.max("value").alias("high_px"),
+        F.min("value").alias("low_px"),
+        F.max_by("value", "okey").alias("close_px"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+        ).alias("volume_units"),
+    )
+
+
+@register(
     "q_revenue_share",
     """
     WITH rev AS (
@@ -6274,10 +6348,10 @@ def q_unigram_logloss(spark, sf_dir):
 #: invariant 1) slot as follows: q_curate_materialized, q_semdedup,
 #: q_dsir_weights, q_ngram_containment, q_unigram_logloss join
 #: cohort B's r9 window, filling it to exactly 50 with zero canary
-#: slots; q_dsir_sample and q_cluster_split (registered after the B
-#: window closed) displace into cohort C's r10 window (45+2 = 47,
-#: leaving 3 canary slots). r8 adds no further oracle-paired entries
-#: beyond these seven. Invariants that override the cycle: (1)
+#: slots; q_dsir_sample, q_cluster_split and q_ohlc_bars (registered
+#: after the B window closed) displace into cohort C's r10 window
+#: (45+3 = 48, leaving 2 canary slots). r8 adds no further
+#: oracle-paired entries beyond these eight. Invariants that override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a

@@ -251,3 +251,16 @@ def test_containment_pairs_share_gram_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan
     assert "Join" in plan, plan
+
+
+def test_ohlc_bars_single_partial_aggregated_exchange(spark, sf_dir):
+    """The OHLC bar build is one scan + one keyed exchange: partial
+    (map-side) aggregation must carry all six bar states so the
+    shuffle moves one row per (group, task) — no window function, no
+    join, no Python, no second exchange."""
+    plan = plan_of(spark, sf_dir, "q_ohlc_bars")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan

@@ -356,3 +356,63 @@ def test_twap_tie_quantization_and_huge_numerator_parity(spark, tmp_path):
     problems = compare(df, con, ORACLE_SQL["q_twap"])
     con.close()
     assert not problems, problems
+
+
+def test_ohlc_bars_tie_break_and_parity(spark, tmp_path):
+    """Pins q_ohlc_bars' open/close selection under the packed
+    ordering key: two ticks sharing the SAME timestamp must break the
+    tie on event_id (lower id = earlier tick = the open), and the
+    crafted table must hold bitwise parity against the DuckDB oracle
+    — including a bar whose high/low equal neither open nor close."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # bar 10:00 — tie at the opening instant: ids 2 then 5 share
+        # ts; open must be id 2's price, not id 5's
+        ("swap", 2, base, 101.25),
+        ("swap", 5, base, 99.0),
+        ("swap", 6, base + datetime.timedelta(minutes=10), 150.5),  # high
+        ("swap", 7, base + datetime.timedelta(minutes=20), 40.125),  # low
+        ("swap", 8, base + datetime.timedelta(minutes=59), 120.0),  # close
+        # second key in the same hour: one-tick bar (o=h=l=c)
+        ("mint", 1, base + datetime.timedelta(minutes=5), 7.5),
+        # next hour bar for swap: closing tie — ids 11/12 share the
+        # final ts; close must be id 12's (highest key wins arg_max)
+        ("swap", 10, base + datetime.timedelta(hours=1, minutes=1), 80.0),
+        ("swap", 11, base + datetime.timedelta(hours=1, minutes=30), 85.0),
+        ("swap", 12, base + datetime.timedelta(hours=1, minutes=30), 86.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_type string, event_id long, ts timestamp_ntz, value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    df = QUERIES["q_ohlc_bars"](spark, str(tmp_path))
+    bars = {
+        (r.event_type, r.bar_start): r for r in df.collect()
+    }
+    b0 = bars[("swap", base)]
+    assert (b0.open_px, b0.high_px, b0.low_px, b0.close_px) == (
+        101.25, 150.5, 40.125, 120.0,
+    )
+    assert b0.n_ticks == 5
+    b1 = bars[("swap", base + datetime.timedelta(hours=1))]
+    assert (b1.open_px, b1.close_px) == (80.0, 86.0)
+    bm = bars[("mint", base)]
+    assert (bm.open_px, bm.high_px, bm.low_px, bm.close_px) == (
+        7.5, 7.5, 7.5, 7.5,
+    )
+    assert bm.volume_units == 7_500_000
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    problems = compare(df, con, ORACLE_SQL["q_ohlc_bars"])
+    con.close()
+    assert not problems, problems
