@@ -85,10 +85,13 @@ HEADLINE = [
     "q_unigram_logloss",
     "q_ngram_containment",
     "q_cluster_split",
-    # added late r8 (set 35 -> 36): the OHLC bar build — the
+    # added late r8 (set 35 -> 37): the OHLC bar build — the
     # market-metrics family's scan-heaviest member (full tape, one
-    # partial-aggregated exchange carrying six aggregate states).
+    # partial-aggregated exchange carrying six aggregate states) —
+    # and the bigram LM (explode + two broadcast model joins: the
+    # heaviest hashed-model scoring path).
     "q_ohlc_bars",
+    "q_bigram_logloss",
 ]
 
 

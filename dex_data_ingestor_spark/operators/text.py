@@ -496,3 +496,98 @@ def unigram_model_row(
         ).alias("w_arr"),
         "big_n",
     )
+
+
+def _bigram_instances(
+    df: DataFrame,
+    id_col: str | None,
+    text_col: str,
+    n_pair_buckets: int,
+    n_prev_buckets: int,
+) -> DataFrame:
+    """One row per adjacent token pair with its hashed predecessor
+    bucket ``f1`` and pair bucket ``f2``. Tokenization is the corpus
+    standard (``_hashed_instances``'s \\s+ split on trimmed text);
+    single-token documents contribute no pairs. The pair key joins
+    prev and cur with the ASCII unit separator (0x1F) so ("ab","c")
+    and ("a","bc") can never collide pre-hash."""
+    keep = [id_col] if id_col is not None else []
+    toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        *keep,
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    )
+    pairs = F.expr(
+        "transform(slice(__t, 2, size(__t) - 1),"
+        " (w, i) -> struct(__t[i] AS prev, w AS cur))"
+    )
+    inst = toks.filter(F.size("__t") >= 2).select(
+        *keep, F.explode(pairs).alias("__p")
+    )
+    sep = F.lit("\x1f")
+    return inst.select(
+        *keep,
+        (md5_int64(F.col("__p.prev")) % n_prev_buckets).alias("f1"),
+        (
+            md5_int64(
+                F.concat(F.col("__p.prev"), sep, F.col("__p.cur"))
+            )
+            % n_pair_buckets
+        ).alias("f2"),
+    )
+
+
+def bigram_logloss(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_pair_buckets: int = 65536,
+    n_prev_buckets: int = 16384,
+    materialize_model: bool = False,
+) -> DataFrame:
+    """Per-document average CONDITIONAL negative log-likelihood under
+    a corpus hashed-bigram LM: each pair instance scores
+    ``-ln(c(prev,cur) / c(prev,*))`` with both counts taken over the
+    bigram-instance stream (so probabilities normalize per
+    predecessor bucket and every self-scored pair has count >= 1 —
+    no smoothing needed, same closure property as
+    :func:`unigram_logloss`). This is the next rung of the CCNet
+    quality ladder after the unigram model: word-ORDER surprisal —
+    shuffled or stitched text keeps its unigram score but pays here.
+
+    Exactness: integer counts, one IEEE division, one libm ln
+    quantized to integer micro-nats by the shared ``_nll_units``
+    rule, order-free BIGINT per-doc sums, one final IEEE division —
+    the q_unigram_logloss discipline verbatim. The ln runs
+    per-instance (its operands need both model tables) but its
+    distinct-argument set is bounded by distinct (c2, c1) pairs.
+
+    Plan: two bounded model aggregates (f2-keyed and f1-keyed — at
+    most n_pair_buckets + n_prev_buckets rows regardless of corpus
+    size, THE reason to hash), both broadcast onto the instance
+    stream, then one doc_id exchange. ``materialize_model`` severs
+    the model/apply diamond exactly as in unigram_logloss: collect
+    the two bounded tables and scoring is ONE corpus pass."""
+    inst = _bigram_instances(
+        df, id_col, text_col, n_pair_buckets, n_prev_buckets
+    )
+    stream = _bigram_instances(
+        df, None, text_col, n_pair_buckets, n_prev_buckets
+    )
+    num = stream.groupBy("f2").agg(F.count(F.lit(1)).alias("c2"))
+    den = stream.groupBy("f1").agg(F.count(F.lit(1)).alias("c1"))
+    num = _maybe_collect_model(num, materialize_model)
+    den = _maybe_collect_model(den, materialize_model)
+    nll = _nll_units(F.col("c2").cast("double"), F.col("c1"))
+    return (
+        inst.join(F.broadcast(num), "f2")
+        .join(F.broadcast(den), "f1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(nll).cast("bigint").alias("nll_units"),
+            (
+                F.sum(nll).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+            ).alias("avg_nll"),
+        )
+    )

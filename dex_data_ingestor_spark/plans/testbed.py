@@ -6315,6 +6315,68 @@ def q_unigram_logloss(spark, sf_dir):
     return unigram_logloss(docs, n_buckets=65536)
 
 
+@register(
+    "q_bigram_logloss",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    pairs AS (
+      SELECT doc_id, z[1] AS prev, z[2] AS cur FROM (
+        SELECT doc_id, unnest(list_zip(t[1:-2], t[2:])) AS z
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    inst AS (
+      SELECT doc_id,
+             {_MD5_INT.format('prev')} % 16384 AS f1,
+             {_MD5_INT.format("prev || chr(31) || cur")} % 65536 AS f2
+      FROM pairs
+    ),
+    num AS (SELECT f2, COUNT(*) AS c2 FROM inst GROUP BY 1),
+    den AS (SELECT f1, COUNT(*) AS c1 FROM inst GROUP BY 1),
+    scored AS (
+      SELECT doc_id,
+             CAST(FLOOR(-ln(CAST(c2 AS DOUBLE) / c1) * 1000000.0
+                        + 0.5) AS BIGINT) AS nll
+      FROM inst JOIN num USING (f2) JOIN den USING (f1)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(nll) AS BIGINT) AS nll_units,
+           CAST(SUM(nll) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_nll
+    FROM scored GROUP BY 1
+    """,
+)
+def q_bigram_logloss(spark, sf_dir):
+    """Per-document conditional cross-entropy under a corpus
+    hashed-BIGRAM LM — the next rung of the CCNet perplexity ladder
+    after q_unigram_logloss (production KenLM is a 5-gram; the bigram
+    is the first order that sees word ORDER, so shuffled or stitched
+    text keeps its unigram score but pays here). Each adjacent pair
+    scores -ln(c(prev,cur)/c(prev,*)), both counts over the
+    pair-instance stream, so probabilities normalize per predecessor
+    bucket and no smoothing is needed for self-scoring.
+
+    Exactness is the unigram scaffold verbatim: exact integer counts,
+    one IEEE division, one libm ln quantized to integer micro-nats
+    (floor(x*1e6 + 0.5)), order-free BIGINT per-doc sums, one final
+    IEEE division. Pair keys join through the ASCII unit separator so
+    ("ab","c") vs ("a","bc") cannot collide pre-hash; single-token
+    documents have no pairs and drop (documented contract).
+
+    Plan: two BOUNDED model aggregates (65536 pair + 16384 prev rows
+    no matter the corpus size — the hashing's whole point), both
+    broadcast onto the instance stream, one doc_id exchange. Same
+    model/apply diamond note as the unigram: at 100 TB pass
+    materialize_model=True and scoring is one corpus pass."""
+    from dex_data_ingestor_spark.operators.text import bigram_logloss
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logloss(docs)
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
@@ -6348,10 +6410,10 @@ def q_unigram_logloss(spark, sf_dir):
 #: invariant 1) slot as follows: q_curate_materialized, q_semdedup,
 #: q_dsir_weights, q_ngram_containment, q_unigram_logloss join
 #: cohort B's r9 window, filling it to exactly 50 with zero canary
-#: slots; q_dsir_sample, q_cluster_split and q_ohlc_bars (registered
-#: after the B window closed) displace into cohort C's r10 window
-#: (45+3 = 48, leaving 2 canary slots). r8 adds no further
-#: oracle-paired entries beyond these eight. Invariants that override the cycle: (1)
+#: slots; q_dsir_sample, q_cluster_split, q_ohlc_bars and
+#: q_bigram_logloss (registered after the B window closed) displace
+#: into cohort C's r10 window (45+4 = 49, leaving 1 canary slot).
+#: r8 adds no further oracle-paired entries beyond these nine. Invariants that override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a

@@ -220,7 +220,7 @@ def test_hashed_model_weight_tables_broadcast_jvm_only(spark, sf_dir):
     a shuffled join against the instance stream), and the whole plan
     stays JVM-side — the scoring join is the hot path over the
     exploded corpus."""
-    for name in ("q_dsir_weights", "q_unigram_logloss"):
+    for name in ("q_dsir_weights", "q_unigram_logloss", "q_bigram_logloss"):
         plan = plan_of(spark, sf_dir, name)
         assert plan.count("BroadcastExchange") >= 2, (name, plan)
         assert "Python" not in plan, name

@@ -934,3 +934,47 @@ def test_containment_bounds_and_symmetry_relation(spark, sf_dir):
             assert abs(v * grams[a] - w * grams[b]) < 1e-3 * max(
                 grams[a], grams[b]
             ), (a, b)
+
+
+def test_bigram_logloss_golden_conditional_nll(spark):
+    """Hand-derivable conditional bigram NLLs: corpus 'a b a c' +
+    'a b' gives c(prev=a)=3, c(prev=b)=1, c(a,b)=2, c(b,a)=1,
+    c(a,c)=1 — so the pairs score -ln(2/3), -ln(1/1), -ln(1/3),
+    independently quantized here with Python's libm. Single-token and
+    empty documents must drop (no pairs)."""
+    import math
+
+    from dex_data_ingestor_spark.operators.text import bigram_logloss
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "solo"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_logloss(docs).collect()}
+    u = lambda p: math.floor(-math.log(p) * 1e6 + 0.5)
+    assert set(got) == {1, 2}
+    assert got[2].n_bigrams == 1
+    assert got[2].nll_units == u(2 / 3)
+    assert got[1].n_bigrams == 3
+    assert got[1].nll_units == u(2 / 3) + u(1 / 1) + u(1 / 3)
+    assert got[1].avg_nll == got[1].nll_units / 3e6
+
+
+def test_bigram_logloss_materialize_matches_and_severs_diamond(spark, sf_dir):
+    """materialize_model=True must be byte-identical to the inline
+    form and leave exactly ONE corpus scan in the scoring plan (the
+    two bounded model tables are collected — model state, never
+    data)."""
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.operators.text import bigram_logloss
+
+    docs = load_table(spark, sf_dir, "documents")
+    inline = {tuple(r) for r in bigram_logloss(docs).collect()}
+    mat_df = bigram_logloss(docs, materialize_model=True)
+    materialized = {tuple(r) for r in mat_df.collect()}
+    assert inline == materialized
+    plan = mat_df._sc._jvm.PythonSQLUtils.explainString(
+        mat_df._jdf.queryExecution(), "formatted"
+    )
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1, final
