@@ -92,6 +92,9 @@ HEADLINE = [
     # heaviest hashed-model scoring path).
     "q_ohlc_bars",
     "q_bigram_logloss",
+    # the Q21 shape: dual semi/anti self-join on the fact table — the
+    # join-planning stress entry.
+    "q_waiting_suppliers",
 ]
 
 

@@ -5023,6 +5023,99 @@ def q_top_supplier(spark, sf_dir):
 
 
 @register(
+    "q_waiting_suppliers",
+    """
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND CAST(l.l_shipdate AS DATE)
+              > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM l1 l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finalized multi-supplier orders, count the late line items whose
+    supplier was the ONLY late one — the dual correlated
+    EXISTS / NOT EXISTS self-reference on the fact table, the
+    hardest-to-plan TPC-H shape. Lateness is adapted to this schema
+    (no commit/receipt dates): shipped more than 90 days after the
+    order date.
+
+    Spark form: the late set l1 is built once (lineitem⋈orders with
+    the residual date predicate); the EXISTS becomes a LEFT SEMI join
+    of l1 against the raw lineitem scan on orderkey with a
+    suppkey-inequality residual, the NOT EXISTS a LEFT ANTI join of
+    the survivors against l1 itself — equi-join + residual, never a
+    cartesian. All three fact-side joins share the l_orderkey key, so
+    under one orderkey-hash partitioning the semi, the anti, and the
+    late-set build co-locate (one exchange family; AQE reuses the l1
+    exchange for its second appearance). The supplier dim broadcasts;
+    the top-10 is TakeOrdered with the total (numwait DESC, s_name)
+    tie-break, so the emitted SET is deterministic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), 90)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    a = l1.alias("a")
+    multi = a.join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi.alias("m").join(
+        l1.alias("c"),
+        (F.col("m.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("m.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    counts = sole_late.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    return (
+        counts.join(
+            F.broadcast(supp), counts.l_suppkey == supp.s_suppkey
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@register(
     "q_chunk_documents",
     """
     SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
@@ -6410,10 +6503,12 @@ def q_bigram_logloss(spark, sf_dir):
 #: invariant 1) slot as follows: q_curate_materialized, q_semdedup,
 #: q_dsir_weights, q_ngram_containment, q_unigram_logloss join
 #: cohort B's r9 window, filling it to exactly 50 with zero canary
-#: slots; q_dsir_sample, q_cluster_split, q_ohlc_bars and
-#: q_bigram_logloss (registered after the B window closed) displace
-#: into cohort C's r10 window (45+4 = 49, leaving 1 canary slot).
-#: r8 adds no further oracle-paired entries beyond these nine. Invariants that override the cycle: (1)
+#: slots; q_dsir_sample, q_cluster_split, q_ohlc_bars,
+#: q_bigram_logloss and q_waiting_suppliers (registered after the B
+#: window closed) displace into cohort C's r10 window (45+5 = 50,
+#: zero canary slots — C is now full; further r8 additions open the
+#: r11 window alongside cohort A). r8 adds no further oracle-paired
+#: entries beyond these ten. Invariants that override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a

@@ -264,3 +264,18 @@ def test_ohlc_bars_single_partial_aggregated_exchange(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan
+
+
+def test_waiting_suppliers_semi_anti_no_cartesian(spark, sf_dir):
+    """The Q21 shape compiles to equi-joins with residual inequality
+    conditions — LEFT SEMI for the multi-supplier EXISTS, LEFT ANTI
+    for the sole-late NOT EXISTS — never a cartesian/nested-loop over
+    the fact table, with a TakeOrdered top-10 (no global sort) and no
+    Python anywhere."""
+    plan = plan_of(spark, sf_dir, "q_waiting_suppliers")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan
