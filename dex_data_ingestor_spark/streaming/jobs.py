@@ -95,6 +95,58 @@ def session_windows(
     )
 
 
+def ohlc_bars(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of q_ohlc_bars: watermarked per-window OHLC
+    candlesticks built live as ticks arrive. Exactly the batch
+    aggregation — min_by/max_by on the packed (us-into-window * 2^21
+    + event_id) ordering key, min/max highs/lows, micro-unit volume —
+    under F.window, so a bar is emitted once its watermark passes and
+    the batch and streaming series agree row-for-row (pinned in
+    tests/test_streaming.py). All six aggregate states are
+    incrementally mergeable, which is what makes the bar build a
+    one-pass streaming operator rather than a sort.
+
+    Constraint: ``window`` must evenly divide one hour (the packed
+    key is microseconds-into-HOUR, monotone within any window that
+    nests inside an hour boundary). Longer bars (4h/daily) roll up
+    from hourly bars — open = first sub-bar's open via min_by on
+    bar_start, high/low/volume merge directly — rather than widening
+    this window."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    okey = (
+        F.expr("timestampdiff(MICROSECOND, date_trunc('hour', ts), ts)")
+        * F.lit(2097152)
+        + F.col("event_id")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("okey", okey)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.min_by("value", "okey").alias("open_px"),
+            F.max("value").alias("high_px"),
+            F.min("value").alias("low_px"),
+            F.max_by("value", "okey").alias("close_px"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+            ).alias("volume_units"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bar_start"),
+            "event_type",
+            "open_px",
+            "high_px",
+            "low_px",
+            "close_px",
+            "n_ticks",
+            "volume_units",
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, out_dir: str
 ) -> None:

@@ -581,3 +581,31 @@ def test_stream_perplexity_guard_matches_batch_scores(spark, tmp_path):
                                          "doc_id long, text string")
     with pytest.raises(ValueError, match="no unigram model"):
         _guard(stream, empty_corpus, n_buckets=64)
+
+
+def test_ohlc_bars_batch_stream_parity(spark, sf_dir, event_files, tmp_path):
+    """The streaming OHLC build must emit exactly the batch
+    q_ohlc_bars series — same opens/closes under the packed ordering
+    key, same micro-unit volumes — once drained."""
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+    from dex_data_ingestor_spark.streaming.jobs import ohlc_bars
+
+    stream = events_stream_from_parquet(
+        spark, event_files, max_files_per_trigger=1
+    )
+    name = _drain(ohlc_bars(stream), tmp_path, "t_ohlc")
+    got = {
+        (r.bar_start, r.event_type): (
+            r.open_px, r.high_px, r.low_px, r.close_px,
+            r.n_ticks, r.volume_units,
+        )
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    want = {
+        (r.bar_start, r.event_type): (
+            r.open_px, r.high_px, r.low_px, r.close_px,
+            r.n_ticks, r.volume_units,
+        )
+        for r in QUERIES["q_ohlc_bars"](spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
