@@ -95,6 +95,9 @@ HEADLINE = [
     # the Q21 shape: dual semi/anti self-join on the fact table — the
     # join-planning stress entry.
     "q_waiting_suppliers",
+    # tick-rule order flow: two window passes + hourly agg on ONE
+    # exchange — the window-reuse stress entry.
+    "q_tick_rule_flow",
 ]
 
 

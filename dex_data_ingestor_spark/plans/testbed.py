@@ -5990,6 +5990,99 @@ def q_ohlc_bars(spark, sf_dir):
 
 
 @register(
+    "q_tick_rule_flow",
+    """
+    WITH seq AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             CASE WHEN value > lag(value) OVER w THEN 1
+                  WHEN value < lag(value) OVER w THEN -1
+                  ELSE NULL END AS dir
+      FROM events
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    signed AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_start,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_units,
+             last_value(dir IGNORE NULLS) OVER (
+               PARTITION BY event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS side
+      FROM seq
+    )
+    SELECT event_type, bar_start,
+           COUNT(CASE WHEN side = 1 THEN 1 END) AS buy_ticks,
+           COUNT(CASE WHEN side = -1 THEN 1 END) AS sell_ticks,
+           CAST(SUM(CASE WHEN side IS NULL THEN 0
+                         ELSE side * v_units END) AS BIGINT)
+             AS flow_units
+    FROM signed GROUP BY 1, 2
+    """,
+)
+def q_tick_rule_flow(spark, sf_dir):
+    """Order-flow imbalance via the tick rule (Lee-Ready without
+    quotes — the standard trade-sign classifier when only the trade
+    tape exists, exactly this table's shape): an uptick marks a buy,
+    a downtick a sell, and an equal price CARRIES the previous
+    nonzero sign forward. Hourly net signed flow per instrument is
+    the canonical toxicity/pressure input (VPIN et al.).
+
+    Cross-engine determinism: the sign comes from comparisons of
+    stored doubles under the total (ts, event_id) order — no
+    arithmetic — and the carried sign is last_value IGNORE NULLS over
+    the same order; flow sums signed micro-units
+    (floor(value*1e6+0.5)) as exact BIGINTs. Leading unclassified
+    ticks (before the first price change) contribute zero flow and
+    land in neither tick count.
+
+    Plan: ONE event_type-keyed exchange serves both window passes
+    (lag, then the carried last_value — same partitioning and order)
+    AND the hourly aggregate: HashPartitioning(event_type) satisfies
+    the (event_type, bar_start) clustering, so the groupBy adds no
+    exchange (plan-asserted). Scale note: the per-key sequential
+    window means one task per instrument — fine when instruments
+    number in the thousands (the real DEX key is the pool/pair);
+    event_type's 5 values stand in for that here, and a 100 TB
+    deploy keys the window by the instrument column exactly as
+    sessionize does by user."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    dirc = (
+        F.when(F.col("value") > F.lag("value").over(w), F.lit(1))
+        .when(F.col("value") < F.lag("value").over(w), F.lit(-1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    seq = ev.withColumn("dir", dirc)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signed = seq.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts"))
+        .cast("timestamp_ntz")
+        .alias("bar_start"),
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).alias(
+            "v_units"
+        ),
+        F.last("dir", ignorenulls=True).over(wrun).alias("side"),
+    )
+    return signed.groupBy("event_type", "bar_start").agg(
+        F.count(F.when(F.col("side") == 1, 1)).alias("buy_ticks"),
+        F.count(F.when(F.col("side") == -1, 1)).alias("sell_ticks"),
+        F.sum(
+            F.when(F.col("side").isNull(), F.lit(0)).otherwise(
+                F.col("side") * F.col("v_units")
+            )
+        )
+        .cast("bigint")
+        .alias("flow_units"),
+    )
+
+
+@register(
     "q_revenue_share",
     """
     WITH rev AS (
@@ -6506,9 +6599,9 @@ def q_bigram_logloss(spark, sf_dir):
 #: slots; q_dsir_sample, q_cluster_split, q_ohlc_bars,
 #: q_bigram_logloss and q_waiting_suppliers (registered after the B
 #: window closed) displace into cohort C's r10 window (45+5 = 50,
-#: zero canary slots — C is now full; further r8 additions open the
-#: r11 window alongside cohort A). r8 adds no further oracle-paired
-#: entries beyond these ten. Invariants that override the cycle: (1)
+#: zero canary slots — C is now full); q_tick_rule_flow (registered
+#: after C filled) opens the r11 window alongside cohort A. r8 adds
+#: no further oracle-paired entries beyond these eleven. Invariants that override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a

@@ -279,3 +279,15 @@ def test_waiting_suppliers_semi_anti_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "Python" not in plan
+
+
+def test_tick_rule_flow_single_exchange_serves_windows_and_agg(spark, sf_dir):
+    """Both window passes (lag, carried last_value) and the hourly
+    aggregate share the event_type hash partitioning —
+    HashPartitioning(event_type) satisfies the (event_type,
+    bar_start) clustering, so the whole query is ONE exchange, no
+    join, no Python."""
+    plan = plan_of(spark, sf_dir, "q_tick_rule_flow")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan

@@ -416,3 +416,49 @@ def test_ohlc_bars_tie_break_and_parity(spark, tmp_path):
     problems = compare(df, con, ORACLE_SQL["q_ohlc_bars"])
     con.close()
     assert not problems, problems
+
+
+def test_tick_rule_carried_sign_golden(spark, tmp_path):
+    """Pins the tick-rule classifier on a hand-walked tape: uptick=+1,
+    downtick=-1, equal price carries the previous nonzero sign, and
+    the leading run before any price change is unclassified (zero
+    flow, counted in neither side)."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    ticks = [  # (event_id, minute, price) -> expected side
+        (1, 0, 10.0),   # leading, unclassified
+        (2, 1, 10.0),   # equal, still unclassified
+        (3, 2, 12.0),   # uptick  -> +1
+        (4, 3, 12.0),   # equal   -> carries +1
+        (5, 4, 9.0),    # downtick-> -1
+        (6, 5, 9.0),    # equal   -> carries -1
+        (7, 6, 11.0),   # uptick  -> +1
+    ]
+    rows = [
+        ("swap", i, base + datetime.timedelta(minutes=m), v)
+        for (i, m, v) in ticks
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_type string, event_id long, ts timestamp_ntz, value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    df = QUERIES["q_tick_rule_flow"](spark, str(tmp_path))
+    (r,) = df.collect()
+    assert (r.event_type, r.bar_start) == ("swap", base)
+    assert (r.buy_ticks, r.sell_ticks) == (3, 2)
+    # flow: +12 +12 -9 -9 +11 = +17 in whole units
+    assert r.flow_units == 17_000_000
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    problems = compare(df, con, ORACLE_SQL["q_tick_rule_flow"])
+    con.close()
+    assert not problems, problems
