@@ -98,6 +98,9 @@ HEADLINE = [
     # tick-rule order flow: two window passes + hourly agg on ONE
     # exchange — the window-reuse stress entry.
     "q_tick_rule_flow",
+    # realized variance: lag window + HUGEINT-exact squared-return
+    # aggregation, same one-exchange shape.
+    "q_realized_var",
 ]
 
 

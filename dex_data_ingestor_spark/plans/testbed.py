@@ -5990,6 +5990,162 @@ def q_ohlc_bars(spark, sf_dir):
 
 
 @register(
+    "q_realized_var",
+    """
+    WITH clean AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events WHERE value > 0
+    ),
+    rets AS (
+      SELECT event_type, ts,
+             CAST(FLOOR(ln(value / lag(value) OVER w) * 1000000.0
+                        + 0.5) AS BIGINT) AS lnu
+      FROM clean
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    seg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_start, lnu
+      FROM rets WHERE lnu IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type, bar_start,
+             COUNT(*) AS n_returns,
+             CAST(SUM(lnu) AS BIGINT) AS net_ret_units,
+             CAST(SUM(lnu * lnu) AS HUGEINT) AS num
+      FROM seg GROUP BY 1, 2
+    )
+    SELECT event_type, bar_start, n_returns, net_ret_units,
+           CAST(num // 1000000000000 AS DOUBLE)
+             + CAST(num % 1000000000000 AS DOUBLE) / 1000000000000.0
+             AS realized_var
+    FROM agg
+    """,
+)
+def q_realized_var(spark, sf_dir):
+    """Hourly realized variance — the risk leg of the market-metrics
+    family (level = TWAP/VWAP, bars = OHLC, flow = tick rule,
+    risk = RV): the sum of squared log returns between consecutive
+    ticks of each instrument, each return assigned to the hour of its
+    later tick; ``net_ret_units`` (the exact signed sum) is the
+    bar's net log return. Non-positive prints are excluded up front
+    (a zero price is a bad tick, and ln requires positivity — sf0.1
+    contains real zeros).
+
+    Exactness composes three established disciplines: each log return
+    takes ONE IEEE division + one libm ln, quantized to integer
+    micro-log-units by floor(x*1e6 + 0.5) (the unigram/twap rule);
+    squares (≤ ~1.2e14 — exact longs) accumulate in DECIMAL(38,0) /
+    HUGEINT since a hot bar's sum can exceed 2^63; and the final
+    value comes out through the q_twap q+r decomposition against
+    10^12 (q ≤ ~2e7 and r < 10^12 are both < 2^53, so the two casts
+    and two IEEE ops are bit-identical — a direct huge-decimal→double
+    cast is NOT, the r7 lesson).
+
+    Plan: the same single event_type exchange as q_tick_rule_flow —
+    one window pass for the lag, and the hourly aggregate rides the
+    subset partitioning with no second exchange. The same
+    instrument-key scale note applies."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select("event_type", "ts", "event_id", "value")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lnu = F.floor(
+        F.log(F.col("value") / F.lag("value").over(w)) * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    seg = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts"))
+            .cast("timestamp_ntz")
+            .alias("bar_start"),
+            lnu.alias("lnu"),
+        )
+        .filter(F.col("lnu").isNotNull())
+    )
+    agg = seg.groupBy("event_type", "bar_start").agg(
+        F.count(F.lit(1)).alias("n_returns"),
+        F.sum("lnu").cast("bigint").alias("net_ret_units"),
+        F.sum(
+            (F.col("lnu") * F.col("lnu")).cast("decimal(38,0)")
+        ).alias("num"),
+    )
+    rv = (
+        F.expr("num div 1000000000000").cast("double")
+        + F.expr("num % 1000000000000").cast("double")
+        / F.lit(1000000000000.0)
+    )
+    return agg.select(
+        "event_type",
+        "bar_start",
+        "n_returns",
+        "net_ret_units",
+        rv.alias("realized_var"),
+    )
+
+
+@register(
+    "q_ohlc_daily",
+    """
+    WITH ticks AS (
+      SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             value,
+             date_diff('microsecond',
+                       date_trunc('day', CAST(ts AS TIMESTAMP)),
+                       CAST(ts AS TIMESTAMP)) * 2097152 + event_id AS okey
+      FROM events
+    )
+    SELECT event_type, CAST(d AS DATE) AS bar_date,
+           arg_min(value, okey) AS open_px,
+           max(value) AS high_px,
+           min(value) AS low_px,
+           arg_max(value, okey) AS close_px,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS volume_units
+    FROM ticks GROUP BY 1, 2
+    """,
+)
+def q_ohlc_daily(spark, sf_dir):
+    """Daily OHLC bars built by ROLLING UP the hourly bars — the
+    hierarchical pre-aggregation pattern every bar store runs at
+    scale (hourly bars materialize once; daily/weekly/monthly derive
+    from them, never re-reading the tape). The oracle computes daily
+    bars DIRECTLY from raw ticks, so bitwise parity here proves the
+    bar-merge algebra: open = first sub-bar's open (min_by on
+    bar_start), close = last sub-bar's close, high/low = min/max of
+    sub-bar extremes, tick and volume counts add. All six states are
+    mergeable — the same property that makes the streaming build
+    (streaming/jobs.py ohlc_bars) incremental.
+
+    Plan: the hourly exchange on (event_type, bar_start) plus one
+    tiny exchange on (event_type, day) over the BAR rows (a ~24x
+    reduction has already happened); at 100 TB the first stage reads
+    the materialized hourly table instead and the tape is never
+    rescanned."""
+    hourly = QUERIES["q_ohlc_bars"](spark, sf_dir)
+    return (
+        hourly.groupBy(
+            "event_type",
+            F.to_date("bar_start").alias("bar_date"),
+        )
+        .agg(
+            F.min_by("open_px", "bar_start").alias("open_px"),
+            F.max("high_px").alias("high_px"),
+            F.min("low_px").alias("low_px"),
+            F.max_by("close_px", "bar_start").alias("close_px"),
+            F.sum("n_ticks").cast("bigint").alias("n_ticks"),
+            F.sum("volume_units").cast("bigint").alias("volume_units"),
+        )
+    )
+
+
+@register(
     "q_tick_rule_flow",
     """
     WITH seq AS (
@@ -6599,9 +6755,10 @@ def q_bigram_logloss(spark, sf_dir):
 #: slots; q_dsir_sample, q_cluster_split, q_ohlc_bars,
 #: q_bigram_logloss and q_waiting_suppliers (registered after the B
 #: window closed) displace into cohort C's r10 window (45+5 = 50,
-#: zero canary slots — C is now full); q_tick_rule_flow (registered
-#: after C filled) opens the r11 window alongside cohort A. r8 adds
-#: no further oracle-paired entries beyond these eleven. Invariants that override the cycle: (1)
+#: zero canary slots — C is now full); q_tick_rule_flow,
+#: q_ohlc_daily and q_realized_var (registered after C filled) open
+#: the r11 window alongside cohort A. r8 adds no further
+#: oracle-paired entries beyond these thirteen. Invariants that override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a

@@ -291,3 +291,15 @@ def test_tick_rule_flow_single_exchange_serves_windows_and_agg(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan
+
+
+def test_realized_var_single_exchange(spark, sf_dir):
+    """Like the tick rule: the lag window pass and the hourly RV
+    aggregate share the event_type hash partitioning — one exchange,
+    no join, no Python; the value>0 hygiene filter pushes to the
+    scan."""
+    plan = plan_of(spark, sf_dir, "q_realized_var")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(value,0\.0\).*\]", plan), plan
