@@ -101,6 +101,10 @@ HEADLINE = [
     # realized variance: lag window + HUGEINT-exact squared-return
     # aggregation, same one-exchange shape.
     "q_realized_var",
+    # signed 5-minute markout: consolidation groupBy + THREE window
+    # passes (lag, forward range frame, carried sign) + hourly agg,
+    # all on one exchange — the heaviest window composition.
+    "q_markout",
 ]
 
 

@@ -6089,6 +6089,141 @@ def q_realized_var(spark, sf_dir):
 
 
 @register(
+    "q_markout",
+    """
+    WITH clean AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE value > 0
+    ),
+    path AS (
+      SELECT event_type, ts, epoch_us(ts) AS us,
+             MAX(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+               AS p_units
+      FROM clean GROUP BY 1, 2, 3
+    ),
+    sgn AS (
+      SELECT event_type, ts, us, p_units,
+             CASE WHEN p_units > lag(p_units) OVER w THEN 1
+                  WHEN p_units < lag(p_units) OVER w THEN -1
+                  ELSE NULL END AS dir,
+             last_value(p_units) OVER (
+               PARTITION BY event_type ORDER BY us
+               RANGE BETWEEN 1 FOLLOWING AND 300000000 FOLLOWING
+             ) AS fwd_units
+      FROM path
+      WINDOW w AS (PARTITION BY event_type ORDER BY us)
+    ),
+    carried AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_start,
+             p_units, fwd_units,
+             last_value(dir IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS side
+      FROM sgn
+    )
+    SELECT event_type, bar_start,
+           COUNT(CASE WHEN side IS NOT NULL
+                       AND fwd_units IS NOT NULL THEN 1 END)
+             AS n_marked,
+           CAST(SUM(CASE WHEN side IS NOT NULL
+                          AND fwd_units IS NOT NULL
+                         THEN side * (fwd_units - p_units)
+                         ELSE 0 END) AS BIGINT) AS markout_units
+    FROM carried GROUP BY 1, 2
+    """,
+)
+def q_markout(spark, sf_dir):
+    """Signed 5-minute markout — the canonical transaction-cost /
+    adverse-selection metric: for each print, the tick-rule side
+    times the price move to the last print within the next 5 minutes
+    (positive = flow keeps pushing prices its own way = toxic flow).
+    Composes the tick-rule classifier with a forward RANGE-frame
+    price lookup, summed per (instrument, hour) in exact micro-units.
+
+    Determinism hinges on ONE modeling choice: the tape is first
+    consolidated to a PRICE PATH — max price per (instrument, µs)
+    (the documented tie convention; sub-µs print order is not
+    defined on this tape anyway). That makes the path's µs order key
+    UNIQUE per instrument, so every window (lag, carried sign,
+    forward last_value over RANGE (1, 300e6] µs FOLLOWING) is
+    deterministic with SCALAR order keys in both engines — no packed
+    tie-break needed, unlike q_ohlc_bars where ties survive into the
+    aggregation. Prints with no forward observation (tape end) or no
+    sign yet (leading run) contribute zero and are excluded from
+    n_marked. All arithmetic is integer micro-units; the sign comes
+    from integer comparisons.
+
+    Plan: the consolidation groupBy, all three window passes, and
+    the hourly aggregate ALL ride one event_type-subset hash
+    partitioning — a single exchange end-to-end (plan-asserted),
+    same instrument-key scale posture as q_tick_rule_flow."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select("event_type", "ts", "value")
+    )
+    us = F.expr(
+        "timestampdiff(MICROSECOND,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    # one explicit instrument-keyed exchange up front: the windows
+    # force HashPartitioning(event_type) anyway, and subset
+    # partitioning satisfies the consolidation groupBy's clustering —
+    # without this, Catalyst hashes the groupBy on its full
+    # (event_type, ts, us) key and re-exchanges for the window (two
+    # shuffles of the same rows).
+    path = (
+        ev.withColumn("us", us)
+        .repartition("event_type")
+        .groupBy("event_type", "ts", "us")
+        .agg(
+            F.max(
+                F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+            ).alias("p_units")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("us")
+    dirc = (
+        F.when(F.col("p_units") > F.lag("p_units").over(w), F.lit(1))
+        .when(F.col("p_units") < F.lag("p_units").over(w), F.lit(-1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    fwd = F.last("p_units").over(w.rangeBetween(1, 300_000_000))
+    sgn = path.select(
+        "event_type",
+        "ts",
+        "us",
+        "p_units",
+        dirc.alias("dir"),
+        fwd.alias("fwd_units"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = sgn.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts"))
+        .cast("timestamp_ntz")
+        .alias("bar_start"),
+        "p_units",
+        "fwd_units",
+        F.last("dir", ignorenulls=True).over(wrun).alias("side"),
+    )
+    ok = F.col("side").isNotNull() & F.col("fwd_units").isNotNull()
+    return carried.groupBy("event_type", "bar_start").agg(
+        F.count(F.when(ok, 1)).alias("n_marked"),
+        F.sum(
+            F.when(
+                ok, F.col("side") * (F.col("fwd_units") - F.col("p_units"))
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("markout_units"),
+    )
+
+
+@register(
     "q_ohlc_daily",
     """
     WITH ticks AS (
@@ -6756,9 +6891,9 @@ def q_bigram_logloss(spark, sf_dir):
 #: q_bigram_logloss and q_waiting_suppliers (registered after the B
 #: window closed) displace into cohort C's r10 window (45+5 = 50,
 #: zero canary slots — C is now full); q_tick_rule_flow,
-#: q_ohlc_daily and q_realized_var (registered after C filled) open
-#: the r11 window alongside cohort A. r8 adds no further
-#: oracle-paired entries beyond these thirteen. Invariants that override the cycle: (1)
+#: q_ohlc_daily, q_realized_var and q_markout (registered after C
+#: filled) open the r11 window alongside cohort A. r8 adds no
+#: further oracle-paired entries beyond these fourteen. Invariants that override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a

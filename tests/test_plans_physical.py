@@ -303,3 +303,14 @@ def test_realized_var_single_exchange(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Python" not in plan
     assert re.search(r"PushedFilters: \[.*GreaterThan\(value,0\.0\).*\]", plan), plan
+
+
+def test_markout_single_exchange(spark, sf_dir):
+    """The consolidation groupBy, all three window passes (lag,
+    forward range-frame, carried sign) and the hourly aggregate ride
+    one event_type-subset partitioning — a single exchange, no join,
+    no Python."""
+    plan = plan_of(spark, sf_dir, "q_markout")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan

@@ -462,3 +462,49 @@ def test_tick_rule_carried_sign_golden(spark, tmp_path):
     problems = compare(df, con, ORACLE_SQL["q_tick_rule_flow"])
     con.close()
     assert not problems, problems
+
+
+def test_markout_golden_hand_walked(spark, tmp_path):
+    """Hand-walked signed 5-minute markout: the consolidation takes
+    the max print per (instrument, µs); sides follow the tick rule;
+    the forward price is the last path point strictly within +5 min;
+    prints with no sign or no forward observation are excluded."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def at(minutes, seconds=0):
+        return base + datetime.timedelta(minutes=minutes, seconds=seconds)
+
+    rows = [
+        ("swap", 1, at(0), 10.0),    # leading: no sign
+        ("swap", 2, at(1), 12.0),    # uptick +1; fwd=11.5 -> -0.5
+        ("swap", 3, at(1), 9.0),     # same-µs tie: consolidated away (max=12.0)
+        ("swap", 4, at(3), 11.0),    # downtick -1; fwd=11.5 -> -0.5
+        ("swap", 5, at(5, 30), 11.5),  # uptick, but no forward print in 5m
+        ("swap", 6, at(20), 11.5),   # equal: carries +1, no forward print
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_type string, event_id long, ts timestamp_ntz, value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    df = QUERIES["q_markout"](spark, str(tmp_path))
+    out = {(r.event_type, r.bar_start): r for r in df.collect()}
+    b0 = out[("swap", base)]
+    assert b0.n_marked == 2
+    assert b0.markout_units == -1_000_000  # -0.5 + -0.5 in micro-units
+    b1 = out[("swap", base.replace(hour=10))]  # all in the 10:00 bar
+    assert b1 is b0
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    problems = compare(df, con, ORACLE_SQL["q_markout"])
+    con.close()
+    assert not problems, problems
