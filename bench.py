@@ -105,6 +105,10 @@ HEADLINE = [
     # passes (lag, forward range frame, carried sign) + hourly agg,
     # all on one exchange — the heaviest window composition.
     "q_markout",
+    # exact gram matrix: the join-free nested-transform explode with
+    # partial aggregation folding each task to d(d+1)/2 cells — the
+    # widest per-row fan-out in the registry (2080x).
+    "q_embed_gram",
 ]
 
 

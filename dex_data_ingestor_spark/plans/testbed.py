@@ -6793,6 +6793,68 @@ def q_unigram_logloss(spark, sf_dir):
 
 
 @register(
+    "q_embed_gram",
+    """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    x AS (
+      SELECT i, j,
+             CAST(v[i] AS DECIMAL(18,6)) * CAST(v[j] AS DECIMAL(18,6))
+               AS p
+      FROM e,
+           unnest(range(1, len(v)+1)) AS u(i),
+           unnest(range(1, len(v)+1)) AS w(j)
+      WHERE j >= i
+    )
+    SELECT i, j, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS gram
+    FROM x GROUP BY 1, 2
+    """,
+)
+def q_embed_gram(spark, sf_dir):
+    """Exact second-moment (gram) matrix of the embedding corpus —
+    the input to whitening / PCA / ZCA, the standard preprocessing
+    before semantic dedup or clustering (decorrelated dimensions make
+    cosine thresholds meaningful). Upper triangle only (the matrix is
+    symmetric): d(d+1)/2 = 2080 cells at d=64.
+
+    Exactness is q_embed_stats' discipline composed: each component
+    quantizes to DECIMAL(18,6) (a float tie at 6 dp would need a
+    dyadic 5e-7 — impossible), products are exact DECIMAL(38,12), and
+    per-cell sums stay exact; the final double cast is exact because
+    |cell| ≤ n * max|x|² ≈ 5.6e14 scaled units < 2^53 at every
+    shipped SF (re-derive before sf ≥ 10 — then emit q+r like
+    q_twap).
+
+    Plan: this is the 100 TB shape to copy — NO self-join (the naive
+    gram is explode ⋈ explode on vec_id): each row expands to its own
+    upper-triangle products with one nested-transform + flatten +
+    explode (narrow), partial aggregation folds every task to ≤ 2080
+    cells BEFORE the single (i, j)-keyed exchange, so shuffle bytes
+    are O(tasks · d²) — independent of corpus size."""
+    em = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+    )
+    pairs = F.expr(
+        """
+        flatten(transform(v, (xi, i) ->
+          transform(slice(v, i + 1, size(v) - i), (xj, k) ->
+            struct(i + 1 AS i, i + k + 1 AS j,
+                   CAST(xi AS DECIMAL(18,6))
+                     * CAST(xj AS DECIMAL(18,6)) AS p))))
+        """
+    )
+    x = em.select(F.explode(pairs).alias("c")).select(
+        "c.i", "c.j", "c.p"
+    )
+    return x.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").cast("double").alias("gram"),
+    )
+
+
+@register(
     "q_bigram_logloss",
     rf"""
     WITH toks AS (
@@ -6891,9 +6953,9 @@ def q_bigram_logloss(spark, sf_dir):
 #: q_bigram_logloss and q_waiting_suppliers (registered after the B
 #: window closed) displace into cohort C's r10 window (45+5 = 50,
 #: zero canary slots — C is now full); q_tick_rule_flow,
-#: q_ohlc_daily, q_realized_var and q_markout (registered after C
-#: filled) open the r11 window alongside cohort A. r8 adds no
-#: further oracle-paired entries beyond these fourteen. Invariants that override the cycle: (1)
+#: q_ohlc_daily, q_realized_var, q_markout and q_embed_gram
+#: (registered after C filled) open the r11 window alongside cohort
+#: A. r8 adds no further oracle-paired entries beyond these fifteen. Invariants that override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a

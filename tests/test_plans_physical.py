@@ -314,3 +314,15 @@ def test_markout_single_exchange(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan
+
+
+def test_embed_gram_no_join_single_exchange(spark, sf_dir):
+    """The gram matrix must be the narrow nested-transform explode —
+    NOT a vec_id self-join of exploded components: no Join node, one
+    (i,j)-keyed exchange fed by partial aggregation (each task folds
+    to <= d(d+1)/2 cells before shuffling), no Python."""
+    plan = plan_of(spark, sf_dir, "q_embed_gram")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Python" not in plan

@@ -978,3 +978,20 @@ def test_bigram_logloss_materialize_matches_and_severs_diamond(spark, sf_dir):
     )
     final = plan.split("Initial Plan")[0]
     assert final.count("Scan parquet") == 1, final
+
+
+def test_embed_gram_golden_small_matrix(spark, tmp_path):
+    """Gram of [[1,0],[1,1]] is [[2,1],[1,1]] — upper triangle (1,1)=2,
+    (1,2)=1, (2,2)=1, each cell aggregating both rows; NULL embeddings
+    are excluded."""
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 1.0]), (3, None)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        (r.i, r.j): (r.n, r.gram)
+        for r in QUERIES["q_embed_gram"](spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 1): (2, 2.0), (1, 2): (2, 1.0), (2, 2): (2, 1.0)}
