@@ -434,3 +434,257 @@ def embedding_neardup_pairs_fast(
         .groupBy(block_col)
         .applyInPandas(kernel, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): codebook compression + ADC search
+# ---------------------------------------------------------------------------
+
+
+def quantize_units(x: float) -> int:
+    """The PQ component quantization: pure-IEEE
+    ``floor(x * 1e6 + 0.5)`` — the q_twap rule. Python floats ARE
+    IEEE doubles, so this is bit-identical to Spark's
+    ``F.floor(x * 1e6 + 0.5)`` and DuckDB's
+    ``FLOOR(x * 1000000.0 + 0.5)`` with no cast-semantics caveat.
+    (A DECIMAL(18,6) cast is NOT used here: Spark rounds the
+    shortest-decimal repr HALF_UP, so e.g. the double nearest
+    0.1234565 casts to 123457 in Spark but 123456 under true-value
+    rounding — the r7 q_twap lesson, pinned in
+    tests/test_vector_text.py.)"""
+    return math.floor(x * 1e6 + 0.5)
+
+
+def pq_codebooks(
+    dim: int, m: int, k: int, seed: int = 11
+) -> list[list[list[int]]]:
+    """m per-subspace codebooks of k centroids each, in integer
+    MICRO-UNITS (``dim % m == 0``). Seeded like the IVF centroids
+    (byte-reproducible index over recall; a k-means refinement can be
+    layered on without changing the search), then quantized once so
+    the entire PQ pipeline — encode argmin AND ADC ranking — is exact
+    integer arithmetic with no cross-engine float caveat at all,
+    unlike the IVF/LSH argmax which rests on score margins."""
+    sub = dim // m
+    assert sub * m == dim, "dim must divide evenly into m subspaces"
+    return [
+        [
+            [quantize_units(x) for x in c]
+            for c in seeded_centroids(sub, k, seed=seed + 97 * s)
+        ]
+        for s in range(m)
+    ]
+
+
+def _unit_lit(vals: list[int]):
+    return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+
+
+def _sub_units(v, s: int, sub: int):
+    """Slice subspace s of a float-array column and quantize each
+    component to exact micro-unit longs via the pure-IEEE
+    floor(x*1e6 + 0.5) rule (see quantize_units)."""
+    return F.transform(
+        F.slice(v, s * sub + 1, sub),
+        lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5)),
+    )
+
+
+def _sq_l2_units(sub_units, code_units: list[int]):
+    """Exact squared L2 between a micro-unit long array column and a
+    literal micro-unit codeword: components ≤ ~2^21, squares ≤ 2^42,
+    8-term sums ≤ 2^45 — exact longs throughout."""
+    return F.aggregate(
+        F.zip_with(
+            sub_units, _unit_lit(code_units), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[int]]],
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Assign each subspace its nearest codeword (exact integer
+    squared-L2 argmin, ties to the LOWEST code index via
+    least(struct)) — one narrow pass, dim doubles -> m small ints per
+    row (~32x smaller index at m=8 codes vs 64 doubles). At scale the
+    codes table is the only thing the search tier stores."""
+    v = F.col(vec_col)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    code_exprs = []
+    for s in range(m):
+        su = _sub_units(v, s, sub)
+        best = None
+        for ci, c in enumerate(codebooks[s]):
+            st = F.struct(
+                _sq_l2_units(su, c).alias("d"), F.lit(ci).alias("c")
+            )
+            best = st if best is None else F.least(best, st)
+        code_exprs.append(best["c"])
+    return df.withColumn(codes_col, F.array(*code_exprs))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    id_col: str,
+    codebooks: list[list[list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query is quantized once on the
+    driver, the per-subspace lookup table of exact squared distances
+    (micro-unit² longs) is embedded as literals, and each row's
+    approximate distance is m table lookups + an exact integer sum —
+    no per-row vector math at query time, THE property that makes PQ
+    the RAM-bound billion-vector search layout. Ranking is fully
+    deterministic (integer distance, id tie-break)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qu = [quantize_units(x) for x in query_vec]
+    dist = None
+    for s in range(m):
+        qs = qu[s * sub : (s + 1) * sub]
+        lut = [
+            sum((a - b) * (a - b) for a, b in zip(qs, c))
+            for c in codebooks[s]
+        ]
+        term = F.element_at(_unit_lit(lut), F.col(codes_col)[s] + 1)
+        dist = term if dist is None else dist + term
+    return (
+        encoded.select(
+            F.col(id_col), dist.alias("approx_dist_units")
+        )
+        .orderBy("approx_dist_units", id_col)
+        .limit(k)
+    )
+
+
+def pq_rerank_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The production two-stage PQ search: ADC shortlist (codes-only,
+    constant work per row) -> exact integer-L2 re-rank of the
+    shortlist against the raw vectors. At 100 TB the shortlist stage
+    touches ONLY the compressed codes table; the raw-vector page-in is
+    `shortlist` rows per query, so the expensive exact metric runs on
+    a candidate set that no longer depends on corpus size. Both
+    stages are exact integer arithmetic in micro-units, so ranking —
+    including every tie-break — is engine-portable.
+
+    Plan shape: encode is a narrow map, the shortlist is a
+    TakeOrdered, the re-rank is a second TakeOrdered over <= shortlist
+    rows joined back to their vectors (broadcast-sized by
+    construction)."""
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    v = F.col(vec_col)
+    encoded = pq_encode(df, vec_col, codebooks)
+    short = pq_adc_topk(
+        encoded, id_col, codebooks, query_vec, k=shortlist
+    )
+    qu = [quantize_units(x) for x in query_vec]
+    vu = F.flatten(
+        F.array(*[_sub_units(v, s, sub) for s in range(m)])
+    )
+    exact = F.aggregate(
+        F.zip_with(vu, _unit_lit(qu), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.join(F.broadcast(short.select(id_col)), id_col, "inner")
+        .select(F.col(id_col), exact.alias("dist_units"))
+        .orderBy("dist_units", id_col)
+        .limit(k)
+    )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int,
+    k: int,
+    iterations: int = 3,
+    seed: int = 11,
+) -> list[list[list[int]]]:
+    """L2 Lloyd training of the per-subspace codebooks — the real PQ
+    fit (seeded random codewords are reproducible but loose; k-means
+    sub-codebooks are what gives PQ its recall). Distributed shape:
+    every iteration is ONE Spark job over ALL subspaces at once (each
+    row explodes into its m sub-vectors tagged by subspace), the
+    assignment is the same exact integer argmin pq_encode uses (so
+    training and encoding can never disagree on a boundary), and only
+    the (s, code, pos) means — O(m·k·sub) floats, model state, never
+    data — come back to the driver. Means are re-quantized to
+    micro-units each round, keeping every assignment deterministic;
+    empty codes keep their previous codeword."""
+    sub = dim // m
+    cbs = pq_codebooks(dim, m, k, seed=seed)
+    v = F.col(vec_col)
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"), _sub_units(v, s, sub).alias("su")
+            )
+            for s in range(m)
+        ]
+    )
+    subs = (
+        df.filter(v.isNotNull())
+        .select(F.explode(parts).alias("p"))
+        .select("p.s", "p.su")
+    )
+    for _ in range(iterations):
+        code = None
+        for ci in range(k):
+            # per-subspace codeword ci as a 2-level literal indexed by s
+            cw = F.expr(
+                "array("
+                + ",".join(
+                    "array(" + ",".join(f"{u}L" for u in cbs[s][ci]) + ")"
+                    for s in range(m)
+                )
+                + ")"
+            )
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("su"),
+                    F.element_at(cw, F.col("s") + 1),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            st = F.struct(d.alias("d"), F.lit(ci).alias("c"))
+            code = st if code is None else F.least(code, st)
+        means = (
+            subs.withColumn("c", code["c"])
+            .select("s", "c", F.posexplode("su"))
+            .groupBy("s", "c", "pos")
+            .agg(F.avg("col").alias("mu"))
+            .collect()
+        )
+        table: dict[tuple[int, int], list[int]] = {}
+        for r in means:
+            table.setdefault((r.s, r.c), [0] * sub)[r.pos] = (
+                quantize_units(r.mu / 1e6)
+            )
+        cbs = [
+            [table.get((s, ci), cbs[s][ci]) for ci in range(k)]
+            for s in range(m)
+        ]
+    return cbs

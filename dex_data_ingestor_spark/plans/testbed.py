@@ -2124,6 +2124,161 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+_PQ_M = 8
+_PQ_K = 16
+_PQ_SEED = 11
+
+
+def _pq_oracle_sql(rerank: bool = False) -> str:
+    """Oracle for q_ann_pq (and, with ``rerank=True``, for
+    q_ann_pq_rerank: ADC shortlist-50 -> exact integer-L2 re-rank
+    -> top-10). The codebooks are embedded as integer
+    micro-unit literals; data components quantize through the
+    pure-IEEE floor(x*1e6 + 0.5) rule (bit-identical in Spark,
+    DuckDB, and the driver-side Python quantize_units — a decimal
+    cast is NOT portable, the r7 twap lesson); the query LUT derives
+    INSIDE the SQL from vec_id 0's quantized embedding. Every
+    distance, the encode argmin, and the ADC ranking are exact
+    integer arithmetic — this family has NO float-parity caveat,
+    unlike the IVF/LSH argmax."""
+    from dex_data_ingestor_spark.operators.vector import pq_codebooks
+
+    cbs = pq_codebooks(_IVF_DIM, _PQ_M, _PQ_K, seed=_PQ_SEED)
+    sub = _IVF_DIM // _PQ_M
+    rows = []
+    for s, cb in enumerate(cbs):
+        for c, cu in enumerate(cb):
+            lst = "[" + ",".join(str(u) for u in cu) + "]"
+            rows.append(f"({s}, {c}, {lst}::BIGINT[])")
+    values = ",\n      ".join(rows)
+    if rerank:
+        rerank_ctes = f""",
+    short AS (
+      SELECT vec_id FROM adc
+      ORDER BY approx_dist_units ASC, vec_id ASC LIMIT 50
+    ),
+    exact AS (
+      SELECT xu.vec_id,
+             CAST(list_sum(list_transform(range(1, {_IVF_DIM} + 1),
+                  i -> (xu.v[i] - qu.qv[i]) * (xu.v[i] - qu.qv[i])))
+                  AS BIGINT) AS dist_units
+      FROM xu JOIN short USING (vec_id) CROSS JOIN qu
+    )"""
+        final_select = (
+            "SELECT vec_id, dist_units FROM exact "
+            "ORDER BY dist_units ASC, vec_id ASC LIMIT 10"
+        )
+    else:
+        rerank_ctes = ""
+        final_select = (
+            "SELECT vec_id, approx_dist_units FROM adc "
+            "ORDER BY approx_dist_units ASC, vec_id ASC LIMIT 10"
+        )
+    return f"""
+    WITH cb(s, c, cu) AS (VALUES
+      {values}
+    ),
+    xu AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))
+               AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    qu AS (SELECT v AS qv FROM xu WHERE vec_id = 0),
+    lut AS (
+      SELECT cb.s, cb.c,
+             CAST(list_sum(list_transform(range(1, {sub} + 1),
+                  i -> (qv[cb.s*{sub}+i] - cb.cu[i])
+                       * (qv[cb.s*{sub}+i] - cb.cu[i])))
+                  AS BIGINT) AS du
+      FROM cb CROSS JOIN qu
+    ),
+    dists AS (
+      SELECT x.vec_id, cb.s, cb.c,
+             CAST(list_sum(list_transform(range(1, {sub} + 1),
+                  i -> (v[cb.s*{sub}+i] - cb.cu[i])
+                       * (v[cb.s*{sub}+i] - cb.cu[i])))
+                  AS BIGINT) AS d
+      FROM xu x CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, s, c FROM dists
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d ASC, c ASC) = 1
+    ),
+    adc AS (
+      SELECT codes.vec_id,
+             CAST(SUM(lut.du) AS BIGINT) AS approx_dist_units
+      FROM codes JOIN lut USING (s, c) GROUP BY 1
+    ){rerank_ctes}
+    {final_select}
+    """
+
+
+@register("q_ann_pq", _pq_oracle_sql())
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN — the COMPRESSION leg of the J3 scale
+    story (IVF prunes which vectors to scan, hyperplane LSH prunes
+    via buckets, PQ shrinks what each vector COSTS): 64 doubles
+    become 8 small code ints (~32x), and query-time distance is 8
+    lookup-table reads + an integer sum per row, no vector math — the
+    layout behind RAM-bound billion-vector search (Jégou et al.,
+    TPAMI 2011). Seeded codebooks (byte-reproducible index, the IVF
+    posture), components quantized to exact micro-units so encode
+    argmin and ADC ranking are INTEGER arithmetic end-to-end — the
+    one ANN family with zero cross-engine float caveat.
+
+    Plan: encode is one narrow pass (no shuffle); the ADC top-k is a
+    TakeOrdered over per-row constant-time lookups. At 100 TB the
+    codes table (plus an IVF cell key) IS the search tier's working
+    set; raw vectors page in only for optional re-ranking."""
+    from dex_data_ingestor_spark.operators.vector import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    qvec = [
+        float(x)
+        for x in em.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    cbs = pq_codebooks(_IVF_DIM, _PQ_M, _PQ_K, seed=_PQ_SEED)
+    encoded = pq_encode(em, "embedding", cbs)
+    return pq_adc_topk(encoded, "vec_id", cbs, qvec, k=10)
+
+
+@register("q_ann_pq_rerank", _pq_oracle_sql(rerank=True))
+def q_ann_pq_rerank(spark, sf_dir):
+    """The production PQ deployment: ADC shortlist-50 over the
+    compressed codes, then exact integer-L2 re-rank of just those 50
+    raw vectors -> top-10. At 100 TB the corpus-size-proportional work
+    touches ONLY the m-byte codes; the raw-vector page-in is a
+    constant 50 rows per query (broadcast-joined back). Both stages
+    are micro-unit integer arithmetic, so the composed ranking —
+    including every tie-break — is bitwise engine-portable; the lossy
+    ADC stage only picks WHICH candidates get the exact metric."""
+    from dex_data_ingestor_spark.operators.vector import (
+        pq_codebooks,
+        pq_rerank_topk,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    qvec = [
+        float(x)
+        for x in em.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    cbs = pq_codebooks(_IVF_DIM, _PQ_M, _PQ_K, seed=_PQ_SEED)
+    return pq_rerank_topk(
+        em, "vec_id", "embedding", cbs, qvec, k=10, shortlist=50
+    )
+
+
 @register(
     "q_embed_neardup",
     """

@@ -995,3 +995,163 @@ def test_embed_gram_golden_small_matrix(spark, tmp_path):
         for r in QUERIES["q_embed_gram"](spark, str(tmp_path)).collect()
     }
     assert got == {(1, 1): (2, 2.0), (1, 2): (2, 1.0), (2, 2): (2, 1.0)}
+
+
+def test_pq_quantize_units_three_engine_parity(spark):
+    """quantize_units (driver-side Python ``math.floor(x*1e6+0.5)``)
+    must be bit-identical to BOTH engine forms of the same rule —
+    Spark ``F.floor(x*1e6+0.5)`` and DuckDB ``FLOOR(x*1000000.0+0.5)``
+    — on a hostile grid: decimal-repr tie values (0.1234565 is the
+    case where a decimal(18,6) cast DIVERGES between Spark's HALF_UP
+    and DuckDB's half-even, the r7 q_twap red), negatives, exact
+    half-unit values, float32 artifacts."""
+    import duckdb
+    import numpy as np
+
+    from dex_data_ingestor_spark.operators.vector import quantize_units
+
+    vals = [
+        0.0, 1.0, -1.0, 0.1234565, -0.1234575, 0.4583735167980194,
+        -0.5252062082290649, 1e-7, -1e-7, 0.0000005, -0.0000005,
+        0.1306095, 0.5004135,
+        float(np.float32(0.3333333)), float(np.float32(-0.7777777)),
+    ]
+    want = [quantize_units(v) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r.u
+        for r in df.select(
+            F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5)).alias("u")
+        ).collect()
+    ]
+    assert got_spark == want
+    got_duck = [
+        duckdb.sql(
+            f"SELECT CAST(FLOOR(CAST({v!r} AS DOUBLE) * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got_duck == want
+    # and pin WHY the decimal cast was rejected: Spark's
+    # double->decimal(18,6) rounds the SHORTEST-DECIMAL REPR HALF_UP,
+    # so a repr-tie whose true binary value sits just BELOW the tie
+    # (0.1306095 is 0.13060949999999999… as a double) lands one unit
+    # ABOVE the floor/true-value rule — the r7 q_twap divergence.
+    (tie,) = (
+        spark.createDataFrame([(0.1306095,)], "x double")
+        .select(
+            (F.col("x").cast("decimal(18,6)") * 1000000)
+            .cast("long")
+            .alias("u")
+        )
+        .collect()
+    )
+    assert tie.u == quantize_units(0.1306095) + 1
+
+
+def test_pq_encode_tie_breaks_to_lowest_code(spark):
+    """A vector exactly equidistant (in integer micro-unit space)
+    between two codewords must take the LOWER code index."""
+    from dex_data_ingestor_spark.operators.vector import pq_encode
+
+    cbs = [[[0, 0], [2, 2]]]  # micro-unit codebook, one subspace
+    df = spark.createDataFrame(
+        [(1, [1e-6, 1e-6])], "vec_id long, embedding array<double>"
+    )
+    (r,) = pq_encode(df, "embedding", cbs).collect()
+    assert r.codes == [0]
+
+
+def _pq_top10(emn, cbs, qvec):
+    from dex_data_ingestor_spark.operators.vector import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    return {
+        r.vec_id
+        for r in pq_adc_topk(
+            pq_encode(emn, "embedding", cbs), "vec_id", cbs, qvec, k=10
+        ).collect()
+    }
+
+
+def _pq_distortion(emn, cbs) -> int:
+    """Total exact quantization error (micro-unit² longs): sum over
+    rows and subspaces of the squared distance to the ASSIGNED
+    codeword — the objective Lloyd training minimizes."""
+    from dex_data_ingestor_spark.operators.vector import (
+        _sq_l2_units,
+        _sub_units,
+    )
+
+    m = len(cbs)
+    sub = len(cbs[0][0])
+    v = F.col("embedding")
+    err = None
+    for s in range(m):
+        su = _sub_units(v, s, sub)
+        best = None
+        for c in cbs[s]:
+            d = _sq_l2_units(su, c)
+            best = d if best is None else F.least(best, d)
+        err = best if err is None else err + best
+    return emn.select(F.sum(err).alias("e")).head()["e"]
+
+
+def test_pq_adc_recall_against_brute_force(spark, em, query_vec):
+    """PQ is lossy, and SEEDED codebooks are deliberately loose (they
+    exist for the byte-reproducible oracle pairing, like the IVF
+    seeds) — the recall story rests on the Lloyd trainer. Pin both
+    ends: trained codebooks (m=16, k=16, 64-dim) must recover >= 4 of
+    the exact integer-L2 top-10 (a broken LUT/encode scores ~random,
+    recall ~0.02), and training must STRICTLY cut total quantization
+    distortion vs the seeded codebooks it initializes from (Lloyd
+    monotonicity — recall on one query is noisy, the objective is
+    not)."""
+    from dex_data_ingestor_spark.operators.vector import (
+        pq_codebooks,
+        pq_train_codebooks,
+        quantize_units,
+    )
+
+    emn = em.filter(F.col("embedding").isNotNull())
+    seeded = pq_codebooks(64, 16, 16, seed=11)
+    trained = pq_train_codebooks(
+        emn, "embedding", dim=64, m=16, k=16, iterations=3, seed=11
+    )
+    # exact L2 top-10 in integer micro-units (the metric PQ approximates)
+    qu = [quantize_units(x) for x in query_vec]
+    qlit = "array(" + ",".join(f"{u}L" for u in qu) + ")"
+    exact = emn.select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(transform(embedding, x -> "
+            "floor(cast(x as double) * 1000000.0 + 0.5)), "
+            f"{qlit}, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
+        ).alias("d"),
+    ).orderBy("d", "vec_id").limit(10)
+    exact_ids = {r.vec_id for r in exact.collect()}
+    trained_hits = len(_pq_top10(emn, trained, query_vec) & exact_ids)
+    assert trained_hits >= 4, (trained_hits, exact_ids)
+    assert _pq_distortion(emn, trained) < _pq_distortion(emn, seeded)
+    # the production deployment is shortlist + exact re-rank: the
+    # trained ADC top-50 must contain (nearly) the whole exact top-10,
+    # so the re-ranked result is (nearly) exact.
+    from dex_data_ingestor_spark.operators.vector import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    short50 = {
+        r.vec_id
+        for r in pq_adc_topk(
+            pq_encode(emn, "embedding", trained),
+            "vec_id",
+            trained,
+            query_vec,
+            k=50,
+        ).collect()
+    }
+    assert len(short50 & exact_ids) >= 8, (short50, exact_ids)
