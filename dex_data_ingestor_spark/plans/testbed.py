@@ -2279,6 +2279,161 @@ def q_ann_pq_rerank(spark, sf_dir):
     )
 
 
+_IVFPQ_NCELLS = 8
+_IVFPQ_NPROBE = 2
+_IVFPQ_SEED = 29
+
+
+def _ivfpq_coarse() -> list[list[int]]:
+    """The IVFPQ coarse quantizer: ncells whole-dim centroids in
+    exact micro-units (one pq_codebooks call with m=1), so cell
+    assignment is the same exact integer L2 argmin as the fine
+    encode — zero float caveat anywhere in the composed index."""
+    from dex_data_ingestor_spark.operators.vector import pq_codebooks
+
+    return pq_codebooks(
+        _IVF_DIM, 1, _IVFPQ_NCELLS, seed=_IVFPQ_SEED
+    )[0]
+
+
+def _ivfpq_oracle_sql() -> str:
+    """Oracle for q_ann_ivfpq: the q_ann_pq CTE chain gated by an
+    integer-exact coarse stage — assign every vector to its nearest
+    whole-dim coarse centroid (ties to the lower cell), pick the
+    query's nprobe nearest cells the same way, and run the ADC
+    ranking only over vectors in probed cells."""
+    from dex_data_ingestor_spark.operators.vector import pq_codebooks
+
+    coarse = _ivfpq_coarse()
+    crows = ",\n      ".join(
+        f"({i}, [{','.join(str(u) for u in c)}]::BIGINT[])"
+        for i, c in enumerate(coarse)
+    )
+    cbs = pq_codebooks(_IVF_DIM, _PQ_M, _PQ_K, seed=_PQ_SEED)
+    sub = _IVF_DIM // _PQ_M
+    rows = []
+    for s, cb in enumerate(cbs):
+        for c, cu in enumerate(cb):
+            lst = "[" + ",".join(str(u) for u in cu) + "]"
+            rows.append(f"({s}, {c}, {lst}::BIGINT[])")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH coarse(cell, cv) AS (VALUES
+      {crows}
+    ),
+    cb(s, c, cu) AS (VALUES
+      {values}
+    ),
+    xu AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))
+               AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    qu AS (SELECT v AS qv FROM xu WHERE vec_id = 0),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT xu.vec_id, coarse.cell,
+               ROW_NUMBER() OVER (PARTITION BY xu.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(1, {_IVF_DIM} + 1),
+                      i -> (v[i] - cv[i]) * (v[i] - cv[i])))
+                      AS BIGINT) ASC, coarse.cell ASC) AS rn
+        FROM xu CROSS JOIN coarse)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT coarse.cell
+      FROM coarse CROSS JOIN qu
+      ORDER BY CAST(list_sum(list_transform(range(1, {_IVF_DIM} + 1),
+                 i -> (qv[i] - cv[i]) * (qv[i] - cv[i])))
+                 AS BIGINT) ASC, coarse.cell ASC
+      LIMIT {_IVFPQ_NPROBE}
+    ),
+    probed AS (
+      SELECT xu.* FROM xu
+      JOIN assign USING (vec_id)
+      WHERE assign.cell IN (SELECT cell FROM probes)
+    ),
+    lut AS (
+      SELECT cb.s, cb.c,
+             CAST(list_sum(list_transform(range(1, {sub} + 1),
+                  i -> (qv[cb.s*{sub}+i] - cb.cu[i])
+                       * (qv[cb.s*{sub}+i] - cb.cu[i])))
+                  AS BIGINT) AS du
+      FROM cb CROSS JOIN qu
+    ),
+    codes AS (
+      SELECT vec_id, s, c FROM (
+        SELECT x.vec_id, cb.s, cb.c,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id, cb.s
+                 ORDER BY CAST(list_sum(list_transform(
+                   range(1, {sub} + 1),
+                   i -> (v[cb.s*{sub}+i] - cb.cu[i])
+                        * (v[cb.s*{sub}+i] - cb.cu[i])))
+                   AS BIGINT) ASC, cb.c ASC) AS rn
+        FROM probed x CROSS JOIN cb)
+      WHERE rn = 1
+    )
+    SELECT codes.vec_id,
+           CAST(SUM(lut.du) AS BIGINT) AS approx_dist_units
+    FROM codes JOIN lut USING (s, c) GROUP BY 1
+    ORDER BY approx_dist_units ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("q_ann_ivfpq", _ivfpq_oracle_sql())
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF + PQ composed — the FAISS IVFADC layout (Jégou et al.,
+    TPAMI 2011) re-expressed in DataFrame ops: a coarse quantizer
+    prunes WHICH vectors get scanned (cell = partition key at scale,
+    so probing is partition pruning), PQ codes shrink what each
+    scanned vector COSTS (m lookup adds, no vector math). One honest
+    divergence from FAISS: codes encode the raw vectors, not the
+    cell residuals — residual encoding sharpens recall but the
+    search topology is identical. Coarse assignment reuses pq_encode
+    with a single whole-dim codebook, so the ENTIRE composed index —
+    coarse argmin, fine argmin, probe choice, ADC ranking — is exact
+    micro-unit integer arithmetic with zero cross-engine float
+    caveat (the IVF/LSH cosine variants rest on score margins; this
+    family does not).
+
+    Plan: assignment and encode are one narrow pass; the probe filter
+    is a literal IN over the cell column (partition pruning on a
+    cell-partitioned layout); the ADC top-k is a TakeOrdered over
+    the ~nprobe/ncells surviving fraction."""
+    from dex_data_ingestor_spark.operators.vector import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+        quantize_units,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    qvec = [
+        float(x)
+        for x in em.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    coarse = _ivfpq_coarse()
+    # probe selection: exact integer L2 on the driver (model-sized)
+    qu = [quantize_units(x) for x in qvec]
+    qdist = [
+        (sum((a - b) * (a - b) for a, b in zip(qu, c)), cell)
+        for cell, c in enumerate(coarse)
+    ]
+    probes = [cell for _, cell in sorted(qdist)[:_IVFPQ_NPROBE]]
+    assigned = pq_encode(em, "embedding", [coarse], codes_col="cell_arr")
+    probed = assigned.filter(
+        F.col("cell_arr")[0].isin(probes)
+    ).drop("cell_arr")
+    cbs = pq_codebooks(_IVF_DIM, _PQ_M, _PQ_K, seed=_PQ_SEED)
+    encoded = pq_encode(probed, "embedding", cbs)
+    return pq_adc_topk(encoded, "vec_id", cbs, qvec, k=10)
+
+
 @register(
     "q_embed_neardup",
     """
@@ -5271,6 +5426,312 @@ def q_waiting_suppliers(spark, sf_dir):
 
 
 @register(
+    "q_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(CAST(l.l_shipdate AS DATE)) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between a nation pair): the
+    disjunctive two-direction join predicate that defeats naive
+    pushdown — (supp=A and cust=B) OR (supp=B and cust=A).
+
+    Spark form: the nation filter is applied to EACH dim
+    independently first (a supplier or customer outside {A, B} can
+    never satisfy either disjunct — the derivable prefilter the OR
+    hides from a naive planner), so the broadcast supplier join
+    prunes lineitem to the two nations' ~8% BEFORE the orderkey
+    shuffle against orders; the exact pair predicate then rides the
+    customer join as a residual. At 100 TB the only fact-sized
+    exchanges are lineitem⋈orders (orderkey) and ⋈customer (custkey)
+    — both unavoidable — and each carries only prefiltered rows."""
+    nation = load_table(spark, sf_dir, "nation")
+    pair = nation.filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(pair),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(pair),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year(F.to_date("l_shipdate")).alias("l_year"),
+    ).agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "revenue",
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@register(
+    "q_min_cost_supplier",
+    """
+    WITH eligible AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(CAST(FLOOR(l.l_extendedprice / l.l_quantity
+                            * 1000000.0 + 0.5) AS BIGINT)) AS unit_units
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_units FROM eligible
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                 ORDER BY unit_units ASC,
+                                          l_suppkey ASC) = 1
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name AS nation,
+           p.p_partkey, p.p_name, b.unit_units
+    FROM best b
+    JOIN part p ON b.l_partkey = p.p_partkey
+    JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY s.s_acctbal DESC, nation ASC, s.s_name ASC, p.p_partkey ASC
+    LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part in a region): the
+    correlated per-group MIN that joins back to pick the winning row.
+    Adapted to this schema (no partsupp table): a supplier's offer
+    price for a part is its cheapest observed unit price in lineitem,
+    quantized to exact micro-units by the portable
+    floor(x*1e6 + 0.5) rule (ext/qty is ONE IEEE division —
+    bit-identical cross-engine — and the argmin then runs on exact
+    BIGINTs, so the winner can never flip on a float margin; ties to
+    the lowest suppkey).
+
+    Plan: the region filter folds into the broadcast supplier dim
+    BEFORE the fact scan (the Q2 trick — eligibility prunes first);
+    one explicit partkey repartition then serves BOTH the
+    (partkey, suppkey) aggregate (partkey-hash satisfies the
+    clustering) and the per-part argmin window — one fact exchange
+    end-to-end, then broadcast joins to part/supplier/nation and a
+    TakeOrdered 100."""
+    from pyspark.sql import Window
+
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp_dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    unit_units = F.floor(
+        F.col("l_extendedprice")
+        / F.col("l_quantity")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    eligible = (
+        li.join(
+            F.broadcast(supp_dim.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_units).alias("unit_units"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "unit_units", "l_suppkey"
+    )
+    best = (
+        eligible.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name"
+    )
+    return (
+        best.join(
+            F.broadcast(part), best.l_partkey == part.p_partkey
+        )
+        .join(
+            F.broadcast(supp_dim),
+            best.l_suppkey == supp_dim.s_suppkey,
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            "unit_units",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q_part_promotion",
+    """
+    WITH sp AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT)) AS supp_qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    qual AS (
+      SELECT DISTINCT l_suppkey FROM (
+        SELECT l_suppkey, supp_qty,
+               SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM sp)
+      WHERE 2 * supp_qty > part_qty
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM qual q
+    JOIN supplier s ON q.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY s.s_suppkey ASC
+    """,
+)
+def q_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers qualified for a part promotion):
+    the nested threshold semi-join — a supplier qualifies if, for
+    some name-matched part in the window, it shipped MORE THAN HALF
+    of that part's total shipped quantity. Adapted to this schema
+    (no partsupp.availqty): the Q20 'availqty > half of demand'
+    correlated subquery becomes 'supplier share > half of part
+    total', preserving the per-group-threshold -> semi-join ->
+    entity-list shape. Quantities sum as exact BIGINTs
+    (floor(q + 0.5): portable, and a long cast is NOT — Spark
+    truncates where DuckDB rounds half-even).
+
+    Plan: the name-LIKE part filter broadcasts into the fact scan
+    first; ONE fact-sized exchange (the explicit partkey repartition)
+    serves the (partkey, suppkey) aggregate AND the per-part total
+    window (the q_min_cost_supplier exchange-reuse pattern); the
+    threshold is a row-local compare. The remaining two exchanges —
+    the suppkey distinct and the final sort — carry only
+    supplier-cardinality rows (dim-sized at any scale)."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+    )
+    sp = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") + F.lit(0.5))
+            ).alias("supp_qty")
+        )
+    )
+    part_qty = F.sum("supp_qty").over(
+        Window.partitionBy("l_partkey")
+    )
+    qual = (
+        sp.withColumn("part_qty", part_qty)
+        .filter(2 * F.col("supp_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        qual.join(
+            F.broadcast(supp), qual.l_suppkey == supp.s_suppkey
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "nation")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "q_chunk_documents",
     """
     SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
@@ -7110,7 +7571,12 @@ def q_bigram_logloss(spark, sf_dir):
 #: zero canary slots — C is now full); q_tick_rule_flow,
 #: q_ohlc_daily, q_realized_var, q_markout and q_embed_gram
 #: (registered after C filled) open the r11 window alongside cohort
-#: A. r8 adds no further oracle-paired entries beyond these fifteen. Invariants that override the cycle: (1)
+#: A. The final six r8 additions (q_ann_pq, q_ann_pq_rerank,
+#: q_ann_ivfpq, q_volume_shipping, q_min_cost_supplier,
+#: q_part_promotion — each bitwise-verified at sf0.001+sf0.01 on
+#: registration) also slot into r11: 35 (A) + 5 + 6 = 46, leaving 4
+#: canary slots — r11 closes exactly at 50 and no r8 entry waits
+#: past r11. Invariants that override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a

@@ -326,3 +326,46 @@ def test_embed_gram_no_join_single_exchange(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "Python" not in plan
+
+
+def test_min_cost_supplier_one_fact_exchange(spark, sf_dir):
+    """The Q2 shape's whole scale story: the explicit partkey
+    repartition must serve BOTH the (partkey, suppkey) aggregate and
+    the per-part argmin window — exactly ONE non-broadcast exchange
+    in the plan (HashPartitioning(partkey) satisfies the two-key
+    clustering), every dim join a broadcast, no Python."""
+    plan = plan_of(spark, sf_dir, "q_min_cost_supplier")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan
+
+
+def test_part_promotion_one_fact_exchange(spark, sf_dir):
+    """Q20 shape: the partkey repartition serves the aggregate AND
+    the per-part total window (one fact-sized exchange); the only
+    other exchanges carry supplier-cardinality rows (the suppkey
+    distinct and the final sort). The part filter must reach the
+    fact side as a broadcast semi join, not a shuffle."""
+    plan = plan_of(spark, sf_dir, "q_part_promotion")
+    fact_exch = re.findall(
+        r"hashpartitioning\(l_partkey", plan
+    )
+    assert len(fact_exch) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan
+
+
+def test_volume_shipping_nation_prefilter_prunes_before_shuffle(
+    spark, sf_dir
+):
+    """Q7's disjunctive pair predicate hides a derivable prefilter:
+    both dims must be nation-filtered and BROADCAST so lineitem is
+    pruned before the orderkey shuffle — supplier and customer joins
+    are BroadcastHashJoins and the pair disjunction stays a residual
+    filter, never a cartesian."""
+    plan = plan_of(spark, sf_dir, "q_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan

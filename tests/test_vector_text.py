@@ -1155,3 +1155,36 @@ def test_pq_adc_recall_against_brute_force(spark, em, query_vec):
         ).collect()
     }
     assert len(short50 & exact_ids) >= 8, (short50, exact_ids)
+
+
+def test_ivfpq_prunes_cells_and_keeps_query_hit(spark, em):
+    """The composed IVF+PQ index must (a) spread the corpus across
+    all coarse cells (a degenerate quantizer collapses to one cell
+    and prunes nothing), (b) scan only the probed fraction, and
+    (c) still surface the query vector itself in the top-10 (it
+    lives in the best-matching cell by construction)."""
+    from dex_data_ingestor_spark.plans.testbed import (
+        _IVFPQ_NCELLS,
+        _IVFPQ_NPROBE,
+        _ivfpq_coarse,
+        QUERIES,
+    )
+    from dex_data_ingestor_spark.operators.vector import pq_encode
+
+    emn = em.filter(F.col("embedding").isNotNull())
+    coarse = _ivfpq_coarse()
+    cells = (
+        pq_encode(emn, "embedding", [coarse], codes_col="c")
+        .groupBy(F.col("c")[0].alias("cell"))
+        .count()
+        .collect()
+    )
+    assert len(cells) == _IVFPQ_NCELLS, cells
+    total = sum(r["count"] for r in cells)
+    probed_max = sorted(
+        (r["count"] for r in cells), reverse=True
+    )[:_IVFPQ_NPROBE]
+    assert sum(probed_max) < total, cells  # pruning is real
+    out = QUERIES["q_ann_ivfpq"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 10
+    assert out[0].vec_id == 0, out[:3]
