@@ -119,6 +119,9 @@ HEADLINE = [
     "q_min_cost_supplier",
     "q_part_promotion",
     "q_ann_ivfpq",
+    # held-out Stupid-Backoff scoring: three exact-key model joins +
+    # the scored-stream left joins — the heaviest LM path.
+    "q_backoff_logloss",
 ]
 
 

@@ -320,11 +320,20 @@ def winnowing_fingerprints(
 # ---------------------------------------------------------------------------
 
 
+def _bucketed(hash_col: Column, n_buckets: int | None) -> Column:
+    """``n_buckets`` folds the hash into a BOUNDED feature space (the
+    hashed-LM posture: model size fixed, collisions smooth);
+    ``None`` keeps the raw hash as an EXACT event key (the backoff-LM
+    posture: unseen events stay unseen — a saturated bucket space
+    can never back off)."""
+    return hash_col if n_buckets is None else hash_col % n_buckets
+
+
 def _hashed_instances(
     df: DataFrame,
     id_col: str | None,
     text_col: str,
-    n_buckets: int,
+    n_buckets: int | None,
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per token instance with its hashed feature bucket
@@ -341,7 +350,7 @@ def _hashed_instances(
     )
     return words.select(
         *keep,
-        (md5_int64(F.col("__w")) % n_buckets).alias("f"),
+        _bucketed(md5_int64(F.col("__w")), n_buckets).alias("f"),
     )
 
 
@@ -502,11 +511,16 @@ def _bigram_instances(
     df: DataFrame,
     id_col: str | None,
     text_col: str,
-    n_pair_buckets: int,
-    n_prev_buckets: int,
+    n_pair_buckets: int | None,
+    n_prev_buckets: int | None,
+    n_cur_buckets: int | None = None,
+    emit_cur: bool = False,
 ) -> DataFrame:
     """One row per adjacent token pair with its hashed predecessor
-    bucket ``f1`` and pair bucket ``f2``. Tokenization is the corpus
+    bucket ``f1`` and pair bucket ``f2`` (plus the current token's
+    unigram bucket ``fu`` when ``emit_cur`` is set — the backoff
+    scorer's join key). ``None`` bucket counts keep raw hashes as
+    exact event keys (see ``_bucketed``). Tokenization is the corpus
     standard (``_hashed_instances``'s \\s+ split on trimmed text);
     single-token documents contribute no pairs. The pair key joins
     prev and cur with the ASCII unit separator (0x1F) so ("ab","c")
@@ -524,15 +538,27 @@ def _bigram_instances(
         *keep, F.explode(pairs).alias("__p")
     )
     sep = F.lit("\x1f")
+    cur_bucket = (
+        [
+            _bucketed(
+                md5_int64(F.col("__p.cur")), n_cur_buckets
+            ).alias("fu")
+        ]
+        if emit_cur
+        else []
+    )
     return inst.select(
         *keep,
-        (md5_int64(F.col("__p.prev")) % n_prev_buckets).alias("f1"),
-        (
+        _bucketed(
+            md5_int64(F.col("__p.prev")), n_prev_buckets
+        ).alias("f1"),
+        _bucketed(
             md5_int64(
                 F.concat(F.col("__p.prev"), sep, F.col("__p.cur"))
-            )
-            % n_pair_buckets
+            ),
+            n_pair_buckets,
         ).alias("f2"),
+        *cur_bucket,
     )
 
 
@@ -584,6 +610,94 @@ def bigram_logloss(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(nll).cast("bigint").alias("nll_units"),
+            (
+                F.sum(nll).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def backoff_logloss(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document cross-entropy of ``df`` under a bigram LM fit on
+    a SEPARATE reference corpus ``ref_df``, with Stupid Backoff
+    (Brants et al., EMNLP 2007 — the web-scale scheme: no discounting
+    to tune, one multiplicative penalty): a pair SEEN in the
+    reference scores the conditional ``-ln(c2/c1)``; an unseen pair
+    backs off to ``-ln(alpha * cu/N)`` on the current token's
+    reference unigram (an unseen unigram takes count 1 — the score
+    stays finite). This is what the self-scored
+    :func:`bigram_logloss` cannot do — there every pair is its own
+    evidence; held-out scoring is the form that measures
+    generalization, and the backoff path is load-bearing.
+
+    EXACT event keys, not hashed buckets — deliberately unlike
+    :func:`unigram_logloss` / :func:`bigram_logloss`: a hashed
+    feature space SATURATES (every bucket of a 65536-wide table is
+    occupied by any real reference corpus), so "unseen pair" never
+    fires and backoff degenerates to dead code (observed on the
+    registration fixture: 0 of 2677 held-out pairs backed off under
+    65536 buckets). Brants et al.'s system likewise kept exact
+    distributed n-gram tables. The raw md5-int64 key space (2^32)
+    makes collisions rare instead of structural; a collision merges
+    two events — conservative toward "seen".
+
+    Exactness: integer counts; the seen branch is the shared
+    ``_nll_units`` rule; the backoff branch is
+    ``floor(-ln(alpha * (cu/N)) * 1e6 + 0.5)`` with explicit
+    parenthesization so both engines evaluate the identical IEEE op
+    sequence; per-doc sums are order-free BIGINTs.
+
+    Plan / 100 TB: the model tables are DISTINCT-EVENT-sized (the
+    price of exact backoff — the paper's distributed n-gram servers,
+    here a keyed table). The joins are left to Catalyst: broadcast
+    while the reference model fits (AQE decides at runtime), shuffle
+    hash join on the exact key beyond that — both sides hash-cluster
+    on f2/f1/fu, no skew (hash keys). The scored side then takes one
+    id exchange."""
+    inst = _bigram_instances(
+        df, id_col, text_col, None, None, emit_cur=True
+    )
+    stream = _bigram_instances(ref_df, None, text_col, None, None)
+    num = stream.groupBy("f2").agg(F.count(F.lit(1)).alias("c2"))
+    den = stream.groupBy("f1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = (
+        _hashed_instances(ref_df, None, text_col, None)
+        .groupBy(F.col("f").alias("fu"))
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").cast("bigint").alias("big_n"))
+    seen = F.col("c2").isNotNull() & F.col("c1").isNotNull()
+    seen_nll = _nll_units(F.col("c2").cast("double"), F.col("c1"))
+    back_nll = F.floor(
+        -F.log(
+            F.lit(alpha)
+            * (
+                F.coalesce(F.col("cu"), F.lit(1)).cast("double")
+                / F.col("big_n")
+            )
+        )
+        * 1000000.0
+        + F.lit(0.5)
+    )
+    nll = F.when(seen, seen_nll).otherwise(back_nll)
+    backed = F.when(seen, F.lit(0)).otherwise(F.lit(1))
+    return (
+        inst.join(num, "f2", "left")
+        .join(den, "f1", "left")
+        .join(uni, "fu", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(backed).cast("bigint").alias("n_backoff"),
             F.sum(nll).cast("bigint").alias("nll_units"),
             (
                 F.sum(nll).cast("double")

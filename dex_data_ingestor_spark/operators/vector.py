@@ -513,7 +513,18 @@ def pq_encode(
     squared-L2 argmin, ties to the LOWEST code index via
     least(struct)) — one narrow pass, dim doubles -> m small ints per
     row (~32x smaller index at m=8 codes vs 64 doubles). At scale the
-    codes table is the only thing the search tier stores."""
+    codes table is the only thing the search tier stores.
+
+    Expression-form note (both alternatives were built and measured
+    at sf0.1 before keeping this one): (a) materializing the
+    quantized subspaces as projected array columns and indexing them
+    with getItem doubled the runtime — the optimizer inlines the
+    alias and the transform re-evaluates per reference; (b) fully
+    FLAT per-component arithmetic (factored sum(x²)-2·sum(c·x)+
+    sum(c²), no arrays at all) OOMs janino — ~m·k·sub inlined
+    subtrees per generated function. The zip_with+aggregate HOF form
+    keeps the generated code linear in m·k, and encode is an
+    index-BUILD cost paid once per corpus, not per query."""
     v = F.col(vec_col)
     m = len(codebooks)
     sub = len(codebooks[0][0])

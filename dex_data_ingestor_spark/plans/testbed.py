@@ -7532,6 +7532,112 @@ def q_bigram_logloss(spark, sf_dir):
     return bigram_logloss(docs)
 
 
+@register(
+    "q_backoff_logloss",
+    rf"""
+    WITH docs AS (
+      SELECT doc_id, text, {_MD5_INT.format('text')} % 100 AS bucket
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    ttoks AS (
+      SELECT string_split_regex(trim(text), '\s+') AS t
+      FROM docs WHERE bucket < 5
+    ),
+    uni AS (
+      SELECT fu, COUNT(*) AS cu FROM (
+        SELECT {_MD5_INT.format('w')} AS fu
+        FROM (SELECT unnest(t) AS w FROM ttoks))
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS big_n FROM uni),
+    tinst AS (
+      SELECT {_MD5_INT.format('z[1]')} AS f1,
+             {_MD5_INT.format("z[1] || chr(31) || z[2]")} AS f2
+      FROM (SELECT unnest(list_zip(t[1:-2], t[2:])) AS z
+            FROM ttoks WHERE len(t) >= 2)
+    ),
+    num AS (SELECT f2, COUNT(*) AS c2 FROM tinst GROUP BY 1),
+    den AS (SELECT f1, COUNT(*) AS c1 FROM tinst GROUP BY 1),
+    hinst AS (
+      SELECT doc_id,
+             {_MD5_INT.format('z[1]')} AS f1,
+             {_MD5_INT.format("z[1] || chr(31) || z[2]")} AS f2,
+             {_MD5_INT.format('z[2]')} AS fu
+      FROM (
+        SELECT doc_id, unnest(list_zip(t[1:-2], t[2:])) AS z FROM (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM docs WHERE bucket >= 90)
+        WHERE len(t) >= 2)
+    ),
+    scored AS (
+      SELECT doc_id,
+             CASE WHEN c2 IS NOT NULL AND c1 IS NOT NULL
+               THEN CAST(FLOOR(-ln(CAST(c2 AS DOUBLE) / c1)
+                               * 1000000.0 + 0.5) AS BIGINT)
+               ELSE CAST(FLOOR(-ln(CAST(0.4 AS DOUBLE)
+                                   * (CAST(COALESCE(cu, 1) AS DOUBLE)
+                                      / big_n))
+                               * 1000000.0 + 0.5) AS BIGINT)
+             END AS nll,
+             CASE WHEN c2 IS NOT NULL AND c1 IS NOT NULL
+                  THEN 0 ELSE 1 END AS backed
+      FROM hinst
+      LEFT JOIN num USING (f2)
+      LEFT JOIN den USING (f1)
+      LEFT JOIN uni USING (fu)
+      CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(backed) AS BIGINT) AS n_backoff,
+           CAST(SUM(nll) AS BIGINT) AS nll_units,
+           CAST(SUM(nll) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_nll
+    FROM scored GROUP BY 1
+    """,
+)
+def q_backoff_logloss(spark, sf_dir):
+    """HELD-OUT cross-entropy with Stupid Backoff (Brants et al.,
+    EMNLP 2007) — the rung the self-scored LM queries cannot reach:
+    the bigram model fits on a REFERENCE split (the q_hash_split
+    content-hash rule) and scores the TEST split (bucket >= 90), so
+    unseen pairs are real and the backoff path — alpha * unigram, one
+    multiplicative penalty, no discount tuning (what made it THE
+    web-scale scheme) — carries weight. n_backoff / n_bigrams is
+    itself the signal production pipelines threshold on (high
+    backoff rate = text unlike the reference corpus).
+
+    Two fixture-driven calibrations, both measured: (1) keys are
+    EXACT md5-int64 events, NOT hashed buckets — a bounded feature
+    space saturates ("unseen" never fires: 0 of 2677 held-out pairs
+    backed off under 65536 buckets); (2) the reference is the
+    bucket < 5 slice, because this fixture's 31-word vocabulary has
+    only ~961 possible bigrams and ANY large reference split covers
+    them all (bucket < 80 ref: 1 of 2188 pairs backs off; bucket < 5:
+    629 of 2188 at sf0.001, 328 of 2677 at sf0.01 — both branches
+    load-bearing at both driver scales).
+
+    Exactness: the q_unigram_logloss discipline on both branches —
+    exact integer counts, explicit parenthesization of the two IEEE
+    ops feeding the single libm ln, micro-nat quantization BEFORE the
+    order-free BIGINT per-doc sum.
+
+    Plan / 100 TB: exact keys price the model tables at
+    distinct-event size — Brants et al.'s distributed n-gram servers,
+    here keyed tables whose join strategy Catalyst/AQE picks:
+    broadcast while the reference model fits, hash-keyed shuffle
+    join beyond (no skew — the keys are hashes). One doc_id exchange
+    closes the scoring."""
+    from dex_data_ingestor_spark.operators.text import backoff_logloss
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    bucket = md5_int64(F.col("text")) % 100
+    train = docs.filter(bucket < 5)
+    test = docs.filter(bucket >= 90)
+    return backoff_logloss(test, train)
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
@@ -7571,12 +7677,13 @@ def q_bigram_logloss(spark, sf_dir):
 #: zero canary slots — C is now full); q_tick_rule_flow,
 #: q_ohlc_daily, q_realized_var, q_markout and q_embed_gram
 #: (registered after C filled) open the r11 window alongside cohort
-#: A. The final six r8 additions (q_ann_pq, q_ann_pq_rerank,
+#: A. The final seven r8 additions (q_ann_pq, q_ann_pq_rerank,
 #: q_ann_ivfpq, q_volume_shipping, q_min_cost_supplier,
-#: q_part_promotion — each bitwise-verified at sf0.001+sf0.01 on
-#: registration) also slot into r11: 35 (A) + 5 + 6 = 46, leaving 4
-#: canary slots — r11 closes exactly at 50 and no r8 entry waits
-#: past r11. Invariants that override the cycle: (1)
+#: q_part_promotion, q_backoff_logloss — each bitwise-verified at
+#: sf0.001+sf0.01 on registration) also slot into r11:
+#: 35 (A) + 5 + 7 = 47, leaving 3 canary slots — r11 closes exactly
+#: at 50 and no r8 entry waits past r11. Invariants that override
+#: the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a

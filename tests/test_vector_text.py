@@ -1188,3 +1188,28 @@ def test_ivfpq_prunes_cells_and_keeps_query_hit(spark, em):
     out = QUERIES["q_ann_ivfpq"](spark, "/root/testdata/sf0.001").collect()
     assert len(out) == 10
     assert out[0].vec_id == 0, out[:3]
+
+
+def test_backoff_logloss_golden_hand_derived(spark):
+    """Hand-derived Stupid Backoff on a 4-token reference:
+    ref = "a b a c" (pairs a>b, b>a, a>c; unigrams a:2 b:1 c:1, N=4).
+    Scored doc 1 "a b x": (a,b) SEEN -> -ln(c2/c1) = -ln(1/2) ->
+    693147 micro-nats; (b,x) UNSEEN, x unseen unigram (count 1) ->
+    -ln(0.4 * 1/4) = -ln(0.1) -> 2302585. Scored doc 2 "c a": (c,a)
+    UNSEEN, cur unigram a:2 -> -ln(0.4 * 2/4) = -ln(0.2) -> 1609438."""
+    from dex_data_ingestor_spark.operators.text import backoff_logloss
+
+    ref = spark.createDataFrame(
+        [(100, "a b a c")], "doc_id long, text string"
+    )
+    scored = spark.createDataFrame(
+        [(1, "a b x"), (2, "c a")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_backoff, r.nll_units)
+        for r in backoff_logloss(scored, ref).collect()
+    }
+    assert got == {
+        1: (2, 1, 693147 + 2302585),
+        2: (1, 1, 1609438),
+    }, got
