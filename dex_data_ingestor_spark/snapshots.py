@@ -40,7 +40,12 @@ import os
 import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import (
+    Column,
+    DataFrame,
+    SparkSession,
+    functions as F,
+)
 
 LOG_DIR = "_log"
 DATA_DIR = "data"
@@ -392,11 +397,44 @@ def snapshot_scan_pruned(
 # ---------------------------------------------------------------------------
 
 
+def zorder_key(cols: Sequence[str], bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of the
+    given NON-NEGATIVE integer columns — bit i of column j lands at
+    position ``i*len(cols) + j``. Sorting by this single key gives a
+    space-filling-curve layout where a contiguous key range maps to a
+    small HYPERCUBE of the value space, so per-file min/max stats
+    prune on EVERY participating column (linear clustering prunes
+    only on its leading column) — the idea behind Delta's
+    OPTIMIZE ZORDER BY.
+
+    Contract: values must lie in [0, 2**bits) — higher bits are not
+    read, so out-of-range values ALIAS (two far-apart keys collate
+    together and the layout silently degrades; range-rank or bin
+    real-valued/unbounded columns into the domain first). The key
+    stays a long for len(cols)*bits <= 63. Pure flat bit arithmetic
+    (shift/and/or) — whole-stage-codegen friendly, 2*bits terms per
+    column, no UDF."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError("len(cols) * bits must stay under 64")
+    out = None
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(
+                F.lit(1)
+            )
+            term = F.shiftleft(bit, i * n + j)
+            out = term if out is None else out + term
+    return out
+
+
 def snapshot_compact(
     spark: SparkSession,
     root: str,
     target_files: int = 1,
     cluster_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
+    zorder_bits: int = 16,
 ) -> dict:
     """Rewrite the LATEST version's data as ``target_files`` files and
     commit it as a new version (op='compact') — the small-files answer
@@ -418,11 +456,22 @@ def snapshot_compact(
     span the whole key domain and skipping never fires. The clustered
     columns are added to the recorded stats set.
 
+    ``zorder_by`` instead MULTI-DIMENSIONALLY clusters the rewrite on
+    the Morton key of the given integer columns (see
+    :func:`zorder_key`): each output file covers a small hypercube of
+    the joint key space, so :func:`snapshot_scan_pruned` prunes on a
+    filter over ANY of the z-ordered columns — a trailing-column
+    filter that linear ``cluster_by`` cannot prune at all. Stats are
+    recorded for the RAW columns (the key itself is layout, not
+    schema). Mutually exclusive with ``cluster_by``.
+
     If the prior version recorded file stats (written via
     :func:`snapshot_write_with_stats`), the compacted version
     RECOMPUTES them for the same columns — compaction is routine
     maintenance and must not silently break
     :func:`snapshot_scan_pruned` readers."""
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are exclusive")
     prior = _resolve(root)
     current = spark.read.parquet(prior["data_dir"])
     stats_cols = list(prior.get("stats_cols") or [])
@@ -431,6 +480,12 @@ def snapshot_compact(
             max(1, target_files), *cluster_by
         ).sortWithinPartitions(*cluster_by)
         stats_cols = sorted(set(stats_cols) | set(cluster_by))
+    elif zorder_by:
+        zk = zorder_key(zorder_by, bits=zorder_bits)
+        compacted = current.repartitionByRange(
+            max(1, target_files), zk
+        ).sortWithinPartitions(zk)
+        stats_cols = sorted(set(stats_cols) | set(zorder_by))
     else:
         compacted = current.coalesce(max(1, target_files))
     if stats_cols:
