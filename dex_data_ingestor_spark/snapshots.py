@@ -336,27 +336,167 @@ def _file_stats(spark: SparkSession, data_dir: str, cols: Sequence[str]
     return sorted(out, key=lambda d: d["file"])
 
 
+#: Per-file Bloom index sizing: 2^13 bits = 128 manifest longs
+#: (~1 KiB JSON) per (file, column) — ~1% false-positive rate at
+#: ~800 distinct values per file with 5 hashes; raise num_bits for
+#: bigger files (10 bits per distinct value is the rule of thumb).
+BLOOM_INDEX_BITS = 1 << 13
+BLOOM_INDEX_HASHES = 5
+
+
+def _file_blooms(
+    spark: SparkSession,
+    data_dir: str,
+    cols: Sequence[str],
+    num_bits: int,
+    num_hashes: int,
+) -> dict[str, dict[str, list[int]]]:
+    """Per-(file, column) Bloom bitmaps of the written data, built
+    DISTRIBUTED: one scan per indexed column tagged with
+    ``_metadata.file_name``, keys exploded to their k bit positions
+    (the operators.bloom Kirsch-Mitzenmacher scheme — the probe side
+    must replay it bit-for-bit), words folded with bit_or under a
+    (file, word) grouping. Only the O(#files * num_bits/64) word
+    lists come back to the driver — manifest payload, same order as
+    the min/max stats themselves."""
+    from dex_data_ingestor_spark.operators.bloom import _bit_positions
+
+    out: dict[str, dict[str, list[int]]] = {}
+    for c in cols:
+        df = spark.read.parquet(data_dir).select(
+            F.col("_metadata.file_name").alias("fname"), F.col(c)
+        )
+        words = (
+            df.filter(F.col(c).isNotNull())
+            .select(
+                "fname",
+                F.explode(
+                    F.array(
+                        *_bit_positions(F.col(c), num_bits, num_hashes)
+                    )
+                ).alias("bit"),
+            )
+            .groupBy("fname", F.shiftright("bit", 6).alias("w"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, CAST(bit % 64 AS INT))")
+                ).alias("word")
+            )
+            .groupBy("fname")
+            .agg(F.collect_list(F.struct("w", "word")).alias("ws"))
+            .collect()
+        )
+        for r in words:
+            dense = [0] * (num_bits // 64)
+            for s in r.ws:
+                dense[s.w] = s.word
+            out.setdefault(r.fname, {})[c] = dense
+    return out
+
+
 def snapshot_write_with_stats(
     df: DataFrame,
     root: str,
     stats_cols: Sequence[str],
     op: str = "write",
     extra: dict | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> dict:
     """:func:`snapshot_write` + per-file min/max stats for
     ``stats_cols`` recorded in the manifest (read from parquet footers
     after the write). Cluster the data on the stats columns first
     (``df.repartitionByRange(*stats_cols)``) or the per-file ranges all
-    overlap and skipping prunes nothing."""
+    overlap and skipping prunes nothing.
+
+    ``bloom_cols`` additionally records a per-file Bloom bitmap per
+    listed column — the Delta bloom-filter-index idea: min/max stats
+    only prune columns the LAYOUT is clustered on, while a Bloom
+    answers point lookups on any high-cardinality column scattered
+    across every file (:func:`snapshot_scan_point`)."""
     data_dir = os.path.join(root, DATA_DIR, uuid.uuid4().hex)
     df.write.mode("error").parquet(data_dir)
     files = _file_stats(df.sparkSession, data_dir, stats_cols)
-    return _commit(
-        root,
-        data_dir,
-        op,
-        {**(extra or {}), "files": files, "stats_cols": list(stats_cols)},
+    payload = {
+        **(extra or {}),
+        "files": files,
+        "stats_cols": list(stats_cols),
+    }
+    if bloom_cols:
+        blooms = _file_blooms(
+            df.sparkSession,
+            data_dir,
+            bloom_cols,
+            BLOOM_INDEX_BITS,
+            BLOOM_INDEX_HASHES,
+        )
+        payload["blooms"] = blooms
+        payload["bloom_cols"] = list(bloom_cols)
+        payload["bloom_conf"] = {
+            "num_bits": BLOOM_INDEX_BITS,
+            "num_hashes": BLOOM_INDEX_HASHES,
+        }
+    return _commit(root, data_dir, op, payload)
+
+
+def snapshot_scan_point(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    version: int | None = None,
+):
+    """Point-lookup file skipping via the manifest Bloom index: read
+    only the files whose bitmap for ``col`` MIGHT contain ``value``
+    (false positives read harmlessly; a bloom-absent verdict is
+    exact). Files without a recorded bitmap for ``col`` are
+    conservatively INCLUDED. Superset guarantee like
+    :func:`snapshot_scan_pruned` — the caller still applies the exact
+    predicate.
+
+    The probe hashes the literal ENGINE-SIDE (one 1-row job, cast to
+    the column's stored type) so it is the same xxhash64 the write
+    side used, then replays the Kirsch-Mitzenmacher positions on the
+    manifest words in Python — O(#files * k) driver work on data the
+    driver already holds. A file absent from the bloom map entirely
+    contributed no non-null key to ANY indexed column, so it cannot
+    contain the (non-null) lookup value — skipping it is exact, not
+    heuristic. Lookups of NULL are rejected (NULL never equals)."""
+    if value is None:
+        raise ValueError("point lookup of NULL is never a match")
+    m = _resolve(root, version=version)
+    blooms = m.get("blooms")
+    conf = m.get("bloom_conf")
+    if not blooms or not conf:
+        raise ValueError(
+            f"version {m['version']} has no bloom index (written via "
+            "snapshot_write_with_stats(bloom_cols=...)?)"
+        )
+    num_bits, num_hashes = conf["num_bits"], conf["num_hashes"]
+    dtype = spark.read.parquet(m["data_dir"]).schema[col].dataType
+    h64 = (
+        spark.range(1)
+        .select(F.xxhash64(F.lit(value).cast(dtype)).alias("h"))
+        .head()["h"]
     )
+    h1 = h64 & 0xFFFFFFFF
+    h2 = ((h64 & 0xFFFFFFFFFFFFFFFF) >> 32) | 1
+    keep = []
+    for fname, per_col in sorted(blooms.items()):
+        words = per_col.get(col)
+        if words is None:
+            keep.append(os.path.join(m["data_dir"], fname))
+            continue
+        hit = True
+        for i in range(num_hashes):
+            pos = (h1 + i * h2) % num_bits
+            if not (words[pos >> 6] >> (pos % 64)) & 1:
+                hit = False
+                break
+        if hit:
+            keep.append(os.path.join(m["data_dir"], fname))
+    if not keep:
+        return spark.read.parquet(m["data_dir"]).limit(0)
+    return spark.read.parquet(*keep)
 
 
 def snapshot_scan_pruned(
@@ -488,9 +628,14 @@ def snapshot_compact(
         stats_cols = sorted(set(stats_cols) | set(zorder_by))
     else:
         compacted = current.coalesce(max(1, target_files))
-    if stats_cols:
+    bloom_cols = list(prior.get("bloom_cols") or [])
+    if stats_cols or bloom_cols:
         return snapshot_write_with_stats(
-            compacted, root, stats_cols, op="compact"
+            compacted,
+            root,
+            stats_cols,
+            op="compact",
+            bloom_cols=bloom_cols or None,
         )
     return snapshot_write(compacted, root, op="compact")
 

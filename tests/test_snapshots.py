@@ -525,3 +525,62 @@ def test_compact_zorder_prunes_on_trailing_column(spark, root):
         S.snapshot_compact(
             spark, root, cluster_by=["a"], zorder_by=["b"]
         )
+
+
+def test_bloom_index_point_lookup_prunes_scattered_column(spark, root):
+    """The bloom-index claim: a high-cardinality id scattered
+    round-robin across files defeats min/max skipping entirely (every
+    file spans ~the whole domain), but the per-file Bloom prunes a
+    point lookup to the files that actually (might) hold the value —
+    and an absent value prunes to (near) zero files. Results always
+    equal the exact filter (superset guarantee)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 8_000).select(
+        (F.col("id") * 2654435761 % 100_000).alias("uid"),
+        F.col("id").alias("payload"),
+    ).repartition(16)
+    S.snapshot_write_with_stats(
+        df, root, stats_cols=["uid"], bloom_cols=["uid"]
+    )
+    # pick a real uid and find its true home-file count
+    probe = S.snapshot_read(spark, root).select("uid").head()["uid"]
+    # min/max stats cannot prune the scattered column
+    wide = S.snapshot_scan_pruned(spark, root, "uid", probe, probe)
+    assert len(wide.inputFiles()) == 16
+    hit = S.snapshot_scan_point(spark, root, "uid", probe)
+    # ~1% fp rate at 500 keys/file: expect ~the 1 true file, allow <= 4
+    assert 1 <= len(hit.inputFiles()) <= 4, hit.inputFiles()
+    got = _rows(hit.filter(F.col("uid") == probe))
+    want = _rows(
+        S.snapshot_read(spark, root).filter(F.col("uid") == probe)
+    )
+    assert sorted(got) == sorted(want) and len(got) >= 1
+    # absent value: bloom says no almost everywhere
+    miss = S.snapshot_scan_point(spark, root, "uid", 99_999_999)
+    assert len(miss.inputFiles()) <= 4
+    assert miss.filter(F.col("uid") == 99_999_999).count() == 0
+    with pytest.raises(ValueError, match="NULL"):
+        S.snapshot_scan_point(spark, root, "uid", None)
+
+
+def test_bloom_index_survives_compaction(spark, root):
+    """Compaction must recompute the bloom index for the new file
+    layout — a reader's point lookup keeps working (and keeps
+    pruning) across the rewrite."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4_000).select(
+        (F.col("id") * 40503 % 65_536).alias("uid"),
+        F.col("id").alias("payload"),
+    ).repartition(8)
+    S.snapshot_write_with_stats(
+        df, root, stats_cols=["uid"], bloom_cols=["uid"]
+    )
+    probe = S.snapshot_read(spark, root).select("uid").head()["uid"]
+    S.snapshot_compact(spark, root, target_files=8)
+    m = S.snapshot_versions(root)[-1]
+    assert m["op"] == "compact" and m.get("bloom_cols") == ["uid"]
+    hit = S.snapshot_scan_point(spark, root, "uid", probe)
+    assert 1 <= len(hit.inputFiles()) <= 3
+    assert hit.filter(F.col("uid") == probe).count() >= 1
