@@ -109,7 +109,7 @@ HEADLINE = [
     # partial aggregation folding each task to d(d+1)/2 cells — the
     # widest per-row fan-out in the registry (2080x).
     "q_embed_gram",
-    # added late r8 (set 40 -> 44): the last three expressible TPC-H
+    # added late r8 (set 42 -> 47): the last three expressible TPC-H
     # shapes (Q7's disjunctive nation pair, Q2's one-exchange
     # argmin-join-back, Q20's threshold semi-join — all fact-scan
     # joins worth a recorded number) and the composed IVF+PQ index

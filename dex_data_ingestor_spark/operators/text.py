@@ -673,7 +673,20 @@ def backoff_logloss(
         .groupBy(F.col("f").alias("fu"))
         .agg(F.count(F.lit(1)).alias("cu"))
     )
-    tot = uni.agg(F.sum("cu").cast("bigint").alias("big_n"))
+    # fail FAST on an empty/whitespace-only reference (the
+    # stream_perplexity_guard lesson): SUM over zero rows is NULL,
+    # which would otherwise propagate silently into every score —
+    # downstream thresholds would then filter nothing.
+    tot = uni.agg(
+        F.coalesce(
+            F.sum("cu").cast("bigint"),
+            F.raise_error(
+                F.lit(
+                    "backoff_logloss: reference corpus has no tokens"
+                )
+            ).cast("bigint"),
+        ).alias("big_n")
+    )
     seen = F.col("c2").isNotNull() & F.col("c1").isNotNull()
     seen_nll = _nll_units(F.col("c2").cast("double"), F.col("c1"))
     back_nll = F.floor(

@@ -466,7 +466,12 @@ def pq_codebooks(
     integer arithmetic with no cross-engine float caveat at all,
     unlike the IVF/LSH argmax which rests on score margins."""
     sub = dim // m
-    assert sub * m == dim, "dim must divide evenly into m subspaces"
+    if sub * m != dim:
+        raise ValueError(
+            f"dim={dim} must divide evenly into m={m} subspaces — "
+            "trailing components would be silently dropped from every "
+            "distance, including the exact re-rank"
+        )
     return [
         [
             [quantize_units(x) for x in c]
@@ -691,8 +696,12 @@ def pq_train_codebooks(
         )
         table: dict[tuple[int, int], list[int]] = {}
         for r in means:
-            table.setdefault((r.s, r.c), [0] * sub)[r.pos] = (
-                quantize_units(r.mu / 1e6)
+            # r.mu is ALREADY a micro-unit mean: round it to the
+            # nearest unit directly (a /1e6 then *1e6 round-trip
+            # through quantize_units adds two IEEE roundings that can
+            # flip an exact .5 mean by one unit)
+            table.setdefault((r.s, r.c), [0] * sub)[r.pos] = math.floor(
+                r.mu + 0.5
             )
         cbs = [
             [table.get((s, ci), cbs[s][ci]) for ci in range(k)]

@@ -2129,6 +2129,71 @@ _PQ_K = 16
 _PQ_SEED = 11
 
 
+def _pq_base_ctes() -> str:
+    """cb (the m*k codebook micro-unit literals), xu (the quantized
+    corpus), qu (the quantized query) — the front of the CTE chain
+    SHARED verbatim by the q_ann_pq / q_ann_pq_rerank / q_ann_ivfpq
+    oracles, defined once so the quantization rule can never drift
+    between them."""
+    from dex_data_ingestor_spark.operators.vector import pq_codebooks
+
+    cbs = pq_codebooks(_IVF_DIM, _PQ_M, _PQ_K, seed=_PQ_SEED)
+    rows = []
+    for s, cb in enumerate(cbs):
+        for c, cu in enumerate(cb):
+            lst = "[" + ",".join(str(u) for u in cu) + "]"
+            rows.append(f"({s}, {c}, {lst}::BIGINT[])")
+    values = ",\n      ".join(rows)
+    return f"""cb(s, c, cu) AS (VALUES
+      {values}
+    ),
+    xu AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))
+               AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    qu AS (SELECT v AS qv FROM xu WHERE vec_id = 0)"""
+
+
+def _pq_fine_ctes(source: str = "xu") -> str:
+    """lut (the query's per-(subspace, code) exact squared
+    distances), dists/codes (the encode argmin over ``source``, ties
+    to the lowest code), adc (the per-vector lookup-table sum) — the
+    back of the shared chain. ``source`` is the CTE holding the
+    quantized vectors to encode (the full corpus for PQ, the probed
+    subset for IVFPQ; any CTEs it needs sit between the base and
+    fine fragments)."""
+    sub = _IVF_DIM // _PQ_M
+    return f"""lut AS (
+      SELECT cb.s, cb.c,
+             CAST(list_sum(list_transform(range(1, {sub} + 1),
+                  i -> (qv[cb.s*{sub}+i] - cb.cu[i])
+                       * (qv[cb.s*{sub}+i] - cb.cu[i])))
+                  AS BIGINT) AS du
+      FROM cb CROSS JOIN qu
+    ),
+    dists AS (
+      SELECT x.vec_id, cb.s, cb.c,
+             CAST(list_sum(list_transform(range(1, {sub} + 1),
+                  i -> (v[cb.s*{sub}+i] - cb.cu[i])
+                       * (v[cb.s*{sub}+i] - cb.cu[i])))
+                  AS BIGINT) AS d
+      FROM {source} x CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, s, c FROM dists
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d ASC, c ASC) = 1
+    ),
+    adc AS (
+      SELECT codes.vec_id,
+             CAST(SUM(lut.du) AS BIGINT) AS approx_dist_units
+      FROM codes JOIN lut USING (s, c) GROUP BY 1
+    )"""
+
+
 def _pq_oracle_sql(rerank: bool = False) -> str:
     """Oracle for q_ann_pq (and, with ``rerank=True``, for
     q_ann_pq_rerank: ADC shortlist-50 -> exact integer-L2 re-rank
@@ -2141,16 +2206,6 @@ def _pq_oracle_sql(rerank: bool = False) -> str:
     distance, the encode argmin, and the ADC ranking are exact
     integer arithmetic — this family has NO float-parity caveat,
     unlike the IVF/LSH argmax."""
-    from dex_data_ingestor_spark.operators.vector import pq_codebooks
-
-    cbs = pq_codebooks(_IVF_DIM, _PQ_M, _PQ_K, seed=_PQ_SEED)
-    sub = _IVF_DIM // _PQ_M
-    rows = []
-    for s, cb in enumerate(cbs):
-        for c, cu in enumerate(cb):
-            lst = "[" + ",".join(str(u) for u in cu) + "]"
-            rows.append(f"({s}, {c}, {lst}::BIGINT[])")
-    values = ",\n      ".join(rows)
     if rerank:
         rerank_ctes = f""",
     short AS (
@@ -2175,43 +2230,8 @@ def _pq_oracle_sql(rerank: bool = False) -> str:
             "ORDER BY approx_dist_units ASC, vec_id ASC LIMIT 10"
         )
     return f"""
-    WITH cb(s, c, cu) AS (VALUES
-      {values}
-    ),
-    xu AS (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))
-               AS v
-      FROM embeddings WHERE embedding IS NOT NULL
-    ),
-    qu AS (SELECT v AS qv FROM xu WHERE vec_id = 0),
-    lut AS (
-      SELECT cb.s, cb.c,
-             CAST(list_sum(list_transform(range(1, {sub} + 1),
-                  i -> (qv[cb.s*{sub}+i] - cb.cu[i])
-                       * (qv[cb.s*{sub}+i] - cb.cu[i])))
-                  AS BIGINT) AS du
-      FROM cb CROSS JOIN qu
-    ),
-    dists AS (
-      SELECT x.vec_id, cb.s, cb.c,
-             CAST(list_sum(list_transform(range(1, {sub} + 1),
-                  i -> (v[cb.s*{sub}+i] - cb.cu[i])
-                       * (v[cb.s*{sub}+i] - cb.cu[i])))
-                  AS BIGINT) AS d
-      FROM xu x CROSS JOIN cb
-    ),
-    codes AS (
-      SELECT vec_id, s, c FROM dists
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                                 ORDER BY d ASC, c ASC) = 1
-    ),
-    adc AS (
-      SELECT codes.vec_id,
-             CAST(SUM(lut.du) AS BIGINT) AS approx_dist_units
-      FROM codes JOIN lut USING (s, c) GROUP BY 1
-    ){rerank_ctes}
+    WITH {_pq_base_ctes()},
+    {_pq_fine_ctes()}{rerank_ctes}
     {final_select}
     """
 
@@ -2302,36 +2322,16 @@ def _ivfpq_oracle_sql() -> str:
     whole-dim coarse centroid (ties to the lower cell), pick the
     query's nprobe nearest cells the same way, and run the ADC
     ranking only over vectors in probed cells."""
-    from dex_data_ingestor_spark.operators.vector import pq_codebooks
-
     coarse = _ivfpq_coarse()
     crows = ",\n      ".join(
         f"({i}, [{','.join(str(u) for u in c)}]::BIGINT[])"
         for i, c in enumerate(coarse)
     )
-    cbs = pq_codebooks(_IVF_DIM, _PQ_M, _PQ_K, seed=_PQ_SEED)
-    sub = _IVF_DIM // _PQ_M
-    rows = []
-    for s, cb in enumerate(cbs):
-        for c, cu in enumerate(cb):
-            lst = "[" + ",".join(str(u) for u in cu) + "]"
-            rows.append(f"({s}, {c}, {lst}::BIGINT[])")
-    values = ",\n      ".join(rows)
     return f"""
     WITH coarse(cell, cv) AS (VALUES
       {crows}
     ),
-    cb(s, c, cu) AS (VALUES
-      {values}
-    ),
-    xu AS (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))
-               AS v
-      FROM embeddings WHERE embedding IS NOT NULL
-    ),
-    qu AS (SELECT v AS qv FROM xu WHERE vec_id = 0),
+    {_pq_base_ctes()},
     assign AS (
       SELECT vec_id, cell FROM (
         SELECT xu.vec_id, coarse.cell,
@@ -2355,29 +2355,8 @@ def _ivfpq_oracle_sql() -> str:
       JOIN assign USING (vec_id)
       WHERE assign.cell IN (SELECT cell FROM probes)
     ),
-    lut AS (
-      SELECT cb.s, cb.c,
-             CAST(list_sum(list_transform(range(1, {sub} + 1),
-                  i -> (qv[cb.s*{sub}+i] - cb.cu[i])
-                       * (qv[cb.s*{sub}+i] - cb.cu[i])))
-                  AS BIGINT) AS du
-      FROM cb CROSS JOIN qu
-    ),
-    codes AS (
-      SELECT vec_id, s, c FROM (
-        SELECT x.vec_id, cb.s, cb.c,
-               ROW_NUMBER() OVER (PARTITION BY x.vec_id, cb.s
-                 ORDER BY CAST(list_sum(list_transform(
-                   range(1, {sub} + 1),
-                   i -> (v[cb.s*{sub}+i] - cb.cu[i])
-                        * (v[cb.s*{sub}+i] - cb.cu[i])))
-                   AS BIGINT) ASC, cb.c ASC) AS rn
-        FROM probed x CROSS JOIN cb)
-      WHERE rn = 1
-    )
-    SELECT codes.vec_id,
-           CAST(SUM(lut.du) AS BIGINT) AS approx_dist_units
-    FROM codes JOIN lut USING (s, c) GROUP BY 1
+    {_pq_fine_ctes(source="probed")}
+    SELECT vec_id, approx_dist_units FROM adc
     ORDER BY approx_dist_units ASC, vec_id ASC
     LIMIT 10
     """

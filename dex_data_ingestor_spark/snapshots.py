@@ -352,45 +352,56 @@ def _file_blooms(
     num_hashes: int,
 ) -> dict[str, dict[str, list[int]]]:
     """Per-(file, column) Bloom bitmaps of the written data, built
-    DISTRIBUTED: one scan per indexed column tagged with
-    ``_metadata.file_name``, keys exploded to their k bit positions
-    (the operators.bloom Kirsch-Mitzenmacher scheme — the probe side
-    must replay it bit-for-bit), words folded with bit_or under a
-    (file, word) grouping. Only the O(#files * num_bits/64) word
-    lists come back to the driver — manifest payload, same order as
-    the min/max stats themselves."""
+    DISTRIBUTED in ONE scan: every row explodes to its
+    (column, bit-position) pairs (the operators.bloom
+    Kirsch-Mitzenmacher scheme — the probe side must replay it
+    bit-for-bit; NULL keys contribute nothing), tagged with
+    ``_metadata.file_name``, and words fold with bit_or under a
+    (file, column, word) grouping. Only the
+    O(#files * #cols * num_bits/64) word lists come back to the
+    driver — manifest payload, same order as the min/max stats
+    themselves. A per-column loop here would rescan the just-written
+    data once per indexed column."""
     from dex_data_ingestor_spark.operators.bloom import _bit_positions
 
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                pos.alias("bit"),
+                F.col(c).isNotNull().alias("ok"),
+            )
+            for c in cols
+            for pos in _bit_positions(F.col(c), num_bits, num_hashes)
+        ]
+    )
+    words = (
+        spark.read.parquet(data_dir)
+        .select(
+            F.col("_metadata.file_name").alias("fname"),
+            F.explode(pairs).alias("p"),
+        )
+        .filter(F.col("p.ok"))
+        .groupBy(
+            "fname",
+            F.col("p.c").alias("c"),
+            F.shiftright(F.col("p.bit"), 6).alias("w"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, CAST(p.bit % 64 AS INT))")
+            ).alias("word")
+        )
+        .groupBy("fname", "c")
+        .agg(F.collect_list(F.struct("w", "word")).alias("ws"))
+        .collect()
+    )
     out: dict[str, dict[str, list[int]]] = {}
-    for c in cols:
-        df = spark.read.parquet(data_dir).select(
-            F.col("_metadata.file_name").alias("fname"), F.col(c)
-        )
-        words = (
-            df.filter(F.col(c).isNotNull())
-            .select(
-                "fname",
-                F.explode(
-                    F.array(
-                        *_bit_positions(F.col(c), num_bits, num_hashes)
-                    )
-                ).alias("bit"),
-            )
-            .groupBy("fname", F.shiftright("bit", 6).alias("w"))
-            .agg(
-                F.bit_or(
-                    F.expr("shiftleft(1L, CAST(bit % 64 AS INT))")
-                ).alias("word")
-            )
-            .groupBy("fname")
-            .agg(F.collect_list(F.struct("w", "word")).alias("ws"))
-            .collect()
-        )
-        for r in words:
-            dense = [0] * (num_bits // 64)
-            for s in r.ws:
-                dense[s.w] = s.word
-            out.setdefault(r.fname, {})[c] = dense
+    for r in words:
+        dense = [0] * (num_bits // 64)
+        for s in r.ws:
+            dense[s.w] = s.word
+        out.setdefault(r.fname, {})[r.c] = dense
     return out
 
 
@@ -431,6 +442,12 @@ def snapshot_write_with_stats(
         )
         payload["blooms"] = blooms
         payload["bloom_cols"] = list(bloom_cols)
+        # stored types ride the manifest so a point lookup can hash
+        # its literal with the writer's exact type WITHOUT opening
+        # the version's footers first
+        payload["bloom_types"] = {
+            c: df.schema[c].dataType.simpleString() for c in bloom_cols
+        }
         payload["bloom_conf"] = {
             "num_bits": BLOOM_INDEX_BITS,
             "num_hashes": BLOOM_INDEX_HASHES,
@@ -471,11 +488,22 @@ def snapshot_scan_point(
             f"version {m['version']} has no bloom index (written via "
             "snapshot_write_with_stats(bloom_cols=...)?)"
         )
+    indexed = m.get("bloom_cols") or []
+    if col not in indexed:
+        # the absent-file exactness argument below only holds for
+        # INDEXED columns; pruning on anything else would silently
+        # drop matching rows
+        raise ValueError(
+            f"column {col!r} is not bloom-indexed in version "
+            f"{m['version']} (indexed: {indexed})"
+        )
     num_bits, num_hashes = conf["num_bits"], conf["num_hashes"]
-    dtype = spark.read.parquet(m["data_dir"]).schema[col].dataType
+    # the indexed column's stored type was recorded at write time —
+    # no need to open the version's footers just to resolve a dtype
+    typestr = m["bloom_types"][col]
     h64 = (
         spark.range(1)
-        .select(F.xxhash64(F.lit(value).cast(dtype)).alias("h"))
+        .select(F.xxhash64(F.lit(value).cast(typestr)).alias("h"))
         .head()["h"]
     )
     h1 = h64 & 0xFFFFFFFF
