@@ -746,6 +746,54 @@ def stream_perplexity_guard(
     )
 
 
+def stream_pq_encode(
+    vec_stream: DataFrame,
+    codebooks: list[list[list[int]]],
+    coarse: list[list[int]] | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ingest-time ANN index maintenance — the streaming twin of the
+    PQ search leg: every arriving vector is encoded to its m PQ codes
+    (and, with ``coarse``, its IVF cell) AT INGEST, so the search
+    tier's compressed codes table stays fresh without a batch
+    re-index sweep. The codebooks are a fixed trained model (the
+    contamination/perplexity-guard posture: model state rides the
+    closure as literals — pq_encode embeds them in the expression
+    tree, ~m·k·sub ints, no join, no broadcast needed); encoding is a
+    pure narrow map, so this composes with append sinks, carries no
+    state or watermark, and each drained row is BIT-IDENTICAL to the
+    batch :func:`~...operators.vector.pq_encode` codes for the same
+    vector (exact integer argmin — parity-tested).
+
+    Malformed rows QUARANTINE instead of killing the stream (the
+    multimodal kernels' contract): a NULL or wrong-dimension vector
+    gets NULL codes/cell and ``pq_ok = false``; downstream routes
+    them to a dead-letter sink."""
+    from dex_data_ingestor_spark.operators.vector import pq_encode
+
+    dim = len(codebooks) * len(codebooks[0][0])
+    v = F.col(vec_col)
+    valid = v.isNotNull() & (F.size(v) == dim)
+    enc = pq_encode(vec_stream, vec_col, codebooks)
+    enc = enc.withColumn(
+        "codes", F.when(valid, F.col("codes"))
+    )
+    if coarse is not None:
+        if len(coarse[0]) != dim:
+            raise ValueError(
+                "coarse centroid dim must equal the PQ dim "
+                f"({len(coarse[0])} != {dim})"
+            )
+        enc = (
+            pq_encode(enc, vec_col, [coarse], codes_col="__cell")
+            .withColumn(
+                "cell", F.when(valid, F.col("__cell")[0])
+            )
+            .drop("__cell")
+        )
+    return enc.withColumn("pq_ok", valid)
+
+
 def foreach_batch_merge_snapshots(
     stream_df: DataFrame,
     checkpoint_dir: str,

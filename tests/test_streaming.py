@@ -609,3 +609,71 @@ def test_ohlc_bars_batch_stream_parity(spark, sf_dir, event_files, tmp_path):
         for r in QUERIES["q_ohlc_bars"](spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_pq_encode_batch_parity_and_quarantine(spark, tmp_path):
+    """Ingest-time PQ encoding: drained stream codes must equal the
+    batch pq_encode codes BIT-FOR-BIT (exact integer argmin — no
+    tolerance), the coarse cell must match the batch single-codebook
+    assignment, and malformed vectors (NULL, wrong dim) quarantine
+    with pq_ok=false instead of failing the stream."""
+    from dex_data_ingestor_spark.operators.vector import (
+        pq_codebooks,
+        pq_encode,
+    )
+    from dex_data_ingestor_spark.streaming.jobs import stream_pq_encode
+
+    dim, m, k = 8, 4, 4
+    cbs = pq_codebooks(dim, m, k, seed=7)
+    coarse = pq_codebooks(dim, 1, 4, seed=23)[0]
+    rng_rows = [
+        (i, [((i * 37 + j * 11) % 100) / 100.0 for j in range(dim)])
+        for i in range(1, 21)
+    ]
+    rows = rng_rows + [(21, None), (22, [0.1, 0.2])]
+    docs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+    good = docs.filter(F.col("vec_id") <= 20)
+    batch_codes = {
+        r.vec_id: (r.codes, r.cell_arr[0])
+        for r in pq_encode(
+            pq_encode(good, "embedding", cbs),
+            "embedding",
+            [coarse],
+            codes_col="cell_arr",
+        ).collect()
+    }
+
+    src = str(tmp_path / "pq_src")
+    docs.filter("vec_id <= 10").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    docs.filter("vec_id > 10").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_pq_encode(stream, cbs, coarse=coarse)
+        .writeStream.format("memory")
+        .queryName("pq_out")
+        .option("checkpointLocation", str(tmp_path / "pq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    out = {r.vec_id: r for r in spark.sql("SELECT * FROM pq_out").collect()}
+    assert set(out) == set(range(1, 23))
+    for i in range(1, 21):
+        assert out[i].pq_ok
+        assert out[i].codes == batch_codes[i][0], i
+        assert out[i].cell == batch_codes[i][1], i
+    for bad in (21, 22):
+        assert not out[bad].pq_ok
+        assert out[bad].codes is None and out[bad].cell is None
+
+    with pytest.raises(ValueError, match="coarse centroid dim"):
+        stream_pq_encode(stream, cbs, coarse=[[0] * 4])
