@@ -122,6 +122,10 @@ HEADLINE = [
     # held-out Stupid-Backoff scoring: three exact-key model joins +
     # the scored-stream left joins — the heaviest LM path.
     "q_backoff_logloss",
+    # the gram matrix through the BLAS kernel, benched NEXT TO the
+    # expression form above so the measured ~18x is a recorded
+    # number, not a claim (set 47 -> 48).
+    "q_embed_gram_fast",
 ]
 
 

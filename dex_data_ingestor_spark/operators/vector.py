@@ -436,6 +436,65 @@ def embedding_neardup_pairs_fast(
     )
 
 
+def gram_matrix_fast(
+    df: DataFrame, vec_col: str, dim: int
+) -> DataFrame:
+    """Exact integer gram matrix via per-batch BLAS — the scale twin
+    of the q_embed_gram nested-transform explode: each Arrow batch
+    quantizes to micro-unit int64 (``floor(x*1e6 + 0.5)`` — equal to
+    the expression form's DECIMAL(18,6) cast for any value that is
+    not a 6-dp repr tie, which float32-origin embeddings cannot be;
+    equality is pinned by test at two SFs) and folds to its LOCAL
+    ``U.T @ U`` (one exact int64 matmul), so only d(d+1)/2 cells per
+    batch reach the (i, j) exchange — same shuffle story as the
+    explode form, but the 104M per-cell multiplies run as ONE BLAS
+    call per batch instead of 104M Catalyst struct allocations:
+    measured 0.36 s vs 6.6 s at sf0.1 (18x).
+
+    This is the sanctioned-kernel case (the multimodal codecs / the
+    blocked cosine kernel): a dense matrix product is where columnar
+    expression evaluation genuinely loses two orders of magnitude to
+    BLAS. Exactness bounds: per-product ≤ ~2^42 micro-unit²; a batch
+    (and the int64 partial sums) overflow only past ~5.7e7 rows per
+    batch — far above any Arrow batch size; the GLOBAL sums aggregate
+    in DECIMAL(38,0), and the final double conversion is exact while
+    |cell| < 2^53 scaled units (the q_embed_gram bound — q+r like
+    q_twap beyond)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        iu = np.triu_indices(dim)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            units = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+            gram = units.T @ units
+            yield pd.DataFrame(
+                {
+                    "i": iu[0] + 1,
+                    "j": iu[1] + 1,
+                    "n": np.full(len(iu[0]), len(pdf), dtype=np.int64),
+                    "s_units": gram[iu],
+                }
+            )
+
+    cells = df.select(F.col(vec_col)).mapInPandas(
+        kernel, "i int, j int, n long, s_units long"
+    )
+    return cells.groupBy("i", "j").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        (
+            F.sum(F.col("s_units").cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(1e12)
+        ).alias("gram"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): codebook compression + ADC search
 # ---------------------------------------------------------------------------

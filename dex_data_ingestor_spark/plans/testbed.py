@@ -7449,6 +7449,34 @@ def q_embed_gram(spark, sf_dir):
     )
 
 
+@register("q_embed_gram_fast", ORACLE_SQL["q_embed_gram"])
+def q_embed_gram_fast(spark, sf_dir):
+    """The gram matrix through the sanctioned BLAS kernel
+    (operators/vector.gram_matrix_fast) — SAME oracle as
+    q_embed_gram, bit-identical output (exact integer micro-unit
+    products; the kernel's floor rule equals the expression form's
+    decimal cast absent 6-dp repr ties, which float32-origin values
+    cannot be — equality pinned by test at both driver SFs). Benched
+    NEXT TO the expression form so the measured 18x (0.36 s vs
+    6.6 s at sf0.1) is a recorded number: the 104M per-cell
+    multiplies run as one numpy int64 matmul per Arrow batch instead
+    of 104M Catalyst struct allocations, while the shuffle story is
+    unchanged (each task folds to <= 2080 cells before the single
+    (i, j) exchange). The expression form stays registered as the
+    no-Python, plan-asserted shape; this is the one to run at
+    100 TB."""
+    from dex_data_ingestor_spark.operators.vector import (
+        gram_matrix_fast,
+    )
+
+    em = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+    )
+    return gram_matrix_fast(em, "v", _IVF_DIM)
+
+
 @register(
     "q_bigram_logloss",
     rf"""
@@ -7656,13 +7684,14 @@ def q_backoff_logloss(spark, sf_dir):
 #: zero canary slots — C is now full); q_tick_rule_flow,
 #: q_ohlc_daily, q_realized_var, q_markout and q_embed_gram
 #: (registered after C filled) open the r11 window alongside cohort
-#: A. The final seven r8 additions (q_ann_pq, q_ann_pq_rerank,
+#: A. The final eight r8 additions (q_ann_pq, q_ann_pq_rerank,
 #: q_ann_ivfpq, q_volume_shipping, q_min_cost_supplier,
-#: q_part_promotion, q_backoff_logloss — each bitwise-verified at
-#: sf0.001+sf0.01 on registration) also slot into r11:
-#: 35 (A) + 5 + 7 = 47, leaving 3 canary slots — r11 closes exactly
-#: at 50 and no r8 entry waits past r11. Invariants that override
-#: the cycle: (1)
+#: q_part_promotion, q_backoff_logloss, q_embed_gram_fast — each
+#: bitwise-verified at sf0.001+sf0.01 on registration) also slot
+#: into r11: 35 (A) + 5 + 8 = 48, leaving 2 canary slots (invariant
+#: 3: canaries trim when owed-new-query slots require) — r11 closes
+#: exactly at 50 and no r8 entry waits past r11. Invariants that
+#: override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's
 #: window; (2) any query whose engine path or oracle SQL changed in a

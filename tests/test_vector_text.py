@@ -1213,3 +1213,22 @@ def test_backoff_logloss_golden_hand_derived(spark):
         1: (2, 1, 693147 + 2302585),
         2: (1, 1, 1609438),
     }, got
+
+
+def test_gram_kernel_equals_expression_form(spark, sf_dir):
+    """The BLAS gram kernel must equal the nested-transform
+    expression form CELL-FOR-CELL (exact integers end-to-end: the
+    kernel's floor(x*1e6+0.5) quantization equals the expression
+    form's decimal(18,6) cast for non-repr-tie values — float32
+    provenance guarantees that here)."""
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    a = {
+        (r.i, r.j): (r.n, r.gram)
+        for r in QUERIES["q_embed_gram"](spark, sf_dir).collect()
+    }
+    b = {
+        (r.i, r.j): (r.n, r.gram)
+        for r in QUERIES["q_embed_gram_fast"](spark, sf_dir).collect()
+    }
+    assert a == b and len(a) == 64 * 65 // 2
