@@ -2378,14 +2378,18 @@ def q_ann_ivfpq(spark, sf_dir):
     caveat (the IVF/LSH cosine variants rest on score margins; this
     family does not).
 
-    Plan: assignment and encode are one narrow pass; the probe filter
-    is a literal IN over the cell column (partition pruning on a
+    Plan: assignment and encode are one narrow pass (the BLAS encode
+    kernel — codes proven equal row-for-row to the expression form,
+    which q_ann_pq keeps as the no-Python demonstration; the kernel
+    cut this query 3.75 s -> 0.50 s at sf0.1, the coarse whole-dim
+    assignment being the dominant cost); the probe filter is a
+    literal IN over the cell column (partition pruning on a
     cell-partitioned layout); the ADC top-k is a TakeOrdered over
     the ~nprobe/ncells surviving fraction."""
     from dex_data_ingestor_spark.operators.vector import (
         pq_adc_topk,
         pq_codebooks,
-        pq_encode,
+        pq_encode_fast,
         quantize_units,
     )
 
@@ -2404,12 +2408,14 @@ def q_ann_ivfpq(spark, sf_dir):
         for cell, c in enumerate(coarse)
     ]
     probes = [cell for _, cell in sorted(qdist)[:_IVFPQ_NPROBE]]
-    assigned = pq_encode(em, "embedding", [coarse], codes_col="cell_arr")
+    assigned = pq_encode_fast(
+        em, "embedding", [coarse], codes_col="cell_arr"
+    )
     probed = assigned.filter(
         F.col("cell_arr")[0].isin(probes)
     ).drop("cell_arr")
     cbs = pq_codebooks(_IVF_DIM, _PQ_M, _PQ_K, seed=_PQ_SEED)
-    encoded = pq_encode(probed, "embedding", cbs)
+    encoded = pq_encode_fast(probed, "embedding", cbs)
     return pq_adc_topk(encoded, "vec_id", cbs, qvec, k=10)
 
 
