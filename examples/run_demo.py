@@ -282,6 +282,52 @@ def main() -> None:
         print(f"   frame {r.frame_idx}: real={r.real} "
               f"{arr.shape[1]}x{arr.shape[0]} mean_px {arr.mean():.0f}")
 
+    print("== 12. compressed vector search: PQ codes, ADC + re-rank")
+    from dex_data_ingestor_spark.operators.vector import (
+        pq_codebooks,
+        pq_encode_fast,
+        pq_rerank_topk,
+        pq_train_codebooks,
+    )
+
+    emv = em2.filter(F.col("embedding").isNotNull())
+    trained = pq_train_codebooks(
+        emv, "embedding", dim=64, m=16, k=16, iterations=2
+    )
+    codes = pq_encode_fast(emv, "embedding", trained)
+    qvec = [float(x) for x in emv.head()["embedding"]]
+    hits = pq_rerank_topk(
+        emv, "vec_id", "embedding", trained, qvec, k=3, shortlist=50
+    ).collect()
+    print(f"   {emv.count()} vectors -> {len(trained)}x"
+          f"{len(trained[0])} trained codebooks; "
+          f"codes col = {codes.select('codes').head()['codes'][:4]}...")
+    print("   shortlist+re-rank top-3:",
+          [(r.vec_id, r.dist_units) for r in hits])
+
+    print("== 13. lakehouse skipping: Z-order + per-file Bloom index")
+    from dex_data_ingestor_spark import snapshots as S
+
+    zroot = os.path.join(work, "ztbl")
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+        (F.col("id") * 2654435761 % 100_000).alias("uid"),
+    ).repartition(8)
+    S.snapshot_write_with_stats(
+        grid, zroot, stats_cols=["a", "b"], bloom_cols=["uid"]
+    )
+    S.snapshot_compact(
+        spark, zroot, target_files=16, zorder_by=["a", "b"],
+        zorder_bits=6,
+    )
+    zed = S.snapshot_scan_pruned(spark, zroot, "b", 0, 7)
+    probe = S.snapshot_read(spark, zroot).head()["uid"]
+    point = S.snapshot_scan_point(spark, zroot, "uid", probe)
+    print(f"   b<=7 scan reads {len(zed.inputFiles())}/16 z-ordered "
+          f"files; uid={probe} point lookup reads "
+          f"{len(point.inputFiles())}/16 via the bloom index")
+
     spark.stop()
     print("DEMO COMPLETE")
 
