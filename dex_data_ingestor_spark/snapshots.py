@@ -243,6 +243,7 @@ def snapshot_merge(
     updates: DataFrame,
     keys: Sequence[str],
     update_cols: Sequence[str] | None = None,
+    evolve_schema: bool = False,
 ) -> dict:
     """MERGE ``updates`` into the latest snapshot and commit the result
     as a new version (read latest -> merge_upsert -> snapshot_write).
@@ -254,12 +255,94 @@ def snapshot_merge(
     Copy-on-write at version granularity — the right trade for
     daily/hourly batch merges; per-file copy-on-write is what the real
     table formats add.
+
+    Schema evolution (the Delta ``mergeSchema`` semantics): columns in
+    ``updates`` that the table lacks are REJECTED by default —
+    merge_upsert would otherwise silently drop them, the worst failure
+    mode of an ingest pipeline whose producer added a field. With
+    ``evolve_schema=True`` the table widens first (existing rows take
+    NULL for the new columns, with the source's types), the evolved
+    column list is recorded in the manifest, and every PRIOR version
+    still reads with its own schema (each version owns its data dir —
+    time travel across an evolution boundary needs no reconciliation).
     """
     from dex_data_ingestor_spark.operators.merge import merge_upsert
 
     current = snapshot_read(spark, root)
+    new_cols = [c for c in updates.columns if c not in current.columns]
+    if new_cols and not evolve_schema:
+        raise ValueError(
+            f"updates add columns {new_cols} the table lacks; pass "
+            "evolve_schema=True to widen the table (merge would "
+            "silently drop them otherwise)"
+        )
+    if new_cols:
+        src_types = dict(updates.dtypes)
+        for c in new_cols:
+            current = current.withColumn(
+                c, F.lit(None).cast(src_types[c])
+            )
+    extra = {"keys": list(keys)}
+    if new_cols:
+        extra["evolved_cols"] = new_cols
     merged = merge_upsert(current, updates, keys, update_cols)
-    return snapshot_write(merged, root, op="merge", extra={"keys": list(keys)})
+    return snapshot_write(merged, root, op="merge", extra=extra)
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: Sequence[str] | None = None,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change data feed between two committed versions — the Delta
+    CDF idea, DERIVED rather than stored: one row per key that was
+    added, removed, or changed between ``from_version`` and
+    ``to_version`` (default latest), with the changed column list.
+    Because every version owns an immutable data dir, the feed is
+    reconstructable for ANY version pair after the fact — no
+    enable-before-you-need-it flag, at the price of a full-outer join
+    over the two versions instead of a stored delta (the right trade
+    for daily batch versions; high-frequency CDC belongs to the
+    streaming merge sink's own inputs).
+
+    ``keys`` defaults to the key set recorded by the most recent
+    MERGE commit at or before ``to_version`` — the table's de facto
+    primary key. Comparison spans the columns the two versions SHARE
+    (schema evolution adds columns; a version that predates one
+    simply never reports it changed).
+
+    Plan: both sides shuffle-partition on the key for the full-outer
+    join; output is |delta|-sized (operators/merge.table_diff)."""
+    from dex_data_ingestor_spark.operators.merge import table_diff
+
+    if keys is None:
+        upper = (
+            to_version
+            if to_version is not None
+            else _resolve(root)["version"]
+        )
+        recorded = [
+            m.get("keys")
+            for m in _list_manifests(root)
+            if m["version"] <= upper and m.get("keys")
+        ]
+        if not recorded:
+            raise ValueError(
+                "no MERGE commit records a key set at or before "
+                f"version {upper}; pass keys=[...] explicitly"
+            )
+        keys = recorded[-1]
+    old = snapshot_read(spark, root, version=from_version)
+    new = snapshot_read(spark, root, version=to_version)
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = [
+            c for c in new.columns if c in shared and c not in keys
+        ]
+    return table_diff(old, new, list(keys), list(compare_cols))
 
 
 def snapshot_rollback(root: str, to_version: int) -> dict:

@@ -584,3 +584,72 @@ def test_bloom_index_survives_compaction(spark, root):
     hit = S.snapshot_scan_point(spark, root, "uid", probe)
     assert 1 <= len(hit.inputFiles()) <= 3
     assert hit.filter(F.col("uid") == probe).count() >= 1
+
+
+def test_merge_schema_evolution_widens_and_rejects(spark, root):
+    """A source batch with a NEW column must be rejected by default
+    (merge_upsert would silently drop it), and with
+    evolve_schema=True must widen the table: prior rows NULL, merged
+    rows valued, the evolution recorded in the manifest, and the
+    pre-evolution version still reading with its OWN schema."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, v double"
+    )
+    S.snapshot_write(base, root)
+    upd = spark.createDataFrame(
+        [(2, 21.0, "eu"), (3, 30.0, "us")],
+        "id long, v double, region string",
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        S.snapshot_merge(spark, root, upd, keys=["id"])
+    m = S.snapshot_merge(
+        spark, root, upd, keys=["id"], evolve_schema=True
+    )
+    assert m["evolved_cols"] == ["region"]
+    got = {
+        r.id: (r.v, r.region)
+        for r in S.snapshot_read(spark, root).collect()
+    }
+    assert got == {1: (10.0, None), 2: (21.0, "eu"), 3: (30.0, "us")}
+    # time travel across the evolution boundary keeps the old schema
+    assert S.snapshot_read(spark, root, version=1).columns == ["id", "v"]
+
+
+def test_snapshot_changes_is_a_derived_cdf(spark, root):
+    """The change feed between two versions: inserts/updates/deletes
+    with changed-column attribution, keys defaulting to the recorded
+    MERGE key set, and schema evolution handled by comparing only the
+    shared columns."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (4, 40.0)], "id long, v double"
+    )
+    S.snapshot_write(v1, root)
+    upd = spark.createDataFrame(
+        [(2, 21.0, "eu"), (3, 30.0, "us")],
+        "id long, v double, region string",
+    )
+    S.snapshot_merge(
+        spark, root, upd, keys=["id"], evolve_schema=True
+    )
+    feed = {
+        r.id: (r.status, r.changed_cols)
+        for r in S.snapshot_changes(spark, root, from_version=1).collect()
+    }
+    # id 4 is untouched by MERGE (upsert never deletes): not in feed
+    assert feed == {2: ("changed", "v"), 3: ("added", "")}
+    # explicit keys + a removal, via a rollback-style rewrite
+    v3 = S.snapshot_read(spark, root).filter(F.col("id") != 4)
+    S.snapshot_write(v3, root)
+    feed2 = {
+        r.id: r.status
+        for r in S.snapshot_changes(
+            spark, root, from_version=2, to_version=3, keys=["id"]
+        ).collect()
+    }
+    assert feed2 == {4: "removed"}
+    with pytest.raises(ValueError, match="key set"):
+        S.snapshot_changes(spark, root, from_version=1, to_version=1)
