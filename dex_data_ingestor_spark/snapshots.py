@@ -169,6 +169,12 @@ def _commit(root: str, data_dir: str, op: str, extra: dict | None) -> dict:
         for app, e in txn.items()
         if version - e["v"] <= TXN_RETENTION_VERSIONS
     }
+    # table CHECK constraints persist across commits (Delta ADD
+    # CONSTRAINT semantics): once recorded, every later version
+    # carries — and is expected to have enforced — the same set,
+    # unless a commit explicitly rewrites it.
+    if "constraints" not in extra and latest and latest.get("constraints"):
+        extra["constraints"] = latest["constraints"]
     manifest = {
         "version": version,
         "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
@@ -191,7 +197,11 @@ def _commit(root: str, data_dir: str, op: str, extra: dict | None) -> dict:
 
 
 def snapshot_write(
-    df: DataFrame, root: str, op: str = "write", extra: dict | None = None
+    df: DataFrame,
+    root: str,
+    op: str = "write",
+    extra: dict | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> dict:
     """Write ``df`` as a NEW snapshot version and return its manifest.
 
@@ -201,10 +211,68 @@ def snapshot_write(
     Raises :class:`SnapshotConflict` if a concurrent committer claims
     the version number first (data stays; re-commit with
     :func:`snapshot_commit_existing` or rewrite).
-    """
+
+    ``constraints`` (name -> boolean SQL expression) adds table CHECK
+    constraints: enforced on THIS write (one conditional-count pass,
+    raising :class:`ConstraintViolation` before anything commits) and
+    recorded in the manifest, after which every subsequent
+    :func:`snapshot_merge` re-enforces them on its merged result —
+    constraints persist like Delta's, they are not a one-shot
+    assertion. Constraints already recorded on the table are likewise
+    enforced here."""
+    prior = _latest_manifest(root)
+    effective = dict((prior or {}).get("constraints") or {})
+    effective.update(constraints or {})
+    snapshot_check_constraints(df, effective)
+    extra = dict(extra or {})
+    if effective:
+        extra["constraints"] = effective
     data_dir = os.path.join(root, DATA_DIR, uuid.uuid4().hex)
     df.write.mode("error").parquet(data_dir)
     return _commit(root, data_dir, op, extra)
+
+
+class ConstraintViolation(Exception):
+    """A commit-time CHECK constraint failed; nothing was committed."""
+
+
+def snapshot_check_constraints(
+    df: DataFrame, constraints: dict[str, str], sample: int = 5
+) -> None:
+    """Enforce named CHECK constraints (boolean SQL expressions over
+    the rows — Delta's ``ADD CONSTRAINT`` semantics: NULL predicate
+    counts as a VIOLATION, so a constraint can never pass by way of a
+    NULL input) before a version commits. ONE distributed pass
+    counts every constraint's violations simultaneously (conditional
+    count aggregation — no per-constraint job), and the error carries
+    per-constraint counts plus a row sample of the first offender for
+    the post-mortem. Raises :class:`ConstraintViolation`; the caller
+    commits nothing, so readers never observe a bad version — the
+    versioned-table answer to the reference pipeline's
+    write-then-audit ordering."""
+    if not constraints:
+        return
+    aggs = [
+        F.count(
+            F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1)
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    counts = df.agg(*aggs).head().asDict()
+    bad = {k: v for k, v in counts.items() if v}
+    if bad:
+        first = next(iter(bad))
+        rows = (
+            df.filter(
+                ~F.coalesce(F.expr(constraints[first]), F.lit(False))
+            )
+            .limit(sample)
+            .collect()
+        )
+        raise ConstraintViolation(
+            f"constraint violations {bad}; first offender rows for "
+            f"{first!r} ({constraints[first]!r}): {rows}"
+        )
 
 
 def snapshot_commit_existing(
@@ -507,6 +575,10 @@ def snapshot_write_with_stats(
     only prune columns the LAYOUT is clustered on, while a Bloom
     answers point lookups on any high-cardinality column scattered
     across every file (:func:`snapshot_scan_point`)."""
+    prior = _latest_manifest(root)
+    snapshot_check_constraints(
+        df, dict((prior or {}).get("constraints") or {})
+    )
     data_dir = os.path.join(root, DATA_DIR, uuid.uuid4().hex)
     df.write.mode("error").parquet(data_dir)
     files = _file_stats(df.sparkSession, data_dir, stats_cols)

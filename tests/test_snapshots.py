@@ -653,3 +653,44 @@ def test_snapshot_changes_is_a_derived_cdf(spark, root):
     assert feed2 == {4: "removed"}
     with pytest.raises(ValueError, match="key set"):
         S.snapshot_changes(spark, root, from_version=1, to_version=1)
+
+
+def test_check_constraints_block_bad_commits_and_persist(spark, root):
+    """Table CHECK constraints: a violating first write commits
+    NOTHING; a clean write records the set; a later MERGE whose
+    result violates is blocked (constraints persist across commits,
+    Delta semantics); NULL predicate inputs count as violations."""
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame(
+        [(1, -5.0), (2, 20.0)], "id long, v double"
+    )
+    cons = {"v_nonneg": "v >= 0", "id_notnull": "id IS NOT NULL"}
+    with pytest.raises(S.ConstraintViolation, match="v_nonneg"):
+        S.snapshot_write(bad, root, constraints=cons)
+    assert not S.snapshot_versions(root)  # nothing committed
+
+    good = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, v double"
+    )
+    m = S.snapshot_write(good, root, constraints=cons)
+    assert m["constraints"] == cons
+
+    # merge result violating the PERSISTED constraint is blocked
+    upd = spark.createDataFrame([(2, -1.0)], "id long, v double")
+    with pytest.raises(S.ConstraintViolation, match="v_nonneg"):
+        S.snapshot_merge(spark, root, upd, keys=["id"])
+    assert S.snapshot_versions(root)[-1]["version"] == 1  # unchanged
+
+    # NULL predicate counts as a violation, not a pass
+    nul = spark.createDataFrame(
+        [(3, None)], "id long, v double"
+    )
+    with pytest.raises(S.ConstraintViolation, match="v_nonneg"):
+        S.snapshot_merge(spark, root, nul, keys=["id"])
+
+    # a clean merge commits and carries the constraint set forward
+    ok = spark.createDataFrame([(3, 30.0)], "id long, v double")
+    m2 = S.snapshot_merge(spark, root, ok, keys=["id"])
+    assert m2["constraints"] == cons
+    assert S.snapshot_read(spark, root).count() == 3
