@@ -50,7 +50,13 @@ def merge_upsert(
     """
     cols = existing.columns
     upd = updates
-    for c in (c for c in cols if c not in updates.columns):
+    # case-INSENSITIVE presence check: Spark resolves names
+    # case-insensitively by default, so null-filling 'v' when the
+    # source carries 'V' would REPLACE the source column with NULLs
+    # via withColumn's case-insensitive match (the select below
+    # resolves the case variant correctly on its own)
+    upd_lc = {c.lower() for c in updates.columns}
+    for c in (c for c in cols if c.lower() not in upd_lc):
         upd = upd.withColumn(c, F.lit(None).cast(dict(existing.dtypes)[c]))
     upd = upd.select(*cols)
 

@@ -436,6 +436,31 @@ def embedding_neardup_pairs_fast(
     )
 
 
+def _np_quantize_units(values, dim: int):
+    """Stack a pandas column of vectors and quantize to micro-unit
+    int64 by the floor(x*1e6 + 0.5) rule — the ONE numpy copy of the
+    exactness-critical quantizer shared by gram_matrix_fast and
+    pq_encode_fast. Raises on wrong-length rows (a silent top-left
+    block labeled as the full result is the failure mode) and on
+    non-finite elements (np.floor(NaN).astype(int64) is UNDEFINED —
+    typically INT64_MIN — and would overflow-wrap the integer matmuls
+    into garbage with no error; callers either pre-quarantine such
+    rows or want the loud failure)."""
+    import numpy as np
+
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in values])
+    if mat.shape[1] != dim:
+        raise ValueError(
+            f"vector length {mat.shape[1]} != declared dim {dim}"
+        )
+    if not np.isfinite(mat).all():
+        raise ValueError(
+            "non-finite (NaN/Inf/NULL-element) vector components — "
+            "quantization is undefined; filter or quarantine upstream"
+        )
+    return np.floor(mat * 1e6 + 0.5).astype(np.int64)
+
+
 def gram_matrix_fast(
     df: DataFrame, vec_col: str, dim: int
 ) -> DataFrame:
@@ -468,10 +493,7 @@ def gram_matrix_fast(
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            units = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+            units = _np_quantize_units(pdf[vec_col], dim)
             gram = units.T @ units
             yield pd.DataFrame(
                 {
@@ -622,7 +644,11 @@ def pq_encode_fast(
     to pq_encode (pinned by test); use this form for bulk index
     builds (measured 5x at sf0.1: 0.22 s vs 1.10 s for the m=8/k=16
     encode), the expression form where a no-Python plan is wanted.
-    NULL / wrong-dimension vectors quarantine to NULL codes."""
+    NULL / wrong-dimension / non-finite-element vectors quarantine to
+    NULL codes (a NaN component would make the integer distances
+    undefined — the expression form's own behavior on NaN is not a
+    contract worth reproducing); an existing ``codes_col`` is
+    REPLACED, matching withColumn semantics."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -631,6 +657,8 @@ def pq_encode_fast(
     sub = len(codebooks[0][0])
     dim = m * sub
     cb = np.array(codebooks, dtype=np.int64)  # m x k x sub
+    if codes_col in df.columns:
+        df = df.drop(codes_col)
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(codes_col, T.ArrayType(T.IntegerType()))]
@@ -641,20 +669,20 @@ def pq_encode_fast(
             vals = pdf[vec_col]
             ok = np.array(
                 [
-                    v is not None and len(v) == dim
+                    v is not None
+                    and len(v) == dim
+                    and np.isfinite(
+                        np.asarray(v, dtype=np.float64)
+                    ).all()
                     for v in vals
                 ]
             )
             codes: list = [None] * len(pdf)
             idx = np.where(ok)[0]
             if len(idx):
-                mat = np.stack(
-                    [
-                        np.asarray(vals.iloc[i], dtype=np.float64)
-                        for i in idx
-                    ]
+                units = _np_quantize_units(
+                    vals.iloc[idx], dim
                 )
-                units = np.floor(mat * 1e6 + 0.5).astype(np.int64)
                 cs = np.empty((len(idx), m), dtype=np.int32)
                 for s in range(m):
                     x = units[:, s * sub : (s + 1) * sub]

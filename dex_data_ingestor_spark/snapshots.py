@@ -196,12 +196,39 @@ def _commit(root: str, data_dir: str, op: str, extra: dict | None) -> dict:
     return manifest
 
 
+def _effective_constraints(
+    root: str,
+    constraints: dict[str, str] | None,
+    drop_constraints: Sequence[str] | None,
+    extra: dict | None,
+) -> dict[str, str]:
+    """The constraint set a commit must enforce and record: the
+    table's persisted set, minus explicit drops, plus/overriding the
+    caller's additions. ``extra['constraints']`` is rejected — it
+    would record a set that was never enforced (or be silently
+    clobbered by the persisted one); the typed parameters are the
+    only path, so recorded == enforced always holds."""
+    if extra and "constraints" in extra:
+        raise ValueError(
+            "pass constraints/drop_constraints parameters, not "
+            "extra['constraints'] — recorded constraints must be the "
+            "enforced ones"
+        )
+    prior = _latest_manifest(root)
+    effective = dict((prior or {}).get("constraints") or {})
+    for name in drop_constraints or []:
+        effective.pop(name, None)
+    effective.update(constraints or {})
+    return effective
+
+
 def snapshot_write(
     df: DataFrame,
     root: str,
     op: str = "write",
     extra: dict | None = None,
     constraints: dict[str, str] | None = None,
+    drop_constraints: Sequence[str] | None = None,
 ) -> dict:
     """Write ``df`` as a NEW snapshot version and return its manifest.
 
@@ -212,23 +239,32 @@ def snapshot_write(
     the version number first (data stays; re-commit with
     :func:`snapshot_commit_existing` or rewrite).
 
-    ``constraints`` (name -> boolean SQL expression) adds table CHECK
-    constraints: enforced on THIS write (one conditional-count pass,
-    raising :class:`ConstraintViolation` before anything commits) and
-    recorded in the manifest, after which every subsequent
-    :func:`snapshot_merge` re-enforces them on its merged result —
-    constraints persist like Delta's, they are not a one-shot
-    assertion. Constraints already recorded on the table are likewise
-    enforced here."""
-    prior = _latest_manifest(root)
-    effective = dict((prior or {}).get("constraints") or {})
-    effective.update(constraints or {})
-    snapshot_check_constraints(df, effective)
+    ``constraints`` (name -> boolean SQL expression) adds/overrides
+    table CHECK constraints; ``drop_constraints`` removes persisted
+    ones by name. The effective set is enforced on the WRITTEN FILES
+    between write and commit (not on the input plan — a
+    non-deterministic lineage could pass a pre-write check and then
+    persist different rows; checking what actually landed closes that
+    TOCTOU), raising :class:`ConstraintViolation` and leaving only an
+    orphan dir vacuum reclaims. The set is recorded in the manifest,
+    and every subsequent write/MERGE re-enforces it — constraints
+    persist like Delta's, they are not a one-shot assertion."""
+    effective = _effective_constraints(
+        root, constraints, drop_constraints, extra
+    )
     extra = dict(extra or {})
-    if effective:
-        extra["constraints"] = effective
+    # ALWAYS recorded (even when empty) so _commit's carry-forward
+    # cannot resurrect a dropped constraint
+    extra["constraints"] = effective
     data_dir = os.path.join(root, DATA_DIR, uuid.uuid4().hex)
     df.write.mode("error").parquet(data_dir)
+    if effective and op != "compact":
+        # compact rewrites content that already passed at its
+        # original commit; re-reading it would double every
+        # maintenance pass for nothing
+        snapshot_check_constraints(
+            df.sparkSession.read.parquet(data_dir), effective
+        )
     return _commit(root, data_dir, op, extra)
 
 
@@ -337,7 +373,15 @@ def snapshot_merge(
     from dex_data_ingestor_spark.operators.merge import merge_upsert
 
     current = snapshot_read(spark, root)
-    new_cols = [c for c in updates.columns if c not in current.columns]
+    # case-INSENSITIVE name comparison: Spark resolves columns
+    # case-insensitively by default, so treating a case-variant as
+    # "new" would make withColumn silently REPLACE the existing
+    # column with NULLs — the exact data loss evolution exists to
+    # prevent
+    existing_lc = {c.lower() for c in current.columns}
+    new_cols = [
+        c for c in updates.columns if c.lower() not in existing_lc
+    ]
     if new_cols and not evolve_schema:
         raise ValueError(
             f"updates add columns {new_cols} the table lacks; pass "
@@ -563,6 +607,8 @@ def snapshot_write_with_stats(
     op: str = "write",
     extra: dict | None = None,
     bloom_cols: Sequence[str] | None = None,
+    constraints: dict[str, str] | None = None,
+    drop_constraints: Sequence[str] | None = None,
 ) -> dict:
     """:func:`snapshot_write` + per-file min/max stats for
     ``stats_cols`` recorded in the manifest (read from parquet footers
@@ -574,18 +620,28 @@ def snapshot_write_with_stats(
     listed column — the Delta bloom-filter-index idea: min/max stats
     only prune columns the LAYOUT is clustered on, while a Bloom
     answers point lookups on any high-cardinality column scattered
-    across every file (:func:`snapshot_scan_point`)."""
-    prior = _latest_manifest(root)
-    snapshot_check_constraints(
-        df, dict((prior or {}).get("constraints") or {})
+    across every file (:func:`snapshot_scan_point`).
+
+    ``constraints`` / ``drop_constraints`` follow the
+    :func:`snapshot_write` contract (post-write pre-commit
+    enforcement on the written files; the set persists), so a table
+    can establish its skipping indexes AND its CHECK constraints in
+    one commit."""
+    effective = _effective_constraints(
+        root, constraints, drop_constraints, extra
     )
     data_dir = os.path.join(root, DATA_DIR, uuid.uuid4().hex)
     df.write.mode("error").parquet(data_dir)
+    if effective and op != "compact":
+        snapshot_check_constraints(
+            df.sparkSession.read.parquet(data_dir), effective
+        )
     files = _file_stats(df.sparkSession, data_dir, stats_cols)
     payload = {
         **(extra or {}),
         "files": files,
         "stats_cols": list(stats_cols),
+        "constraints": effective,
     }
     if bloom_cols:
         blooms = _file_blooms(

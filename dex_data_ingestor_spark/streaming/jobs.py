@@ -766,14 +766,23 @@ def stream_pq_encode(
     vector (exact integer argmin — parity-tested).
 
     Malformed rows QUARANTINE instead of killing the stream (the
-    multimodal kernels' contract): a NULL or wrong-dimension vector
-    gets NULL codes/cell and ``pq_ok = false``; downstream routes
-    them to a dead-letter sink."""
+    multimodal kernels' contract): a NULL vector, a wrong-dimension
+    vector, or one carrying NULL/NaN ELEMENTS (whose integer
+    distances would be undefined — code 0 fabrications, not real
+    assignments) gets NULL codes/cell and ``pq_ok = false``;
+    downstream routes them to a dead-letter sink."""
     from dex_data_ingestor_spark.operators.vector import pq_encode
 
     dim = len(codebooks) * len(codebooks[0][0])
     v = F.col(vec_col)
-    valid = v.isNotNull() & (F.size(v) == dim)
+    bad_elem = F.exists(
+        v, lambda x: x.isNull() | F.isnan(x.cast("double"))
+    )
+    valid = (
+        v.isNotNull()
+        & (F.size(v) == dim)
+        & ~F.coalesce(bad_elem, F.lit(True))
+    )
     enc = pq_encode(vec_stream, vec_col, codebooks)
     enc = enc.withColumn(
         "codes", F.when(valid, F.col("codes"))

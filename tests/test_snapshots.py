@@ -694,3 +694,48 @@ def test_check_constraints_block_bad_commits_and_persist(spark, root):
     m2 = S.snapshot_merge(spark, root, ok, keys=["id"])
     assert m2["constraints"] == cons
     assert S.snapshot_read(spark, root).count() == 3
+
+
+def test_constraints_drop_and_stats_path_and_extra_rejected(spark, root):
+    """drop_constraints is the only way to remove a persisted CHECK;
+    extra['constraints'] is rejected on both write paths (recorded
+    must equal enforced); and the stats/bloom write path establishes
+    constraints in the SAME commit."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    m = S.snapshot_write_with_stats(
+        df, root, stats_cols=["id"], bloom_cols=["id"],
+        constraints={"v_nonneg": "v >= 0"},
+    )
+    assert m["constraints"] == {"v_nonneg": "v >= 0"}
+    assert m["stats_cols"] == ["id"] and m["bloom_cols"] == ["id"]
+    with pytest.raises(ValueError, match="extra"):
+        S.snapshot_write(df, root, extra={"constraints": {}})
+    # drop, then a previously-violating write commits
+    bad = spark.createDataFrame([(1, -1.0)], "id long, v double")
+    with pytest.raises(S.ConstraintViolation):
+        S.snapshot_merge(spark, root, bad, keys=["id"])
+    m2 = S.snapshot_write(
+        S.snapshot_read(spark, root).union(bad),
+        root,
+        drop_constraints=["v_nonneg"],
+    )
+    assert "constraints" not in m2 or not m2["constraints"]
+
+
+def test_merge_evolution_rejects_case_variant_column(spark, root):
+    """A case-variant source column (v vs V) must NOT be treated as
+    new: Spark resolves case-insensitively, and widening would
+    silently NULL the existing column."""
+    base = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    S.snapshot_write(base, root)
+    upd = spark.createDataFrame([(1, 11.0)], "id long, V double")
+    m = S.snapshot_merge(
+        spark, root, upd, keys=["id"], evolve_schema=True
+    )
+    assert "evolved_cols" not in m
+    got = S.snapshot_read(spark, root).head()
+    assert got.v == 11.0

@@ -630,7 +630,10 @@ def test_stream_pq_encode_batch_parity_and_quarantine(spark, tmp_path):
         (i, [((i * 37 + j * 11) % 100) / 100.0 for j in range(dim)])
         for i in range(1, 21)
     ]
-    rows = rng_rows + [(21, None), (22, [0.1, 0.2])]
+    rows = rng_rows + [
+        (21, None), (22, [0.1, 0.2]),
+        (23, [float("nan")] + [0.0] * (dim - 1)),
+    ]
     docs = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
     )
@@ -666,12 +669,12 @@ def test_stream_pq_encode_batch_parity_and_quarantine(spark, tmp_path):
     )
     q.awaitTermination(timeout=300)
     out = {r.vec_id: r for r in spark.sql("SELECT * FROM pq_out").collect()}
-    assert set(out) == set(range(1, 23))
+    assert set(out) == set(range(1, 24))
     for i in range(1, 21):
         assert out[i].pq_ok
         assert out[i].codes == batch_codes[i][0], i
         assert out[i].cell == batch_codes[i][1], i
-    for bad in (21, 22):
+    for bad in (21, 22, 23):
         assert not out[bad].pq_ok
         assert out[bad].codes is None and out[bad].cell is None
 

@@ -1258,11 +1258,17 @@ def test_pq_encode_fast_equals_expression_form(spark, em):
     }
     assert slow == fast and len(fast) == emn.count()
     bad = spark.createDataFrame(
-        [(1, None), (2, [0.1, 0.2])],
+        [(1, None), (2, [0.1, 0.2]),
+         (3, [float("nan")] + [0.0] * 63)],
         "vec_id long, embedding array<double>",
     )
     got = {
         r.vec_id: r.codes
         for r in pq_encode_fast(bad, "embedding", cbs).collect()
     }
-    assert got == {1: None, 2: None}
+    assert got == {1: None, 2: None, 3: None}
+    # re-encoding a table that already has a codes column REPLACES it
+    enc = pq_encode_fast(emn.limit(5), "embedding", cbs)
+    re_enc = pq_encode_fast(enc, "embedding", cbs)
+    assert re_enc.columns.count("codes") == 1
+    assert re_enc.count() == 5
