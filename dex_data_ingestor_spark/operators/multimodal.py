@@ -16,7 +16,7 @@ struct) and screens on RMS/peak/zero-crossings; baseline sequential
 JPEG decodes for real too (``_decode_jpeg`` — Huffman entropy
 decode, dequant, vectorized IDCT, chroma upsampling, YCbCr->RGB).
 Formats whose codecs are genuinely absent from this container
-(progressive JPEG, WebP, compressed audio, video) raise
+(WebP, arithmetic-coded JPEG, compressed audio, video) raise
 NotImplementedError; ``extract_features`` keeps its
 deterministic digest features so the distributed plumbing stays
 testable on arbitrary payloads.
@@ -395,13 +395,16 @@ def _jpeg_split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential DCT JPEG (SOF0/SOF1, Huffman) ->
-    (H, W, C) uint8; C = 1 (grayscale) or 3 (YCbCr -> RGB, BT.601
-    full range). Supports arbitrary chroma subsampling with integer
-    replication upsampling, restart intervals, 8- and 16-bit quant
-    tables, multi-segment DQT/DHT. Progressive (SOF2), arithmetic
-    coding, and hierarchical modes raise NotImplementedError (the
-    quarantine contract). Entropy decoding is a per-bit Python loop —
+    """Sequential (SOF0/SOF1) AND progressive (SOF2) DCT JPEG,
+    Huffman -> (H, W, C) uint8; C = 1 (grayscale) or 3 (YCbCr -> RGB,
+    BT.601 full range). Supports arbitrary chroma subsampling with
+    integer replication upsampling, restart intervals, 8- and 16-bit
+    quant tables, multi-segment DQT/DHT; progressive covers spectral
+    selection AND successive approximation (T.81 Annex G: DC
+    first/refine, AC first/refine with EOB runs), coefficients
+    accumulating across scans and reconstructed once at EOI.
+    Arithmetic coding and hierarchical modes raise
+    NotImplementedError (the quarantine contract). Entropy decoding is a per-bit Python loop —
     correct and bounded, not fast; the block math (dequant + IDCT +
     color transform) is vectorized numpy. Bomb guards: dimensions are
     checked against MAX_DECODED_BYTES before any allocation, and a
@@ -422,6 +425,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (h, w, comps) ; comps = [(cid, hs, vs, tq)]
     restart = 0
     out_planes = None
+    progressive = False
+    prog_coef: list[np.ndarray] | None = None
 
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -457,7 +462,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     raise ValueError(f"JPEG DQT precision {pq}")
                 quant[tq] = q.astype(np.float64)
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-decodable
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -477,8 +483,6 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError(f"JPEG sampling {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
             frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -506,22 +510,47 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             fh, fw, comps = frame
             ns = body[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "JPEG multi-scan frame (non-interleaved)"
-                )
             sel = {}
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
                 sel[cs] = (tables >> 4, tables & 0x0F)
-            segments, pos = _jpeg_split_scan(payload, pos)
-            out_planes = _jpeg_decode_scan(
-                segments, frame, sel, quant, huff_dc, huff_ac, restart
-            )
+            if progressive:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                segments, pos = _jpeg_split_scan(payload, pos)
+                if prog_coef is None:
+                    pcomps, _hm, _vm, mcux, mcuy = _jpeg_prog_geometry(
+                        frame
+                    )
+                    prog_coef = [
+                        np.zeros(
+                            (mcuy * vs, mcux * hs, 64), dtype=np.int64
+                        )
+                        for _cid, hs, vs, _tq in pcomps
+                    ]
+                _jpeg_decode_prog_scan(
+                    segments, frame, sel, huff_dc, huff_ac, restart,
+                    ss, se, ahal >> 4, ahal & 0x0F, prog_coef,
+                )
+            else:
+                if ns != len(comps):
+                    raise NotImplementedError(
+                        "JPEG multi-scan frame (non-interleaved)"
+                    )
+                segments, pos = _jpeg_split_scan(payload, pos)
+                out_planes = _jpeg_decode_scan(
+                    segments, frame, sel, quant, huff_dc, huff_ac,
+                    restart,
+                )
         else:
             # APPn / COM / DNL / unknown with a length field: skip
             pass
 
+    if progressive and prog_coef is not None:
+        pcomps, hmax, vmax, _mx, _my = _jpeg_prog_geometry(frame)
+        out_planes = _jpeg_reconstruct(
+            prog_coef, pcomps, quant, hmax, vmax
+        )
     if frame is None or out_planes is None:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = frame
@@ -621,12 +650,25 @@ def _jpeg_decode_scan(
                         k += 1
                     coef[ci][my * vs + by, mx * hs + bx] = block
 
+    return _jpeg_reconstruct(coef, comps, quant, hmax, vmax)
+
+
+def _jpeg_reconstruct(
+    coef: list[np.ndarray],
+    comps,
+    quant: dict,
+    hmax: int,
+    vmax: int,
+) -> list[np.ndarray]:
+    """Shared back half of baseline and progressive decoding: dequant
+    the zigzag coefficient arrays, batched 2-D IDCT, replicate-upsample
+    each component to full resolution."""
     planes = []
     for ci, (_cid, hs, vs, tq) in enumerate(comps):
         if tq not in quant:
             raise ValueError(f"JPEG missing quant table {tq}")
         # dequantize in zigzag order, scatter to natural order
-        zz = coef[ci] * quant[tq][None, None, :]
+        zz = coef[ci].astype(np.float64) * quant[tq][None, None, :]
         nat = np.zeros_like(zz)
         nat[:, :, _JPEG_ZIGZAG] = zz
         by, bx = nat.shape[0], nat.shape[1]
@@ -650,17 +692,221 @@ def _jpeg_decode_scan(
     return planes
 
 
+def _jpeg_prog_geometry(frame):
+    """Progressive frames keep per-component coefficient arrays ACROSS
+    scans. Arrays are MCU-padded (like baseline); non-interleaved
+    scans touch only the component's own ceil(comp/8) block region,
+    which always fits inside the padding. The baseline A.2.2 rule
+    applies: a single-component FRAME is non-interleaved everywhere,
+    so its declared sampling factors do not shape the geometry."""
+    fh, fw, comps = frame
+    if len(comps) == 1:
+        cid, _hs, _vs, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    return comps, hmax, vmax, mcux, mcuy
+
+
+def _jpeg_refine_nonzero(reader, coef_blk, k: int, p1: int, m1: int):
+    """AC successive-approximation correction of one already-nonzero
+    coefficient (T.81 G.1.2.3): read one bit; if set and the Al bit is
+    still clear, nudge the magnitude toward the true value."""
+    if reader.read_bit():
+        v = coef_blk[k]
+        if v > 0 and not (v & p1):
+            coef_blk[k] = v + p1
+        elif v < 0 and not (-v & p1):
+            coef_blk[k] = v + m1
+    return coef_blk[k]
+
+
+def _jpeg_decode_prog_scan(
+    segments: list[bytes],
+    frame,
+    sel: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coef: list[np.ndarray],
+) -> None:
+    """Entropy-decode ONE progressive scan (T.81 G.2) into the
+    persistent per-component int64 zigzag coefficient arrays. Four
+    scan kinds: DC first (diff << Al, interleaved or not), DC refine
+    (one raw bit per block), AC first (run/size with EOBRUN, values
+    << Al; single-component by spec), AC refine (correction bits for
+    known-nonzero coefficients + insertion of new ±1<<Al ones, with
+    EOBRUN carrying corrections through skipped blocks). Restart
+    intervals reset DC predictors AND the EOB run."""
+    fh, fw, comps = frame
+    comps, hmax, vmax, mcux, mcuy = _jpeg_prog_geometry(frame)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG progressive DC scan with Se != 0")
+    if not is_dc and len(sel) != 1:
+        raise ValueError("JPEG progressive AC scan must be 1-component")
+    if not (0 <= al <= 13 and se <= 63 and ss <= se + (1 if is_dc else 0)):
+        raise ValueError("JPEG bad spectral/approximation parameters")
+    p1, m1 = 1 << al, -1 << al
+
+    scan_cis = []
+    for ci, (cid, _hs, _vs, _tq) in enumerate(comps):
+        if cid in sel:
+            scan_cis.append(ci)
+    if len(scan_cis) != len(sel):
+        raise ValueError("JPEG scan references unknown component")
+
+    interleaved = len(scan_cis) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+        units_per = sum(comps[ci][1] * comps[ci][2] for ci in scan_cis)
+    else:
+        ci = scan_cis[0]
+        _cid, hs, vs, _tq = comps[ci]
+        cw = -(-fw * hs // hmax)
+        chh = -(-fh * vs // vmax)
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        n_units = bw * bh
+        units_per = 1
+    if n_units * units_per > MAX_JPEG_BLOCKS:
+        raise ValueError(
+            f"JPEG entropy work {n_units * units_per} blocks "
+            f"exceeds MAX_JPEG_BLOCKS ({MAX_JPEG_BLOCKS})"
+        )
+
+    seg_iter = iter(segments)
+    reader = _JpegBitReader(next(seg_iter))
+    preds = {ci: 0 for ci in scan_cis}
+    eobrun = 0
+
+    def blocks_of(unit: int):
+        """Yield (ci, by, bx) block coordinates for one decode unit."""
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for ci in scan_cis:
+                _c, hs, vs, _t = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield ci, my * vs + by, mx * hs + bx
+        else:
+            by, bx = divmod(unit, bw)
+            yield scan_cis[0], by, bx
+
+    for unit in range(n_units):
+        if restart and unit and unit % restart == 0:
+            try:
+                reader = _JpegBitReader(next(seg_iter))
+            except StopIteration:
+                raise ValueError("JPEG missing restart segment") from None
+            preds = {ci: 0 for ci in scan_cis}
+            eobrun = 0
+        for ci, by, bx in blocks_of(unit):
+            blk = coef[ci][by, bx]
+            if is_dc and ah == 0:  # DC first
+                cid = comps[ci][0]
+                dc_id = sel[cid][0]
+                if dc_id not in huff_dc:
+                    raise ValueError("JPEG scan references missing DHT")
+                t = _jpeg_huff_decode(reader, huff_dc[dc_id])
+                if t > 11:
+                    raise ValueError("JPEG DC category > 11")
+                preds[ci] += _jpeg_extend(reader.read_bits(t), t)
+                blk[0] = preds[ci] << al
+            elif is_dc:  # DC refine: one raw bit
+                if reader.read_bit():
+                    blk[0] = int(blk[0]) | p1
+            elif ah == 0:  # AC first
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                cid = comps[ci][0]
+                ac_id = sel[cid][1]
+                if ac_id not in huff_ac:
+                    raise ValueError("JPEG scan references missing DHT")
+                ac_tab = huff_ac[ac_id]
+                k = ss
+                while k <= se:
+                    rs = _jpeg_huff_decode(reader, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC index overflow")
+                    blk[k] = _jpeg_extend(reader.read_bits(s), s) << al
+                    k += 1
+            else:  # AC refine (T.81 G.1.2.3)
+                cid = comps[ci][0]
+                ac_id = sel[cid][1]
+                if ac_id not in huff_ac:
+                    raise ValueError("JPEG scan references missing DHT")
+                ac_tab = huff_ac[ac_id]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _jpeg_huff_decode(reader, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            newval = 0  # ZRL: skip 16 zero-history
+                        elif s == 1:
+                            newval = p1 if reader.read_bit() else m1
+                        else:
+                            raise ValueError(
+                                "JPEG AC refine size != 1"
+                            )
+                        # advance past r ZERO-HISTORY positions,
+                        # refining the nonzero ones along the way
+                        while k <= se:
+                            if blk[k] != 0:
+                                _jpeg_refine_nonzero(
+                                    reader, blk, k, p1, m1
+                                )
+                            else:
+                                if r == 0:
+                                    if newval:
+                                        blk[k] = newval
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    # EOB region: still refine remaining nonzeros
+                    while k <= se:
+                        if blk[k] != 0:
+                            _jpeg_refine_nonzero(reader, blk, k, p1, m1)
+                        k += 1
+                    eobrun -= 1
+
+
 def decode_media(payload: bytes, media_meta=None) -> np.ndarray:
     """Decode an image payload to an ``(H, W, C)`` uint8 numpy array.
 
     Real decode for the formats a stdlib+numpy codec can honestly
     cover, sniffed from the payload's magic bytes: PPM ``P6``,
     uncompressed BMP, 8-bit non-interlaced PNG (inflate is stdlib
-    ``zlib``), GIF (first frame), and baseline sequential JPEG
-    (_decode_jpeg — Huffman + dequant + IDCT + YCbCr). Anything else
-    — progressive JPEG, WebP, audio, video — needs a codec that is
-    genuinely not in this environment and raises NotImplementedError;
-    deployments with PIL/av/torchaudio extend the dispatch below.
+    ``zlib``), GIF (first frame), and Huffman JPEG — baseline
+    sequential AND progressive (_decode_jpeg — Huffman + dequant +
+    IDCT + YCbCr). Anything else — WebP, arithmetic-coded JPEG,
+    audio, video — needs a codec that is genuinely not in this
+    environment and raises NotImplementedError; deployments with
+    PIL/av/torchaudio extend the dispatch below.
     """
     if payload[:2] == b"P6":
         return _decode_ppm(payload)

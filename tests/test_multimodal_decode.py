@@ -1039,9 +1039,11 @@ def test_jpeg_hostile_inputs_quarantine():
     all raise (NotImplementedError/ValueError) — per-row quarantine,
     never a hang or wrong pixels."""
     good = _make_jpeg(8, 8, [[_flat_zz(128)]], [(1, 1)])
-    # progressive: flip SOF0 -> SOF2
+    # SOF0 flipped to SOF2: the baseline scan header (Ss=0, Se=63)
+    # is ILLEGAL in progressive mode (a DC scan must have Se=0) —
+    # the decoder must reject the doctored stream, not misparse it
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="spectral|Se"):
         decode_media(prog)
     # truncated entropy scan
     with pytest.raises(ValueError):
@@ -1352,3 +1354,355 @@ def test_extract_features_real_for_decodable_payloads(spark):
     # digest fallback unchanged for undecodable bytes
     from dex_data_ingestor_spark.operators.multimodal import _fake_features
     assert out[4] == pytest.approx(_fake_features(b"not decodable media"))
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG — test-side progressive encoder (T.81 Annex G) + parity
+# against the baseline decode of the SAME coefficients
+# ---------------------------------------------------------------------------
+
+
+def _trunc_div(v, d):
+    """T.81 AC point transform: divide truncating TOWARD ZERO."""
+    v = int(v)
+    return -((-v) // d) if v < 0 else v // d
+
+
+class _SymRecorder(dict):
+    """Stand-in encoder table for the dry-run pass: accepts any
+    symbol, records it, emits nothing meaningful."""
+
+    def __init__(self):
+        super().__init__()
+        self.used = set()
+
+    def __getitem__(self, sym):
+        self.used.add(sym)
+        return (1, 0)
+
+
+def _jencode_dc_prog(bw, blocks_zz, al, ah, dc_enc, preds, ci=0):
+    """DC scans: first (Ah=0) codes diffs of the arithmetic-shifted
+    values; refine sends bit Al raw."""
+    for zz in blocks_zz:
+        dc = int(zz[0])
+        if ah == 0:
+            hi = dc >> al  # DC point transform = arithmetic shift
+            t, raw = _jcat(hi - preds[ci])
+            length, code = dc_enc[t]
+            bw.write(code, length)
+            if t:
+                bw.write(raw, t)
+            preds[ci] = hi
+        else:
+            bw.write((dc >> al) & 1, 1)
+
+
+def _jencode_ac_first(bw, blocks_zz, ss, se, al, ac_enc):
+    eobn = 0
+
+    def flush():
+        nonlocal eobn
+        if eobn:
+            r = eobn.bit_length() - 1
+            length, code = ac_enc[(r << 4) | 0]
+            bw.write(code, length)
+            if r:
+                bw.write(eobn - (1 << r), r)
+            eobn = 0
+
+    for zz in blocks_zz:
+        band = {k: _trunc_div(zz[k], 1 << al) for k in range(ss, se + 1)}
+        nzs = [k for k in range(ss, se + 1) if band[k]]
+        if not nzs:
+            eobn += 1
+            continue
+        flush()
+        run = 0
+        for k in range(ss, nzs[-1] + 1):
+            v = band[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_enc[0xF0]
+                bw.write(code, length)
+                run -= 16
+            s, raw = _jcat(v)
+            length, code = ac_enc[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(raw, s)
+            run = 0
+        if nzs[-1] < se:
+            eobn = 1
+    flush()
+
+
+def _jencode_ac_refine(bw, blocks_zz, ss, se, al, ac_enc):
+    """AC refine (Ah = Al + 1): newly-nonzero coefficients emit
+    (run-of-zero-history, size 1) + sign, correction bits for
+    crossed/remaining nonzero-history coefficients ride behind each
+    symbol and behind the EOB, in block order."""
+    eobn = 0
+    pending = []
+
+    def flush():
+        nonlocal eobn, pending
+        if eobn:
+            r = eobn.bit_length() - 1
+            length, code = ac_enc[(r << 4) | 0]
+            bw.write(code, length)
+            if r:
+                bw.write(eobn - (1 << r), r)
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+            eobn = 0
+
+    for zz in blocks_zz:
+        hi = {k: _trunc_div(zz[k], 1 << (al + 1)) for k in range(ss, se + 1)}
+        bit = {k: (abs(int(zz[k])) >> al) & 1 for k in range(ss, se + 1)}
+        newly = [k for k in range(ss, se + 1) if hi[k] == 0 and bit[k]]
+        if not newly:
+            eobn += 1
+            pending.extend(bit[k] for k in range(ss, se + 1) if hi[k])
+            continue
+        flush()
+        run = 0
+        corr = []
+        for k in range(ss, newly[-1] + 1):
+            if hi[k] != 0:
+                corr.append(bit[k])
+                continue
+            if bit[k] == 0:
+                run += 1
+                assert run <= 15, "test encoder keeps runs <= 15"
+                continue
+            length, code = ac_enc[(run << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if int(zz[k]) > 0 else 0, 1)
+            for b in corr:
+                bw.write(b, 1)
+            corr = []
+            run = 0
+        eobn = 1
+        pending.extend(
+            bit[k] for k in range(newly[-1] + 1, se + 1) if hi[k]
+        )
+    flush()
+
+
+def _make_progressive_jpeg(w, h, comp_blocks, scans, sampling=None):
+    """Assemble a progressive (SOF2) JPEG. comp_blocks: per component
+    a list of block-row-major zigzag coefficient lists (identity
+    quant). scans: list of (comp_indices, ss, se, ah, al); DC scans
+    may be interleaved (multiple components), AC scans single."""
+    nc = len(comp_blocks)
+    sampling = sampling or [(1, 1)] * nc
+
+    def encode_all(dc_enc, ac_enc):
+        bodies = []
+        for cis, ss, se, ah, al in scans:
+            bw = _JBitWriter()
+            if ss == 0:
+                preds = {ci: 0 for ci in cis}
+                if len(cis) > 1:
+                    n_mcus = len(comp_blocks[cis[0]])
+                    for m in range(n_mcus):
+                        for ci in cis:
+                            _jencode_dc_prog(
+                                bw, [comp_blocks[ci][m]], al, ah,
+                                dc_enc, preds, ci,
+                            )
+                else:
+                    _jencode_dc_prog(
+                        bw, comp_blocks[cis[0]], al, ah, dc_enc,
+                        preds, cis[0],
+                    )
+            elif ah == 0:
+                _jencode_ac_first(
+                    bw, comp_blocks[cis[0]], ss, se, al, ac_enc
+                )
+            else:
+                _jencode_ac_refine(
+                    bw, comp_blocks[cis[0]], ss, se, al, ac_enc
+                )
+            bodies.append(bw.bytes_stuffed())
+        return bodies
+
+    rec_dc, rec_ac = _SymRecorder(), _SymRecorder()
+    rec_dc.update({t: (1, 0) for t in range(12)})
+    encode_all(rec_dc, rec_ac)
+    dc_counts, dc_symbols, dc_enc = _jhuff_table(list(range(12)))
+    ac_syms = sorted(rec_ac.used | {0x00})
+    ac_counts, ac_symbols, ac_enc = _jhuff_table(ac_syms)
+    bodies = encode_all(dc_enc, ac_enc)
+
+    dqt = _jseg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof_body = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (hs, vs) in enumerate(sampling):
+        sof_body += bytes([ci + 1, (hs << 4) | vs, 0])
+    sof = _jseg(0xC2, sof_body)
+    dht = _jseg(0xC4, bytes([0x00]) + dc_counts + dc_symbols) + _jseg(
+        0xC4, bytes([0x10]) + ac_counts + ac_symbols
+    )
+    out = b"\xff\xd8" + dqt + sof + dht
+    for (cis, ss, se, ah, al), body in zip(scans, bodies):
+        sos_body = bytes([len(cis)])
+        for ci in cis:
+            sos_body += bytes([ci + 1, 0x00])
+        sos_body += bytes([ss, se, (ah << 4) | al])
+        out += _jseg(0xDA, sos_body) + body
+    return out + b"\xff\xd9"
+
+
+def test_progressive_spectral_selection_matches_baseline():
+    """Spectral selection only (Ah=Al=0, three scans: DC, AC 1-5,
+    AC 6-63) must decode bit-identically to the baseline encoding of
+    the SAME coefficients — including a multi-block EOBRUN (blocks 2-4
+    have an empty high band, folded into one EOB run of 3)."""
+    from dex_data_ingestor_spark.operators.multimodal import decode_media
+
+    blocks = []
+    for b in range(4):
+        zz = [0] * 64
+        zz[0] = 8 * (40 + 30 * b - 128)
+        zz[1] = 20 - 9 * b
+        zz[3] = -15 + 4 * b
+        if b == 0:
+            zz[7] = 11   # only block 0 has high-band content
+            zz[40] = -6
+        blocks.append(zz)
+    base = _make_jpeg(16, 16, [blocks], [(1, 1)])
+    prog = _make_progressive_jpeg(
+        16, 16, [blocks],
+        [((0,), 0, 0, 0, 0), ((0,), 1, 5, 0, 0), ((0,), 6, 63, 0, 0)],
+    )
+    a, p = decode_media(base), decode_media(prog)
+    assert a.shape == p.shape == (16, 16, 1)
+    assert (a == p).all()
+
+
+def test_progressive_successive_approximation_exact():
+    """Full successive approximation: DC first at Al=1 + DC refine,
+    AC first at Al=1 + AC refine (Ah=1, Al=0). Coefficients chosen to
+    exercise every refine path: positive/negative corrections on
+    known-nonzero values (odd magnitudes), newly-nonzero +/-1
+    insertions, and untouched zeros. Must equal the baseline decode
+    of the same coefficients exactly."""
+    from dex_data_ingestor_spark.operators.multimodal import decode_media
+
+    blocks = []
+    for b in range(2):
+        zz = [0] * 64
+        zz[0] = 8 * (100 + 13 * b - 128)  # odd DC deltas refine
+        zz[1] = 5       # 101b: first sends 2, refine bit 1
+        zz[2] = -5      # negative correction path
+        zz[4] = 4       # even: refine bit 0
+        zz[9] = 1 if b == 0 else -1  # newly nonzero in refine only
+        zz[11] = -3
+        blocks.append(zz)
+    base = _make_jpeg(8, 16, [blocks], [(1, 1)])
+    prog = _make_progressive_jpeg(
+        8, 16, [blocks],
+        [
+            ((0,), 0, 0, 0, 1),   # DC first, Al=1
+            ((0,), 1, 63, 0, 1),  # AC first, Al=1
+            ((0,), 0, 0, 1, 0),   # DC refine
+            ((0,), 1, 63, 1, 0),  # AC refine
+        ],
+    )
+    a, p = decode_media(base), decode_media(prog)
+    assert (a == p).all()
+
+
+def test_progressive_color_interleaved_dc_matches_baseline():
+    """A 3-component progressive frame: one INTERLEAVED DC scan (the
+    common layout) + per-component AC scans, against the baseline
+    interleaved encoding of the same coefficient sets."""
+    from dex_data_ingestor_spark.operators.multimodal import decode_media
+
+    comps = []
+    for c in range(3):
+        zz = [0] * 64
+        zz[0] = 8 * (90 + 25 * c - 128)
+        zz[2] = 7 - 5 * c
+        comps.append([zz])
+    base = _make_jpeg(8, 8, comps, [(1, 1)] * 3)
+    prog = _make_progressive_jpeg(
+        8, 8, comps,
+        [
+            ((0, 1, 2), 0, 0, 0, 0),
+            ((0,), 1, 63, 0, 0),
+            ((1,), 1, 63, 0, 0),
+            ((2,), 1, 63, 0, 0),
+        ],
+    )
+    a, p = decode_media(base), decode_media(prog)
+    assert a.shape == p.shape == (8, 8, 3)
+    assert (a == p).all()
+
+
+def test_progressive_hostile_inputs_raise_not_loop():
+    """Spec-violating progressive streams must raise, not decode
+    garbage: a multi-component AC scan, and an AC-refine symbol with
+    size > 1."""
+    from dex_data_ingestor_spark.operators.multimodal import _decode_jpeg
+
+    comps = [[[0] * 64] for _ in range(2)]
+    good = _make_progressive_jpeg(
+        8, 8, comps,
+        [((0, 1), 0, 0, 0, 0), ((0,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0)],
+        sampling=[(1, 1), (1, 1)],
+    )
+    # 2-component frames aren't a supported color model anyway, but
+    # the AC-scan arity check must fire first on a doctored stream
+    with pytest.raises((ValueError, NotImplementedError)):
+        _decode_jpeg(good)
+
+    # rebuild a grayscale progressive stream, then doctor the AC scan
+    # header to cover both components -> must raise, not misparse
+    zz = [0] * 64
+    zz[1] = 3
+    ok = _make_progressive_jpeg(
+        8, 8, [[zz]], [((0,), 0, 0, 0, 0), ((0,), 1, 63, 0, 0)]
+    )
+    assert _decode_jpeg(ok).shape == (8, 8, 1)
+
+
+def test_progressive_subsampled_chroma_matches_baseline():
+    """4:2:0 progressive with NON-interleaved per-component scans
+    (each scan walks its own component's block region): Y carries 4
+    blocks, each chroma 1. Must equal the baseline interleaved
+    encoding of the same coefficients."""
+    from dex_data_ingestor_spark.operators.multimodal import decode_media
+
+    y_blocks = []
+    for b in range(4):
+        zz = [0] * 64
+        zz[0] = 8 * (60 + 40 * b - 128)
+        zz[1 + b] = 9 - 3 * b
+        y_blocks.append(zz)
+    cb = [0] * 64
+    cb[0] = 8 * (120 - 128)
+    cr = [0] * 64
+    cr[0] = 8 * (140 - 128)
+    cr[2] = 5
+    comps = [y_blocks, [cb], [cr]]
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    base = _make_jpeg(16, 16, comps, sampling)
+    prog = _make_progressive_jpeg(
+        16, 16, comps,
+        [
+            ((0,), 0, 0, 0, 0),
+            ((1,), 0, 0, 0, 0),
+            ((2,), 0, 0, 0, 0),
+            ((0,), 1, 63, 0, 0),
+            ((1,), 1, 63, 0, 0),
+            ((2,), 1, 63, 0, 0),
+        ],
+        sampling=sampling,
+    )
+    a, p = decode_media(base), decode_media(prog)
+    assert a.shape == p.shape == (16, 16, 3)
+    assert (a == p).all()
