@@ -126,6 +126,17 @@ HEADLINE = [
     # expression form above so the measured ~18x is a recorded
     # number, not a claim (set 47 -> 48).
     "q_embed_gram_fast",
+    # added late r8, continuation session (set 48 -> 52): the risk
+    # legs of the market-metrics family (running-peak drawdown; the
+    # cross-asset return-correlation matrix — tape-scan dominated,
+    # everything downstream bar-sized), the Naive Bayes classifier
+    # (broadcast dense model + class-fanout scoring join), and the
+    # hashed-gram containment benched NEXT TO the exact-string form
+    # so the 8-byte-key exchange saving is a recorded number.
+    "q_drawdown",
+    "q_return_corr",
+    "q_nb_classify",
+    "q_ngram_containment_fast",
 ]
 
 

@@ -422,14 +422,30 @@ def ngram_jaccard_pairs(
     )
 
 
-def _gram_pair_intersection(df, id_col, text_col, n, pair_cond):
+def _gram_pair_intersection(df, id_col, text_col, n, pair_cond,
+                            hashed_keys=False):
     """Shared plumbing for the exact pairwise gram metrics (Jaccard,
     containment): distinct n-gram shingles -> per-doc gram counts +
     the shared-gram equi-join intersection counts for pairs passing
     ``pair_cond``. Keeping this in ONE place keeps the two metrics
     structurally in lockstep — a future skew/normalization fix here
-    reaches both."""
+    reaches both.
+
+    ``hashed_keys=True`` replaces each gram string with its
+    md5-int64 hash BEFORE the corpus-wide equi-join — the span-dedup
+    shuffle-key lesson applied to the pair metrics: 8 bytes per row
+    through the exchange instead of a ~20-char gram (~3x byte cut),
+    and BIGINT key compares instead of string compares. The hash is a
+    drop-in key substitution, NOT followed by a re-distinct: per-doc
+    gram counts stay row counts (shingles already emits distinct
+    strings), so an intra-doc collision double-counts on BOTH the
+    count and the intersection side consistently — any oracle must
+    hash with the same function to stay bitwise-comparable
+    (cross-gram collisions merge keys conservatively, ~n²/2³² odds).
+    """
     sh = shingles(df, id_col, text_col, n)
+    if hashed_keys:
+        sh = sh.select(F.col(id_col), md5_int64(F.col("gram")).alias("gram"))
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     a = sh.select(F.col(id_col).alias("a_id"), "gram")
     b = sh.select(F.col(id_col).alias("b_id"), "gram")
@@ -448,6 +464,7 @@ def ngram_containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    hashed_keys: bool = False,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT: |grams(a) ∩ grams(b)| /
     |grams(a)| — how much of document a lives inside document b.
@@ -465,9 +482,12 @@ def ngram_containment_pairs(
     the skew risk; the gram explode dominates and partially
     aggregates map-side). Containment is n_inter / a_grams, an
     integer ratio: one IEEE division, 9 dp rounded, bit-stable
-    cross-engine."""
+    cross-engine. ``hashed_keys=True`` is the 100 TB scale path —
+    see :func:`_gram_pair_intersection` for the key-substitution
+    contract."""
     inter, counts = _gram_pair_intersection(
-        df, id_col, text_col, n, F.col("a_id") != F.col("b_id")
+        df, id_col, text_col, n, F.col("a_id") != F.col("b_id"),
+        hashed_keys=hashed_keys,
     )
     ca = counts.select(
         F.col(id_col).alias("a_id"), F.col("n_grams").alias("a_grams")

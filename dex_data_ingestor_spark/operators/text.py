@@ -718,3 +718,112 @@ def backoff_logloss(
             ).alias("avg_nll"),
         )
     )
+
+
+def nb_classify(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    materialize_model: bool = False,
+) -> DataFrame:
+    """Multinomial Naive Bayes document classifier over hashed word
+    features — the model-BASED quality/domain filter of the curation
+    ladder (fastText-style classifiers filtered GPT-3/LLaMA pretraining
+    data; NB over hashed tokens is the exact-arithmetic, oracle-
+    checkable form of the same pipeline role: fit on labeled docs,
+    score every candidate, route or drop by predicted class).
+
+    Fit: per class c, Laplace-smoothed token likelihoods over the
+    hashed feature space — nll(c,f) = -ln((c_cf + 1)/(t_c + B)) — plus
+    a document-frequency prior -ln(n_c / n). The model is DENSE over
+    the (class x bucket) grid, so scoring is a plain inner join: every
+    test token finds its (c,f) row for every class, and unseen
+    features take the smoothed count-1 likelihood by construction
+    (a sparse model would silently DROP unseen-token contributions).
+
+    Predict: argmin over classes of prior + sum of token nlls. All
+    scores are integer micro-nats (the shared ``_nll_units``
+    quantization), so per-doc sums are order-free exact BIGINTs and
+    the argmin is an exact integer comparison — ties break to the
+    lexicographically smallest class label via one struct min.
+
+    Output: (id_col, pred, score_units) — one row per nonempty test
+    document; score_units is the winning class's total NLL.
+
+    Plan / 100 TB: the model is O(n_classes * n_buckets) rows
+    (bounded by construction — THE reason to hash the vocabulary),
+    broadcast to the scoring join; the test-side fan-out is
+    n_classes x per-token, folded map-side by the (doc, class)
+    partial aggregation before one doc-keyed exchange. Fitting is one
+    shuffle on (class, f). ``materialize_model`` severs the fit/score
+    diamond exactly like the LM scorers (the curate-pipeline lesson).
+    """
+    tr = train_df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    classes = tr.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_total = classes.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    priors = classes.crossJoin(F.broadcast(n_total)).select(
+        label_col,
+        _nll_units(F.col("n_docs").cast("double"), F.col("n_total"))
+        .cast("bigint")
+        .alias("prior_units"),
+    )
+
+    inst = _hashed_instances(
+        tr, None, text_col, n_buckets, extra_cols=(label_col,)
+    )
+    cf = inst.groupBy(label_col, "f").agg(F.count(F.lit(1)).alias("c_cf"))
+    tot_c = cf.groupBy(label_col).agg(
+        F.sum("c_cf").cast("bigint").alias("t_c")
+    )
+    grid = (
+        classes.select(label_col)
+        .select(
+            label_col,
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1))
+            ).alias("f"),
+        )
+        .withColumn("f", F.col("f").cast("bigint"))
+    )
+    model = (
+        grid.join(cf, [label_col, "f"], "left")
+        .join(tot_c, label_col)
+        .select(
+            label_col,
+            "f",
+            _nll_units(
+                (F.coalesce(F.col("c_cf"), F.lit(0)) + F.lit(1)).cast(
+                    "double"
+                ),
+                (F.col("t_c") + F.lit(n_buckets)).cast("bigint"),
+            )
+            .cast("bigint")
+            .alias("nll"),
+        )
+    )
+    model = _maybe_collect_model(model, materialize_model)
+    priors = _maybe_collect_model(priors, materialize_model)
+
+    te_inst = _hashed_instances(test_df, id_col, text_col, n_buckets)
+    scored = (
+        te_inst.join(F.broadcast(model), "f")
+        .groupBy(id_col, label_col)
+        .agg(F.sum("nll").cast("bigint").alias("like_units"))
+        .join(F.broadcast(priors), label_col)
+        .select(
+            id_col,
+            F.col(label_col).alias("__cls"),
+            (F.col("like_units") + F.col("prior_units")).alias("__score"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("__score"), F.col("__cls"))).alias("__b")
+    )
+    return best.select(
+        id_col,
+        F.col("__b.__cls").alias("pred"),
+        F.col("__b.__score").alias("score_units"),
+    )

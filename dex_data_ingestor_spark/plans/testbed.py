@@ -7651,6 +7651,397 @@ def q_backoff_logloss(spark, sf_dir):
     return backoff_logloss(test, train)
 
 
+@register(
+    "q_drawdown",
+    """
+    WITH clean AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_units
+      FROM events WHERE value > 0
+    ),
+    path AS (
+      SELECT event_type, v_units,
+             max(v_units) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS peak_units
+      FROM clean
+    )
+    SELECT event_type,
+           max(peak_units) AS high_units,
+           max(peak_units - v_units) AS max_dd_units,
+           ROUND(max(CAST(peak_units - v_units AS DOUBLE)
+                     / CAST(peak_units AS DOUBLE)), 9) AS max_dd_frac,
+           COUNT(*) AS n_ticks
+    FROM path GROUP BY 1
+    """,
+)
+def q_drawdown(spark, sf_dir):
+    """Maximum drawdown per instrument — the risk-of-ruin statistic
+    every backtest and risk report carries next to realized variance:
+    the deepest peak-to-trough fall of the price path, both in
+    absolute micro-units and as a fraction of the running peak.
+
+    Cross-engine exactness: the price path quantizes by the q_twap
+    rule ``floor(value*1e6 + 0.5)`` (pure IEEE), the running peak and
+    every drawdown difference are exact BIGINTs, and the fractional
+    drawdown is ONE IEEE division per row on exact < 2^53 operands
+    (v_units ≤ 3.3e8 here; re-derive if prices ever approach 9e15
+    micro-units) — the max over bit-identical doubles picks the same
+    row on both engines, rounded to 9 dp last. value > 0 is the
+    q_realized_var hygiene gate (a zero/negative print is a bad tick,
+    and peak > 0 keeps the division total).
+
+    Plan: the running-max window and the final aggregate share the
+    event_type partitioning — ONE exchange end-to-end, the q_twap
+    shape. A cumulative max needs no second pass at 100 TB: with the
+    tape date-partitioned, each partition's running peak seeds from
+    the prior partition's high water mark (a one-row-per-key
+    bootstrap, the incremental-MIN pattern)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    clean = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).alias(
+            "v_units"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    path = clean.withColumn("peak_units", F.max("v_units").over(w))
+    dd = F.col("peak_units") - F.col("v_units")
+    return path.groupBy("event_type").agg(
+        F.max("peak_units").alias("high_units"),
+        F.max(dd).alias("max_dd_units"),
+        F.round(
+            F.max(dd.cast("double") / F.col("peak_units").cast("double")), 9
+        ).alias("max_dd_frac"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@register(
+    "q_return_corr",
+    """
+    WITH clean AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events WHERE value > 0
+    ),
+    closes AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_start,
+             arg_max(value,
+                     date_diff('microsecond', date_trunc('hour', ts), ts)
+                       * 2097152 + event_id) AS close_px
+      FROM clean GROUP BY 1, 2
+    ),
+    rets AS (
+      SELECT event_type, bar_start,
+             CAST(FLOOR((close_px / lag(close_px) OVER w - 1.0)
+                        * 10000.0 + 0.5) AS BIGINT) AS r_bp
+      FROM closes
+      WINDOW w AS (PARTITION BY event_type ORDER BY bar_start)
+    ),
+    r AS (SELECT * FROM rets WHERE r_bp IS NOT NULL),
+    j AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.r_bp AS x, b.r_bp AS y
+      FROM r a JOIN r b ON a.bar_start = b.bar_start
+                       AND a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT type_a, type_b, COUNT(*) AS n_hours,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy
+      FROM j GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT type_a, type_b, n_hours,
+             n_hours * sxy - sx * sy AS num,
+             n_hours * sxx - sx * sx AS denx,
+             n_hours * syy - sy * sy AS deny
+      FROM m
+    )
+    SELECT type_a, type_b, n_hours,
+           ROUND(
+             (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END
+              * (CAST(ABS(num) // 1000000000000 AS DOUBLE)
+                   * 1000000000000.0
+                 + CAST(ABS(num) % 1000000000000 AS DOUBLE)))
+             / (sqrt(CAST(denx // 1000000000000 AS DOUBLE)
+                       * 1000000000000.0
+                     + CAST(denx % 1000000000000 AS DOUBLE))
+                * sqrt(CAST(deny // 1000000000000 AS DOUBLE)
+                         * 1000000000000.0
+                       + CAST(deny % 1000000000000 AS DOUBLE))),
+             9) AS corr
+    FROM d WHERE denx > 0 AND deny > 0
+    """,
+)
+def q_return_corr(spark, sf_dir):
+    """Pairwise Pearson correlation of hourly close-to-close returns
+    across instruments — the cross-asset dependence matrix portfolio
+    risk and pairs-trading screens read; completes the market-metrics
+    family's risk leg next to q_realized_var (own-variance) and
+    q_drawdown (path risk).
+
+    Exactness, composed from three prior lessons: (1) hourly closes
+    select a STORED double under the q_ohlc_bars packed
+    (us_into_hour * 2^21 + event_id) total order — no arithmetic;
+    (2) returns quantize to integer basis points via one IEEE chain
+    ``floor((close/prev - 1)*1e4 + 0.5)`` (the q_twap rule at 1e4
+    scale), so every moment sum (Σx, Σx², Σxy) is an exact
+    HUGEINT/DECIMAL(38,0); (3) the correlation's numerator and the
+    two variance terms exceed 2^53, and huge-decimal→double casts are
+    NOT correctly rounded in DuckDB — so each is decomposed exactly
+    as ``double(v div 10^12)*1e12 + double(v mod 10^12)`` (both
+    halves < 2^53 → exact casts; the recombine is the same two IEEE
+    ops on both engines — deterministic even where not perfectly
+    rounded). num can be negative and div/mod sign conventions
+    diverge, so the decomposition runs on ABS(num) with the sign
+    reapplied as a factor. The final ``num / (sqrt(denx)*sqrt(deny))``
+    is IEEE ops only (sqrt IS correctly rounded — IEEE 754 requires
+    it, unlike libm pow/ln), rounded to 9 dp last. Constant series
+    (denx or deny = 0) drop rather than divide by zero.
+
+    Plan: one (event_type, bar) partial-aggregated exchange over the
+    raw tape (the dominant cost — identical to q_ohlc_bars), then all
+    window/join/moment work runs on the BAR table (≤ types x hours
+    rows, orders of magnitude smaller; AQE broadcasts the self-join
+    at any realistic scale). At 100 TB the tape scan dominates and
+    everything downstream is bar-sized — the correct shape."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    okey = (
+        F.expr("timestampdiff(MICROSECOND, date_trunc('hour', ts), ts)")
+        * F.lit(2097152)
+        + F.col("event_id")
+    )
+    closes = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts"))
+            .cast("timestamp_ntz")
+            .alias("bar_start"),
+            "value",
+            okey.alias("okey"),
+        )
+        .groupBy("event_type", "bar_start")
+        .agg(F.max_by("value", "okey").alias("close_px"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bar_start")
+    rets = closes.select(
+        "event_type",
+        "bar_start",
+        F.floor(
+            (F.col("close_px") / F.lag("close_px").over(w) - F.lit(1.0))
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        ).alias("r_bp"),
+    ).filter(F.col("r_bp").isNotNull())
+    a = rets.select(
+        F.col("event_type").alias("type_a"),
+        "bar_start",
+        F.col("r_bp").alias("x"),
+    )
+    b = rets.select(
+        F.col("event_type").alias("type_b"),
+        "bar_start",
+        F.col("r_bp").alias("y"),
+    )
+    j = a.join(b, "bar_start").filter(F.col("type_a") < F.col("type_b"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = j.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    d = m.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        (dec(F.col("n_hours")) * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("num"),
+        (dec(F.col("n_hours")) * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("denx"),
+        (dec(F.col("n_hours")) * F.col("syy") - F.col("sy") * F.col("sy"))
+        .alias("deny"),
+    )
+    corr = F.expr(
+        """
+        round(
+          (CASE WHEN num < 0 THEN -1.0D ELSE 1.0D END
+           * (CAST(abs(num) div 1000000000000 AS DOUBLE)
+                * 1000000000000.0D
+              + CAST(abs(num) % 1000000000000 AS DOUBLE)))
+          / (sqrt(CAST(denx div 1000000000000 AS DOUBLE)
+                    * 1000000000000.0D
+                  + CAST(denx % 1000000000000 AS DOUBLE))
+             * sqrt(CAST(deny div 1000000000000 AS DOUBLE)
+                      * 1000000000000.0D
+                    + CAST(deny % 1000000000000 AS DOUBLE))),
+          9)
+        """
+    )
+    return (
+        d.filter((F.col("denx") > 0) & (F.col("deny") > 0))
+        .select("type_a", "type_b", "n_hours", corr.alias("corr"))
+    )
+
+
+@register(
+    "q_nb_classify",
+    rf"""
+    WITH tr AS (
+      SELECT lang, text FROM documents
+      WHERE length(trim(text)) > 0
+        AND {_MD5_INT.format('text')} % 100 < 80
+    ),
+    te AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(trim(text)) > 0
+        AND {_MD5_INT.format('text')} % 100 >= 90
+    ),
+    classes AS (SELECT lang, COUNT(*) AS n_docs FROM tr GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM classes),
+    priors AS (
+      SELECT lang,
+             CAST(FLOOR(-ln(CAST(n_docs AS DOUBLE) / n_total)
+                        * 1000000.0 + 0.5) AS BIGINT) AS prior_units
+      FROM classes CROSS JOIN tot
+    ),
+    tr_tok AS (
+      SELECT lang, {_MD5_INT.format('w')} % 4096 AS f
+      FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM tr)
+    ),
+    cf AS (SELECT lang, f, COUNT(*) AS c_cf FROM tr_tok GROUP BY 1, 2),
+    tot_c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS t_c FROM tr_tok GROUP BY 1
+    ),
+    grid AS (
+      SELECT c.lang, r.range AS f FROM classes c CROSS JOIN range(4096) r
+    ),
+    model AS (
+      SELECT g.lang, g.f,
+             CAST(FLOOR(-ln(CAST(COALESCE(cf.c_cf, 0) + 1 AS DOUBLE)
+                            / (tc.t_c + 4096)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS nll
+      FROM grid g
+      LEFT JOIN cf ON cf.lang = g.lang AND cf.f = g.f
+      JOIN tot_c tc ON tc.lang = g.lang
+    ),
+    te_tok AS (
+      SELECT doc_id, {_MD5_INT.format('w')} % 4096 AS f
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM te)
+    ),
+    scored AS (
+      SELECT t.doc_id, m.lang, CAST(SUM(m.nll) AS BIGINT) AS like_units
+      FROM te_tok t JOIN model m USING (f)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.lang,
+             s.like_units + p.prior_units AS score_units,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY s.like_units + p.prior_units,
+                                         s.lang) AS rk
+      FROM scored s JOIN priors p USING (lang)
+    )
+    SELECT doc_id, lang AS pred, score_units FROM ranked WHERE rk = 1
+    """,
+)
+def q_nb_classify(spark, sf_dir):
+    """Multinomial Naive Bayes document classification
+    (operators/text.nb_classify) — the model-BASED filter rung of the
+    curation ladder: fastText-style classifiers routed GPT-3/LLaMA
+    pretraining data by quality/domain; this is the exact-arithmetic,
+    oracle-checkable form of that role. Fit on the hash-bucket < 80
+    labeled split (labels = lang), predict the argmin-NLL class for
+    every bucket ≥ 90 document.
+
+    Exactness: Laplace-smoothed likelihoods -ln((c+1)/(t_c+B)) and
+    document-frequency priors quantize to integer micro-nats via the
+    shared _nll_units rule, so per-(doc, class) scores are order-free
+    exact BIGINT sums and the argmin is an exact integer comparison;
+    ties break to the lexicographically smallest class (struct min /
+    row_number mirror). The model is DENSE over the class x 4096
+    bucket grid so unseen features contribute the smoothed count-1
+    likelihood instead of silently dropping.
+
+    Plan / 100 TB: model = O(classes x buckets) rows, broadcast;
+    scoring fans each token row out x classes, folded map-side before
+    ONE doc-keyed exchange; the fit is one (class, f) shuffle. See
+    nb_classify's docstring for the materialize_model diamond
+    switch."""
+    from dex_data_ingestor_spark.operators.text import nb_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_int64(F.col("text")) % 100
+    return nb_classify(
+        docs.filter(bucket < 80),
+        docs.filter(bucket >= 90),
+        label_col="lang",
+        n_buckets=4096,
+    )
+
+
+@register(
+    "q_ngram_containment_fast",
+    f"""
+    WITH {_GRAMS_CTE},
+    hashed AS (
+      SELECT doc_id, {_MD5_INT.format('gram')} AS gram FROM grams
+    ),
+    counts AS (SELECT doc_id, count(*) AS n_grams FROM hashed GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM hashed a JOIN hashed b USING (gram)
+      WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT a_id, b_id,
+             ROUND(CAST(n_inter AS DOUBLE) / ca.n_grams, 9) AS containment
+      FROM inter JOIN counts ca ON ca.doc_id = a_id
+    ) WHERE containment >= 0.5
+    """,
+)
+def q_ngram_containment_fast(spark, sf_dir):
+    """q_ngram_containment through HASHED gram keys — the span-dedup
+    shuffle-key lesson applied to the pair metrics: the corpus-wide
+    shared-gram equi-join carries an 8-byte md5-int64 per row instead
+    of a ~20-char gram string (~3x exchange-byte cut, BIGINT key
+    compares), which is the lever that matters when the gram exchange
+    is the bottleneck at 100 TB. The hash is a pure key substitution
+    (no re-distinct — see _gram_pair_intersection's contract), and the
+    oracle hashes with the SAME function, so parity is bitwise; a
+    cross-doc collision merges grams conservatively (~n²/2³² odds,
+    inflating containment toward more dedup, never less). Benched
+    NEXT TO the exact-string form so the win is a recorded number."""
+    from dex_data_ingestor_spark.operators.neardup import (
+        ngram_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, hashed_keys=True
+    )
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
@@ -7696,7 +8087,19 @@ def q_backoff_logloss(spark, sf_dir):
 #: bitwise-verified at sf0.001+sf0.01 on registration) also slot
 #: into r11: 35 (A) + 5 + 8 = 48, leaving 2 canary slots (invariant
 #: 3: canaries trim when owed-new-query slots require) — r11 closes
-#: exactly at 50 and no r8 entry waits past r11. Invariants that
+#: exactly at 50 and no r8 entry waits past r11. The continuation
+#: session's four additions (q_drawdown, q_return_corr,
+#: q_nb_classify, q_ngram_containment_fast — each bitwise-verified at
+#: sf0.001+sf0.01 on registration) join the r9 window per invariant
+#: 1; r9 was already cut at 50 with zero canaries, so they displace
+#: four cohort-B slots under the policy's own pruning clause (the
+#: registry is past the ~135-entry bound): from r9 onward the
+#: shared-oracle twin pairs (q_embed_gram_fast/q_embed_gram,
+#: q_curate_materialized/q_curate_stripped, q_bloom_contamination/
+#: q_contamination, q_salted_agg and q_salted_join vs their unsalted
+#: oracles) occupy ONE rotation slot per pair, alternating which
+#: member holds the round's row — freeing ≥ 4 slots per cycle
+#: without stretching any entry past the 3-round bound. Invariants that
 #: override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's

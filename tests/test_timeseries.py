@@ -508,3 +508,108 @@ def test_markout_golden_hand_walked(spark, tmp_path):
     problems = compare(df, con, ORACLE_SQL["q_markout"])
     con.close()
     assert not problems, problems
+
+
+def test_drawdown_golden_and_parity(spark, tmp_path):
+    """Pins q_drawdown on a hand-walked path: peak 150 -> trough 90 is
+    the 0.4-fraction maximum even though a LATER higher peak (160) has
+    its own shallower (0.25) drawdown; a monotone path reports zero;
+    a value<=0 bad tick is excluded by the hygiene gate; and the
+    crafted table holds bitwise oracle parity."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def t(i):
+        return base + datetime.timedelta(minutes=i)
+
+    rows = [
+        ("alpha", 1, t(0), 100.0),
+        ("alpha", 2, t(1), 150.0),   # running peak
+        ("alpha", 3, t(2), 90.0),    # dd 60e6 / 150e6 = 0.4  <- max
+        ("alpha", 4, t(3), 160.0),   # new peak
+        ("alpha", 5, t(4), 120.0),   # dd 40e6 / 160e6 = 0.25
+        ("alpha", 6, t(5), 0.0),     # bad tick: excluded by value > 0
+        ("mono", 1, t(0), 10.0),
+        ("mono", 2, t(1), 20.0),
+        ("mono", 3, t(2), 30.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_type string, event_id long, ts timestamp_ntz, value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    df = QUERIES["q_drawdown"](spark, str(tmp_path))
+    out = {r.event_type: r for r in df.collect()}
+    a = out["alpha"]
+    assert a.high_units == 160_000_000
+    assert a.max_dd_units == 60_000_000
+    assert a.max_dd_frac == 0.4
+    assert a.n_ticks == 5
+    m = out["mono"]
+    assert (m.max_dd_units, m.max_dd_frac) == (0, 0.0)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    problems = compare(df, con, ORACLE_SQL["q_drawdown"])
+    con.close()
+    assert not problems, problems
+
+
+def test_return_corr_sign_golden_and_parity(spark, tmp_path):
+    """Pins q_return_corr's sign and magnitude on crafted hourly
+    closes: beta repeats alpha's return sequence scaled (corr +1),
+    gamma mirrors it (corr -1, exercising the negative-numerator
+    ABS/sign decomposition), and the crafted table holds bitwise
+    oracle parity."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+    def h(i):
+        return base + datetime.timedelta(hours=i)
+
+    # returns (bp): alpha [+1000, -1000, +1000]; beta identical;
+    # gamma mirrored [-1000, +1000, -1000]
+    closes = {
+        "alpha": [100.0, 110.0, 99.0, 108.9],
+        "beta": [50.0, 55.0, 49.5, 54.45],
+        "gamma": [80.0, 72.0, 79.2, 71.28],
+    }
+    rows = [
+        (etype, 10 * i + k, h(i), px)
+        for k, (etype, series) in enumerate(sorted(closes.items()))
+        for i, px in enumerate(series)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_type string, event_id long, ts timestamp_ntz, value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    df = QUERIES["q_return_corr"](spark, str(tmp_path))
+    out = {(r.type_a, r.type_b): r for r in df.collect()}
+    assert set(out) == {
+        ("alpha", "beta"), ("alpha", "gamma"), ("beta", "gamma"),
+    }
+    assert all(r.n_hours == 3 for r in out.values())
+    assert abs(out[("alpha", "beta")].corr - 1.0) < 1e-8
+    assert abs(out[("alpha", "gamma")].corr + 1.0) < 1e-8
+    assert abs(out[("beta", "gamma")].corr + 1.0) < 1e-8
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    problems = compare(df, con, ORACLE_SQL["q_return_corr"])
+    con.close()
+    assert not problems, problems

@@ -1272,3 +1272,97 @@ def test_pq_encode_fast_equals_expression_form(spark, em):
     re_enc = pq_encode_fast(enc, "embedding", cbs)
     assert re_enc.columns.count("codes") == 1
     assert re_enc.count() == 5
+
+
+def test_nb_classify_golden_and_tie_break(spark):
+    """Pins nb_classify on a hand-checkable fixture: class-distinctive
+    vocabulary routes each test doc to its class; a test doc whose
+    only token no training class has ever seen scores IDENTICALLY
+    under the symmetric two-class model (equal priors, equal token
+    totals, count-1 smoothing everywhere) and must break the tie to
+    the lexicographically smallest label. Fixture tokens verified
+    collision-free under md5 % 4096."""
+    from dex_data_ingestor_spark.operators.text import nb_classify
+
+    train = spark.createDataFrame(
+        [("en", "the cat"), ("fr", "le chat")], "lang string, text string"
+    )
+    test = spark.createDataFrame(
+        [(1, "the cat"), (2, "le chat"), (3, "zzz"), (4, "  ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in nb_classify(train, test, label_col="lang").collect()
+    }
+    assert out[1].pred == "en"
+    assert out[2].pred == "fr"
+    # unseen-everywhere token: symmetric scores, lexicographic tie
+    assert out[3].pred == "en"
+    # whitespace-only docs are excluded, matching the corpus-wide
+    # tokenization contract
+    assert 4 not in out
+    # scores are exact integer micro-nats
+    assert isinstance(out[1].score_units, int)
+    # doc 1 and doc 2 score identically by symmetry of the fixture
+    assert out[1].score_units == out[2].score_units
+
+
+def test_nb_classify_materialized_model_matches(spark):
+    """The materialize_model diamond switch must not change a single
+    prediction or score (the LM-scorer contract)."""
+    from dex_data_ingestor_spark.operators.text import nb_classify
+
+    train = spark.createDataFrame(
+        [("en", "the cat sat"), ("en", "the dog sat"),
+         ("fr", "le chat"), ("fr", "le chien")],
+        "lang string, text string",
+    )
+    test = spark.createDataFrame(
+        [(1, "the cat"), (2, "le chien chien"), (3, "dog le")],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, nb_classify(train, test, label_col="lang").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            nb_classify(
+                train, test, label_col="lang", materialize_model=True
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_containment_hashed_keys_match_exact(spark, sf_dir):
+    """The hashed-gram containment path must reproduce the exact
+    string-keyed pairs row-for-row on the fixture corpus (md5-int64
+    collisions are ~n²/2³² — absent here, so the outputs are
+    identical, proving the hash is a pure key substitution)."""
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.operators.neardup import (
+        ngram_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = sorted(
+        map(
+            tuple,
+            ngram_containment_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.5
+            ).collect(),
+        )
+    )
+    hashed = sorted(
+        map(
+            tuple,
+            ngram_containment_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.5,
+                hashed_keys=True,
+            ).collect(),
+        )
+    )
+    assert exact == hashed
+    assert len(exact) > 0
