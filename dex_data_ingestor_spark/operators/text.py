@@ -720,47 +720,21 @@ def backoff_logloss(
     )
 
 
-def nb_classify(
+def _nb_fit(
     train_df: DataFrame,
-    test_df: DataFrame,
     label_col: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_buckets: int = 4096,
-    materialize_model: bool = False,
-) -> DataFrame:
-    """Multinomial Naive Bayes document classifier over hashed word
-    features — the model-BASED quality/domain filter of the curation
-    ladder (fastText-style classifiers filtered GPT-3/LLaMA pretraining
-    data; NB over hashed tokens is the exact-arithmetic, oracle-
-    checkable form of the same pipeline role: fit on labeled docs,
-    score every candidate, route or drop by predicted class).
-
-    Fit: per class c, Laplace-smoothed token likelihoods over the
-    hashed feature space — nll(c,f) = -ln((c_cf + 1)/(t_c + B)) — plus
-    a document-frequency prior -ln(n_c / n). The model is DENSE over
-    the (class x bucket) grid, so scoring is a plain inner join: every
-    test token finds its (c,f) row for every class, and unseen
-    features take the smoothed count-1 likelihood by construction
-    (a sparse model would silently DROP unseen-token contributions).
-
-    Predict: argmin over classes of prior + sum of token nlls. All
-    scores are integer micro-nats (the shared ``_nll_units``
-    quantization), so per-doc sums are order-free exact BIGINTs and
-    the argmin is an exact integer comparison — ties break to the
-    lexicographically smallest class label via one struct min.
-
-    Output: (id_col, pred, score_units) — one row per nonempty test
-    document; score_units is the winning class's total NLL.
-
-    Plan / 100 TB: the model is O(n_classes * n_buckets) rows
-    (bounded by construction — THE reason to hash the vocabulary),
-    broadcast to the scoring join; the test-side fan-out is
-    n_classes x per-token, folded map-side by the (doc, class)
-    partial aggregation before one doc-keyed exchange. Fitting is one
-    shuffle on (class, f). ``materialize_model`` severs the fit/score
-    diamond exactly like the LM scorers (the curate-pipeline lesson).
-    """
+    text_col: str,
+    n_buckets: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the multinomial Naive Bayes tables ONCE for every consumer
+    (batch classifier, dense model row, streaming guard — bit-parity
+    between them is structural because the expressions never fork):
+    ``priors`` = (label, prior_units) document-frequency priors;
+    ``model`` = (label, f, nll) Laplace-smoothed token likelihoods,
+    DENSE over the label x n_buckets grid so unseen features carry
+    the smoothed count-1 likelihood instead of silently dropping.
+    All values are integer micro-nats via the shared _nll_units
+    rule."""
     tr = train_df.filter(F.length(F.trim(F.col(text_col))) > 0)
     classes = tr.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_docs"))
     n_total = classes.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
@@ -804,6 +778,93 @@ def nb_classify(
             .alias("nll"),
         )
     )
+    return priors, model
+
+
+def nb_model_row(
+    train_df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """ONE-ROW dense Naive Bayes model — the broadcastable artifact
+    for ingest-time classification (the unigram_model_row trick
+    applied to the classifier): ``classes`` sorted ascending,
+    ``priors[i]`` the aligned prior micro-nats, ``nll[i][f]`` class
+    i's likelihood table. n_classes x n_buckets x 8 bytes (160 KiB at
+    5 classes x 4096) regardless of corpus size — model state, never
+    data. Scores agree exactly with :func:`nb_classify` because both
+    read the same :func:`_nb_fit` tables."""
+    priors, model = _nb_fit(train_df, label_col, text_col, n_buckets)
+    # _nb_fit's grid is dense and f-complete, so sorting each class's
+    # entries by f yields an array whose index IS the feature bucket
+    per_class = model.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("f"), F.col("nll")))
+            ),
+            lambda e: e["nll"],
+        ).alias("nll_arr")
+    )
+    rows = per_class.join(priors, label_col).select(
+        F.struct(
+            F.col(label_col).cast("string").alias("label"),
+            F.col("prior_units"),
+            F.col("nll_arr"),
+        ).alias("e")
+    )
+    one = rows.agg(F.array_sort(F.collect_list("e")).alias("es"))
+    return one.select(
+        F.transform(F.col("es"), lambda e: e["label"]).alias("classes"),
+        F.transform(F.col("es"), lambda e: e["prior_units"]).alias(
+            "priors"
+        ),
+        F.transform(F.col("es"), lambda e: e["nll_arr"]).alias("nll"),
+    )
+
+
+def nb_classify(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    materialize_model: bool = False,
+) -> DataFrame:
+    """Multinomial Naive Bayes document classifier over hashed word
+    features — the model-BASED quality/domain filter of the curation
+    ladder (fastText-style classifiers filtered GPT-3/LLaMA pretraining
+    data; NB over hashed tokens is the exact-arithmetic, oracle-
+    checkable form of the same pipeline role: fit on labeled docs,
+    score every candidate, route or drop by predicted class).
+
+    Fit: per class c, Laplace-smoothed token likelihoods over the
+    hashed feature space — nll(c,f) = -ln((c_cf + 1)/(t_c + B)) — plus
+    a document-frequency prior -ln(n_c / n). The model is DENSE over
+    the (class x bucket) grid, so scoring is a plain inner join: every
+    test token finds its (c,f) row for every class, and unseen
+    features take the smoothed count-1 likelihood by construction
+    (a sparse model would silently DROP unseen-token contributions).
+
+    Predict: argmin over classes of prior + sum of token nlls. All
+    scores are integer micro-nats (the shared ``_nll_units``
+    quantization), so per-doc sums are order-free exact BIGINTs and
+    the argmin is an exact integer comparison — ties break to the
+    lexicographically smallest class label via one struct min.
+
+    Output: (id_col, pred, score_units) — one row per nonempty test
+    document; score_units is the winning class's total NLL.
+
+    Plan / 100 TB: the model is O(n_classes * n_buckets) rows
+    (bounded by construction — THE reason to hash the vocabulary),
+    broadcast to the scoring join; the test-side fan-out is
+    n_classes x per-token, folded map-side by the (doc, class)
+    partial aggregation before one doc-keyed exchange. Fitting is one
+    shuffle on (class, f). ``materialize_model`` severs the fit/score
+    diamond exactly like the LM scorers (the curate-pipeline lesson).
+    """
+    priors, model = _nb_fit(train_df, label_col, text_col, n_buckets)
     model = _maybe_collect_model(model, materialize_model)
     priors = _maybe_collect_model(priors, materialize_model)
 

@@ -746,6 +746,109 @@ def stream_perplexity_guard(
     )
 
 
+def stream_nb_guard(
+    docs_stream: DataFrame,
+    train_df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Ingest-time Naive Bayes routing — the classification guard
+    completing the ingest-gate triad (Bloom decontamination,
+    perplexity, now model-based routing): every arriving document is
+    scored against a dense multinomial NB model fit on a static
+    labeled corpus and stamped with its predicted class, so
+    quality/domain/language routing happens AT ingest instead of in a
+    batch sweep later (the fastText-classifier pipeline role).
+
+    Mechanics mirror :func:`stream_perplexity_guard`: the model is
+    ONE dense row (operators/text.nb_model_row — classes sorted
+    ascending, aligned prior array, per-class nll tables; n_classes x
+    n_buckets x 8 bytes regardless of corpus size), persisted so the
+    fit runs once, attached via a stream-static broadcast join.
+    Scoring is map-only HOF arithmetic: token buckets hashed once
+    into a projected array, then per-class ``prior[i] + fold of
+    nll[i][f]`` in EXACT integer micro-nats — bit-identical to
+    operators/text.nb_classify for the same inputs (parity-tested)
+    because both read the same _nb_fit tables and the argmin is an
+    exact integer comparison. ``array_position(scores, min)`` returns
+    the FIRST minimum, and classes are sorted ascending, so ties
+    break lexicographically — the batch rule, structurally.
+
+    Output adds ``n_tokens``, ``pred`` (NULL for empty docs — batch
+    nb_classify EXCLUDES them, so the guard flags rather than
+    guesses) and ``score_units`` (the winning class's total NLL,
+    NULL for empty docs). No explode, no state, no watermark;
+    composes with append sinks."""
+    from dex_data_ingestor_spark.functions.scalars import md5_int64
+    from dex_data_ingestor_spark.operators.text import nb_model_row
+
+    model = nb_model_row(
+        train_df, label_col, text_col, n_buckets
+    ).persist()
+    # fail FAST on an empty/misconfigured labeled corpus: a 0-row
+    # model would silently drop every ingest row at the join
+    if model.count() != 1:
+        raise ValueError(
+            "stream_nb_guard: labeled corpus produced no model "
+            "(empty or all-whitespace text_col?)"
+        )
+
+    toks = F.coalesce(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+        ),
+        F.array().cast("array<string>"),
+    )
+    with_f = docs_stream.withColumn("__toks", toks).withColumn(
+        "__fs",
+        F.transform(
+            F.col("__toks"),
+            lambda w: (md5_int64(w) % n_buckets).cast("int"),
+        ),
+    )
+    scored = with_f.join(
+        F.broadcast(
+            model.select(
+                F.struct("classes", "priors", "nll").alias("__nb__")
+            )
+        )
+    )
+    scores = F.transform(
+        F.col("__nb__.classes"),
+        lambda c, i: F.get(F.col("__nb__.priors"), i)
+        + F.aggregate(
+            F.col("__fs"),
+            F.lit(0).cast("long"),
+            lambda acc, f: acc + F.get(F.get(F.col("__nb__.nll"), i), f),
+        ),
+    )
+    n_tokens = F.size(F.col("__toks"))
+    # project the scores array once: HOF argument expressions
+    # re-evaluate per element (the shingles lesson)
+    with_scores = scored.withColumn("__scores", scores)
+    best_idx = F.array_position(
+        F.col("__scores"), F.array_min(F.col("__scores"))
+    ).cast("int")
+    return (
+        with_scores.withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "pred",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.get(F.col("__nb__.classes"), best_idx - F.lit(1)),
+            ),
+        )
+        .withColumn(
+            "score_units",
+            F.when(
+                F.col("n_tokens") > 0, F.array_min(F.col("__scores"))
+            ),
+        )
+        .drop("__toks", "__fs", "__scores", "__nb__")
+    )
+
+
 def stream_pq_encode(
     vec_stream: DataFrame,
     codebooks: list[list[list[int]]],

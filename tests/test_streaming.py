@@ -680,3 +680,62 @@ def test_stream_pq_encode_batch_parity_and_quarantine(spark, tmp_path):
 
     with pytest.raises(ValueError, match="coarse centroid dim"):
         stream_pq_encode(stream, cbs, coarse=[[0] * 4])
+
+
+def test_stream_nb_guard_matches_batch_predictions(spark, tmp_path):
+    """The ingest-time NB routing guard: stream predictions and
+    scores must equal operators/text.nb_classify EXACTLY (same
+    _nb_fit tables, integer micro-nat scores, lexicographic
+    tie-break), and empty/NULL docs flow through with NULL pred
+    instead of a guess (batch excludes them)."""
+    from dex_data_ingestor_spark.operators.text import nb_classify
+    from dex_data_ingestor_spark.streaming.jobs import stream_nb_guard
+
+    train = spark.createDataFrame(
+        [("en", "the cat sat on the mat"), ("en", "the dog sat"),
+         ("fr", "le chat dort"), ("fr", "le chien dort bien")],
+        "lang string, text string",
+    )
+    test_rows = [
+        (1, "the cat"),
+        (2, "le chien"),
+        (3, "dort the the"),
+        (4, "zzz unseen everywhere"),
+        (5, "   "),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(test_rows, "doc_id long, text string")
+
+    batch = {
+        r.doc_id: r for r in nb_classify(train, docs, "lang").collect()
+    }
+    assert batch[1].pred == "en" and batch[2].pred == "fr"
+    assert 5 not in batch and 6 not in batch
+
+    src = str(tmp_path / "nb_src")
+    docs.filter("doc_id <= 3").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    docs.filter("doc_id > 3").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    guarded = stream_nb_guard(stream, train, label_col="lang")
+    q = (
+        guarded.writeStream.format("memory")
+        .queryName("nb_out")
+        .option("checkpointLocation", str(tmp_path / "nb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    out = {r.doc_id: r for r in spark.sql("SELECT * FROM nb_out").collect()}
+
+    assert set(out) == set(range(1, 7))
+    for i, r in batch.items():  # exact integer micro-nat parity
+        assert out[i].pred == r.pred, i
+        assert out[i].score_units == r.score_units, i
+    assert out[5].pred is None and out[5].score_units is None
+    assert out[6].pred is None and out[6].n_tokens == 0
