@@ -137,6 +137,10 @@ HEADLINE = [
     "q_return_corr",
     "q_nb_classify",
     "q_ngram_containment_fast",
+    # semantic dedup through the BLAS pair kernel, benched NEXT TO
+    # the expression form (set 52 -> 53): same oracle, same survivor
+    # set; the within-cell cosine stage is one matmul per cell.
+    "q_semdedup_fast",
 ]
 
 

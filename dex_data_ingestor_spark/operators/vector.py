@@ -348,6 +348,33 @@ def semantic_dedup(
     return indexed.join(losers, id_col, "left_anti")
 
 
+def semantic_dedup_fast(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """:func:`semantic_dedup` through the BLAS pair kernel — the
+    production path for the within-cell stage (one cosine matmul per
+    cell under applyInPandas instead of the interpreted per-pair HOF
+    fold). The survivor SET is identical to the expression form: the
+    assignment pass is the same ivf_assign, and the pair kernel
+    rounds to 9 dp before the threshold compare, mirroring the HOF
+    form's round-then-filter rule (see embedding_neardup_pairs_fast's
+    round_dp note for the measure-zero tie caveat). Keep the
+    expression form as the no-Python plan-asserted baseline; use this
+    when cells are dense-embedding-sized."""
+    indexed = ivf_assign(df, vec_col, centroids, cell_col)
+    pairs = embedding_neardup_pairs_fast(
+        indexed, id_col, vec_col, threshold, block_col=cell_col,
+        round_dp=9,
+    )
+    losers = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return indexed.join(losers, id_col, "left_anti")
+
+
 def kmeans_refine(
     df: DataFrame,
     vec_col: str,
@@ -387,6 +414,7 @@ def embedding_neardup_pairs_fast(
     vec_col: str,
     threshold: float,
     block_col: str,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Vectorized near-dup pairs: per-block cosine matrix via numpy
     under applyInPandas (Arrow batches, one BLAS matmul per block).
@@ -396,8 +424,20 @@ def embedding_neardup_pairs_fast(
     cell / label) fit executor memory; the HOF form
     (embedding_neardup_pairs) stays the bit-reproducible oracle
     baseline, and a tolerance test asserts both agree. Output:
-    (a_id, b_id, cos_sim float64, unrounded).
-    """
+    (a_id, b_id, cos_sim float64 — unrounded when ``round_dp`` is
+    None).
+
+    ``round_dp`` mirrors the HOF form's round-before-threshold rule
+    so the PAIR SET (the part consumers like semantic dedup read)
+    matches it: BLAS pairwise-summation dots differ from the fold in
+    the last ULPs (~1e-16 relative — the measured DuckDB
+    list_dot_product band), and rounding to ``round_dp`` before the
+    compare absorbs that noise everywhere except a half-way tie at
+    exactly the threshold digit — measure-zero on real cosines, the
+    same argument the 9-dp discipline already rests on. Note
+    ``np.round`` is half-even while Spark's ``round`` is HALF_UP;
+    the emitted cos_sim value can therefore differ on a tie digit —
+    round_dp guards the DECISION, not value-level parity."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -419,6 +459,8 @@ def embedding_neardup_pairs_fast(
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
         cos = unit @ unit.T
+        if round_dp is not None:
+            cos = np.round(cos, round_dp)
         ai, bi = np.triu_indices(len(ids), k=1)
         mask = cos[ai, bi] >= threshold
         ai, bi = ai[mask], bi[mask]

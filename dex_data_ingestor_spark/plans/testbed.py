@@ -8042,6 +8042,31 @@ def q_ngram_containment_fast(spark, sf_dir):
     )
 
 
+@register("q_semdedup_fast", ORACLE_SQL["q_semdedup"])
+def q_semdedup_fast(spark, sf_dir):
+    """q_semdedup through the BLAS pair kernel (operators/vector.
+    semantic_dedup_fast) — SAME oracle, same survivor set: the
+    assignment pass is identical and the within-cell cosine stage
+    runs one matmul per cell under applyInPandas with the HOF form's
+    round-to-9dp-then-threshold rule (the kernel-twin pattern of
+    q_embed_gram_fast: expression form = the no-Python plan-asserted
+    baseline; this = the production path when cells are
+    dense-embedding-sized). Benched NEXT TO q_semdedup so the win is
+    a recorded number."""
+    from dex_data_ingestor_spark.operators.vector import (
+        seeded_centroids,
+        semantic_dedup_fast,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(_IVF_DIM, _IVF_NCELLS, seed=_IVF_SEED)
+    out = semantic_dedup_fast(
+        em, "vec_id", "embedding", cents,
+        threshold=_SEMDEDUP_THRESHOLD,
+    )
+    return out.select("vec_id", "cell")
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
@@ -8095,11 +8120,14 @@ def q_ngram_containment_fast(spark, sf_dir):
 #: four cohort-B slots under the policy's own pruning clause (the
 #: registry is past the ~135-entry bound): from r9 onward the
 #: shared-oracle twin pairs (q_embed_gram_fast/q_embed_gram,
-#: q_curate_materialized/q_curate_stripped, q_bloom_contamination/
-#: q_contamination, q_salted_agg and q_salted_join vs their unsalted
-#: oracles) occupy ONE rotation slot per pair, alternating which
-#: member holds the round's row — freeing ≥ 4 slots per cycle
-#: without stretching any entry past the 3-round bound. Invariants that
+#: q_semdedup_fast/q_semdedup, q_curate_materialized/
+#: q_curate_stripped, q_bloom_contamination/q_contamination,
+#: q_salted_agg and q_salted_join vs their unsalted oracles) occupy
+#: ONE rotation slot per pair, alternating which member holds the
+#: round's row — freeing ≥ 5 slots per cycle without stretching any
+#: entry past the 3-round bound. q_semdedup_fast (also registered
+#: this session, bitwise-verified at both SFs) rides its pair's
+#: slot. Invariants that
 #: override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's

@@ -1366,3 +1366,33 @@ def test_containment_hashed_keys_match_exact(spark, sf_dir):
     )
     assert exact == hashed
     assert len(exact) > 0
+
+
+def test_semantic_dedup_fast_matches_expression_form(spark, sf_dir):
+    """The BLAS semantic-dedup twin must keep the expression form's
+    survivor set row-for-row (same assignment pass; pair kernel
+    rounds to 9 dp before the threshold compare, mirroring the HOF
+    round-then-filter rule)."""
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.operators.vector import (
+        seeded_centroids,
+        semantic_dedup,
+        semantic_dedup_fast,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(64, 16, seed=42)
+    slow = sorted(
+        (r.vec_id, r.cell)
+        for r in semantic_dedup(
+            em, "vec_id", "embedding", cents, threshold=0.96
+        ).collect()
+    )
+    fast = sorted(
+        (r.vec_id, r.cell)
+        for r in semantic_dedup_fast(
+            em, "vec_id", "embedding", cents, threshold=0.96
+        ).collect()
+    )
+    assert slow == fast
+    assert 0 < len(fast) <= em.count()
