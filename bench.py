@@ -141,6 +141,11 @@ HEADLINE = [
     # the expression form (set 52 -> 53): same oracle, same survivor
     # set; the within-cell cosine stage is one matmul per cell.
     "q_semdedup_fast",
+    # the published heuristic filter battery (Gopher rules; C4 is the
+    # same narrow-map family and stays out of the headline run) —
+    # zero-shuffle per-row gates, benched for the scan-bound number
+    # (set 53 -> 54).
+    "q_gopher_rules",
 ]
 
 

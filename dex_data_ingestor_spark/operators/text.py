@@ -888,3 +888,141 @@ def nb_classify(
         F.col("__b.__cls").alias("pred"),
         F.col("__b.__score").alias("score_units"),
     )
+
+
+#: Gopher quality-rule constants (Rae et al. 2021, "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher",
+#: Appendix A1.1) — named so the registry query and any deployment
+#: tune in ONE place.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_AVG_WORD_LEN = 3.0
+GOPHER_MAX_AVG_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, App. A1.1)
+    as per-document boolean gates plus the conjunctive ``keep`` flag —
+    the published heuristic filter set next to the model-based gates
+    (CCNet perplexity, DSIR, NB routing):
+
+    - word count in [50, 100k]; mean word length in [3, 10]
+    - symbol-to-word ratio (# and ... occurrences) <= 0.1
+    - <= 90% of lines bullet-started; <= 30% ellipsis-ended
+    - >= 80% of words contain an alphabetic character
+    - >= 2 distinct members of the 8-word English stopword probe
+
+    Entirely narrow (per-row string/array expressions, zero shuffles
+    — a pure map over a 100 TB corpus, the repetition_stats posture).
+    Ratios are single IEEE divisions compared against literal
+    thresholds — deterministic cross-engine without rounding (a ratio
+    landing EXACTLY on a threshold compares identically because both
+    engines hold the same double)."""
+    t = F.col(text_col)
+    word_arr = words(t)
+    n_words = F.size(word_arr)
+    # mean word length over the words' own characters (not raw
+    # n_chars: whitespace must not dilute the mean)
+    avg_wl = (
+        F.aggregate(
+            word_arr, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_words
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$"))
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(
+            F.filter(word_arr, lambda w: w.rlike("[A-Za-z]"))
+        ).cast("double")
+        / n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(word_arr, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "ok_word_len": (avg_wl >= GOPHER_MIN_AVG_WORD_LEN)
+        & (avg_wl <= GOPHER_MAX_AVG_WORD_LEN),
+        "ok_symbols": symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_bullets": bullet_frac <= GOPHER_MAX_BULLET_LINE_FRAC,
+        "ok_ellipsis": ellipsis_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+        "ok_alpha": alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC,
+        "ok_stopwords": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def c4_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning...", §2.2) as per-document gates:
+
+    - terminal_line_frac: fraction of lines ending in terminal
+      punctuation (. ! ? ") — C4 keeps only such lines
+    - n_sentences >= 3 (terminal-mark count as the sentence proxy)
+    - no curly brace (drops code), no "lorem ipsum" placeholder
+    - n_js_lines: lines mentioning javascript (C4 drops those lines)
+
+    ``keep`` = sentence/brace/lorem page-level conjunction. Narrow
+    per-row expressions only; the line-level REMOVALS (terminal-
+    punctuation and javascript lines) are counted here and applied by
+    curation pipelines, keeping this operator a pure annotator."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines)
+    terminal_frac = (
+        F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike(r'[.!?"]$'))
+        ).cast("double")
+        / n_lines
+    )
+    n_sentences = F.size(F.regexp_extract_all(t, F.lit("[.!?]"), F.lit(0)))
+    has_brace = t.contains("{")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    n_js_lines = F.size(
+        F.filter(lines, lambda l: F.lower(l).contains("javascript"))
+    )
+    keep = (n_sentences >= 3) & ~has_brace & ~has_lorem
+    return df.select(
+        F.col(id_col),
+        terminal_frac.alias("terminal_line_frac"),
+        n_sentences.alias("n_sentences"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        n_js_lines.alias("n_js_lines"),
+        keep.alias("keep"),
+    )

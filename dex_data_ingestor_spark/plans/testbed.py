@@ -8067,6 +8067,128 @@ def q_semdedup_fast(spark, sf_dir):
     return out.select("vec_id", "cell")
 
 
+from dex_data_ingestor_spark.operators.text import (  # noqa: E402
+    GOPHER_MAX_AVG_WORD_LEN as _G_MAX_AWL,
+    GOPHER_MAX_BULLET_LINE_FRAC as _G_MAX_BULLET,
+    GOPHER_MAX_ELLIPSIS_LINE_FRAC as _G_MAX_ELL,
+    GOPHER_MAX_SYMBOL_RATIO as _G_MAX_SYM,
+    GOPHER_MAX_WORDS as _G_MAX_W,
+    GOPHER_MIN_ALPHA_WORD_FRAC as _G_MIN_ALPHA,
+    GOPHER_MIN_AVG_WORD_LEN as _G_MIN_AWL,
+    GOPHER_MIN_STOPWORD_HITS as _G_MIN_STOP,
+    GOPHER_MIN_WORDS as _G_MIN_W,
+    GOPHER_STOPWORDS as _G_STOPS,
+)
+
+_G_STOP_LIST = ", ".join(f"'{s}'" for s in _G_STOPS)
+
+
+@register(
+    "q_gopher_rules",
+    rf"""
+    WITH d AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS w,
+             string_split(text, chr(10)) AS lines
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / len(w) AS avg_wl,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3)
+               / len(w) AS symbol_ratio,
+             CAST(len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+               / len(lines) AS bullet_frac,
+             CAST(len(list_filter(lines,
+                    l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS DOUBLE)
+               / len(lines) AS ellipsis_frac,
+             CAST(len(list_filter(w,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / len(w) AS alpha_frac,
+             len(list_intersect(
+                   list_distinct(list_transform(w, x -> lower(x))),
+                   [{_G_STOP_LIST}])) AS stop_hits
+      FROM d
+    )
+    SELECT doc_id,
+           n_words >= {_G_MIN_W} AND n_words <= {_G_MAX_W}
+             AS ok_word_count,
+           avg_wl >= {_G_MIN_AWL} AND avg_wl <= {_G_MAX_AWL}
+             AS ok_word_len,
+           symbol_ratio <= {_G_MAX_SYM} AS ok_symbols,
+           bullet_frac <= {_G_MAX_BULLET} AS ok_bullets,
+           ellipsis_frac <= {_G_MAX_ELL} AS ok_ellipsis,
+           alpha_frac >= {_G_MIN_ALPHA} AS ok_alpha,
+           stop_hits >= {_G_MIN_STOP} AS ok_stopwords,
+           (n_words >= {_G_MIN_W} AND n_words <= {_G_MAX_W})
+             AND (avg_wl >= {_G_MIN_AWL} AND avg_wl <= {_G_MAX_AWL})
+             AND symbol_ratio <= {_G_MAX_SYM}
+             AND bullet_frac <= {_G_MAX_BULLET}
+             AND ellipsis_frac <= {_G_MAX_ELL}
+             AND alpha_frac >= {_G_MIN_ALPHA}
+             AND stop_hits >= {_G_MIN_STOP} AS keep
+    FROM m
+    """,
+)
+def q_gopher_rules(spark, sf_dir):
+    """The Gopher quality-rule set (Rae et al. 2021, App. A1.1) as
+    per-document gates (operators/text.gopher_rules) — the PUBLISHED
+    heuristic filter battery implemented faithfully and
+    oracle-checked, completing the curation ladder's heuristic rung
+    beside the model-based gates (CCNet perplexity, DSIR, NB). Flags
+    are exact integer/string computations plus single IEEE divisions
+    compared to literal thresholds — boolean-deterministic
+    cross-engine with no rounding step. Entirely narrow: zero
+    shuffles at any corpus size."""
+    from dex_data_ingestor_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return gopher_rules(docs, "doc_id", "text")
+
+
+@register(
+    "q_c4_filters",
+    """
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(lines,
+                  l -> regexp_matches(rtrim(l), '[.!?"]$'))) AS DOUBLE)
+             / len(lines) AS terminal_line_frac,
+           len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+           contains(text, '{') AS has_brace,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           len(list_filter(lines,
+                 l -> contains(lower(l), 'javascript'))) AS n_js_lines,
+           len(regexp_extract_all(text, '[.!?]')) >= 3
+             AND NOT contains(text, '{')
+             AND NOT contains(lower(text), 'lorem ipsum') AS keep
+    FROM d
+    """,
+)
+def q_c4_filters(spark, sf_dir):
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) as
+    per-document gates (operators/text.c4_filters): terminal-
+    punctuation line fraction, sentence-count floor, code/placeholder
+    rejection (curly brace, lorem ipsum), javascript line count. The
+    second published filter set beside q_gopher_rules; same
+    narrow-only, boolean-deterministic posture."""
+    from dex_data_ingestor_spark.operators.text import c4_filters
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return c4_filters(docs, "doc_id", "text")
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
@@ -8124,10 +8246,13 @@ def q_semdedup_fast(spark, sf_dir):
 #: q_curate_stripped, q_bloom_contamination/q_contamination,
 #: q_salted_agg and q_salted_join vs their unsalted oracles) occupy
 #: ONE rotation slot per pair, alternating which member holds the
-#: round's row — freeing ≥ 5 slots per cycle without stretching any
-#: entry past the 3-round bound. q_semdedup_fast (also registered
-#: this session, bitwise-verified at both SFs) rides its pair's
-#: slot. Invariants that
+#: round's row — freeing 6 slots per cycle (one per pair) without
+#: stretching any entry past the 3-round bound. q_semdedup_fast
+#: (also registered this session, bitwise-verified at both SFs)
+#: rides its pair's slot; q_gopher_rules and q_c4_filters (published
+#: heuristic filter sets, bitwise-verified at both SFs + crafted
+#: multi-line parity) take the remaining two freed slots, so all six
+#: continuation-session entries hold r9 rows. Invariants that
 #: override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's

@@ -1396,3 +1396,67 @@ def test_semantic_dedup_fast_matches_expression_form(spark, sf_dir):
     )
     assert slow == fast
     assert 0 < len(fast) <= em.count()
+
+
+def test_gopher_and_c4_rules_crafted_parity(spark, tmp_path):
+    """Exercises every Gopher/C4 rule branch on a crafted corpus —
+    the fixture documents have no newlines/bullets/braces, so the
+    line-level rules are only load-bearing here — and pins bitwise
+    oracle parity on it (incl. a trailing-newline doc, where Spark's
+    default split would drop the empty last line DuckDB keeps)."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and that is fine "
+        "to be said of it. " * 5
+    ).strip()
+    rows = [
+        (1, good, "en", "src0", len(good)),           # passes gopher
+        (2, "short text.", "en", "src0", 11),          # word-count fail
+        (3, "\n".join(f"- item {i}" for i in range(10))
+         + "\nthe of and that be have with list.",
+         "en", "src0", 120),                           # 10/11 bullet lines
+        (4, "trail line...\nmore...\nthe end.\n",
+         "en", "src0", 30),                            # ellipsis + trailing \n
+        (5, "x = { json: 1 }. Lorem ipsum dolor. javascript here. ok?",
+         "en", "src0", 56),                            # C4 rejections
+        (6, "########## #tags #everywhere " + "word " * 60,
+         "en", "src0", 330),                           # 12 '#' / 63 words
+        (7, "1 2 3 4 5 " * 12 + "the of.", "en", "src0", 120),  # alpha frac
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    gr = {r.doc_id: r for r in
+          QUERIES["q_gopher_rules"](spark, str(tmp_path)).collect()}
+    assert gr[1].keep
+    assert not gr[2].ok_word_count and not gr[2].keep
+    assert not gr[3].ok_bullets
+    assert not gr[4].ok_ellipsis
+    assert not gr[6].ok_symbols
+    assert not gr[7].ok_alpha
+
+    c4 = {r.doc_id: r for r in
+          QUERIES["q_c4_filters"](spark, str(tmp_path)).collect()}
+    assert c4[1].keep and c4[1].n_sentences >= 3
+    assert c4[5].has_brace and c4[5].has_lorem and c4[5].n_js_lines == 1
+    assert not c4[5].keep
+    assert c4[4].terminal_line_frac < 1.0  # trailing empty line counts
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for q in ("q_gopher_rules", "q_c4_filters"):
+        problems = compare(
+            QUERIES[q](spark, str(tmp_path)), con, ORACLE_SQL[q]
+        )
+        assert not problems, (q, problems)
+    con.close()
