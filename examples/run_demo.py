@@ -328,6 +328,43 @@ def main() -> None:
           f"files; uid={probe} point lookup reads "
           f"{len(point.inputFiles())}/16 via the bloom index")
 
+    print("== 14. published filter batteries + ingest-time NB routing")
+    from dex_data_ingestor_spark.operators.text import (
+        c4_filters,
+        gopher_rules,
+        nb_classify,
+    )
+
+    docs14 = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    g = gopher_rules(docs14, "doc_id", "text")
+    c = c4_filters(docs14, "doc_id", "text")
+    print(f"   gopher keep: {g.filter('keep').count()}/{g.count()}; "
+          f"c4 keep: {c.filter('keep').count()}/{c.count()}")
+    from dex_data_ingestor_spark.functions.scalars import md5_int64 as _h
+
+    bucket = _h(F.col("text")) % 100
+    routed = nb_classify(
+        docs14.filter(bucket < 80), docs14.filter(bucket >= 90), "lang"
+    )
+    agg14 = sorted(
+        (r.pred, r.n) for r in
+        routed.groupBy("pred").agg(F.count("*").alias("n")).collect()
+    )
+    print(f"   NB-routed held-out docs by predicted lang: {agg14}")
+
+    print("== 15. market risk: drawdown + cross-asset return correlation")
+    from dex_data_ingestor_spark.plans.testbed import QUERIES as _Q
+
+    dd = {r.event_type: r for r in _Q["q_drawdown"](spark, sf_dir).collect()}
+    worst = max(dd.values(), key=lambda r: r.max_dd_frac)
+    print(f"   worst drawdown: {worst.event_type} "
+          f"{worst.max_dd_frac:.1%} of peak")
+    corr = _Q["q_return_corr"](spark, sf_dir).collect()
+    print("   hourly-return correlations:",
+          [(r.type_a, r.type_b, round(r.corr, 3)) for r in corr[:4]])
+
     spark.stop()
     print("DEMO COMPLETE")
 

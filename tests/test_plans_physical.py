@@ -369,3 +369,54 @@ def test_volume_shipping_nation_prefilter_prunes_before_shuffle(
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan
+
+
+def test_drawdown_single_exchange(spark, sf_dir):
+    """The running-max window and the final per-instrument aggregate
+    share the event_type partitioning — one exchange, no join, no
+    Python; the value>0 hygiene filter pushes to the scan."""
+    plan = plan_of(spark, sf_dir, "q_drawdown")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan
+    assert re.search(
+        r"PushedFilters: \[.*GreaterThan\(value,0\.0\).*\]", plan
+    ), plan
+
+
+def test_return_corr_one_tape_exchange_then_bar_sized(spark, sf_dir):
+    """The raw tape is shuffled ONCE (the hourly-close partial
+    aggregation); every further exchange operates on the bar table
+    or the tiny moment table. Assert: the (event_type, bar_start)
+    agg exchange exists, partial aggregation precedes it, and no
+    Python/cartesian appears."""
+    plan = plan_of(spark, sf_dir, "q_return_corr")
+    assert "partial_max_by" in plan or re.search(
+        r"HashAggregate.*max_by", plan
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan
+    assert re.search(
+        r"PushedFilters: \[.*GreaterThan\(value,0\.0\).*\]", plan
+    ), plan
+
+
+def test_nb_classify_model_broadcast_jvm_only(spark, sf_dir):
+    """The dense NB model and the prior table ride broadcast joins
+    (bounded model state — never a corpus-sized shuffle side), and
+    the batch scorer is Python-free end-to-end."""
+    plan = plan_of(spark, sf_dir, "q_nb_classify")
+    assert "BroadcastExchange" in plan, plan
+    assert "Python" not in plan
+    # the scoring join itself is broadcast, not sort-merge: the only
+    # SortMergeJoin-worthy keys would be doc-sized, and there are none
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gopher_and_c4_are_fully_narrow(spark, sf_dir):
+    """The heuristic gate batteries are pure per-row maps: ANY
+    exchange would mean the 100 TB posture claim is false."""
+    for name in ("q_gopher_rules", "q_c4_filters"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, (name, plan)
+        assert "Python" not in plan, name
