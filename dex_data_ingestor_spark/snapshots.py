@@ -401,6 +401,44 @@ def snapshot_merge(
     return snapshot_write(merged, root, op="merge", extra=extra)
 
 
+def snapshot_delete(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+) -> dict:
+    """DELETE FROM the latest snapshot: commit a new version holding
+    only the rows ``predicate`` does NOT prove true — the Delta
+    DELETE semantics, versioned (copy-on-write at version
+    granularity: every pre-delete state stays readable, a bad delete
+    rolls back with :func:`snapshot_rollback`, and
+    :func:`snapshot_changes` reconstructs exactly which keys were
+    removed). Completes the table format's CRUD surface next to
+    write/MERGE/rollback.
+
+    ``predicate`` is a Spark SQL boolean expression over the current
+    schema. SQL DELETE semantics on NULLs: a row is removed only when
+    the predicate evaluates TRUE — NULL keeps the row (the mirror of
+    the CHECK-constraint rule, where NULL counts as a violation:
+    deletes must prove, constraints must prove too). The deleted
+    count and the predicate are recorded in the manifest; persisted
+    CHECK constraints carry forward and re-enforce (a row subset
+    cannot newly violate them, but the invariant "recorded ==
+    enforced" stays uniform across every commit path)."""
+    current = snapshot_read(spark, root)
+    cond = F.expr(predicate)
+    remaining = current.filter(~F.coalesce(cond, F.lit(False)))
+    # both counts read the LATEST version's immutable data dir —
+    # deterministic lineage, so counting before the write is safe
+    # (unlike the constraint TOCTOU, which guards arbitrary inputs)
+    n_deleted = current.count() - remaining.count()
+    return snapshot_write(
+        remaining,
+        root,
+        op="delete",
+        extra={"predicate": predicate, "n_deleted": n_deleted},
+    )
+
+
 def snapshot_changes(
     spark: SparkSession,
     root: str,

@@ -739,3 +739,44 @@ def test_merge_evolution_rejects_case_variant_column(spark, root):
     assert "evolved_cols" not in m
     got = S.snapshot_read(spark, root).head()
     assert got.v == 11.0
+
+
+def test_delete_versioned_null_semantics_and_cdf(spark, root):
+    """snapshot_delete: copy-on-write DELETE — predicate-TRUE rows
+    vanish from the new version, NULL-predicate rows are KEPT (SQL
+    DELETE proves, never assumes), every prior version still reads,
+    the manifest records predicate + n_deleted, and the change data
+    feed reconstructs exactly the removed keys."""
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)],
+        "k long, v double",
+    )
+    S.snapshot_write(base, root)
+    m2 = S.snapshot_delete(spark, root, "v >= 20.0")
+    assert m2["op"] == "delete"
+    assert m2["n_deleted"] == 2          # rows 2 and 4; NULL row kept
+    assert m2["predicate"] == "v >= 20.0"
+    assert _rows(S.snapshot_read(spark, root)) == {(1, 10.0), (3, None)}
+    assert _rows(S.snapshot_read(spark, root, version=1)) == _rows(base)
+    # manifest persists the audit trail
+    versions = {m["version"]: m for m in S.snapshot_versions(root)}
+    assert versions[2]["n_deleted"] == 2
+    # CDF between the two versions = exactly the removed keys
+    changes = S.snapshot_changes(spark, root, 1, 2, keys=["k"])
+    assert {(r.k, r.status) for r in changes.collect()} == {
+        (2, "removed"), (4, "removed"),
+    }
+
+
+def test_delete_carries_constraints_forward(spark, root):
+    """A DELETE commit re-records and keeps enforcing persisted CHECK
+    constraints (recorded == enforced holds on every commit path)."""
+    base = spark.createDataFrame([(1, 5.0), (2, 9.0)], "k long, v double")
+    S.snapshot_write(base, root, constraints={"v_pos": "v > 0"})
+    S.snapshot_delete(spark, root, "k = 2")
+    versions = S.snapshot_versions(root)
+    assert versions[-1]["constraints"] == {"v_pos": "v > 0"}
+    # and a later write that violates still fails
+    bad = spark.createDataFrame([(9, -1.0)], "k long, v double")
+    with pytest.raises(S.ConstraintViolation):
+        S.snapshot_merge(spark, root, bad, keys=["k"])
