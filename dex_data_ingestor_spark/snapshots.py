@@ -439,6 +439,54 @@ def snapshot_delete(
     )
 
 
+def snapshot_update(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+) -> dict:
+    """UPDATE the latest snapshot: commit a new version where rows
+    the ``predicate`` proves TRUE take the ``set_exprs`` column
+    values (column -> Spark SQL expression over the PRE-update row,
+    standard UPDATE semantics — all assignments read the old values)
+    and every other row — including NULL-predicate rows — passes
+    through unchanged. Completes the Delta DML triad beside
+    :func:`snapshot_merge` and :func:`snapshot_delete`, with the same
+    versioned copy-on-write guarantees (time travel, rollback, CDF).
+
+    Unknown target columns are rejected (an UPDATE that silently
+    widens the table is schema evolution's job — see snapshot_merge's
+    evolve_schema); the matched-row count and assignments land in the
+    manifest; persisted CHECK constraints re-enforce on the result,
+    so an UPDATE that would break an invariant commits nothing."""
+    current = snapshot_read(spark, root)
+    existing_lc = {c.lower() for c in current.columns}
+    unknown = [c for c in set_exprs if c.lower() not in existing_lc]
+    if unknown:
+        raise ValueError(
+            f"UPDATE targets columns {unknown} the table lacks; use "
+            "snapshot_merge(evolve_schema=True) to widen the schema"
+        )
+    cond = F.coalesce(F.expr(predicate), F.lit(False))
+    n_updated = current.filter(cond).count()
+    updated = current.withColumns(
+        {
+            col: F.when(cond, F.expr(expr)).otherwise(F.col(col))
+            for col, expr in set_exprs.items()
+        }
+    )
+    return snapshot_write(
+        updated,
+        root,
+        op="update",
+        extra={
+            "predicate": predicate,
+            "set": dict(set_exprs),
+            "n_updated": n_updated,
+        },
+    )
+
+
 def snapshot_changes(
     spark: SparkSession,
     root: str,

@@ -780,3 +780,35 @@ def test_delete_carries_constraints_forward(spark, root):
     bad = spark.createDataFrame([(9, -1.0)], "k long, v double")
     with pytest.raises(S.ConstraintViolation):
         S.snapshot_merge(spark, root, bad, keys=["k"])
+
+
+def test_update_reads_pre_update_values_and_enforces(spark, root):
+    """snapshot_update: assignments all read the OLD row (a swap
+    update proves it — chained evaluation would make b = old a twice),
+    NULL-predicate rows pass through, unknown target columns reject,
+    the manifest records the audit fields, and a violating UPDATE
+    commits nothing under a persisted constraint."""
+    base = spark.createDataFrame(
+        [(1, 10.0, 100.0), (2, 20.0, 200.0), (3, None, 300.0)],
+        "k long, a double, b double",
+    )
+    S.snapshot_write(base, root, constraints={"b_pos": "b > 0"})
+    m2 = S.snapshot_update(
+        spark, root, "a >= 20.0", {"a": "b", "b": "a"}
+    )
+    assert m2["op"] == "update" and m2["n_updated"] == 1
+    assert _rows(S.snapshot_read(spark, root)) == {
+        (1, 10.0, 100.0),
+        (2, 200.0, 20.0),        # swapped from the same old row
+        (3, None, 300.0),        # NULL predicate: untouched
+    }
+    assert _rows(S.snapshot_read(spark, root, version=1)) == _rows(base)
+    versions = {m["version"]: m for m in S.snapshot_versions(root)}
+    assert versions[2]["set"] == {"a": "b", "b": "a"}
+
+    with pytest.raises(ValueError):
+        S.snapshot_update(spark, root, "k = 1", {"nope": "1"})
+    # an UPDATE that breaks the persisted constraint commits nothing
+    with pytest.raises(S.ConstraintViolation):
+        S.snapshot_update(spark, root, "k = 1", {"b": "-1.0"})
+    assert S.snapshot_versions(root)[-1]["version"] == 2
