@@ -8189,6 +8189,92 @@ def q_c4_filters(spark, sf_dir):
     return c4_filters(docs, "doc_id", "text")
 
 
+@register(
+    "q_char_entropy",
+    """
+    WITH d AS (
+      SELECT doc_id, trim(text) AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    chars AS (
+      SELECT doc_id, substr(t, u.i, 1) AS ch
+      FROM d, unnest(range(1, length(t) + 1)) AS u(i)
+    ),
+    counts AS (
+      SELECT doc_id, ch, COUNT(*) AS n_c FROM chars GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(n_c) AS BIGINT) AS n_chars,
+             COUNT(*) AS n_distinct_chars
+      FROM counts GROUP BY 1
+    )
+    SELECT c.doc_id, t.n_chars, t.n_distinct_chars,
+           CAST(SUM(CAST(FLOOR(
+                 (-ln(CAST(n_c AS DOUBLE) / t.n_chars)
+                  * (CAST(n_c AS DOUBLE) / t.n_chars))
+                 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS entropy_units,
+           CAST(SUM(CAST(FLOOR(
+                 (-ln(CAST(n_c AS DOUBLE) / t.n_chars)
+                  * (CAST(n_c AS DOUBLE) / t.n_chars))
+                 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+             AS entropy
+    FROM counts c JOIN tot t USING (doc_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """Per-document Shannon character entropy (nats) — the
+    information-theoretic quality gate beside the heuristic batteries:
+    near-zero entropy flags degenerate repetition (aaaa..., padding),
+    abnormally high entropy flags random/gibberish or binary-ish
+    text; CCNet-era pipelines pair it with perplexity because it
+    needs NO model. Entropy = -Σ p_c ln p_c over the character
+    histogram of the trimmed text.
+
+    Exactness: each character class's term -p·ln(p) is quantized to
+    integer micro-nats with one explicitly-parenthesized IEEE chain
+    (div → ln → negate → multiply → scale → floor; ≤ distinct-char
+    classes of libm args per doc, absorbed by the quantum — the
+    _nll_units discipline), so per-doc sums are order-free exact
+    BIGINTs; the final display division is one IEEE op. The p=1
+    single-character edge lands exactly on floor(-0.0 + 0.5) = 0 in
+    both engines.
+
+    Plan: one (doc_id, ch) exchange for the histogram (partial
+    map-side counts fold the per-task character space first), one
+    doc-keyed exchange for the totals — both shuffle rows bounded by
+    docs x alphabet, far under the corpus's character count."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    ).select("doc_id", F.trim(F.col("text")).alias("t"))
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(t)), i -> substring(t, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("n_c").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+    )
+    p = F.col("n_c").cast("double") / F.col("n_chars")
+    term = F.floor(
+        ((-F.log(p)) * p) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    joined = counts.join(tot, "doc_id")
+    units = F.sum(term).cast("bigint")
+    return joined.groupBy("doc_id", "n_chars", "n_distinct_chars").agg(
+        units.alias("entropy_units"),
+        (units.cast("double") / F.lit(1000000.0)).alias("entropy"),
+    )
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
@@ -8249,10 +8335,13 @@ def q_c4_filters(spark, sf_dir):
 #: round's row — freeing 6 slots per cycle (one per pair) without
 #: stretching any entry past the 3-round bound. q_semdedup_fast
 #: (also registered this session, bitwise-verified at both SFs)
-#: rides its pair's slot; q_gopher_rules and q_c4_filters (published
-#: heuristic filter sets, bitwise-verified at both SFs + crafted
-#: multi-line parity) take the remaining two freed slots, so all six
-#: continuation-session entries hold r9 rows. Invariants that
+#: rides its pair's slot; q_gopher_rules, q_c4_filters (published
+#: heuristic filter sets, + crafted multi-line parity) and
+#: q_char_entropy take three of the freed slots. The seventh slot
+#: comes from the same pruning clause's true-subset rule:
+#: q_count's oracle is a strict sub-aggregate of q_group_agg's
+#: grouped form, so from r9 q_count and q_distinct alternate one
+#: slot. Net: all seven continuation-session entries hold r9 rows. Invariants that
 #: override the cycle: (1)
 #: queries ADDED in a round are locally bitwise-verified at
 #: sf0.001+sf0.01 on registration and ALWAYS join the next round's

@@ -1460,3 +1460,42 @@ def test_gopher_and_c4_rules_crafted_parity(spark, tmp_path):
         )
         assert not problems, (q, problems)
     con.close()
+
+
+def test_char_entropy_golden(spark, tmp_path):
+    """Hand-derivable entropies: a one-symbol doc scores exactly 0
+    (the floor(-0.0 + 0.5) edge), a two-symbol uniform doc scores
+    ln 2 to within the micro-nat quantum, and whitespace-only docs
+    are excluded; the crafted table holds bitwise oracle parity."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    rows = [
+        (1, "aaaaaaaa", "en", "src0", 8),
+        (2, "ab", "en", "src0", 2),
+        (3, "   ", "en", "src0", 3),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    df = QUERIES["q_char_entropy"](spark, str(tmp_path))
+    out = {r.doc_id: r for r in df.collect()}
+    assert set(out) == {1, 2}
+    assert out[1].entropy_units == 0 and out[1].n_distinct_chars == 1
+    # -2 * 0.5*ln(0.5) = ln 2; each class quantizes to 346574 u
+    assert out[2].entropy_units == 693148
+    assert out[2].n_chars == 2
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    problems = compare(df, con, ORACLE_SQL["q_char_entropy"])
+    con.close()
+    assert not problems, problems
