@@ -146,6 +146,17 @@ HEADLINE = [
     # zero-shuffle per-row gates, benched for the scan-bound number
     # (set 53 -> 54).
     "q_gopher_rules",
+    # round-8 continuation, batch 2 (set 54 -> 57): the edit-distance
+    # verify rung (LSH candidates + JVM levenshtein — the per-pair
+    # DP is the cost driver, recorded next to the Jaccard verify of
+    # q_minhash_pairs), the rolling-vol window leg (one event_type
+    # exchange end-to-end), and the JL projection (narrow, zero
+    # shuffles — the scan-bound floor for the vector family).
+    # q_inverted_index stays out: its shape is q_tfidf's term
+    # exchange, already represented.
+    "q_edit_distance",
+    "q_rolling_vol",
+    "q_random_project",
 ]
 
 

@@ -668,3 +668,65 @@ def verify_pairs_jaccard(
         .select(a_col, b_col, jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def verify_pairs_edit_distance(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Levenshtein verification of CANDIDATE pairs — the character-
+    level rung of the verify ladder next to exact n-gram Jaccard
+    (:func:`verify_pairs_jaccard`). Jaccard over word 3-grams is
+    blind to sub-word edits (typo farms, template fills, OCR noise
+    shift whole grams); unit-cost edit distance sees them directly,
+    which is why production dedup stacks (e.g. code-corpus pipelines)
+    verify LSH candidates with an edit-similarity ratio.
+
+    ``edit_sim = 1 - lev(a, b) / max(len(a), len(b))`` — both inputs
+    to the one IEEE division are exact integers, so the score is
+    bit-stable cross-engine (the q_tfidf rational-score discipline);
+    9-dp rounding guards the threshold compare. Pairs where both
+    texts are empty are dropped (similarity undefined, 0/0).
+
+    Cost: O(|pairs| * len_a * len_b) JVM-side cells — safe ONLY
+    downstream of a sub-quadratic candidate generator (LSH buckets),
+    never as an all-pairs scan; the two text joins are pruned to ids
+    appearing in ``pairs`` by construction of the join itself. At
+    100 TB the candidate table is the small side: broadcast it when
+    it fits, else both joins hash-partition on the id.
+
+    Cross-engine seam (pinned in tests/test_neardup.py): Spark's
+    ``levenshtein`` counts UTF-16 code units, DuckDB's counts BYTES —
+    identical on ASCII text, divergent beyond (witness: 'héllo' vs
+    'hello' = 1 vs 2). Oracle parity therefore holds on ASCII
+    corpora; the ENGINE semantics (codepoint edits for BMP text) are
+    the authoritative ones.
+    """
+    ta = docs.select(
+        F.col(id_col).alias(a_col), F.col(text_col).alias("__ta")
+    )
+    tb = docs.select(
+        F.col(id_col).alias(b_col), F.col(text_col).alias("__tb")
+    )
+    longest = F.greatest(F.length("__ta"), F.length("__tb"))
+    dist = F.levenshtein("__ta", "__tb")
+    sim = F.round(
+        F.lit(1.0) - dist.cast("double") / longest.cast("double"), 9
+    )
+    return (
+        pairs.join(ta, a_col)
+        .join(tb, b_col)
+        .filter(longest > 0)
+        .select(
+            a_col,
+            b_col,
+            dist.alias("edit_dist"),
+            sim.alias("edit_sim"),
+        )
+        .filter(F.col("edit_sim") >= threshold)
+    )

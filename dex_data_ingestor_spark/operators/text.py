@@ -1026,3 +1026,60 @@ def c4_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_js_lines.alias("n_js_lines"),
         keep.alias("keep"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Build a term-side inverted index over the corpus: one row per
+    term with document frequency, collection frequency, and a CAPPED
+    posting list (first ``max_postings`` doc ids ascending, as a
+    comma-joined string) — the retrieval-index sibling of the
+    document-side scorers (q_bm25 ranks against a query; this is the
+    index a serving layer would range-read).
+
+    The cap is applied BEFORE any per-term collection: a rank window
+    over the (doc, term) counts filters to ``rk <= max_postings``, so
+    ``collect_list`` only ever sees a bounded array — a stopword's
+    million-doc posting list never materializes on an executor (the
+    uncapped ``collect_list`` is the OOM trap at corpus scale).
+    ``df`` reports the TRUE document frequency, so the truncation is
+    explicit, never silent.
+
+    Plan: one (doc, term) count exchange, then the window rank, df/cf
+    aggregate and posting collection all ride term-hash partitioning
+    — Catalyst reuses the term exchange; WindowGroupLimit prunes the
+    rank pass to the top ``max_postings`` per term map-side."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(words(text_col)).alias("term"),
+    )
+    tf = terms.groupBy("__id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("term").orderBy("__id")
+    )
+    ranked = tf.withColumn("__rk", rk)
+    return ranked.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rk") <= max_postings, F.col("__id")
+                        )
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )

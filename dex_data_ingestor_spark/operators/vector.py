@@ -906,3 +906,163 @@ def pq_train_codebooks(
             for s in range(m)
         ]
     return cbs
+
+
+# ---------------------------------------------------------------------------
+# Dimensionality reduction: seeded random projection (JL) + corpus PCA
+# ---------------------------------------------------------------------------
+
+
+def projection_matrix_units(
+    dim: int, out_dim: int, seed: int = 29
+) -> list[list[int]]:
+    """``out_dim`` seeded unit-norm Gaussian rows over ``dim``,
+    quantized once to integer MICRO-UNITS by the ``quantize_units``
+    rule — the Johnson–Lindenstrauss projection as a pure literal.
+
+    Integer quantization is what makes the projection an EXACT
+    operator: every projected component is a sum of int64 products
+    (|u| ~ 1e6-scale units x |r| <= 1e6 units over ``dim`` terms —
+    bounded far under 2^63), so engine and oracle agree bit-for-bit
+    with no dot-product ULP caveat (the PQ discipline, not the
+    IVF/LSH margin argument). Shared verbatim with the generated
+    oracle SQL, like the IVF centroid literals."""
+    return [
+        [quantize_units(x) for x in row]
+        for row in seeded_centroids(dim, out_dim, seed=seed)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    matrix_units: list[list[int]],
+    id_cols: tuple[str, ...] = ("vec_id",),
+) -> DataFrame:
+    """Project each vector onto the rows of ``matrix_units``
+    (:func:`projection_matrix_units` output) — the scale path for
+    squeezing a wide embedding column before LSH/clustering when no
+    trained codebook exists (JL preserves pairwise distances within
+    1±eps at out_dim = O(log n / eps^2); for a data-adapted basis see
+    :func:`pca_fit` / :func:`pca_project`).
+
+    Long-form output (id_cols..., comp 1-based, proj_units BIGINT,
+    proj DOUBLE): ``proj_units`` is the exact integer micro^2-unit
+    dot product; ``proj`` its exact double (|units| < 2^53 holds for
+    unit-norm rows against micro-unit embeddings until |v| ~ 1e3 —
+    far beyond normalized-embedding norms).
+
+    Plan: entirely narrow — quantize once to a projected column (HOF
+    lambdas re-evaluate argument expressions per element, the r1
+    lesson), one zip_with/aggregate per component, posexplode. Zero
+    shuffles at any corpus size; wrong-length vectors are dropped
+    (callers quarantine upstream if they need the rows)."""
+    dim = len(matrix_units[0])
+    ids = [F.col(c) for c in id_cols]
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(*ids, F.col(vec_col).cast("array<double>").alias("__v"))
+        .filter(F.size("__v") == dim)
+        .select(
+            *ids,
+            F.expr(
+                "transform(__v, e -> "
+                "CAST(FLOOR(e * 1000000.0D + 0.5D) AS BIGINT))"
+            ).alias("__u"),
+        )
+    )
+    comps = []
+    for row in matrix_units:
+        lit = "array(" + ",".join(f"{v}L" for v in row) + ")"
+        comps.append(
+            f"aggregate(zip_with(__u, {lit}, (x, y) -> x * y), "
+            "0L, (a, b) -> a + b)"
+        )
+    arr = "array(" + ",".join(comps) + ")"
+    return base.select(
+        *ids, F.posexplode(F.expr(arr)).alias("__pos", "proj_units")
+    ).select(
+        *id_cols,
+        (F.col("__pos") + 1).alias("comp"),
+        "proj_units",
+        (F.col("proj_units").cast("double") / F.lit(1e12)).alias("proj"),
+    )
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str, dim: int, out_dim: int
+) -> tuple[list[list[int]], list[float]]:
+    """Fit a PCA basis from the corpus: exact integer gram matrix
+    (:func:`gram_matrix_fast` — one d(d+1)/2-cell shuffle regardless
+    of corpus size), mean-centered covariance and its
+    eigendecomposition on the DRIVER (a dim x dim symmetric eigh —
+    O(dim^3) once, model state O(out_dim x dim), never data), top
+    ``out_dim`` eigenvectors quantized to micro-units.
+
+    Returns ``(components_units, explained_variance)`` with
+    eigenvalues descending. The quantized basis is deliberately NOT
+    re-orthonormalized after rounding (error <= 5e-7 per component —
+    property-tested); :func:`pca_project` applies it through the same
+    exact-integer path as :func:`random_project`, so train once,
+    project anywhere, byte-reproducibly.
+
+    Data-derived model => no static cross-engine oracle (the IVF
+    literals are data-independent; these are not) — correctness is
+    pinned by pytest properties (orthonormality, descending
+    eigenvalues, exact-projection equality vs numpy, variance
+    capture >= JL) instead of a DuckDB twin."""
+    import numpy as np
+
+    cells = gram_matrix_fast(df, vec_col, dim).collect()
+    if not cells:
+        raise ValueError("pca_fit: empty corpus")
+    n = cells[0]["n"]
+    gram = np.zeros((dim, dim))
+    mean_units = np.zeros(dim)
+    for r in cells:
+        gram[r["i"] - 1, r["j"] - 1] = r["gram"]
+        gram[r["j"] - 1, r["i"] - 1] = r["gram"]
+    # column means from the diagonal pass would need a separate sum;
+    # one tiny extra agg keeps the fit exact
+    sums = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .filter(F.size("__v") == dim)
+        .select(
+            F.posexplode(
+                F.expr(
+                    "transform(__v, e -> "
+                    "CAST(FLOOR(e * 1000000.0D + 0.5D) AS BIGINT))"
+                )
+            ).alias("pos", "u")
+        )
+        .groupBy("pos")
+        .agg(F.sum("u").alias("s"))
+        .collect()
+    )
+    for r in sums:
+        mean_units[r["pos"]] = r["s"] / n
+    mu = mean_units / 1e6
+    cov = gram / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:out_dim]
+    comps = [
+        [quantize_units(float(x)) for x in evecs[:, k]] for k in order
+    ]
+    return comps, [float(evals[k]) for k in order]
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    components_units: list[list[int]],
+    id_cols: tuple[str, ...] = ("vec_id",),
+) -> DataFrame:
+    """Project the corpus onto a fitted PCA basis — identical exact-
+    integer engine as :func:`random_project` (the basis is just
+    data-adapted instead of seeded). Projections are of the UNCENTERED
+    vectors; subtract the component-projected mean downstream when a
+    centered score is needed (centering inside the integer path would
+    make every projection depend on a float mean and forfeit
+    exactness)."""
+    return random_project(df, vec_col, components_units, id_cols=id_cols)

@@ -45,6 +45,9 @@ from dex_data_ingestor_spark.operators.incremental import (
 from dex_data_ingestor_spark.operators.merge import merge_upsert
 from dex_data_ingestor_spark.operators.pct import period_over_period
 from dex_data_ingestor_spark.operators.surrogate import surrogate_key_dense
+from dex_data_ingestor_spark.operators.vector import (
+    projection_matrix_units as _projection_matrix_units,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -8275,6 +8278,289 @@ def q_char_entropy(spark, sf_dir):
     )
 
 
+
+
+# =========================================================================
+# Round-8 continuation additions: edit-distance verify, rolling vol,
+# inverted index, random projection
+# =========================================================================
+
+#: the shingle->minhash->band->bucket oracle prefix shared by the LSH
+#: pair queries (kept verbatim-equal to the inline copies above).
+_MINHASH_BUCKETS_CTE = f"""
+    {_GRAMS_CTE},
+    hashed AS (
+      SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
+    ),
+    params(k, a, b) AS (VALUES {_MINHASH_VALUES}),
+    sigs AS (
+      SELECT doc_id, k,
+             min((a * gram_hash + b) % 2147483647) AS minhash
+      FROM hashed CROSS JOIN params GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(k / 4) AS INTEGER) AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k)
+               AS band_sig
+      FROM sigs GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
+      FROM bands
+    )"""
+
+
+@register(
+    "q_edit_distance",
+    f"""
+    WITH {_MINHASH_BUCKETS_CTE},
+    {_CAPPED_PAIRS_CTE},
+    t AS (SELECT doc_id, text, length(text) AS ln FROM documents),
+    v AS (
+      SELECT c.a_id, c.b_id,
+             CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+             ROUND(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                   / CAST(greatest(ta.ln, tb.ln) AS DOUBLE), 9)
+               AS edit_sim
+      FROM cand_pairs c
+      JOIN t ta ON ta.doc_id = c.a_id
+      JOIN t tb ON tb.doc_id = c.b_id
+      WHERE greatest(ta.ln, tb.ln) > 0
+    )
+    SELECT a_id, b_id, edit_dist, edit_sim FROM v WHERE edit_sim >= 0.6
+    """,
+)
+def q_edit_distance(spark, sf_dir):
+    """Character-level near-dup verification: LSH candidate pairs
+    (sub-quadratic, hot-bucket-capped) verified by unit-cost
+    Levenshtein similarity ``1 - lev/max(len)`` >= 0.6 — the edit-
+    distance rung of the verify ladder (word-gram Jaccard is blind to
+    sub-word edits: typo farms, template fills, OCR noise). Both
+    division inputs are exact integers, so the one IEEE division is
+    bit-stable (q_tfidf's rational-score discipline); the DuckDB
+    byte-vs-Spark-codepoint levenshtein seam is ASCII-safe and pinned
+    with a non-ASCII divergence witness in tests/test_neardup.py.
+    Verification cost is O(candidates x len^2) JVM-side — safe only
+    downstream of the LSH generator, never all-pairs."""
+    from dex_data_ingestor_spark.operators.neardup import (
+        lsh_band_buckets_wide,
+        lsh_candidate_pairs,
+        minhash_signatures_wide,
+        verify_pairs_edit_distance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = lsh_band_buckets_wide(
+        minhash_signatures_wide(docs, "doc_id", "text", shingle_n=3),
+        "doc_id",
+        rows_per_band=4,
+    )
+    cands = lsh_candidate_pairs(buckets, "doc_id")
+    out = verify_pairs_edit_distance(
+        cands, docs, "doc_id", "text", threshold=0.6
+    )
+    return out.withColumn("edit_dist", F.col("edit_dist").cast("bigint"))
+
+
+@register(
+    "q_rolling_vol",
+    """
+    WITH clean AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events WHERE value > 0
+    ),
+    rets AS (
+      SELECT event_type, ts,
+             CAST(FLOOR(ln(value / lag(value) OVER w) * 1000000.0
+                        + 0.5) AS BIGINT) AS lnu
+      FROM clean
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    seg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_start, lnu
+      FROM rets WHERE lnu IS NOT NULL
+    ),
+    bars AS (
+      SELECT event_type, bar_start,
+             CAST(SUM(lnu * lnu) AS HUGEINT) AS num
+      FROM seg GROUP BY 1, 2
+    ),
+    roll AS (
+      SELECT event_type, bar_start,
+             COUNT(*) OVER w24 AS n_bars,
+             CAST(SUM(num) OVER w24 AS HUGEINT) AS rnum
+      FROM bars
+      WINDOW w24 AS (PARTITION BY event_type ORDER BY bar_start
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, bar_start, CAST(n_bars AS BIGINT) AS n_bars,
+           CAST(rnum // 1000000000000 AS DOUBLE)
+             + CAST(rnum % 1000000000000 AS DOUBLE) / 1000000000000.0
+             AS rv_24h,
+           ROUND(sqrt(CAST(rnum // 1000000000000 AS DOUBLE)
+             + CAST(rnum % 1000000000000 AS DOUBLE)
+               / 1000000000000.0), 9) AS vol_24h
+    FROM roll
+    """,
+)
+def q_rolling_vol(spark, sf_dir):
+    """Trailing-24-bar realized volatility per instrument — the
+    rolling-risk leg beside q_realized_var's per-bar variance:
+    hourly squared-log-return bars roll under a 24-row window
+    (ROWS, not RANGE: gap hours carry the window across, documented)
+    and ``vol_24h = sqrt(rv)``. Exactness is q_realized_var's
+    composed discipline end-to-end — micro-log-unit returns, squares
+    summed in DECIMAL(38,0)/HUGEINT through BOTH the bar aggregate
+    and the rolling window sum (a hot day exceeds 2^63), the q+r
+    exit against 10^12, and sqrt is IEEE-correctly-rounded in both
+    engines (the q_return_corr precedent; libm pow/ln are not).
+
+    Plan: ONE event_type exchange — the lag window, the hourly bar
+    aggregate and the rolling window all ride the same hash
+    partitioning (bar rows are tape-rows/3600 before the rolling
+    pass touches them). Same instrument-key scale note as the other
+    market legs."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select("event_type", "ts", "event_id", "value")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lnu = F.floor(
+        F.log(F.col("value") / F.lag("value").over(w)) * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    seg = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts"))
+            .cast("timestamp_ntz")
+            .alias("bar_start"),
+            lnu.alias("lnu"),
+        )
+        .filter(F.col("lnu").isNotNull())
+    )
+    bars = seg.groupBy("event_type", "bar_start").agg(
+        F.sum(
+            (F.col("lnu") * F.col("lnu")).cast("decimal(38,0)")
+        ).alias("num")
+    )
+    w24 = (
+        Window.partitionBy("event_type")
+        .orderBy("bar_start")
+        .rowsBetween(-23, 0)
+    )
+    roll = bars.select(
+        "event_type",
+        "bar_start",
+        F.count(F.lit(1)).over(w24).alias("n_bars"),
+        F.sum("num").over(w24).alias("rnum"),
+    )
+    rv = (
+        F.expr("rnum div 1000000000000").cast("double")
+        + F.expr("rnum % 1000000000000").cast("double")
+        / F.lit(1000000000000.0)
+    )
+    return roll.select(
+        "event_type",
+        "bar_start",
+        "n_bars",
+        rv.alias("rv_24h"),
+        F.round(F.sqrt(rv), 9).alias("vol_24h"),
+    )
+
+
+@register(
+    "q_inverted_index",
+    r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    agg AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+            FROM tf GROUP BY 1),
+    rk AS (SELECT term, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY term
+                                     ORDER BY doc_id) AS rk
+           FROM tf),
+    post AS (SELECT term,
+                    string_agg(CAST(doc_id AS VARCHAR), ','
+                               ORDER BY doc_id) AS postings
+             FROM rk WHERE rk <= 20 GROUP BY 1)
+    SELECT term, df, cf, postings FROM agg JOIN post USING (term)
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Term-side inverted index with capped posting lists
+    (operators/text.inverted_index) — the retrieval-index build the
+    serving side of q_bm25 would range-read. The cap (first 20 doc
+    ids ascending) is applied by a rank window BEFORE collect_list,
+    so no stopword posting list ever materializes unbounded on an
+    executor; ``df`` reports the true document frequency, making the
+    truncation explicit. One (doc, term) exchange; the rank, df/cf
+    aggregate and bounded collection all ride term partitioning."""
+    from dex_data_ingestor_spark.operators.text import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", max_postings=20)
+
+
+def _rp_values_sql(matrix_units) -> str:
+    return ", ".join(
+        "(%d, [%s])"
+        % (c + 1, ",".join(f"{v}::BIGINT" for v in row))
+        for c, row in enumerate(matrix_units)
+    )
+
+
+_RP_UNITS = _projection_matrix_units(64, 16, seed=29)
+
+
+@register(
+    "q_random_project",
+    f"""
+    WITH x AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    u AS (
+      SELECT vec_id, list_transform(v, e ->
+               CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT)) AS uu
+      FROM x WHERE len(v) = 64
+    ),
+    comps(comp, r) AS (VALUES {{_rp_vals}}),
+    proj AS (
+      SELECT vec_id, comp,
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> uu[i] * r[i])) AS BIGINT) AS proj_units
+      FROM u CROSS JOIN comps
+    )
+    SELECT vec_id, comp, proj_units,
+           CAST(proj_units AS DOUBLE) / 1000000000000.0 AS proj
+    FROM proj
+    """.replace("{_rp_vals}", _rp_values_sql(_RP_UNITS)),
+)
+def q_random_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 16 over the
+    embedding corpus (operators/vector.random_project) — the
+    dimensionality-reduction rung of the vector family (JL preserves
+    pairwise distances within 1 +/- eps; the data-adapted twin is
+    pca_fit/pca_project, property-tested rather than oracle-paired
+    because its basis is data-derived). The seeded projection matrix
+    is quantized once to integer micro-units and shared verbatim
+    with the oracle (the IVF-centroid pattern), so every projected
+    component is an exact int64 dot product — zero cross-engine
+    float caveat, like the PQ family. Entirely narrow: zero shuffles
+    at any corpus size."""
+    from dex_data_ingestor_spark.operators.vector import random_project
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return random_project(em, "embedding", _RP_UNITS, id_cols=("vec_id",))
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
@@ -8352,6 +8638,20 @@ def q_char_entropy(spark, sf_dir):
 #: no entry's latest green row ages past three rounds at up to ~135
 #: non-canary entries; beyond that, prune true-subset entries before
 #: stretching the cycle.
+#:
+#: Registry-growth amendment (late r8, registry at 165): the second
+#: continuation batch (q_edit_distance, q_rolling_vol,
+#: q_inverted_index, q_random_project — each bitwise-verified at
+#: sf0.001+sf0.01 AND through the fresh-process hostile-tz
+#: driver-sim on registration) joins the r9 window per invariant 1,
+#: displacing four more cohort-B slots. Slot accounting past the
+#: ~135 bound is now explicitly FOUR-round worst-case for the long
+#: tail of cheap relational shapes (the B/C cohort remainders), while
+#: the 3-round bound is preserved for every heavy family (dedup/LSH,
+#: vector/PQ, curation, market metrics, streaming, multimodal) via
+#: the canary set and the twin-pair/true-subset slot sharing already
+#: in force — the freshness guarantee tracks engine risk, not
+#: registry arithmetic.
 _WINDOW_R8 = [
     # never driver-checked (added r7) — the entire debt, per verdict
     "q_sessionize",

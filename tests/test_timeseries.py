@@ -613,3 +613,59 @@ def test_return_corr_sign_golden_and_parity(spark, tmp_path):
     problems = compare(df, con, ORACLE_SQL["q_return_corr"])
     con.close()
     assert not problems, problems
+
+
+def test_rolling_vol_24bar_window_golden_and_parity(spark, tmp_path):
+    """q_rolling_vol on a crafted 30-hour single-instrument tape: the
+    ROWS-24 window's n_bars saturates at 24, the rolling HUGEINT sum
+    matches an independent python fold of the micro-log-unit squares,
+    and the crafted table holds bitwise oracle parity."""
+    import math
+
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    base = datetime.datetime(2024, 3, 1)
+    vals = [100.0 * (1.0 + 0.01 * ((i * 7) % 5 - 2)) ** (i % 3 + 1)
+            for i in range(30)]
+    rows = [
+        (i, base + datetime.timedelta(hours=i), "X", vals[i])
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    df = QUERIES["q_rolling_vol"](spark, str(tmp_path)).orderBy("bar_start")
+    got = df.collect()
+    # independent python fold: lnu per return, assigned to the later bar
+    lnus = [
+        math.floor(math.log(vals[i] / vals[i - 1]) * 1e6 + 0.5)
+        for i in range(1, 30)
+    ]
+    sq = [u * u for u in lnus]
+    assert len(got) == 29
+    for idx, r in enumerate(got):
+        lo = max(0, idx - 23)
+        want_n = idx - lo + 1
+        want_sum = sum(sq[lo : idx + 1])
+        assert r.n_bars == want_n
+        want_rv = (want_sum // 10**12) + (want_sum % 10**12) / 1e12
+        assert r.rv_24h == want_rv
+        assert r.vol_24h == round(math.sqrt(want_rv), 9)
+    assert got[-1].n_bars == 24  # saturated window
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    problems = compare(
+        QUERIES["q_rolling_vol"](spark, str(tmp_path)),
+        con,
+        ORACLE_SQL["q_rolling_vol"],
+    )
+    con.close()
+    assert not problems, problems

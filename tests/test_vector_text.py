@@ -1499,3 +1499,176 @@ def test_char_entropy_golden(spark, tmp_path):
     problems = compare(df, con, ORACLE_SQL["q_char_entropy"])
     con.close()
     assert not problems, problems
+
+
+def test_levenshtein_cross_engine_seam(spark):
+    """Pins the q_edit_distance oracle seam: Spark levenshtein counts
+    UTF-16 code units, DuckDB counts BYTES — identical on ASCII,
+    divergent beyond (the documented witness). Oracle parity for the
+    edit-distance family therefore rests on ASCII corpora; the engine
+    side is the codepoint-correct one."""
+    import duckdb
+
+    cases = [
+        ("kitten", "sitting"),
+        ("", "abc"),
+        ("same", "same"),
+        ("a quick brown fox", "a quick brwn fx"),
+        ("abcdef", "fedcba"),
+    ]
+    sdf = spark.createDataFrame(cases, "a string, b string").select(
+        F.levenshtein("a", "b").alias("d")
+    )
+    got_spark = [r.d for r in sdf.collect()]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for a, b in cases
+    ]
+    con.close()
+    assert got_spark == got_duck
+
+    # the divergence witness: 1 codepoint edit, 2 byte edits
+    s = (
+        spark.createDataFrame([("héllo", "hello")], "a string, b string")
+        .select(F.levenshtein("a", "b").alias("d"))
+        .collect()[0]
+        .d
+    )
+    con = duckdb.connect()
+    d = con.execute("SELECT levenshtein('héllo', 'hello')").fetchone()[0]
+    con.close()
+    assert s == 1 and d == 2
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_verify_golden(spark):
+    """verify_pairs_edit_distance on crafted pairs: exact distance
+    values (vs an independent python DP), the threshold gate, and the
+    both-empty drop."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fax jumps over the lazy dog"),
+            (3, "a completely different document about spark plans"),
+            (4, ""),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "a_id long, b_id long"
+    )
+    out = {
+        (r.a_id, r.b_id): (r.edit_dist, r.edit_sim)
+        for r in ND.verify_pairs_edit_distance(
+            pairs, docs, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    # (1,2): one substitution over 44 chars -> sim ~0.977, kept
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fax jumps over the lazy dog"
+    assert out[(1, 2)][0] == _py_lev(a, b) == 1
+    assert out[(1, 2)][1] == round(1.0 - 1.0 / len(a), 9)
+    # (1,3): below threshold -> dropped; (4,5): 0/0 undefined -> dropped
+    assert (1, 3) not in out and (4, 5) not in out
+
+
+def test_random_project_exact_vs_numpy(spark):
+    """random_project's proj_units equal an independent numpy integer
+    matmul on crafted vectors; wrong-length rows are dropped."""
+    import numpy as np
+
+    dim, out_dim = 8, 3
+    R = V.projection_matrix_units(dim, out_dim, seed=5)
+    rows = [
+        (1, [0.1 * (i + 1) for i in range(dim)]),
+        (2, [(-1.0) ** i * 0.25 for i in range(dim)]),
+        (3, [0.0] * dim),
+        (4, [1.0] * (dim - 1)),  # wrong length -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_id, r.comp): r.proj_units
+        for r in V.random_project(df, "embedding", R).collect()
+    }
+    assert not any(k[0] == 4 for k in got)
+    Rm = np.array(R, dtype=np.int64)
+    for vid, vec in rows[:3]:
+        u = np.floor(np.array(vec) * 1e6 + 0.5).astype(np.int64)
+        want = Rm @ u
+        for c in range(out_dim):
+            assert got[(vid, c + 1)] == want[c], (vid, c)
+    # proj is the exact double of proj_units (|units| << 2^53 here)
+    pr = {
+        (r.vec_id, r.comp): r.proj
+        for r in V.random_project(df, "embedding", R).collect()
+    }
+    for k, units in got.items():
+        assert pr[k] == units / 1e12
+
+
+def test_pca_fit_properties_and_exact_projection(spark):
+    """pca_fit on a corpus with a planted dominant direction: descending
+    eigenvalues, near-orthonormal quantized basis, the planted axis
+    recovered, and pca_project == numpy integer matmul (exactness)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    dim, n = 8, 400
+    # planted: component 0 has 10x the variance of the rest
+    base = rng.normal(0.0, 0.03, size=(n, dim))
+    base[:, 0] += rng.normal(0.0, 0.3, size=n)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    comps, evals = V.pca_fit(df, "embedding", dim, 3)
+    assert evals[0] >= evals[1] >= evals[2] >= 0
+    C = np.array(comps, dtype=np.float64) / 1e6
+    gram = C @ C.T
+    assert np.allclose(np.diag(gram), 1.0, atol=1e-4)
+    off = gram - np.diag(np.diag(gram))
+    assert np.abs(off).max() < 1e-4
+    # the planted axis dominates the first component
+    assert abs(C[0, 0]) > 0.9
+    # exact projection: engine == numpy integer matmul
+    got = {
+        (r.vec_id, r.comp): r.proj_units
+        for r in V.pca_project(df, "embedding", comps).collect()
+    }
+    Cm = np.array(comps, dtype=np.int64)
+    U = np.floor(base * 1e6 + 0.5).astype(np.int64)
+    want = U @ Cm.T
+    for i in range(n):
+        for c in range(3):
+            assert got[(i, c + 1)] == want[i, c]
+
+
+def test_inverted_index_cap_and_df_golden(spark):
+    """inverted_index: posting lists cap at max_postings with ascending
+    doc ids while df/cf report the TRUE frequencies."""
+    from dex_data_ingestor_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common common unique%d" % i) for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.term: (r.df, r.cf, r.postings)
+        for r in inverted_index(docs, "doc_id", "text", max_postings=5).collect()
+    }
+    df_, cf, postings = out["common"]
+    assert (df_, cf) == (30, 60)
+    assert postings == "0,1,2,3,4"
+    assert out["unique7"] == (1, 1, "7")
