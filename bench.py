@@ -157,6 +157,9 @@ HEADLINE = [
     "q_edit_distance",
     "q_rolling_vol",
     "q_random_project",
+    # PMI phrase mining (set 57 -> 58): pair-keyed + token-keyed
+    # exchanges with the min_count prune ahead of the count joins.
+    "q_pmi_collocations",
 ]
 
 

@@ -1083,3 +1083,97 @@ def inverted_index(
             ",",
         ).alias("postings"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information — the phrase-mining rung of the text family (the LM
+    scorers rank documents; this ranks the corpus's own multiword
+    units, the classic first step of vocabulary induction /
+    tokenizer seeding). ``pmi = ln(P(a,b) / (P(a)P(b)))`` with
+    P(a,b) = c_ab/n_pairs over adjacent pairs and P(w) = c_w/n_uni
+    over tokens.
+
+    Determinism: every count is an exact integer; the PMI argument is
+    assembled as ONE canonical double expression (three casts
+    multiplied left-associatively on each side of a single division
+    — both engines evaluate the identical IEEE tree), then the
+    single libm ln lands in micro-nat units under the shared
+    floor(x*1e6 + 0.5) rule (the unigram_logloss discipline and its
+    documented quantization-tie caveat). The top-k cut is a total
+    order (pmi_units DESC, a, b — unique per pair), so the selected
+    SET is deterministic cross-engine.
+
+    Scale: the double-cast product form is deliberate — an int64
+    product c_ab * n_uni^2 overflows at web-corpus token counts.
+    ``min_count`` prunes the pair table BEFORE the unigram joins
+    (hapax pairs dominate raw bigram counts), and the final top-k is
+    TakeOrdered (orderBy + limit), never a full sort. One pair-keyed
+    exchange + one token-keyed exchange; the two count joins move
+    only the pruned pair table."""
+    toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t")
+    )
+    uni = toks.select(F.explode("__t").alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    nu = cu.agg(F.sum("c_w").cast("bigint").alias("n_uni"))
+    pairs = toks.filter(F.size("__t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(slice(__t, 2, size(__t) - 1),"
+                " (w, i) -> struct(__t[i] AS a, w AS b))"
+            )
+        ).alias("__p")
+    ).select("__p.a", "__p.b")
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    cp = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    ca = cu.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
+    cb = cu.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
+    scored = (
+        cp.join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(n_pairs))
+    )
+    pmi_units = F.floor(
+        F.log(
+            (
+                F.col("c_ab").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+            )
+            / (
+                F.col("n_pairs").cast("double")
+                * F.col("c_a").cast("double")
+                * F.col("c_b").cast("double")
+            )
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        scored.select(
+            "a", "b", "c_ab", "c_a", "c_b", pmi_units.alias("pmi_units")
+        )
+        .orderBy(F.col("pmi_units").desc(), "a", "b")
+        .limit(k)
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            "pmi_units",
+            (F.col("pmi_units").cast("double") / F.lit(1e6)).alias("pmi"),
+        )
+    )

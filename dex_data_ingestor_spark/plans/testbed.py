@@ -8561,6 +8561,62 @@ def q_random_project(spark, sf_dir):
     return random_project(em, "embedding", _RP_UNITS, id_cols=("vec_id",))
 
 
+
+
+@register(
+    "q_pmi_collocations",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    cu AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1),
+    nu AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_uni FROM cu),
+    pr AS (
+      SELECT t[i] AS a, t[i+1] AS b
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    np AS (SELECT COUNT(*) AS n_pairs FROM pr),
+    cp AS (SELECT a, b, COUNT(*) AS c_ab FROM pr GROUP BY 1, 2
+           HAVING COUNT(*) >= 5),
+    scored AS (
+      SELECT cp.a, cp.b, cp.c_ab, ca.c_w AS c_a, cb.c_w AS c_b,
+             CAST(FLOOR(ln(
+               (CAST(cp.c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                * CAST(n_uni AS DOUBLE))
+               / (CAST(n_pairs AS DOUBLE) * CAST(ca.c_w AS DOUBLE)
+                  * CAST(cb.c_w AS DOUBLE))
+             ) * 1000000.0 + 0.5) AS BIGINT) AS pmi_units
+      FROM cp
+      JOIN cu ca ON ca.w = cp.a
+      JOIN cu cb ON cb.w = cp.b
+      CROSS JOIN nu CROSS JOIN np
+    )
+    SELECT a, b, c_ab, c_a, c_b, pmi_units,
+           CAST(pmi_units AS DOUBLE) / 1000000.0 AS pmi
+    FROM scored
+    ORDER BY pmi_units DESC, a, b
+    LIMIT 50
+    """,
+)
+def q_pmi_collocations(spark, sf_dir):
+    """Top-50 adjacent-word collocations by PMI
+    (operators/text.pmi_collocations) — phrase mining over the corpus
+    (vocabulary induction's first pass, next to the BPE trainer's
+    frequency merges). Counts are exact integers; the PMI argument is
+    one canonical IEEE expression tree on both engines; micro-nat
+    quantization under the shared floor rule; the top-50 cut is a
+    unique total order executed as TakeOrdered, never a full sort."""
+    from dex_data_ingestor_spark.operators.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "doc_id", "text", min_count=5, k=50)
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
@@ -8639,12 +8695,12 @@ def q_random_project(spark, sf_dir):
 #: non-canary entries; beyond that, prune true-subset entries before
 #: stretching the cycle.
 #:
-#: Registry-growth amendment (late r8, registry at 165): the second
+#: Registry-growth amendment (late r8, registry at 166): the second
 #: continuation batch (q_edit_distance, q_rolling_vol,
-#: q_inverted_index, q_random_project — each bitwise-verified at
-#: sf0.001+sf0.01 AND through the fresh-process hostile-tz
-#: driver-sim on registration) joins the r9 window per invariant 1,
-#: displacing four more cohort-B slots. Slot accounting past the
+#: q_inverted_index, q_random_project, q_pmi_collocations — each
+#: bitwise-verified at sf0.001+sf0.01 AND through the fresh-process
+#: hostile-tz driver-sim on registration) joins the r9 window per
+#: invariant 1, displacing five more cohort-B slots. Slot accounting past the
 #: ~135 bound is now explicitly FOUR-round worst-case for the long
 #: tail of cheap relational shapes (the B/C cohort remainders), while
 #: the 3-round bound is preserved for every heavy family (dedup/LSH,

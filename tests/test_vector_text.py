@@ -1672,3 +1672,34 @@ def test_inverted_index_cap_and_df_golden(spark):
     assert (df_, cf) == (30, 60)
     assert postings == "0,1,2,3,4"
     assert out["unique7"] == (1, 1, "7")
+
+
+def test_pmi_collocations_golden_and_min_count(spark):
+    """pmi_collocations on a crafted corpus: hand-derived PMI units
+    via the same canonical IEEE tree, and the min_count gate."""
+    import math
+
+    from dex_data_ingestor_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "new york is big") for i in range(6)]
+        + [(10 + i, "los angeles") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.a, r.b): (r.c_ab, r.c_a, r.c_b, r.pmi_units)
+        for r in pmi_collocations(
+            docs, "doc_id", "text", min_count=5, k=50
+        ).collect()
+    }
+    # corpus: n_uni = 6*4 + 4*2 = 32 tokens, n_pairs = 6*3 + 4*1 = 22
+    assert ("los", "angeles") not in out  # c_ab = 4 < min_count
+    c_ab, c_a, c_b, units = out[("new", "york")]
+    assert (c_ab, c_a, c_b) == (6, 6, 6)
+    want = math.floor(
+        math.log((6.0 * 32.0 * 32.0) / (22.0 * 6.0 * 6.0)) * 1e6 + 0.5
+    )
+    assert units == want
+    # all three surviving pairs have identical counts -> identical PMI
+    assert len(out) == 3
+    assert {v[3] for v in out.values()} == {want}
