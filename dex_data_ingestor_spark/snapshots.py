@@ -18,7 +18,11 @@ commit-log idea self-contained:
   timestamp) from the manifest log and read ONLY that version's data
   directory — uncommitted/orphaned data dirs are invisible;
 - rollback commits a NEW manifest pointing at an OLD version's data
-  directory — no data is copied or deleted, and history stays intact.
+  directory — no data is copied or deleted, and history stays intact;
+- named refs under ``<root>/_refs/``: immutable TAGS pin 'the state
+  run X read' (vacuum-pinned past retention), and BRANCHES stage
+  commits invisible to mainline until :func:`snapshot_publish`
+  fast-forwards them — write-audit-publish without copying data.
 
 Scale posture: the driver touches only the tiny JSON manifests; all
 data moves through ``spark.read``/``df.write`` (distributed, columnar).
@@ -49,6 +53,7 @@ from pyspark.sql import (
 
 LOG_DIR = "_log"
 DATA_DIR = "data"
+REFS_DIR = "_refs"
 
 #: Writer-transaction watermarks (the streaming sink's replay guard)
 #: are dropped once this many versions pass without that writer
@@ -117,20 +122,37 @@ def snapshot_versions(root: str) -> list[dict]:
 
 
 def _resolve(
-    root: str, version: int | None = None, as_of: dt.datetime | str | None = None
+    root: str,
+    version: int | None = None,
+    as_of: dt.datetime | str | None = None,
+    ref: str | None = None,
 ) -> dict:
     names = _manifest_names(root)
     if not names:
         raise FileNotFoundError(f"no committed snapshots under {root}")
-    if version is not None and as_of is not None:
-        raise ValueError("pass version OR as_of, not both")
+    if sum(x is not None for x in (version, as_of, ref)) > 1:
+        raise ValueError("pass at most one of version / as_of / ref")
+    if ref is not None:
+        r = _read_ref(root, ref)
+        if r["type"] == "tag":
+            return _resolve(root, version=r["version"])
+        return _branch_head(root, ref, r)
     if version is not None:
         name = f"{version:08d}.json"
         if name not in names:
             raise KeyError(f"version {version} not committed under {root}")
         return _read_manifest(root, name)
     if as_of is None:
-        return _read_manifest(root, names[-1])
+        # MAINLINE latest: walk back past branch (write-audit-publish
+        # staging) commits — cost is O(trailing branch commits), which
+        # a publish or mainline write resets to O(1)
+        for n in reversed(names):
+            m = _read_manifest(root, n)
+            if "branch" not in m:
+                return m
+        raise KeyError(
+            f"no mainline version under {root} (branch commits only)"
+        )
     if isinstance(as_of, dt.datetime):
         # a NAIVE datetime is taken as UTC (the manifests' zone);
         # astimezone() on naive input would silently reinterpret it
@@ -139,7 +161,9 @@ def _resolve(
             as_of = as_of.replace(tzinfo=dt.timezone.utc)
         as_of = as_of.astimezone(dt.timezone.utc).isoformat()
     eligible = [
-        m for m in _list_manifests(root) if m["committed_at"] <= as_of
+        m
+        for m in _list_manifests(root)
+        if m["committed_at"] <= as_of and "branch" not in m
     ]
     if not eligible:
         raise KeyError(f"no snapshot committed at or before {as_of}")
@@ -229,6 +253,7 @@ def snapshot_write(
     extra: dict | None = None,
     constraints: dict[str, str] | None = None,
     drop_constraints: Sequence[str] | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Write ``df`` as a NEW snapshot version and return its manifest.
 
@@ -248,11 +273,22 @@ def snapshot_write(
     TOCTOU), raising :class:`ConstraintViolation` and leaving only an
     orphan dir vacuum reclaims. The set is recorded in the manifest,
     and every subsequent write/MERGE re-enforces it — constraints
-    persist like Delta's, they are not a one-shot assertion."""
+    persist like Delta's, they are not a one-shot assertion.
+
+    ``branch`` stages the commit on a named branch
+    (:func:`snapshot_create_branch`): it claims a version number in
+    the shared log but stays INVISIBLE to mainline reads until
+    :func:`snapshot_publish` fast-forwards it — the write-audit-
+    publish pattern (stage, validate, then expose atomically)."""
     effective = _effective_constraints(
         root, constraints, drop_constraints, extra
     )
     extra = dict(extra or {})
+    if branch is not None:
+        r = _read_ref(root, branch)
+        if r["type"] != "branch":
+            raise ValueError(f"ref {branch!r} is a tag, not a branch")
+        extra["branch"] = branch
     # ALWAYS recorded (even when empty) so _commit's carry-forward
     # cannot resurrect a dropped constraint
     extra["constraints"] = effective
@@ -335,10 +371,16 @@ def snapshot_read(
     root: str,
     version: int | None = None,
     as_of: dt.datetime | str | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Read a snapshot: latest by default, or an explicit ``version``,
-    or the latest committed at-or-before ``as_of`` (UTC)."""
-    return spark.read.parquet(_resolve(root, version, as_of)["data_dir"])
+    """Read a snapshot: mainline latest by default, or an explicit
+    ``version``, or the latest mainline commit at-or-before ``as_of``
+    (UTC), or a named ``ref`` (tag = its pinned version; branch = the
+    branch head). Staged branch commits are invisible to every
+    non-ref read until published."""
+    return spark.read.parquet(
+        _resolve(root, version, as_of, ref)["data_dir"]
+    )
 
 
 def snapshot_merge(
@@ -1003,8 +1045,25 @@ def snapshot_vacuum(
         os.path.realpath(m["data_dir"]) for m in manifests
     }
     removed = []
+    # named refs PIN their data dirs past the retention window: a tag
+    # exists precisely so 'the table state run X read' stays readable,
+    # and an unpublished branch head must survive a mainline vacuum
+    ref_pinned = set()
+    for r in snapshot_refs(root):
+        try:
+            ref_pinned.add(
+                _resolve(root, version=r["version"])["data_dir"]
+            )
+            if r["type"] == "branch":
+                ref_pinned.add(
+                    _branch_head(root, r["name"], r)["data_dir"]
+                )
+        except (KeyError, FileNotFoundError):
+            continue
     if len(manifests) > keep_last:
-        retained = {m["data_dir"] for m in manifests[-keep_last:]}
+        retained = {
+            m["data_dir"] for m in manifests[-keep_last:]
+        } | ref_pinned
         removable = {
             m["data_dir"] for m in manifests[:-keep_last]
         } - retained
@@ -1026,3 +1085,153 @@ def snapshot_vacuum(
                     shutil.rmtree(d)
                     removed.append(d)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Named refs: tags (immutable) + branches (write-audit-publish staging)
+# ---------------------------------------------------------------------------
+
+
+def _refs_path(root: str) -> str:
+    return os.path.join(root, REFS_DIR)
+
+
+def _ref_file(root: str, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid ref name {name!r}")
+    return os.path.join(_refs_path(root), f"{name}.json")
+
+
+def _read_ref(root: str, name: str) -> dict:
+    try:
+        with open(_ref_file(root, name)) as f:
+            return json.load(f)
+    except FileNotFoundError as e:
+        raise KeyError(f"no ref {name!r} under {root}") from e
+
+
+def snapshot_refs(root: str) -> list[dict]:
+    """All named refs (tags + branches), sorted by name."""
+    p = _refs_path(root)
+    if not os.path.isdir(p):
+        return []
+    out = []
+    for n in sorted(os.listdir(p)):
+        if n.endswith(".json"):
+            with open(os.path.join(p, n)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def _create_ref(root: str, name: str, kind: str, version: int) -> dict:
+    # the version must exist before a ref can pin it
+    _resolve(root, version=version)
+    os.makedirs(_refs_path(root), exist_ok=True)
+    ref = {
+        "name": name,
+        "type": kind,
+        "version": version,
+        "created_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+    }
+    try:
+        fd = os.open(
+            _ref_file(root, name), os.O_WRONLY | os.O_CREAT | os.O_EXCL
+        )
+    except FileExistsError as e:
+        raise SnapshotConflict(
+            f"ref {name!r} already exists under {root}"
+        ) from e
+    with os.fdopen(fd, "w") as f:
+        json.dump(ref, f)
+    return ref
+
+
+def snapshot_create_tag(
+    root: str, name: str, version: int | None = None
+) -> dict:
+    """Pin an immutable named TAG at ``version`` (default: mainline
+    latest) — the Iceberg tag idea: 'the exact table state training
+    run X read' survives vacuum (tagged data dirs are retention-
+    pinned) and later commits. O_EXCL create: a tag can never be
+    silently repointed; delete and recreate to move it
+    (:func:`snapshot_delete_ref`)."""
+    if version is None:
+        version = _resolve(root)["version"]
+    return _create_ref(root, name, "tag", version)
+
+
+def snapshot_create_branch(
+    root: str, name: str, version: int | None = None
+) -> dict:
+    """Create a named BRANCH based at ``version`` (default: mainline
+    latest). Writes with ``snapshot_write(..., branch=name)`` land on
+    the branch — version-numbered in the shared log but invisible to
+    mainline/tag/as_of reads — until :func:`snapshot_publish` exposes
+    the branch head atomically (write-audit-publish). The branch head
+    is the LATEST branch-marked commit after the base, or the base
+    itself when nothing has been staged yet."""
+    if version is None:
+        version = _resolve(root)["version"]
+    return _create_ref(root, name, "branch", version)
+
+
+def snapshot_delete_ref(root: str, name: str) -> None:
+    """Drop a ref. Its data dirs lose vacuum pinning (tags) or the
+    staged commits become unreachable except by explicit version
+    (branches); the manifest log itself is never touched."""
+    try:
+        os.remove(_ref_file(root, name))
+    except FileNotFoundError as e:
+        raise KeyError(f"no ref {name!r} under {root}") from e
+
+
+def _branch_head(root: str, name: str, ref: dict | None = None) -> dict:
+    """Latest manifest staged on branch ``name`` after its base, else
+    the base manifest."""
+    r = ref if ref is not None else _read_ref(root, name)
+    if r["type"] != "branch":
+        raise ValueError(f"ref {name!r} is a tag, not a branch")
+    head = None
+    for m in _list_manifests(root):
+        if m.get("branch") == name and m["version"] > r["version"]:
+            head = m
+    return head if head is not None else _resolve(root, r["version"])
+
+
+#: manifest keys that identify the COMMIT rather than describe the
+#: data; everything else (files/stats/blooms/constraints/keys/...)
+#: transfers verbatim when a publish fast-forwards a branch head.
+_COMMIT_IDENTITY_KEYS = frozenset(
+    {"version", "committed_at", "op", "data_dir", "branch", "txn"}
+)
+
+
+def snapshot_publish(root: str, branch: str) -> dict:
+    """Fast-forward MAINLINE to the head of ``branch`` — the publish
+    step of write-audit-publish: a new mainline manifest points at the
+    branch head's existing data directory (no data copied, the
+    rollback trick in reverse), carrying the head's descriptive
+    payload (file stats, blooms, constraints) so skipping and
+    enforcement survive the publish. The staged history remains in
+    the log as an audit trail; the branch ref stays and can keep
+    staging from the published state. Raises if nothing was staged —
+    publishing a no-op silently would let an audit gate pass
+    vacuously."""
+    r = _read_ref(root, branch)
+    if r["type"] != "branch":
+        raise ValueError(f"ref {branch!r} is a tag, not a branch")
+    head = _branch_head(root, branch, r)
+    if "branch" not in head:
+        raise ValueError(
+            f"branch {branch!r} has no staged commits to publish"
+        )
+    payload = {
+        k: v
+        for k, v in head.items()
+        if k not in _COMMIT_IDENTITY_KEYS
+    }
+    payload["published_from"] = {
+        "branch": branch,
+        "head_version": head["version"],
+    }
+    return _commit(root, head["data_dir"], "publish", payload)

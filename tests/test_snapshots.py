@@ -812,3 +812,105 @@ def test_update_reads_pre_update_values_and_enforces(spark, root):
     with pytest.raises(S.ConstraintViolation):
         S.snapshot_update(spark, root, "k = 1", {"b": "-1.0"})
     assert S.snapshot_versions(root)[-1]["version"] == 2
+
+
+def test_tag_pins_version_and_survives_vacuum(spark, root):
+    dfs = [
+        spark.createDataFrame([(i, float(i))], "k long, v double")
+        for i in range(1, 6)
+    ]
+    m1 = S.snapshot_write(dfs[0], root)
+    for d in dfs[1:]:
+        S.snapshot_write(d, root)
+    S.snapshot_create_tag(root, "train-run-1", version=1)
+
+    # resolve by ref == explicit version
+    assert _rows(S.snapshot_read(spark, root, ref="train-run-1")) == {
+        (1, 1.0)
+    }
+    # vacuum keeps the tagged dir even though it is far outside the
+    # retention window; untagged old dirs go
+    removed = S.snapshot_vacuum(root, keep_last=2)
+    assert m1["data_dir"] not in removed
+    assert len(removed) == 2  # v2, v3 (v4, v5 retained; v1 pinned)
+    assert _rows(S.snapshot_read(spark, root, ref="train-run-1")) == {
+        (1, 1.0)
+    }
+    # tags are immutable: same name again conflicts
+    with pytest.raises(S.SnapshotConflict):
+        S.snapshot_create_tag(root, "train-run-1", version=2)
+    # ... until deleted and recreated
+    S.snapshot_delete_ref(root, "train-run-1")
+    S.snapshot_create_tag(root, "train-run-1", version=4)
+    assert S._read_ref(root, "train-run-1")["version"] == 4
+
+
+def test_branch_write_audit_publish_flow(spark, root):
+    base = spark.createDataFrame([(1, "a")], "k long, s string")
+    S.snapshot_write(base, root)
+    S.snapshot_create_branch(root, "staging")
+
+    # nothing staged yet: branch head == base; publish refuses
+    assert _rows(S.snapshot_read(spark, root, ref="staging")) == {(1, "a")}
+    with pytest.raises(ValueError, match="no staged commits"):
+        S.snapshot_publish(root, "staging")
+
+    staged1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    staged2 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    S.snapshot_write(staged1, root, branch="staging")
+    m_head = S.snapshot_write(
+        staged2, root, branch="staging", extra={"audit": "pending"}
+    )
+
+    # mainline latest, as_of, and versions-by-default are all blind to
+    # the staged commits
+    assert _rows(S.snapshot_read(spark, root)) == {(1, "a")}
+    assert _rows(
+        S.snapshot_read(spark, root, as_of=m_head["committed_at"])
+    ) == {(1, "a")}
+    # the branch ref sees the staged head
+    assert _rows(S.snapshot_read(spark, root, ref="staging")) == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+
+    pub = S.snapshot_publish(root, "staging")
+    # publish fast-forwards: no data copy, payload carried over
+    assert pub["data_dir"] == m_head["data_dir"]
+    assert pub["audit"] == "pending"
+    assert pub["published_from"] == {
+        "branch": "staging",
+        "head_version": m_head["version"],
+    }
+    assert _rows(S.snapshot_read(spark, root)) == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+
+
+def test_ref_validation_and_errors(spark, root):
+    S.snapshot_write(
+        spark.createDataFrame([(1,)], "k long"), root
+    )
+    with pytest.raises(KeyError):
+        S.snapshot_read(spark, root, ref="nope")
+    with pytest.raises(ValueError):
+        S._ref_file(root, "bad/name")
+    with pytest.raises(ValueError):
+        S.snapshot_read(spark, root, version=1, ref="x")
+    # a ref cannot pin an uncommitted version
+    with pytest.raises(KeyError):
+        S.snapshot_create_tag(root, "t", version=99)
+    # writing to a tag (not a branch) is rejected
+    S.snapshot_create_tag(root, "release", version=1)
+    with pytest.raises(ValueError, match="tag, not a branch"):
+        S.snapshot_write(
+            spark.createDataFrame([(2,)], "k long"), root, branch="release"
+        )
+    # publishing a tag is rejected too
+    with pytest.raises(ValueError, match="tag, not a branch"):
+        S.snapshot_publish(root, "release")
