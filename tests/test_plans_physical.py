@@ -420,3 +420,56 @@ def test_gopher_and_c4_are_fully_narrow(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "Exchange" not in plan, (name, plan)
         assert "Python" not in plan, name
+
+
+def test_rolling_vol_single_exchange(spark, sf_dir):
+    """The lag window, the hourly bar aggregate AND the trailing-24
+    rolling window all ride one event_type hash partitioning — ONE
+    exchange end-to-end, no join, no Python."""
+    plan = plan_of(spark, sf_dir, "q_rolling_vol")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan
+
+
+def test_random_project_fully_narrow(spark, sf_dir):
+    """The JL projection is a pure per-row map (quantize, 16 integer
+    dot products, posexplode): ANY exchange or Python stage would
+    falsify the zero-shuffle scale claim."""
+    plan = plan_of(spark, sf_dir, "q_random_project")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan
+
+
+def test_inverted_index_term_partitioning_reused(spark, sf_dir):
+    """The rank window and the df/cf/postings aggregate both ride the
+    term-keyed partitioning after the (doc, term) count: EXACTLY two
+    exchanges — (doc, term) then term — with no third exchange
+    between the window and the final aggregate, and no Python. (No
+    WindowGroupLimit: df/cf must see every row, so the cap lives in
+    the CASE inside collect_list — the collected array stays bounded
+    while the counts stay true.)"""
+    plan = plan_of(spark, sf_dir, "q_inverted_index")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
+    assert "collect_list" in plan, plan
+    assert "Python" not in plan
+
+
+def test_pmi_top_k_is_take_ordered(spark, sf_dir):
+    """The collocation cut executes as TakeOrdered (never a global
+    sort), the min_count prune sits under partial aggregation, and
+    the two count joins stay JVM-side."""
+    plan = plan_of(spark, sf_dir, "q_pmi_collocations")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_edit_distance_verify_no_python_no_cartesian(spark, sf_dir):
+    """The Levenshtein verify runs as JVM expressions over the pruned
+    candidate joins — no Python, no cartesian; the LSH candidate
+    generator's bucket self-join provides the sub-quadratic space."""
+    plan = plan_of(spark, sf_dir, "q_edit_distance")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan, plan
