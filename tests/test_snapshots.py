@@ -914,3 +914,92 @@ def test_ref_validation_and_errors(spark, root):
     # publishing a tag is rejected too
     with pytest.raises(ValueError, match="tag, not a branch"):
         S.snapshot_publish(root, "release")
+
+
+def test_maintain_grouped_sums_equals_recompute(spark):
+    """The signed-delta maintenance path is EXACTLY a full recompute
+    (decimal sums — no float drift), across inserts, updates (both
+    images), and a whole-group deletion."""
+    from dex_data_ingestor_spark.operators import matview as MV
+
+    v0 = spark.createDataFrame(
+        [
+            ("a", 1, 10.5),
+            ("a", 2, 0.25),
+            ("b", 3, 7.0),
+            ("c", 4, 1.125),
+        ],
+        "g string, k long, v double",
+    )
+    base = MV.grouped_sums(v0, ["g"], ["v"])
+
+    # v1: update k=2 (pre+post), insert k=5 into b, delete group c
+    removed = spark.createDataFrame(
+        [("a", 2, 0.25), ("c", 4, 1.125)], "g string, k long, v double"
+    )
+    added = spark.createDataFrame(
+        [("a", 2, 99.75), ("b", 5, -3.5)], "g string, k long, v double"
+    )
+    v1 = spark.createDataFrame(
+        [
+            ("a", 1, 10.5),
+            ("a", 2, 99.75),
+            ("b", 3, 7.0),
+            ("b", 5, -3.5),
+        ],
+        "g string, k long, v double",
+    )
+    maintained = MV.maintain_grouped_sums(
+        base, removed, added, ["g"], ["v"]
+    )
+    assert _rows(maintained) == _rows(MV.grouped_sums(v1, ["g"], ["v"]))
+    # group c is gone, not zero-row
+    assert not [r for r in maintained.collect() if r.g == "c"]
+
+
+def test_snapshot_refresh_agg_incremental_loop(spark, root, tmp_path):
+    """Fact table evolves by MERGE and DELETE; one refresh call per
+    fact version rolls the snapshot-stored aggregate forward, and the
+    maintained aggregate stays EXACTLY equal to a from-scratch
+    recompute of the fact head at every step."""
+    from dex_data_ingestor_spark.operators import matview as MV
+
+    agg_root = str(tmp_path / "agg")
+    fact = spark.createDataFrame(
+        [(1, "x", 5.0), (2, "x", 2.5), (3, "y", 4.0)],
+        "k long, g string, v double",
+    )
+    S.snapshot_write(fact, root)
+    S.snapshot_write(MV.grouped_sums(fact, ["g"], ["v"]), agg_root)
+
+    # v2: update k=2, insert k=4 (new group z)
+    S.snapshot_merge(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(2, "x", 100.0), (4, "z", 1.0)], "k long, g string, v double"
+        ),
+        keys=["k"],
+    )
+    m = MV.snapshot_refresh_agg(
+        spark, root, agg_root, from_version=1,
+        group_cols=["g"], measures=["v"],
+    )
+    assert m["op"] == "refresh" and m["fact_from_version"] == 1
+    want = MV.grouped_sums(
+        S.snapshot_read(spark, root), ["g"], ["v"]
+    )
+    assert _rows(S.snapshot_read(spark, agg_root)) == _rows(want)
+
+    # v3: delete all of group x -> the maintained agg must drop it
+    S.snapshot_delete(spark, root, "g = 'x'")
+    MV.snapshot_refresh_agg(
+        spark, root, agg_root, from_version=2,
+        group_cols=["g"], measures=["v"], keys=["k"],
+    )
+    want = MV.grouped_sums(
+        S.snapshot_read(spark, root), ["g"], ["v"]
+    )
+    got = S.snapshot_read(spark, agg_root)
+    assert _rows(got) == _rows(want)
+    assert not [r for r in got.collect() if r.g == "x"]
