@@ -8617,6 +8617,60 @@ def q_pmi_collocations(spark, sf_dir):
     return pmi_collocations(docs, "doc_id", "text", min_count=5, k=50)
 
 
+
+
+@register(
+    "q_incremental_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_l_quantity,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+             AS sum_l_extendedprice
+    FROM lineitem
+    WHERE (CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+           AND l_orderkey % 7 <> 0)
+       OR (CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+           AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1998-01-01')
+    GROUP BY 1, 2
+    """,
+)
+def q_incremental_agg(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance PROVEN against
+    the from-scratch oracle (the q_ohlc_daily pattern — the engine
+    takes the incremental path, the oracle recomputes, bitwise parity
+    proves the maintenance algebra): a Q1-shaped roll-up seeded on
+    the pre-1997 window, then maintained with simulated deletes
+    (orderkey % 7 of the base) and the 1997 window's inserts via
+    operators/matview.maintain_grouped_sums. Decimal(18,6) addends
+    make maintain == recompute an exact equality — the discipline
+    that lets a 100 TB pipeline refresh a roll-up at |delta| cost
+    forever without drift. One |delta| groupBy + one group-keyed
+    full-outer join; nothing rescans the retained base rows."""
+    from dex_data_ingestor_spark.operators.matview import (
+        grouped_sums,
+        maintain_grouped_sums,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        F.col("l_shipdate").cast("timestamp_ntz").alias("sd"),
+    )
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    gcols = ["l_returnflag", "l_linestatus"]
+    ms = ["l_quantity", "l_extendedprice"]
+    base_rows = li.filter(F.col("sd") < lo)
+    base = grouped_sums(base_rows, gcols, ms)
+    removed = base_rows.filter(F.col("l_orderkey") % 7 == 0)
+    added = li.filter((F.col("sd") >= lo) & (F.col("sd") < hi))
+    return maintain_grouped_sums(base, removed, added, gcols, ms)
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
@@ -8695,12 +8749,13 @@ def q_pmi_collocations(spark, sf_dir):
 #: non-canary entries; beyond that, prune true-subset entries before
 #: stretching the cycle.
 #:
-#: Registry-growth amendment (late r8, registry at 166): the second
+#: Registry-growth amendment (late r8, registry at 167): the second
 #: continuation batch (q_edit_distance, q_rolling_vol,
-#: q_inverted_index, q_random_project, q_pmi_collocations — each
-#: bitwise-verified at sf0.001+sf0.01 AND through the fresh-process
-#: hostile-tz driver-sim on registration) joins the r9 window per
-#: invariant 1, displacing five more cohort-B slots. Slot accounting past the
+#: q_inverted_index, q_random_project, q_pmi_collocations,
+#: q_incremental_agg — each bitwise-verified at sf0.001+sf0.01 AND
+#: through the fresh-process hostile-tz driver-sim on registration)
+#: joins the r9 window per invariant 1, displacing six cohort-B
+#: slots. Slot accounting past the
 #: ~135 bound is now explicitly FOUR-round worst-case for the long
 #: tail of cheap relational shapes (the B/C cohort remainders), while
 #: the 3-round bound is preserved for every heavy family (dedup/LSH,

@@ -365,6 +365,52 @@ def main() -> None:
     print("   hourly-return correlations:",
           [(r.type_a, r.type_b, round(r.corr, 3)) for r in corr[:4]])
 
+    print("== 16. phrase mining + edit-distance dedup verify")
+    pmi = _Q["q_pmi_collocations"](spark, sf_dir).limit(3).collect()
+    print("   top collocations:",
+          [(r.a, r.b, round(r.pmi, 2)) for r in pmi])
+    ed = _Q["q_edit_distance"](spark, sf_dir)
+    print(f"   edit-verified near-dup pairs (sim >= 0.6): {ed.count()}")
+
+    print("== 17. write-audit-publish + incremental agg maintenance")
+    import tempfile
+
+    from dex_data_ingestor_spark import snapshots as S
+    from dex_data_ingestor_spark.operators import matview as MV
+
+    wap = tempfile.mkdtemp(prefix="demo_wap_")
+    fact_root, agg_root = f"{wap}/fact", f"{wap}/agg"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    S.snapshot_write(ev, fact_root, extra={"keys": ["event_id"]})
+    S.snapshot_write(
+        MV.grouped_sums(ev, ["event_type"], ["value"]), agg_root
+    )
+    S.snapshot_create_tag(fact_root, "baseline")
+    S.snapshot_create_branch(fact_root, "staging")
+    staged = ev.withColumn(
+        "value", F.when(F.col("event_id") % 97 == 0, 0.0)
+        .otherwise(F.col("value"))
+    )
+    S.snapshot_write(staged, fact_root, branch="staging")
+    main_n = S.snapshot_read(spark, fact_root).count()
+    head_n = S.snapshot_read(spark, fact_root, ref="staging").count()
+    pub = S.snapshot_publish(fact_root, "staging")
+    MV.snapshot_refresh_agg(
+        spark, fact_root, agg_root, from_version=1,
+        group_cols=["event_type"], measures=["value"],
+        keys=["event_id"],
+    )
+    fresh = MV.grouped_sums(
+        S.snapshot_read(spark, fact_root), ["event_type"], ["value"]
+    )
+    same = sorted(map(tuple, S.snapshot_read(spark, agg_root).collect())) \
+        == sorted(map(tuple, fresh.collect()))
+    print(f"   staged invisible pre-publish: mainline={main_n} "
+          f"branch={head_n}; published v{pub['version']}; "
+          f"incremental agg == recompute: {same}")
+
     spark.stop()
     print("DEMO COMPLETE")
 
