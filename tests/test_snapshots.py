@@ -1003,3 +1003,67 @@ def test_snapshot_refresh_agg_incremental_loop(spark, root, tmp_path):
     got = S.snapshot_read(spark, agg_root)
     assert _rows(got) == _rows(want)
     assert not [r for r in got.collect() if r.g == "x"]
+
+
+def test_streaming_refresh_agg_drained_parity_and_replay(
+    spark, sf_dir, tmp_path
+):
+    """The streaming roll-up sink, drained over multiple micro-batches,
+    is bit-equal to a from-scratch grouped_sums of everything
+    ingested; a same-writer replay commits nothing (double-applying a
+    delta is undetectable after the fact — the guard must hold)."""
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.operators import matview as MV
+    from dex_data_ingestor_spark.streaming.jobs import (
+        events_stream_from_parquet,
+        foreach_batch_refresh_agg,
+    )
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    ev.limit(120).write.mode("overwrite").parquet(src)
+    ev.subtract(ev.limit(120)).write.mode("append").parquet(src)
+
+    agg_root = str(tmp_path / "agg")
+    cols = ["event_id", "event_type", "value"]
+    q = foreach_batch_refresh_agg(
+        events_stream_from_parquet(
+            spark, src, max_files_per_trigger=1
+        ).select(*cols),
+        str(tmp_path / "ckpt"),
+        agg_root,
+        group_cols=["event_type"],
+        measures=["value"],
+        spark=spark,
+    )
+    q.awaitTermination(timeout=180)
+
+    versions = S.snapshot_versions(agg_root)
+    n_before = len(versions)
+    assert n_before >= 2  # one maintenance commit per micro-batch
+    assert {m["op"] for m in versions} == {"stream-refresh"}
+    want = MV.grouped_sums(
+        spark.read.parquet(src).select(*cols),
+        ["event_type"],
+        ["value"],
+    )
+    assert _rows(S.snapshot_read(spark, agg_root)) == _rows(want)
+
+    # same-writer replay (checkpoint cleared, same path => same app
+    # id, batch numbering restarts): every delta must be skipped
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q2 = foreach_batch_refresh_agg(
+        events_stream_from_parquet(
+            spark, src, max_files_per_trigger=1
+        ).select(*cols),
+        str(tmp_path / "ckpt"),
+        agg_root,
+        group_cols=["event_type"],
+        measures=["value"],
+        spark=spark,
+    )
+    q2.awaitTermination(timeout=180)
+    assert len(S.snapshot_versions(agg_root)) == n_before
+    assert _rows(S.snapshot_read(spark, agg_root)) == _rows(want)
