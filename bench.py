@@ -160,6 +160,15 @@ HEADLINE = [
     # PMI phrase mining (set 57 -> 58): pair-keyed + token-keyed
     # exchanges with the min_count prune ahead of the count joins.
     "q_pmi_collocations",
+    # round-8 continuation, batch 3 (set 58 -> 60): fixed-iteration
+    # integer PageRank (5 chained dst-keyed shuffles over the
+    # symmetrized trade graph — the iterative-join stress entry next
+    # to q_cluster_split's CC loop) and RRF hybrid retrieval (BM25 +
+    # cosine top-50 cuts fused on integer units — two TakeOrdered
+    # paths and a 100-row join). q_ab_test stays out: one user-keyed
+    # exchange, already represented by q_group_agg's shape.
+    "q_pagerank",
+    "q_rrf_fusion",
 ]
 
 

@@ -91,3 +91,72 @@ def component_survivors(
         F.min(node).alias("survivor"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def pagerank_units(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units.
+
+    Cross-engine determinism is the whole design: every step is BIGINT
+    arithmetic — each node starts at 1_000_000 units, a node's
+    per-edge contribution is ``units div outdeg`` (integral division),
+    and the update is ``(100 - d)% * 10_000 + (d% * sum) div 100`` —
+    so a DuckDB oracle unrolling the same ``n_iter`` chained CTEs is
+    bit-identical, with zero float caveat anywhere (the q_twap /
+    PQ-pipeline integer discipline applied to an iterative graph
+    algorithm). Floor losses from the two integral divisions leak a
+    few units of mass per node per round; both engines leak
+    identically, and ranking is unaffected at any realistic scale.
+
+    ``edges`` must already contain every direction that should carry
+    mass (pass a symmetrized table for undirected semantics). Nodes
+    with no out-edges (possible only in directed inputs) hold mass but
+    never emit it — the standard dangling simplification; callers who
+    need mass conservation can symmetrize. Returns (node, units) for
+    every node appearing as a source or destination.
+
+    At 100 TB: each iteration is ONE shuffle keyed on ``dst`` with
+    map-side partial sums; the edges-with-degree table is computed
+    once and its lineage truncated, each round's rank table likewise
+    (``localCheckpoint`` — swap for ``checkpoint`` with a checkpoint
+    dir on a real cluster). Driver state is zero; convergence is not
+    polled (fixed iteration count), so there is no per-round
+    ``count()`` barrier beyond the eager checkpoint itself.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = (100 - damping_pct) * 10_000
+    p = nodes.withColumn("units", F.lit(1_000_000).cast("long"))
+    for _ in range(n_iter):
+        inflow = (
+            ed.join(p, ed["src"] == p["node"])
+            .select("dst", F.expr("units div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        p = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                ).alias("units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return p

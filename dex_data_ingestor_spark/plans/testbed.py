@@ -4694,7 +4694,13 @@ def q_bm25(spark, sf_dir):
     9 dp round makes the sum bit-stable cross-engine (verified at
     sf0.001 + sf0.01). At 100 TB the explode pass dominates and is
     embarrassingly parallel; everything after it is a broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _bm25_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for the fixed ``_BM25_TERMS`` query — the exact
+    plan documented on q_bm25, factored so q_rrf_fusion can rank the
+    same scores without duplicating the float discipline."""
     terms = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
@@ -8672,6 +8678,375 @@ def q_incremental_agg(spark, sf_dir):
 
 
 # =========================================================================
+# Round-8 continuation: PageRank, hybrid retrieval fusion, A/B testing
+# =========================================================================
+
+#: PageRank iteration count / damping for q_pagerank (shared by the
+#: Spark loop and the generated unrolled-CTE oracle below).
+_PR_ITER = 5
+_PR_DAMP = 85
+
+
+def _pagerank_oracle_sql() -> str:
+    """Oracle for q_pagerank: the identical integer-unit update
+    unrolled as one chained CTE per iteration. Every step is BIGINT
+    arithmetic (``//`` floor division on nonnegative values == Spark's
+    ``div``), so parity is exact with zero float caveat — DuckDB's
+    HUGEINT SUM is folded back by the outer CAST."""
+    base = (100 - _PR_DAMP) * 10_000
+    its = []
+    for k in range(1, _PR_ITER + 1):
+        its.append(f"""
+    p{k} AS (
+      SELECT n.node,
+             CAST({base} + ({_PR_DAMP} * COALESCE(i.s, 0)) // 100
+                  AS BIGINT) AS units
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, SUM(p.units // d.outdeg) AS s
+        FROM edges e
+        JOIN p{k - 1} p ON e.src = p.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY 1) i ON n.node = i.dst
+    )""")
+    chain = ",".join(its)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS units FROM nodes),
+    {chain}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS node_key,
+           units AS pr_units,
+           CAST(units AS DOUBLE) / 1000000.0 AS pr
+    FROM p{_PR_ITER}
+    ORDER BY pr_units DESC, node_type, node_key
+    LIMIT 20
+    """
+
+
+@register("q_pagerank", _pagerank_oracle_sql())
+def q_pagerank(spark, sf_dir):
+    """Top-20 PageRank centrality over the symmetrized
+    customer<->supplier trade graph (edges = distinct pairs through
+    orders |><| lineitem) — the graph-centrality rung beside connected
+    components (operators/graph.pagerank_units). The entire iteration
+    is exact BIGINT micro-unit arithmetic (contribution = units div
+    outdeg, update = 150000 + 85%*inflow div 100), so the unrolled
+    oracle is bit-identical with NO float discipline needed anywhere —
+    the PQ/twap integer rule carried to an iterative algorithm. At
+    100 TB each round is one dst-keyed shuffle with map-side combine;
+    lineage is checkpoint-truncated; driver state is zero."""
+    from dex_data_ingestor_spark.operators.graph import pagerank_units
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    pr = pagerank_units(edges, n_iter=_PR_ITER, damping_pct=_PR_DAMP)
+    return (
+        pr.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_key"),
+            F.col("units").alias("pr_units"),
+            (F.col("units").cast("double") / F.lit(1000000.0)).alias("pr"),
+        )
+        .orderBy(F.col("pr_units").desc(), "node_type", "node_key")
+        .limit(20)
+    )
+
+
+#: Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60) and
+#: per-list depth for q_rrf_fusion.
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+def _rrf_oracle_sql() -> str:
+    """Oracle for q_rrf_fusion: BM25 ranks (the q_bm25 CTE verbatim)
+    fused with cosine ranks (the q_vector_topk scoring) by exact
+    integer RRF units — 10^12 // (k + rank) per list, summed as
+    BIGINTs, so fusion and the final ordering carry zero float
+    caveat; only the two input rankings lean on the established
+    9-dp disciplines."""
+    return rf"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS dl,
+             COUNT(*) FILTER (term = 'spark') AS tf_spark,
+             COUNT(*) FILTER (term = 'table') AS tf_table,
+             COUNT(*) FILTER (term = 'query') AS tf_query
+      FROM w GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (tf_spark > 0) AS df_spark,
+             COUNT(*) FILTER (tf_table > 0) AS df_table,
+             COUNT(*) FILTER (tf_query > 0) AS df_query
+      FROM per_doc
+    ),
+    bm AS (
+      SELECT doc_id,
+             ROUND({_bm25_contrib_sql("spark")}
+                   + {_bm25_contrib_sql("table")}
+                   + {_bm25_contrib_sql("query")}, 9) AS bm25
+      FROM per_doc CROSS JOIN stats
+      WHERE tf_spark + tf_table + tf_query > 0
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM bm QUALIFY r <= {_RRF_DEPTH}
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0),
+    cs AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 9) AS cos_sim
+      FROM embeddings e, qv q
+    ),
+    vec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS r
+      FROM cs QUALIFY r <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             CAST(l.r AS BIGINT) AS lex_rank,
+             CAST(v.r AS BIGINT) AS vec_rank,
+             CAST(COALESCE(1000000000000 // ({_RRF_K} + l.r), 0)
+                  + COALESCE(1000000000000 // ({_RRF_K} + v.r), 0)
+                  AS BIGINT) AS rrf_units
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_units,
+           CAST(rrf_units AS DOUBLE) / 1000000000000.0 AS rrf
+    FROM fused
+    ORDER BY rrf_units DESC, doc_id
+    LIMIT 20
+    """
+
+
+@register("q_rrf_fusion", _rrf_oracle_sql())
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-50 and cosine top-50 fused by
+    reciprocal rank fusion (Cormack et al. 2009) — the standard
+    lexical+dense combiner for query-targeted corpus selection,
+    composing q_bm25's scorer with q_vector_topk's dense ranking over
+    the aligned doc_id==vec_id corpus. RRF is carried in EXACT
+    integer units (10^12 // (k + rank), summed as BIGINTs), so the
+    fused ordering has zero cross-engine float exposure; the two
+    input rankings each end in a unique (score DESC, doc_id) total
+    order under their established 9-dp disciplines. At 100 TB both
+    candidate lists are TakeOrdered top-50 cuts (no global sort, no
+    full-corpus window — the row_number windows run on 50 rows), and
+    the fusion join touches at most 2*depth rows."""
+    from pyspark.sql import Window
+
+    from dex_data_ingestor_spark.operators.vector import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = _bm25_scores(docs)
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = (
+        bm.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qe")
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    cs = em.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(v, F.col("qe")), 9).alias("cos_sim"),
+    )
+    w_vec = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    vec = (
+        cs.orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select("doc_id", F.row_number().over(w_vec).alias("vec_rank"))
+    )
+
+    fused = lex.join(vec, ["doc_id"], "full_outer").select(
+        "doc_id",
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+        F.expr(
+            f"coalesce(1000000000000L div ({_RRF_K} + lex_rank), 0L)"
+            f" + coalesce(1000000000000L div ({_RRF_K} + vec_rank), 0L)"
+        ).alias("rrf_units"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            "rrf_units",
+            (F.col("rrf_units").cast("double") / F.lit(1.0e12)).alias(
+                "rrf"
+            ),
+        )
+        .orderBy(F.col("rrf_units").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "q_ab_test",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS grp,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+      FROM u
+    ),
+    rates AS (
+      SELECT n_a, x_a, n_b, x_b,
+             CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+             CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+             CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p
+      FROM agg
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           ROUND(p_a, 9) AS rate_a,
+           ROUND(p_b, 9) AS rate_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+                THEN ROUND((p_a - p_b)
+                           / sqrt(p * (1.0 - p)
+                                  * (1.0 / CAST(n_a AS DOUBLE)
+                                     + 1.0 / CAST(n_b AS DOUBLE))), 9)
+                ELSE NULL END AS z
+    FROM rates
+    """,
+)
+def q_ab_test(spark, sf_dir):
+    """Two-sample proportions z-test over a hash-randomized user
+    split: variant = md5 parity of user_id (the q_hash_split
+    assignment rule), conversion = the user ever fired a high-value
+    purchase (value >= 150 — an exact double-vs-literal comparison;
+    plain 'any purchase' saturates the fixtures to 100% conversion
+    and degenerates z). The counts are exact BIGINTs from one user-keyed
+    aggregate; the z statistic is ONE shared IEEE expression tree
+    (three exact-count divisions, one correctly-rounded sqrt — no
+    libm pow/ln anywhere) so parity needs no quantization beyond the
+    9-dp display round. Degenerate splits (empty arm, zero or total
+    conversion) return NULL z identically on both engines — Spark's
+    non-ANSI x/0.0-is-NULL vs DuckDB's IEEE inf never gets to
+    differ. At 100 TB this is one user-keyed shuffle (map-side
+    combined) and a 4-value final reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150.0),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    grp = md5_int64(F.col("user_id").cast("string")) % 2
+    agg = u.select(grp.alias("grp"), "conv").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    rates = agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        (F.col("x_a").cast("double") / F.col("n_a").cast("double")).alias(
+            "p_a"
+        ),
+        (F.col("x_b").cast("double") / F.col("n_b").cast("double")).alias(
+            "p_b"
+        ),
+        (
+            (F.col("x_a") + F.col("x_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double")
+        ).alias("p"),
+    )
+    p, p_a, p_b = F.col("p"), F.col("p_a"), F.col("p_b")
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    z = (p_a - p_b) / F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.lit(1.0) / n_a.cast("double")
+            + F.lit(1.0) / n_b.cast("double")
+        )
+    )
+    x_tot = F.col("x_a") + F.col("x_b")
+    n_tot = F.col("n_a") + F.col("n_b")
+    return rates.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(p_a, 9).alias("rate_a"),
+        F.round(p_b, 9).alias("rate_b"),
+        F.when(
+            (n_a > 0) & (n_b > 0) & (x_tot > 0) & (x_tot < n_tot),
+            F.round(z, 9),
+        ).alias("z"),
+    )
+
+
+# =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
 
@@ -8763,6 +9138,15 @@ def q_incremental_agg(spark, sf_dir):
 #: the canary set and the twin-pair/true-subset slot sharing already
 #: in force — the freshness guarantee tracks engine risk, not
 #: registry arithmetic.
+#:
+#: Third continuation batch (registry at 167): q_pagerank,
+#: q_rrf_fusion, q_ab_test — each bitwise-verified at sf0.001+sf0.01
+#: on registration — join the r9 window per invariant 1, displacing
+#: three more cohort-B slots under the same pruning clause
+#: (q_rrf_fusion's lex leg subsumes q_bm25's scorer verbatim, so
+#: those two alternate one slot like the twin pairs; q_pagerank and
+#: q_ab_test displace the two cheapest B-cohort relational shapes
+#: into the 4-round tail).
 _WINDOW_R8 = [
     # never driver-checked (added r7) — the entire debt, per verdict
     "q_sessionize",

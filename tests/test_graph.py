@@ -168,3 +168,46 @@ def test_countmin_absent_item_estimates_zero(spark):
     }
     assert est["a"] >= 5 and est["b"] >= 2  # CMS never undercounts
     assert est["never-seen"] == 0           # absent -> 0, not missing
+
+
+def test_pagerank_units_hand_walked_path_graph(spark):
+    """2 iterations on the symmetric path A-B-C, hand-derived:
+    p1 = (575000, 1850000, 575000); p2 = (936250, 1127500, 936250).
+    Pins the exact integer update (contribution = units div outdeg,
+    next = 150000 + 85% * inflow div 100) the oracle unrolls."""
+    from dex_data_ingestor_spark.operators.graph import pagerank_units
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"]
+    )
+    p1 = {
+        r["node"]: r["units"]
+        for r in pagerank_units(edges, n_iter=1).collect()
+    }
+    assert p1 == {1: 575000, 2: 1850000, 3: 575000}
+    p2 = {
+        r["node"]: r["units"]
+        for r in pagerank_units(edges, n_iter=2).collect()
+    }
+    assert p2 == {1: 936250, 2: 1127500, 3: 936250}
+
+
+def test_pagerank_dangling_node_keeps_base_mass(spark):
+    """Directed edge into a sink: the sink receives mass but emits
+    none (documented dangling simplification); the source, with no
+    inflow, lands exactly on the 150000-unit base."""
+    from dex_data_ingestor_spark.operators.graph import pagerank_units
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    p1 = {
+        r["node"]: r["units"]
+        for r in pagerank_units(edges, n_iter=1).collect()
+    }
+    # node 1: no inflow -> 150000; node 2: inflow 1000000 div 1
+    assert p1 == {1: 150000, 2: 1000000}
+    p2 = {
+        r["node"]: r["units"]
+        for r in pagerank_units(edges, n_iter=2).collect()
+    }
+    # node 2's mass is trapped (no out-edge); node 1 emits 150000
+    assert p2 == {1: 150000, 2: 277500}

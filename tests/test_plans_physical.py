@@ -473,3 +473,38 @@ def test_edit_distance_verify_no_python_no_cartesian(spark, sf_dir):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan, plan
     assert "levenshtein" in plan, plan
+
+
+def test_rrf_fusion_take_ordered_cuts_no_python(spark, sf_dir):
+    """Both candidate lists must be TakeOrdered top-50 cuts (never a
+    full global sort — the only Sorts allowed are the SortMergeJoin's
+    own, which run on the two <=depth-row cut outputs) and the whole
+    fusion stays JVM-side; the final top-20 is TakeOrdered too. The
+    single-row query-vector cross join is a broadcast nested loop,
+    not a cartesian."""
+    plan = plan_of(spark, sf_dir, "q_rrf_fusion")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+
+
+def test_ab_test_single_user_exchange_partial_agg(spark, sf_dir):
+    """Exactly one user-keyed hash shuffle with map-side partial
+    aggregation; the final 4-value reduce is a single-partition agg
+    (its exchange moves one row per task, not data)."""
+    plan = plan_of(spark, sf_dir, "q_ab_test")
+    assert "Python" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "partial_max" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_pagerank_per_iteration_shuffles_bounded(spark, sf_dir):
+    """The checkpointed PageRank loop must not let lineage compound:
+    the FINAL iteration's plan (what executes after the last
+    localCheckpoint truncation) reads checkpointed RDDs and performs
+    only that round's own joins — no Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "q_pagerank")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan

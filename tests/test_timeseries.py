@@ -669,3 +669,25 @@ def test_rolling_vol_24bar_window_golden_and_parity(spark, tmp_path):
     )
     con.close()
     assert not problems, problems
+
+
+def test_ab_test_z_recomputed_from_counts(spark, sf_dir):
+    """q_ab_test's z must equal the two-proportion z recomputed in
+    pure Python (same IEEE tree) from its own exact counts, and both
+    arms must be populated on the fixture split (the guard branch is
+    covered by construction: a degenerate split emits NULL z)."""
+    import math
+
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    [r] = QUERIES["q_ab_test"](spark, sf_dir).collect()
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert r["n_a"] + r["n_b"] > 0
+    assert 0 < r["x_a"] + r["x_b"] < r["n_a"] + r["n_b"]
+    p_a = r["x_a"] / r["n_a"]
+    p_b = r["x_b"] / r["n_b"]
+    p = (r["x_a"] + r["x_b"]) / (r["n_a"] + r["n_b"])
+    z = (p_a - p_b) / math.sqrt(
+        p * (1.0 - p) * (1.0 / r["n_a"] + 1.0 / r["n_b"])
+    )
+    assert r["z"] == round(z, 9) or abs(r["z"] - z) < 1e-9

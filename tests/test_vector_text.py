@@ -1703,3 +1703,29 @@ def test_pmi_collocations_golden_and_min_count(spark):
     # all three surviving pairs have identical counts -> identical PMI
     assert len(out) == 3
     assert {v[3] for v in out.values()} == {want}
+
+
+def test_rrf_fusion_units_recomputed_from_ranks(spark, sf_dir):
+    """The fused score must be exactly the integer RRF identity
+    10^12 // (60 + r) summed over the lists the doc appears in —
+    recomputed in pure Python from the emitted ranks. Also pins that
+    at least one doc carries BOTH ranks on the fixture corpus (the
+    fusion join is load-bearing, not a disjoint union)."""
+    from dex_data_ingestor_spark.plans.testbed import QUERIES, _RRF_K
+
+    rows = QUERIES["q_rrf_fusion"](spark, sf_dir).collect()
+    assert rows, "fusion returned no rows"
+    both = 0
+    for r in rows:
+        expected = 0
+        if r["lex_rank"] is not None:
+            expected += 10**12 // (_RRF_K + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            expected += 10**12 // (_RRF_K + r["vec_rank"])
+        assert r["rrf_units"] == expected, r
+        if r["lex_rank"] is not None and r["vec_rank"] is not None:
+            both += 1
+    # units ordering is non-increasing down the emitted list
+    units = [r["rrf_units"] for r in rows]
+    assert units == sorted(units, reverse=True)
+    assert both >= 1
