@@ -169,6 +169,12 @@ HEADLINE = [
     # exchange, already represented by q_group_agg's shape.
     "q_pagerank",
     "q_rrf_fusion",
+    # batch 4 (set 60 -> 62): exact rank-sum AUC (brute-force scoring
+    # + the grouped-score prefix-sum window — the eval rung) and MMR
+    # re-ranking (top-depth cut + the O(depth^2) pairwise-sim join +
+    # bounded driver-side greedy).
+    "q_embed_auc",
+    "q_mmr_rerank",
 ]
 
 

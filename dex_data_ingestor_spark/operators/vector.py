@@ -1066,3 +1066,49 @@ def pca_project(
     make every projection depend on a float mean and forfeit
     exactness)."""
     return random_project(df, vec_col, components_units, id_cols=id_cols)
+
+
+def mmr_greedy_units(
+    candidates: list[tuple[int, int]],
+    sims: dict[tuple[int, int], int],
+    k: int,
+    lam10: int = 7,
+) -> list[tuple[int, int, int]]:
+    """Greedy maximal-marginal-relevance selection over a BOUNDED
+    shortlist, entirely in exact integers: lambda is carried as
+    tenths (lam10=7 is the classic 0.7) so the marginal score
+    ``lam10*rel_units - (10-lam10)*max_sim_units`` is a BIGINT and
+    ties break on the smaller id — a DuckDB oracle unrolling the same
+    k argmax steps is bit-identical (Carbonell & Goldstein 1998 with
+    the PQ/twap integer discipline).
+
+    ``candidates`` is [(id, rel_units)], ``sims`` maps (a, b) ordered
+    pairs to quantized similarity units (looked up in both orders;
+    missing pairs count as similarity 0). The first pick maximizes
+    ``lam10*rel_units`` alone (the empty-set convention). Returns
+    [(sel_rank, id, mmr_units)] with sel_rank starting at 1.
+
+    This is DRIVER-side on purpose: the input is the O(depth) +
+    O(depth^2) shortlist, corpus-size-independent (the same bounded-
+    model-state argument as the collected IVF centroids) — the
+    corpus-scale work (scoring + top-depth cut + pairwise sims) stays
+    distributed in the caller.
+    """
+    remaining = dict(candidates)
+    selected: list[tuple[int, int, int]] = []
+    while remaining and len(selected) < k:
+        best = None
+        for cid, rel in remaining.items():
+            if selected:
+                max_sim = max(
+                    sims.get((cid, sid), sims.get((sid, cid), 0))
+                    for _, sid, _ in selected
+                )
+                score = lam10 * rel - (10 - lam10) * max_sim
+            else:
+                score = lam10 * rel
+            if best is None or (score, -cid) > (best[1], -best[0]):
+                best = (cid, score)
+        selected.append((len(selected) + 1, best[0], best[1]))
+        del remaining[best[0]]
+    return selected

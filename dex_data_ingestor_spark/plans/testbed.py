@@ -9046,6 +9046,253 @@ def q_ab_test(spark, sf_dir):
     )
 
 
+@register(
+    "q_embed_auc",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS qlabel
+               FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT CAST(FLOOR(
+               ROUND(
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qe, q.qe))), 9)
+               * 1000000000.0 + 0.5) AS BIGINT) AS u,
+             CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS pos
+      FROM embeddings e, q
+    ),
+    g AS (
+      SELECT u, COUNT(*) AS cnt, CAST(SUM(pos) AS BIGINT) AS np
+      FROM scored GROUP BY 1
+    ),
+    ranked AS (
+      SELECT u, cnt, np,
+             CAST(COALESCE(SUM(cnt) OVER (
+               ORDER BY u ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS cum_less
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(SUM(np * (2 * cum_less + cnt + 1)) AS BIGINT) AS r2,
+             CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - np) AS BIGINT) AS n_neg
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           ROUND(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE), 9) AS auc
+    FROM agg
+    """,
+)
+def q_embed_auc(spark, sf_dir):
+    """Exact ROC AUC of 'cosine similarity to the query vector
+    predicts sharing the query's label' — the retrieval-quality /
+    embedding-coherence evaluation a training-data pipeline runs over
+    its ANN index (the eval rung next to the PQ recall bounds).
+    Computed in the Mann-Whitney rank-sum form with proper tie
+    handling: scores quantize to integer nano-units by the pure-IEEE
+    floor rule, tie groups get average ranks via the doubled-rank
+    identity 2*rank_avg = 2*cum_less + cnt + 1, and every sum is an
+    exact BIGINT — AUC is one final IEEE division of two exact
+    int64s (int64->double casts are correctly rounded on both
+    engines, unlike the DECIMAL(38) seam q_twap closed; exact up to
+    ~3e9 rows). At 100 TB the score pass is embarrassingly parallel
+    and the rank pass runs over the GROUPED distinct-score table —
+    the one ordered prefix-sum; swap in a two-level (range-bucketed)
+    prefix sum when distinct scores outgrow one partition."""
+    from pyspark.sql import Window
+
+    from dex_data_ingestor_spark.operators.vector import cosine
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scored = em.crossJoin(F.broadcast(q)).select(
+        F.floor(
+            F.round(cosine(v, F.col("qe")), 9) * 1000000000.0 + 0.5
+        ).alias("u"),
+        F.when(F.col("label") == F.col("qlabel"), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    g = scored.groupBy("u").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    w = Window.orderBy("u").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "u",
+        "cnt",
+        "np",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_less"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("np") * (2 * F.col("cum_less") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r2"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("np")).cast("long").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            9,
+        ).alias("auc"),
+    )
+
+
+#: MMR constants (Carbonell & Goldstein 1998): select k from a
+#: depth-candidate shortlist with lambda = lam10/10.
+_MMR_K = 10
+_MMR_DEPTH = 50
+_MMR_LAM10 = 7
+
+
+def _mmr_oracle_sql() -> str:
+    """Oracle for q_mmr_rerank: the same greedy argmax unrolled as one
+    CTE pair (pick + accumulated set) per selection step. Relevance
+    and pairwise similarities quantize to integer nano-units by the
+    shared floor rule, the marginal score is pure BIGINT arithmetic,
+    and every argmax is a unique (score DESC, doc_id) total order —
+    bit-identical with the driver-side greedy by construction. The
+    pairs CTE is complete over the shortlist, so the correlated MAX
+    can never be NULL."""
+    lam, mu = _MMR_LAM10, 10 - _MMR_LAM10
+    cos = (
+        "list_dot_product(e.v, q.qe)"
+        " / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(q.qe, q.qe)))"
+    )
+    pair_cos = (
+        "list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        steps.append(f""",
+    s{k} AS (
+      SELECT CAST({k} AS BIGINT) AS sel_rank, doc_id,
+             CAST(m AS BIGINT) AS mmr_units
+      FROM (
+        SELECT c.doc_id,
+               {lam} * c.rel - {mu} * (
+                 SELECT MAX(p.s) FROM pairs p
+                 WHERE (p.a = c.doc_id
+                        AND p.b IN (SELECT doc_id FROM a{k - 1}))
+                    OR (p.b = c.doc_id
+                        AND p.a IN (SELECT doc_id FROM a{k - 1}))
+               ) AS m
+        FROM c2 c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM a{k - 1})
+      ) ORDER BY m DESC, doc_id LIMIT 1
+    ),
+    a{k} AS MATERIALIZED (SELECT * FROM a{k - 1} UNION ALL SELECT * FROM s{k})""")
+    return f"""
+    WITH qv AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT e.vec_id AS doc_id, e.v, ROUND({cos}, 9) AS cos
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings) e, qv q
+      ORDER BY cos DESC, doc_id LIMIT {_MMR_DEPTH}
+    ),
+    c2 AS MATERIALIZED (
+      SELECT doc_id, v,
+             CAST(FLOOR(cos * 1000000000.0 + 0.5) AS BIGINT) AS rel
+      FROM cand
+    ),
+    pairs AS MATERIALIZED (
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(FLOOR(ROUND({pair_cos}, 9) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS s
+      FROM c2 x JOIN c2 y ON x.doc_id < y.doc_id
+    ),
+    s1 AS (
+      SELECT CAST(1 AS BIGINT) AS sel_rank, doc_id,
+             CAST({lam} * rel AS BIGINT) AS mmr_units
+      FROM c2 ORDER BY {lam} * rel DESC, doc_id LIMIT 1
+    ),
+    a1 AS MATERIALIZED (SELECT * FROM s1){"".join(steps)}
+    SELECT sel_rank, doc_id, mmr_units
+    FROM a{_MMR_K} ORDER BY sel_rank
+    """
+
+
+@register("q_mmr_rerank", _mmr_oracle_sql())
+def q_mmr_rerank(spark, sf_dir):
+    """Diversity-aware selection: greedy maximal marginal relevance
+    (lambda=0.7) picking 10 of the cosine top-50 shortlist — the
+    redundancy-suppressing rung of the retrieval family (the
+    curation use: pick exemplars that COVER a region of embedding
+    space instead of 10 near-copies of the best hit). The corpus-
+    scale work is distributed (scoring + TakeOrdered top-depth cut +
+    the shortlist's pairwise similarities); the greedy argmax runs
+    driver-side over the collected O(depth^2) INTEGER tables — the
+    bounded-model-state pattern of the IVF centroids, corpus-size-
+    independent by construction (operators/vector.mmr_greedy_units).
+    Everything after the 9-dp cosine rounds is exact BIGINT
+    arithmetic, so the unrolled oracle is bit-identical."""
+    from dex_data_ingestor_spark.operators.vector import (
+        cosine,
+        mmr_greedy_units,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qe")
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    cand = (
+        em.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            v.alias("v"),
+            F.round(cosine(F.col("v"), F.col("qe")), 9).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_MMR_DEPTH)
+        .select(
+            "doc_id",
+            "v",
+            F.floor(F.col("cos") * 1000000000.0 + 0.5).alias("rel"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        cand.alias("x")
+        .join(cand.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.floor(
+                F.round(cosine(F.col("x.v"), F.col("y.v")), 9)
+                * 1000000000.0
+                + 0.5
+            ).alias("s"),
+        )
+    )
+    cands = [(r["doc_id"], r["rel"]) for r in cand.select("doc_id", "rel").collect()]
+    sims = {(r["a"], r["b"]): r["s"] for r in pairs.collect()}
+    selected = mmr_greedy_units(
+        cands, sims, k=_MMR_K, lam10=_MMR_LAM10
+    )
+    return spark.createDataFrame(
+        selected, "sel_rank long, doc_id long, mmr_units long"
+    )
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
@@ -9146,7 +9393,11 @@ def q_ab_test(spark, sf_dir):
 #: (q_rrf_fusion's lex leg subsumes q_bm25's scorer verbatim, so
 #: those two alternate one slot like the twin pairs; q_pagerank and
 #: q_ab_test displace the two cheapest B-cohort relational shapes
-#: into the 4-round tail).
+#: into the 4-round tail). Same treatment for the fourth batch
+#: (q_embed_auc, q_mmr_rerank — both bitwise-verified at
+#: sf0.001+sf0.01 on registration): they join r9 per invariant 1,
+#: displacing two more cheap-relational B slots; both lean on
+#: q_vector_topk's scoring, which stays an every-round canary.
 _WINDOW_R8 = [
     # never driver-checked (added r7) — the entire debt, per verdict
     "q_sessionize",

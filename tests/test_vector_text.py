@@ -1729,3 +1729,75 @@ def test_rrf_fusion_units_recomputed_from_ranks(spark, sf_dir):
     units = [r["rrf_units"] for r in rows]
     assert units == sorted(units, reverse=True)
     assert both >= 1
+
+
+def test_embed_auc_matches_brute_force_pair_counting(spark, sf_dir):
+    """q_embed_auc's rank-sum AUC must equal the definitional
+    pair-counting AUC (#(pos>neg) + 0.5*#(pos==neg)) / (n_pos*n_neg)
+    recomputed independently in numpy over the same quantized
+    scores — the tie-handling identity is the part worth an
+    independent proof."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    emb = np.array(
+        [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
+    )
+    labels = np.asarray(t["label"].to_pylist())
+    vec_ids = np.asarray(t["vec_id"].to_pylist())
+    qe = emb[vec_ids == 0][0]
+    qlabel = labels[vec_ids == 0][0]
+    cos = (emb @ qe) / (
+        np.sqrt((emb * emb).sum(axis=1)) * math.sqrt(qe @ qe)
+    )
+    u = np.floor(np.round(cos, 9) * 1e9 + 0.5).astype(np.int64)
+    pos_u = u[labels == qlabel]
+    neg_u = u[labels != qlabel]
+    gt = (pos_u[:, None] > neg_u[None, :]).sum()
+    eq = (pos_u[:, None] == neg_u[None, :]).sum()
+    want = (gt + 0.5 * eq) / (len(pos_u) * len(neg_u))
+
+    [r] = QUERIES["q_embed_auc"](spark, sf_dir).collect()
+    assert r["n_pos"] == len(pos_u) and r["n_neg"] == len(neg_u)
+    assert abs(r["auc"] - want) < 1e-9, (r["auc"], want)
+
+
+def test_mmr_greedy_diversity_overrides_relevance():
+    """Hand-walked MMR (lambda=0.7, k=3): doc 2 is the second-most
+    relevant but nearly duplicates the first pick, so the greedy must
+    pass it over for the diverse doc 3 — then take doc 2 last. Pure
+    integer arithmetic, no Spark session needed."""
+    from dex_data_ingestor_spark.operators.vector import mmr_greedy_units
+
+    cands = [(1, 1000), (2, 990), (3, 500), (4, 400)]
+    sims = {
+        (1, 2): 2300,  # 2 near-duplicates 1 (penalty decisive)
+        (1, 3): 100,
+        (1, 4): 100,
+        (2, 3): 100,
+        (2, 4): 100,
+        (3, 4): 950,  # 4 near-duplicates 3
+    }
+    got = mmr_greedy_units(cands, sims, k=3, lam10=7)
+    # pick 1: doc 1 on relevance alone, 7*1000 = 7000
+    assert got[0] == (1, 1, 7000)
+    # pick 2: doc 2 scores 7*990 - 3*2300 = 30; doc 3 scores
+    # 7*500 - 3*100 = 3200 -> the diverse doc 3 wins
+    assert got[1] == (2, 3, 3200)
+    # pick 3: doc 2 = 6930 - 3*max(2300, 100) = 30;
+    #         doc 4 = 2800 - 3*max(100, 950) = -50 -> doc 2
+    assert got[2] == (3, 2, 30)
+
+
+def test_mmr_greedy_tie_breaks_on_smaller_id_and_handles_missing_pairs():
+    from dex_data_ingestor_spark.operators.vector import mmr_greedy_units
+
+    # equal scores -> smaller id first; missing sim pairs count as 0
+    got = mmr_greedy_units([(9, 100), (4, 100)], {}, k=2)
+    assert [g[1] for g in got] == [4, 9]
+    assert got[0][2] == 700 and got[1][2] == 700
