@@ -9230,6 +9230,37 @@ def _mmr_oracle_sql() -> str:
     """
 
 
+def _mmr_shortlist(spark, sf_dir):
+    """The distributed stage of MMR: score every embedding against the
+    query vector (broadcast single-row cross join), cut to the
+    top-_MMR_DEPTH shortlist (TakeOrdered, never a global sort), and
+    quantize relevance to integer nano-units. Separated so the plan
+    test can assert the cut shape before the localCheckpoint barrier
+    erases it."""
+    from dex_data_ingestor_spark.operators.vector import cosine
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qe")
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        em.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            v.alias("v"),
+            F.round(cosine(F.col("v"), F.col("qe")), 9).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_MMR_DEPTH)
+        .select(
+            "doc_id",
+            "v",
+            F.floor(F.col("cos") * 1000000000.0 + 0.5).alias("rel"),
+        )
+    )
+
+
 @register("q_mmr_rerank", _mmr_oracle_sql())
 def q_mmr_rerank(spark, sf_dir):
     """Diversity-aware selection: greedy maximal marginal relevance
@@ -9249,27 +9280,7 @@ def q_mmr_rerank(spark, sf_dir):
         mmr_greedy_units,
     )
 
-    em = load_table(spark, sf_dir, "embeddings")
-    q = em.filter(F.col("vec_id") == 0).select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("qe")
-    )
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    cand = (
-        em.crossJoin(F.broadcast(q))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            v.alias("v"),
-            F.round(cosine(F.col("v"), F.col("qe")), 9).alias("cos"),
-        )
-        .orderBy(F.col("cos").desc(), "doc_id")
-        .limit(_MMR_DEPTH)
-        .select(
-            "doc_id",
-            "v",
-            F.floor(F.col("cos") * 1000000000.0 + 0.5).alias("rel"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    cand = _mmr_shortlist(spark, sf_dir).localCheckpoint(eager=True)
     pairs = (
         cand.alias("x")
         .join(cand.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))

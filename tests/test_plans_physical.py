@@ -508,3 +508,33 @@ def test_pagerank_per_iteration_shuffles_bounded(spark, sf_dir):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_embed_auc_partial_agg_no_python_broadcast_query(spark, sf_dir):
+    """The scoring pass must broadcast the single-row query vector
+    (never a cartesian), the tie-group rollup must partial-aggregate
+    map-side before its one exchange, and the whole rank-sum algebra
+    stays JVM-side. The ordered prefix-sum window runs over the
+    GROUPED distinct-score table by design (documented single
+    partition; a two-level bucketed prefix sum is the swap-in when
+    distinct scores outgrow one partition)."""
+    plan = plan_of(spark, sf_dir, "q_embed_auc")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_mmr_shortlist_is_take_ordered_cut_no_python(spark, sf_dir):
+    """MMR's distributed stage must cut to the depth-50 shortlist via
+    TakeOrderedAndProject (not a global sort), broadcast the one-row
+    query vector, and stay JVM-side — the driver-side greedy only
+    ever sees the O(depth)+O(depth^2) integer tables."""
+    from dex_data_ingestor_spark.plans.testbed import _mmr_shortlist
+    from tests.conftest import plan_formatted
+
+    plan = plan_formatted(_mmr_shortlist(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
