@@ -9304,6 +9304,147 @@ def q_mmr_rerank(spark, sf_dir):
     )
 
 
+@register(
+    "q_important_stock",
+    """
+    WITH supp AS (
+      SELECT s.s_suppkey
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_12'
+    ),
+    pv AS (
+      SELECT l.l_partkey AS partkey,
+             CAST(SUM(CAST(FLOOR(
+               l.l_extendedprice * (1 - l.l_discount) * 1000000.0 + 0.5
+             ) AS BIGINT)) AS BIGINT) AS value_units
+      FROM lineitem l JOIN supp s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(value_units AS HUGEINT)) AS DECIMAL(38,0))
+               AS total_units
+      FROM pv
+    )
+    SELECT p.partkey, p.value_units
+    FROM pv p, tot t
+    WHERE CAST(p.value_units AS DECIMAL(38,0)) * 10000 > t.total_units
+    """,
+)
+def q_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): per-part
+    value held by one nation's suppliers, kept where a part exceeds a
+    fixed fraction (1/10000) of the NATION-WIDE total — the
+    scalar-subquery-threshold shape (a global aggregate gates a
+    grouped aggregate of the same facts). Adapted to this schema (no
+    partsupp): a part's value is the discounted revenue its suppliers
+    shipped, quantized per-row to exact micro-units by the portable
+    floor(x*1e6+0.5) rule, so both the per-part sums and the global
+    total are exact integers and the threshold test is a pure integer
+    comparison (DECIMAL(38,0) both sides — value*10000 can clear
+    int64) that can never flip on a float margin.
+
+    Plan for 100 TB: the nation prunes the supplier dim BEFORE the
+    fact scan (broadcast semi-join, the Q2 trick), ONE partkey
+    exchange builds the per-part sums, and the global total
+    aggregates FROM that same exchange — the executed adaptive plan
+    collapses the two branches into a ReusedExchange (plan-asserted),
+    so the facts are scanned, pruned, and shuffled exactly once; the
+    one-row total then broadcasts back for the threshold filter.
+    Completes the 22/22 TPC-H query-shape sweep alongside Q12
+    (q_priority_lateness)."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_12"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    value_units = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    pv = (
+        li.join(
+            F.broadcast(supp),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(value_units).cast("long").alias("value_units"))
+    )
+    tot = pv.agg(
+        F.sum(F.col("value_units").cast("decimal(38,0)")).alias(
+            "total_units"
+        )
+    )
+    return pv.crossJoin(F.broadcast(tot)).filter(
+        F.col("value_units").cast("decimal(38,0)") * 10000
+        > F.col("total_units")
+    ).select("partkey", "value_units")
+
+
+@register(
+    "q_priority_lateness",
+    """
+    SELECT l.l_returnflag AS flag_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE)
+            > CAST(o.o_orderdate AS DATE) + 90
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_priority_lateness(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes / order priority): among LATE
+    lineitems shipped in one year, count high-priority vs low-priority
+    orders per class — the conditional-aggregation-over-join shape.
+    Adapted to this schema: no l_shipmode column, so the class key is
+    l_returnflag; no commit/receipt dates, so late = shipped more than
+    90 days after the order date (the Q4/Q21 lateness rule). The year
+    filter is sargable on the lineitem scan; the lateness predicate
+    needs both sides so it rides the orderkey join as a residual.
+    Counts are exact integers; date arithmetic is whole days on
+    DATE-truncated values, exact cross-engine."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (
+            F.to_date(li.l_shipdate)
+            > F.date_add(F.to_date(orders.o_orderdate), 90)
+        ),
+    )
+    return j.groupBy(F.col("l_returnflag").alias("flag_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+            "high_line_count"
+        ),
+        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+            "low_line_count"
+        ),
+    )
+
+
 # =========================================================================
 # Driver correctness-window ordering (round 7)
 # =========================================================================
@@ -9409,6 +9550,12 @@ def q_mmr_rerank(spark, sf_dir):
 #: sf0.001+sf0.01 on registration): they join r9 per invariant 1,
 #: displacing two more cheap-relational B slots; both lean on
 #: q_vector_topk's scoring, which stays an every-round canary.
+#: Fifth batch (q_important_stock, q_priority_lateness — the Q11/Q12
+#: shapes completing the 22/22 TPC-H sweep, bitwise-verified at
+#: sf0.001+sf0.01 on registration): r9 per invariant 1; they displace
+#: the two TPC-H shapes whose plan shapes they subsume into the tail
+#: (q_order_priority shares Q12's lateness semi-join, q_top_supplier
+#: shares Q11's grouped-threshold algebra).
 _WINDOW_R8 = [
     # never driver-checked (added r7) — the entire debt, per verdict
     "q_sessionize",

@@ -538,3 +538,26 @@ def test_mmr_shortlist_is_take_ordered_cut_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_important_stock_reuses_partkey_exchange(spark, sf_dir):
+    """Q11's global total must aggregate FROM the per-part exchange,
+    not rescan the facts: the executed adaptive plan collapses the
+    grouped branch and the total branch into a ReusedExchange — one
+    fact scan, one partkey shuffle, then a one-row broadcast back."""
+    df = QUERIES["q_important_stock"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "isFinalPlan=true" in final, final[:500]
+    assert "ReusedExchange" in final, final
+
+
+def test_priority_lateness_pushes_year_filter_no_python(spark, sf_dir):
+    """Q12's ship-year window must reach the lineitem scan as pushed
+    filters (row-group pruning at 100 TB); the lateness predicate
+    needs both sides so it rides the orderkey join as a residual.
+    Conditional counts stay JVM-side with map-side partial agg."""
+    plan = plan_of(spark, sf_dir, "q_priority_lateness")
+    assert "Python" not in plan
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan), plan
+    assert "partial_sum" in plan, plan
