@@ -1112,3 +1112,67 @@ def mmr_greedy_units(
         selected.append((len(selected) + 1, best[0], best[1]))
         del remaining[best[0]]
     return selected
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    lo: int,
+    hi: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Distributed EXACT exclusive prefix sum of ``value_col`` in
+    ``order_col`` order — the two-level (range-bucketed) form of the
+    classic single-partition running-total window, for tables whose
+    row count outgrows one partition.
+
+    Level 1 assigns each row a range bucket by pure integer division
+    of ``order_col`` (values must be distinct BIGINTs in [lo, hi] —
+    with duplicates the within-bucket order would be ambiguous);
+    level 2 runs the running total WITHIN each bucket (parallel,
+    partitioned window) and adds each bucket's broadcast offset (the
+    prefix over the n_buckets-row bucket-total table — the only
+    single-partition window left, bounded by n_buckets rows however
+    large the input). All sums are exact BIGINTs, so the result is
+    bit-identical to the global-window form (property-tested).
+    """
+    from pyspark.sql import Window
+
+    span = hi - lo + 1
+    width = max(1, -(-span // n_buckets))
+    b = df.withColumn(
+        "__bucket",
+        F.expr(f"CAST((CAST({order_col} AS BIGINT) - ({lo})) "
+               f"DIV {width} AS BIGINT)"),
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = b.withColumn(
+        "__within",
+        F.coalesce(F.sum(value_col).over(w_in), F.lit(0)).cast("long"),
+    )
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        b.groupBy("__bucket")
+        .agg(F.sum(value_col).cast("long").alias("__btotal"))
+        .select(
+            "__bucket",
+            F.coalesce(F.sum("__btotal").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("__offset"),
+        )
+    )
+    return (
+        within.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            out_col, (F.col("__offset") + F.col("__within")).cast("long")
+        )
+        .drop("__bucket", "__within", "__offset")
+    )

@@ -9098,12 +9098,17 @@ def q_embed_auc(spark, sf_dir):
     int64s (int64->double casts are correctly rounded on both
     engines, unlike the DECIMAL(38) seam q_twap closed; exact up to
     ~3e9 rows). At 100 TB the score pass is embarrassingly parallel
-    and the rank pass runs over the GROUPED distinct-score table —
-    the one ordered prefix-sum; swap in a two-level (range-bucketed)
-    prefix sum when distinct scores outgrow one partition."""
-    from pyspark.sql import Window
-
-    from dex_data_ingestor_spark.operators.vector import cosine
+    and the rank pass runs over the GROUPED distinct-score table via
+    a TWO-LEVEL range-bucketed prefix sum (vector.
+    exclusive_prefix_sum): the within-bucket running totals window is
+    PARTITIONED (parallel), and the only single-partition window left
+    is over the 1024-row bucket-offset table — bounded however large
+    the score table grows. Bit-identical to the global-window form
+    (exact integer sums; property-tested)."""
+    from dex_data_ingestor_spark.operators.vector import (
+        cosine,
+        exclusive_prefix_sum,
+    )
 
     em = load_table(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") == 0).select(
@@ -9123,12 +9128,8 @@ def q_embed_auc(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.sum("pos").cast("long").alias("np"),
     )
-    w = Window.orderBy("u").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = g.select(
-        "u",
-        "cnt",
-        "np",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_less"),
+    ranked = exclusive_prefix_sum(
+        g, "u", "cnt", "cum_less", lo=-(10**9), hi=10**9
     )
     agg = ranked.agg(
         F.sum(

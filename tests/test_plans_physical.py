@@ -514,15 +514,17 @@ def test_embed_auc_partial_agg_no_python_broadcast_query(spark, sf_dir):
     """The scoring pass must broadcast the single-row query vector
     (never a cartesian), the tie-group rollup must partial-aggregate
     map-side before its one exchange, and the whole rank-sum algebra
-    stays JVM-side. The ordered prefix-sum window runs over the
-    GROUPED distinct-score table by design (documented single
-    partition; a two-level bucketed prefix sum is the swap-in when
-    distinct scores outgrow one partition)."""
+    stays JVM-side. The rank prefix-sum must be the TWO-LEVEL form:
+    the running-total window over the grouped score table is
+    PARTITIONED by range bucket (hashpartitioning(__bucket) in the
+    plan), and the bucket offsets attach by broadcast — no
+    data-sized single-partition window anywhere."""
     plan = plan_of(spark, sf_dir, "q_embed_auc")
     assert "Python" not in plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "hashpartitioning(__bucket" in plan, plan
 
 
 def test_mmr_shortlist_is_take_ordered_cut_no_python(spark, sf_dir):

@@ -1801,3 +1801,42 @@ def test_mmr_greedy_tie_breaks_on_smaller_id_and_handles_missing_pairs():
     got = mmr_greedy_units([(9, 100), (4, 100)], {}, k=2)
     assert [g[1] for g in got] == [4, 9]
     assert got[0][2] == 700 and got[1][2] == 700
+
+
+def test_exclusive_prefix_sum_matches_global_window(spark):
+    """The two-level range-bucketed prefix sum must be bit-identical
+    to the single-partition global window on adversarial inputs:
+    negative keys, bucket-boundary keys (exact multiples of the
+    bucket width), empty buckets, and a bucket count larger than the
+    key span (width clamps to 1)."""
+    import random as rnd
+
+    from pyspark.sql import Window
+
+    from dex_data_ingestor_spark.operators.vector import (
+        exclusive_prefix_sum,
+    )
+
+    r = rnd.Random(7)
+    lo, hi = -1000, 1000
+    keys = r.sample(range(lo, hi + 1), 300)
+    rows = [(k, r.randint(-50, 10**9)) for k in keys]
+    df = spark.createDataFrame(rows, "u long, cnt long")
+    for n_buckets in (1, 7, 64, 5000):
+        got = {
+            row["u"]: row["cum"]
+            for row in exclusive_prefix_sum(
+                df, "u", "cnt", "cum", lo=lo, hi=hi, n_buckets=n_buckets
+            ).collect()
+        }
+        w = Window.orderBy("u").rowsBetween(Window.unboundedPreceding, -1)
+        want = {
+            row["u"]: row["cum"]
+            for row in df.select(
+                "u",
+                F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                .cast("long")
+                .alias("cum"),
+            ).collect()
+        }
+        assert got == want, n_buckets
