@@ -95,8 +95,19 @@ def maintain_grouped_sums(
     d = delta.groupBy(*group_cols).agg(*daggs)
     keys = list(group_cols)
     zero = F.lit(0).cast(_SUM_TYPE)
-    merged = base_agg.join(d, keys, "full_outer").select(
-        *keys,
+    # NULL-SAFE key equality: groupBy treats NULL as a real group, so
+    # the merge join must too — a plain equi-join would leave a NULL
+    # group's stale base row AND its delta row side by side
+    b, dd = base_agg.alias("__b"), d.alias("__d")
+    cond = None
+    for k in keys:
+        c = F.col(f"__b.{k}").eqNullSafe(F.col(f"__d.{k}"))
+        cond = c if cond is None else cond & c
+    merged = b.join(dd, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__b.{k}"), F.col(f"__d.{k}")).alias(k)
+            for k in keys
+        ],
         (
             F.coalesce(F.col("n_rows"), F.lit(0))
             + F.coalesce(F.col("__dn"), F.lit(0))
@@ -139,32 +150,26 @@ def snapshot_refresh_agg(
     then one refresh call rolls the aggregate forward — exactly, by
     the decimal discipline, however many times it runs."""
     from dex_data_ingestor_spark.snapshots import (
+        default_merge_keys,
         snapshot_changes,
         snapshot_read,
         snapshot_write,
     )
 
+    # resolve "latest" ONCE, up front: the change feed, both image
+    # reads, and the recorded range must all see the same fact
+    # version even if another commit lands mid-refresh — and the
+    # manifest must always record the maintained upper bound so the
+    # next refresh knows where to resume
+    if to_version is None:
+        from dex_data_ingestor_spark.snapshots import _resolve
+
+        to_version = _resolve(fact_root)["version"]
     ch = snapshot_changes(
         spark, fact_root, from_version, to_version, keys=keys
     )
     if keys is None:
-        # mirror snapshot_changes' key-default resolution for the
-        # image joins below
-        from dex_data_ingestor_spark.snapshots import (
-            _list_manifests,
-            _resolve,
-        )
-
-        upper = (
-            to_version
-            if to_version is not None
-            else _resolve(fact_root)["version"]
-        )
-        keys = [
-            m["keys"]
-            for m in _list_manifests(fact_root)
-            if m["version"] <= upper and m.get("keys")
-        ][-1]
+        keys = default_merge_keys(fact_root, to_version)
     keys = list(keys)
     old_keys = ch.filter(
         F.col("status").isin("removed", "changed")
@@ -189,10 +194,6 @@ def snapshot_refresh_agg(
         extra={
             "fact_root": fact_root,
             "fact_from_version": from_version,
-            **(
-                {"fact_to_version": to_version}
-                if to_version is not None
-                else {}
-            ),
+            "fact_to_version": to_version,
         },
     )

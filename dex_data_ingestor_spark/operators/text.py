@@ -1041,18 +1041,22 @@ def inverted_index(
     document-side scorers (q_bm25 ranks against a query; this is the
     index a serving layer would range-read).
 
-    The cap is applied BEFORE any per-term collection: a rank window
-    over the (doc, term) counts filters to ``rk <= max_postings``, so
-    ``collect_list`` only ever sees a bounded array — a stopword's
-    million-doc posting list never materializes on an executor (the
-    uncapped ``collect_list`` is the OOM trap at corpus scale).
-    ``df`` reports the TRUE document frequency, so the truncation is
-    explicit, never silent.
+    The cap is applied AT the collection: rows ranked past
+    ``max_postings`` contribute NULL, which ``collect_list`` skips, so
+    the collected array is bounded — a stopword's million-doc posting
+    list never materializes on an executor (the uncapped
+    ``collect_list`` is the OOM trap at corpus scale). ``df`` reports
+    the TRUE document frequency, so the truncation is explicit, never
+    silent.
 
-    Plan: one (doc, term) count exchange, then the window rank, df/cf
-    aggregate and posting collection all ride term-hash partitioning
-    — Catalyst reuses the term exchange; WindowGroupLimit prunes the
-    rank pass to the top ``max_postings`` per term map-side."""
+    Plan: one (doc, term) count exchange, then the window rank and the
+    df/cf/posting aggregate both ride term-hash partitioning (Catalyst
+    reuses the term exchange). The rank window sorts each term
+    partition fully — a WindowGroupLimit prune cannot fire here and
+    would be wrong if it did: the TRUE df/cf require every row, so no
+    ``rk <= k`` filter may precede the aggregate; the sort cost is the
+    price of exact frequencies (drop df/cf and a filtered rank would
+    prune map-side)."""
     from pyspark.sql import Window
 
     terms = df.select(

@@ -9061,6 +9061,9 @@ def q_ab_test(spark, sf_dir):
                * 1000000000.0 + 0.5) AS BIGINT) AS u,
              CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS pos
       FROM embeddings e, q
+      WHERE e.embedding IS NOT NULL
+        AND list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])) > 0
     ),
     g AS (
       SELECT u, COUNT(*) AS cnt, CAST(SUM(pos) AS BIGINT) AS np
@@ -9107,6 +9110,7 @@ def q_embed_auc(spark, sf_dir):
     (exact integer sums; property-tested)."""
     from dex_data_ingestor_spark.operators.vector import (
         cosine,
+        dot,
         exclusive_prefix_sum,
     )
 
@@ -9116,6 +9120,11 @@ def q_embed_auc(spark, sf_dir):
         F.col("label").alias("qlabel"),
     )
     v = F.transform("embedding", lambda x: x.cast("double"))
+    # hygiene gate (mirrored in the oracle WHERE): NULL or zero-norm
+    # embeddings have no cosine — unguarded they'd produce a NULL
+    # quantized score, which exclusive_prefix_sum's bucket equi-join
+    # would silently drop (its contract requires non-NULL keys)
+    em = em.filter(F.col("embedding").isNotNull() & (dot(v, v) > 0))
     scored = em.crossJoin(F.broadcast(q)).select(
         F.floor(
             F.round(cosine(v, F.col("qe")), 9) * 1000000000.0 + 0.5

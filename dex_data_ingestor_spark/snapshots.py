@@ -220,25 +220,42 @@ def _commit(root: str, data_dir: str, op: str, extra: dict | None) -> dict:
     return manifest
 
 
+def _prior_manifest(root: str, branch: str | None = None) -> dict | None:
+    """The manifest whose PERSISTED STATE (constraints) a new commit
+    inherits: the branch head for branch-staged writes, the MAINLINE
+    latest otherwise — never the raw latest manifest, which may be an
+    unpublished branch commit whose staged constraint changes must
+    stay invisible to mainline until publish."""
+    try:
+        if branch is not None:
+            return _branch_head(root, branch)
+        return _resolve(root)
+    except (FileNotFoundError, KeyError):
+        return None
+
+
 def _effective_constraints(
     root: str,
     constraints: dict[str, str] | None,
     drop_constraints: Sequence[str] | None,
     extra: dict | None,
+    branch: str | None = None,
 ) -> dict[str, str]:
     """The constraint set a commit must enforce and record: the
-    table's persisted set, minus explicit drops, plus/overriding the
-    caller's additions. ``extra['constraints']`` is rejected — it
-    would record a set that was never enforced (or be silently
-    clobbered by the persisted one); the typed parameters are the
-    only path, so recorded == enforced always holds."""
+    table's persisted set (mainline's, or the branch head's for a
+    branch-staged write — see :func:`_prior_manifest`), minus explicit
+    drops, plus/overriding the caller's additions.
+    ``extra['constraints']`` is rejected — it would record a set that
+    was never enforced (or be silently clobbered by the persisted
+    one); the typed parameters are the only path, so recorded ==
+    enforced always holds."""
     if extra and "constraints" in extra:
         raise ValueError(
             "pass constraints/drop_constraints parameters, not "
             "extra['constraints'] — recorded constraints must be the "
             "enforced ones"
         )
-    prior = _latest_manifest(root)
+    prior = _prior_manifest(root, branch)
     effective = dict((prior or {}).get("constraints") or {})
     for name in drop_constraints or []:
         effective.pop(name, None)
@@ -281,7 +298,7 @@ def snapshot_write(
     :func:`snapshot_publish` fast-forwards it — the write-audit-
     publish pattern (stage, validate, then expose atomically)."""
     effective = _effective_constraints(
-        root, constraints, drop_constraints, extra
+        root, constraints, drop_constraints, extra, branch=branch
     )
     extra = dict(extra or {})
     if branch is not None:
@@ -289,6 +306,11 @@ def snapshot_write(
         if r["type"] != "branch":
             raise ValueError(f"ref {branch!r} is a tag, not a branch")
         extra["branch"] = branch
+        # the ref's unique id travels with every staged commit, so a
+        # deleted-then-recreated branch of the same name can never
+        # resurrect an abandoned run's staged commits as its head
+        if r.get("id") is not None:
+            extra["branch_id"] = r["id"]
     # ALWAYS recorded (even when empty) so _commit's carry-forward
     # cannot resurrect a dropped constraint
     extra["constraints"] = effective
@@ -529,6 +551,24 @@ def snapshot_update(
     )
 
 
+def default_merge_keys(root: str, upper: int) -> list:
+    """The table's de facto primary key: the key set recorded by the
+    most recent MERGE commit at or before version ``upper``. The ONE
+    canonical resolution rule — the change feed and the incremental
+    aggregate refresh both defer here, so they can never disagree."""
+    recorded = [
+        m.get("keys")
+        for m in _list_manifests(root)
+        if m["version"] <= upper and m.get("keys")
+    ]
+    if not recorded:
+        raise ValueError(
+            "no MERGE commit records a key set at or before "
+            f"version {upper}; pass keys=[...] explicitly"
+        )
+    return list(recorded[-1])
+
+
 def snapshot_changes(
     spark: SparkSession,
     root: str,
@@ -564,17 +604,7 @@ def snapshot_changes(
             if to_version is not None
             else _resolve(root)["version"]
         )
-        recorded = [
-            m.get("keys")
-            for m in _list_manifests(root)
-            if m["version"] <= upper and m.get("keys")
-        ]
-        if not recorded:
-            raise ValueError(
-                "no MERGE commit records a key set at or before "
-                f"version {upper}; pass keys=[...] explicitly"
-            )
-        keys = recorded[-1]
+        keys = default_merge_keys(root, upper)
     old = snapshot_read(spark, root, version=from_version)
     new = snapshot_read(spark, root, version=to_version)
     if compare_cols is None:
@@ -1049,6 +1079,13 @@ def snapshot_vacuum(
     # exists precisely so 'the table state run X read' stays readable,
     # and an unpublished branch head must survive a mainline vacuum
     ref_pinned = set()
+    # the MAINLINE LATEST is always pinned: staged branch commits can
+    # fill the keep_last tail of the shared log, and evicting the
+    # version every default read resolves to would break the table
+    try:
+        ref_pinned.add(_resolve(root)["data_dir"])
+    except (FileNotFoundError, KeyError):
+        pass
     for r in snapshot_refs(root):
         try:
             ref_pinned.add(
@@ -1131,6 +1168,10 @@ def _create_ref(root: str, name: str, kind: str, version: int) -> dict:
         "name": name,
         "type": kind,
         "version": version,
+        # unique per CREATION: staged branch commits stamp this id, so
+        # deleting a branch and recreating the name starts empty
+        # instead of adopting the abandoned run's staged commits
+        "id": uuid.uuid4().hex,
         "created_at": dt.datetime.now(dt.timezone.utc).isoformat(),
     }
     try:
@@ -1187,13 +1228,19 @@ def snapshot_delete_ref(root: str, name: str) -> None:
 
 def _branch_head(root: str, name: str, ref: dict | None = None) -> dict:
     """Latest manifest staged on branch ``name`` after its base, else
-    the base manifest."""
+    the base manifest. Staged commits must carry THIS ref's creation
+    id — commits staged by a same-named branch that was later deleted
+    belong to that abandoned run, not to a recreated branch."""
     r = ref if ref is not None else _read_ref(root, name)
     if r["type"] != "branch":
         raise ValueError(f"ref {name!r} is a tag, not a branch")
     head = None
     for m in _list_manifests(root):
-        if m.get("branch") == name and m["version"] > r["version"]:
+        if (
+            m.get("branch") == name
+            and m.get("branch_id") == r.get("id")
+            and m["version"] > r["version"]
+        ):
             head = m
     return head if head is not None else _resolve(root, r["version"])
 
@@ -1224,6 +1271,20 @@ def snapshot_publish(root: str, branch: str) -> dict:
     if "branch" not in head:
         raise ValueError(
             f"branch {branch!r} has no staged commits to publish"
+        )
+    # publish is a FAST-FORWARD only: once the head is published (or
+    # mainline advances past the staged run), a retry must fail loudly
+    # instead of silently rolling mainline back to stale staged data
+    try:
+        mainline = _resolve(root)
+    except (FileNotFoundError, KeyError):
+        mainline = None
+    if mainline is not None and head["version"] <= mainline["version"]:
+        raise SnapshotConflict(
+            f"publish of {branch!r} is not a fast-forward: staged head "
+            f"v{head['version']} is not newer than mainline "
+            f"v{mainline['version']} (already published, or mainline "
+            "advanced past the staged run — restage on a fresh branch)"
         )
     payload = {
         k: v

@@ -1067,3 +1067,142 @@ def test_streaming_refresh_agg_drained_parity_and_replay(
     q2.awaitTermination(timeout=180)
     assert len(S.snapshot_versions(agg_root)) == n_before
     assert _rows(S.snapshot_read(spark, agg_root)) == _rows(want)
+
+
+def test_vacuum_pins_mainline_latest_under_staged_tail(spark, root):
+    """Staged branch commits can fill the keep_last tail of the shared
+    log; vacuum must never evict the MAINLINE-latest data dir — the
+    version every default read resolves to."""
+    S.snapshot_write(spark.createDataFrame([(1,)], "k long"), root)
+    m2 = S.snapshot_write(spark.createDataFrame([(2,)], "k long"), root)
+    S.snapshot_create_branch(root, "staging", version=1)
+    for i in (3, 4, 5):
+        S.snapshot_write(
+            spark.createDataFrame([(i,)], "k long"), root,
+            branch="staging",
+        )
+    removed = S.snapshot_vacuum(root, keep_last=3)
+    assert m2["data_dir"] not in removed
+    assert os.path.isdir(m2["data_dir"])
+    assert _rows(S.snapshot_read(spark, root)) == {(2,)}
+
+
+def test_branch_constraints_stay_invisible_until_publish(spark, root):
+    """A CHECK constraint staged on an unpublished branch must not
+    govern mainline writes; after publish it must."""
+    S.snapshot_write(spark.createDataFrame([(1,)], "v long"), root)
+    S.snapshot_create_branch(root, "staging")
+    S.snapshot_write(
+        spark.createDataFrame([(5,)], "v long"), root,
+        branch="staging", constraints={"v_pos": "v > 0"},
+    )
+    # mainline is blind to the staged constraint
+    m = S.snapshot_write(spark.createDataFrame([(-1,)], "v long"), root)
+    assert m["constraints"] == {}
+    # staged commits on the branch DO inherit it
+    with pytest.raises(S.ConstraintViolation):
+        S.snapshot_write(
+            spark.createDataFrame([(-2,)], "v long"), root,
+            branch="staging",
+        )
+    # mainline advanced past the staged run above, so this branch can
+    # no longer fast-forward; restage on a fresh branch and publish —
+    # only NOW does the constraint govern mainline
+    S.snapshot_create_branch(root, "staging2")
+    S.snapshot_write(
+        spark.createDataFrame([(6,)], "v long"), root,
+        branch="staging2", constraints={"v_pos": "v > 0"},
+    )
+    S.snapshot_publish(root, "staging2")
+    with pytest.raises(S.ConstraintViolation):
+        S.snapshot_write(spark.createDataFrame([(-3,)], "v long"), root)
+
+
+def test_publish_is_fast_forward_only(spark, root):
+    """Re-publishing an already-published head (or publishing after
+    mainline advanced past the staged run) must raise instead of
+    silently rolling mainline back to stale staged data."""
+    S.snapshot_write(spark.createDataFrame([(1,)], "k long"), root)
+    S.snapshot_create_branch(root, "staging")
+    S.snapshot_write(
+        spark.createDataFrame([(2,)], "k long"), root, branch="staging"
+    )
+    S.snapshot_publish(root, "staging")
+    assert _rows(S.snapshot_read(spark, root)) == {(2,)}
+    S.snapshot_write(spark.createDataFrame([(3,)], "k long"), root)
+    with pytest.raises(S.SnapshotConflict, match="fast-forward"):
+        S.snapshot_publish(root, "staging")
+    # mainline is untouched by the refused retry
+    assert _rows(S.snapshot_read(spark, root)) == {(3,)}
+
+
+def test_recreated_branch_does_not_adopt_abandoned_staged_commits(
+    spark, root
+):
+    """Deleting a branch and recreating the same name at the same base
+    must start EMPTY — the abandoned run's staged commits stay
+    unreachable except by explicit version."""
+    S.snapshot_write(spark.createDataFrame([(1,)], "k long"), root)
+    S.snapshot_create_branch(root, "staging", version=1)
+    S.snapshot_write(
+        spark.createDataFrame([(99,)], "k long"), root, branch="staging"
+    )
+    S.snapshot_delete_ref(root, "staging")
+    S.snapshot_create_branch(root, "staging", version=1)
+    assert _rows(S.snapshot_read(spark, root, ref="staging")) == {(1,)}
+    with pytest.raises(ValueError, match="no staged commits"):
+        S.snapshot_publish(root, "staging")
+
+
+def test_maintain_grouped_sums_null_group(spark):
+    """groupBy treats NULL as a real group; the maintenance join must
+    merge it too (null-safe key equality), not leave the stale base
+    row beside an unmerged delta row."""
+    from dex_data_ingestor_spark.operators import matview as MV
+
+    v0 = spark.createDataFrame(
+        [(None, 1, 10.0), (None, 2, 1.5), ("a", 3, 2.0)],
+        "g string, k long, v double",
+    )
+    base = MV.grouped_sums(v0, ["g"], ["v"])
+    removed = spark.createDataFrame(
+        [(None, 2, 1.5)], "g string, k long, v double"
+    )
+    added = spark.createDataFrame(
+        [(None, 4, 7.25)], "g string, k long, v double"
+    )
+    v1 = spark.createDataFrame(
+        [(None, 1, 10.0), (None, 4, 7.25), ("a", 3, 2.0)],
+        "g string, k long, v double",
+    )
+    maintained = MV.maintain_grouped_sums(
+        base, removed, added, ["g"], ["v"]
+    )
+    assert _rows(maintained) == _rows(MV.grouped_sums(v1, ["g"], ["v"]))
+    # exactly ONE row for the NULL group
+    assert len([r for r in maintained.collect() if r.g is None]) == 1
+
+
+def test_refresh_agg_records_resolved_to_version(spark, root, tmp_path):
+    """to_version=None must resolve 'latest' once up front and RECORD
+    it, so the next refresh knows where to resume."""
+    from dex_data_ingestor_spark.operators import matview as MV
+
+    agg_root = str(tmp_path / "agg")
+    fact = spark.createDataFrame(
+        [(1, "x", 5.0)], "k long, g string, v double"
+    )
+    S.snapshot_write(fact, root)
+    S.snapshot_write(MV.grouped_sums(fact, ["g"], ["v"]), agg_root)
+    S.snapshot_merge(
+        spark, root,
+        spark.createDataFrame(
+            [(2, "y", 3.0)], "k long, g string, v double"
+        ),
+        keys=["k"],
+    )
+    m = MV.snapshot_refresh_agg(
+        spark, root, agg_root, from_version=1,
+        group_cols=["g"], measures=["v"],
+    )
+    assert m["fact_to_version"] == 2

@@ -1840,3 +1840,41 @@ def test_exclusive_prefix_sum_matches_global_window(spark):
             ).collect()
         }
         assert got == want, n_buckets
+
+
+def test_embed_auc_ignores_null_and_zero_norm_embeddings(
+    spark, sf_dir, tmp_path
+):
+    """NULL and all-zero embeddings have no cosine; the hygiene gate
+    must drop them on BOTH engines instead of letting a NULL quantized
+    score vanish silently inside the prefix-sum bucket join — the
+    result over a polluted corpus equals the clean-corpus result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    dim = len(t["embedding"][0])
+    bad = pa.table(
+        {
+            "vec_id": pa.array([10**6, 10**6 + 1], pa.int64()),
+            "embedding": pa.array(
+                [None, [0.0] * dim],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 1], pa.int32()),
+        }
+    )
+    polluted = pa.concat_tables(
+        [t.cast(bad.schema), bad]
+    )
+    d = tmp_path / "sf_bad"
+    d.mkdir()
+    pq.write_table(polluted, str(d / "embeddings.parquet"))
+
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    [clean] = QUERIES["q_embed_auc"](spark, sf_dir).collect()
+    [got] = QUERIES["q_embed_auc"](spark, str(d)).collect()
+    assert (got["n_pos"], got["n_neg"], got["auc"]) == (
+        clean["n_pos"], clean["n_neg"], clean["auc"],
+    )
