@@ -1878,3 +1878,65 @@ def test_embed_auc_ignores_null_and_zero_norm_embeddings(
     assert (got["n_pos"], got["n_neg"], got["auc"]) == (
         clean["n_pos"], clean["n_neg"], clean["auc"],
     )
+
+
+def test_mmr_greedy_stepwise_optimality_property():
+    """Hypothesis: on random integer inputs, every pick must be
+    stepwise-optimal — no candidate left unpicked at step t had a
+    strictly higher marginal score (or an equal score with a smaller
+    id), and the returned mmr_units must equal the winner's
+    recomputed marginal. This re-derives the invariant independently
+    instead of replaying the implementation's loop."""
+    from hypothesis import given, settings, strategies as st
+
+    from dex_data_ingestor_spark.operators.vector import mmr_greedy_units
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        data=st.data(),
+        n=st.integers(min_value=1, max_value=12),
+        k=st.integers(min_value=1, max_value=14),
+        lam10=st.integers(min_value=0, max_value=10),
+    )
+    def run(data, n, k, lam10):
+        ids = data.draw(
+            st.lists(
+                st.integers(min_value=-100, max_value=100),
+                min_size=n, max_size=n, unique=True,
+            )
+        )
+        cands = [
+            (i, data.draw(st.integers(min_value=-10**9, max_value=10**9)))
+            for i in ids
+        ]
+        sims = {}
+        for a in ids:
+            for b in ids:
+                if a < b and data.draw(st.booleans()):
+                    sims[(a, b)] = data.draw(
+                        st.integers(min_value=-10**9, max_value=10**9)
+                    )
+        got = mmr_greedy_units(cands, sims, k=k, lam10=lam10)
+        assert len(got) == min(k, n)
+        assert [r[0] for r in got] == list(range(1, len(got) + 1))
+        rel = dict(cands)
+        picked = []
+        for rank, cid, units in got:
+            def marginal(c):
+                if not picked:
+                    return lam10 * rel[c]
+                ms = max(
+                    sims.get((c, s), sims.get((s, c), 0)) for s in picked
+                )
+                return lam10 * rel[c] - (10 - lam10) * ms
+            assert units == marginal(cid), (cid, units)
+            for other in rel:
+                if other in picked or other == cid:
+                    continue
+                m = marginal(other)
+                assert (m, -other) <= (units, -cid), (
+                    rank, cid, units, other, m,
+                )
+            picked.append(cid)
+
+    run()
