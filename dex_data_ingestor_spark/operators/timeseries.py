@@ -193,3 +193,34 @@ def scd2_intervals(
         nxt.alias("effective_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def debounce(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_us: int = 60 * 1_000_000,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Keep only the FIRST event of each per-key burst — the
+    ingest-side throttle for retry storms, double-submits, and sensor
+    chatter. A burst uses the ROLLING-extension rule (each event
+    within ``gap_us`` of its predecessor extends the burst, so a
+    chain of sub-gap events collapses to one survivor however long it
+    runs): a burst IS a session at a small gap, so this builds
+    directly on :func:`sessionize` and keeps each island's first row
+    by the (ts, tiebreak) total order.
+
+    Scale shape: inherits sessionize's single hash exchange on
+    ``key_cols`` — the island window, the running sum, and the
+    leader rank all ride the same partitioning."""
+    tiebreak = order_tiebreak or []
+    sess = sessionize(df, key_cols, ts_col, gap_us, tiebreak)
+    w = Window.partitionBy(*key_cols, "session_seq").orderBy(
+        ts_col, *tiebreak
+    )
+    return (
+        sess.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "session_seq")
+    )

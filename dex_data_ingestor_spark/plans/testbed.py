@@ -9315,6 +9315,67 @@ def q_mmr_rerank(spark, sf_dir):
 
 
 @register(
+    "q_debounce",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                  OR date_diff('microsecond', prev_ts, ts) > 86400000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ),
+    bursts AS (
+      SELECT user_id, event_type, event_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst
+      FROM flagged
+    ),
+    ranked AS (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, burst
+               ORDER BY ts, event_id) AS rn
+      FROM bursts
+    )
+    SELECT user_id, event_type, event_id, ts FROM ranked WHERE rn = 1
+    """,
+)
+def q_debounce(spark, sf_dir):
+    """Burst debounce: per (user, event type), keep only the FIRST
+    event of each burst under the 24 h ROLLING-extension rule (each
+    sub-gap event extends the burst, so an arbitrarily long chain of
+    rapid-fire duplicates collapses to one survivor) — the ingest
+    throttle for retry storms and double-submits, the keep-first
+    sibling of q_dedup_first (which needs exact key equality) and
+    q_sessionize (which aggregates islands instead of filtering
+    them). Built on operators/timeseries.debounce = sessionize + the
+    per-island leader rank; gap arithmetic is integral microseconds.
+    One (user_id, event_type) hash exchange serves the lag window,
+    the running burst sum, AND the leader rank (plan-asserted)."""
+    from dex_data_ingestor_spark.operators.timeseries import debounce
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    out = debounce(
+        ev,
+        ["user_id", "event_type"],
+        "ts",
+        gap_us=86_400_000_000,
+        order_tiebreak=["event_id"],
+    )
+    return out.select("user_id", "event_type", "event_id", "ts")
+
+
+@register(
     "q_important_stock",
     """
     WITH supp AS (
@@ -9565,7 +9626,10 @@ def q_priority_lateness(spark, sf_dir):
 #: sf0.001+sf0.01 on registration): r9 per invariant 1; they displace
 #: the two TPC-H shapes whose plan shapes they subsume into the tail
 #: (q_order_priority shares Q12's lateness semi-join, q_top_supplier
-#: shares Q11's grouped-threshold algebra).
+#: shares Q11's grouped-threshold algebra). Sixth batch: q_debounce
+#: (burst keep-first; verified likewise) joins r9 displacing
+#: q_sessionize's slot for one round — same single-exchange window
+#: plan, and sessionize's algebra is exercised INSIDE debounce.
 _WINDOW_R8 = [
     # never driver-checked (added r7) — the entire debt, per verdict
     "q_sessionize",

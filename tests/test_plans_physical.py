@@ -563,3 +563,12 @@ def test_priority_lateness_pushes_year_filter_no_python(spark, sf_dir):
     assert "Python" not in plan
     assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan), plan
     assert "partial_sum" in plan, plan
+
+
+def test_debounce_single_key_exchange(spark, sf_dir):
+    """The lag window, the running burst sum, and the leader rank must
+    all ride ONE (user_id, event_type) hash exchange — debounce
+    inherits sessionize's single-shuffle shape."""
+    plan = plan_of(spark, sf_dir, "q_debounce")
+    assert "Python" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan

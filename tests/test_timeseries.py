@@ -691,3 +691,44 @@ def test_ab_test_z_recomputed_from_counts(spark, sf_dir):
         p * (1.0 - p) * (1.0 / r["n_a"] + 1.0 / r["n_b"])
     )
     assert r["z"] == round(z, 9) or abs(r["z"] - z) < 1e-9
+
+
+def test_debounce_rolling_extension_golden(spark):
+    """Hand-walked debounce (gap 60 s): a chain of sub-gap events
+    extends the burst indefinitely (0s, 50s, 100s collapse to the 0s
+    leader even though 100s is >gap from the leader), a >gap silence
+    starts a new burst, equal timestamps break on the tiebreak, and
+    keys never mix."""
+    import datetime as dt
+
+    from dex_data_ingestor_spark.operators.timeseries import debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1, type a: rolling chain 0/50/100 -> one leader (id 1);
+        # 200s is 100s after the last chain member -> new burst (id 4)
+        (1, "a", 1, at(0)),
+        (1, "a", 2, at(50)),
+        (1, "a", 3, at(100)),
+        (1, "a", 4, at(200)),
+        # same instant, higher id loses the tiebreak
+        (1, "a", 6, at(200)),
+        # other key: independent burst clock
+        (1, "b", 5, at(10)),
+        (2, "a", 7, at(20)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts timestamp"
+    )
+    got = sorted(
+        (r.user_id, r.event_type, r.event_id)
+        for r in debounce(
+            df, ["user_id", "event_type"], "ts",
+            gap_us=60_000_000, order_tiebreak=["event_id"],
+        ).collect()
+    )
+    assert got == [(1, "a", 1), (1, "a", 4), (1, "b", 5), (2, "a", 7)]
