@@ -147,6 +147,45 @@ def ohlc_bars(
     )
 
 
+def stream_debounce(
+    events: DataFrame,
+    gap: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming twin of q_debounce: per (user, event type), emit only
+    each burst's FIRST event, where a burst is a native
+    ``session_window`` at the debounce gap (rolling extension — the
+    same island rule the batch operators/timeseries.debounce builds
+    with lag/cumsum). The leader is ``min(struct(ts, event_id))`` —
+    struct MIN is lexicographic, exactly the batch (ts, tiebreak)
+    total order, and an incrementally-mergeable aggregate state, so
+    the throttle is one pass with no per-key sort.
+
+    Boundary semantics: session_window merges events strictly WITHIN
+    the gap (next.ts < prev.ts + gap), while the batch rule extends at
+    exactly-equal gaps too (diff > gap starts a burst). The two can
+    differ only when an inter-event gap equals the debounce gap to the
+    microsecond — measure-zero for real event tapes; pick a gap that
+    is not a plausible exact inter-event distance (the parity test
+    pins the fixture has no such tie)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"),
+            F.col("user_id"),
+            F.col("event_type"),
+        )
+        .agg(F.min(F.struct("ts", "event_id")).alias("leader"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("leader.event_id").alias("event_id"),
+            F.col("leader.ts").cast("timestamp_ntz").alias("ts"),
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, out_dir: str
 ) -> None:

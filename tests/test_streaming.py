@@ -739,3 +739,43 @@ def test_stream_nb_guard_matches_batch_predictions(spark, tmp_path):
         assert out[i].score_units == r.score_units, i
     assert out[5].pred is None and out[5].score_units is None
     assert out[6].pred is None and out[6].n_tokens == 0
+
+
+def test_stream_debounce_batch_parity(spark, sf_dir, event_files, tmp_path):
+    """The streaming burst throttle must emit exactly q_debounce's
+    leader set once drained. Precondition pinned first: the fixture
+    has no inter-event gap equal to the debounce gap to the
+    microsecond (the one boundary where session_window's strict
+    merge and the batch <=-extension could differ)."""
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+    from dex_data_ingestor_spark.streaming.jobs import stream_debounce
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    ties = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .filter(
+            F.expr("timestampdiff(MICROSECOND, prev, ts)")
+            == F.lit(86_400_000_000)
+        )
+        .count()
+    )
+    assert ties == 0, "fixture grew an exact-gap tie; change the gap"
+
+    stream = events_stream_from_parquet(
+        spark, event_files, max_files_per_trigger=1
+    )
+    name = _drain(stream_debounce(stream), tmp_path, "t_debounce")
+    got = {
+        (r.user_id, r.event_type, r.event_id, r.ts)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    want = {
+        (r.user_id, r.event_type, r.event_id, r.ts)
+        for r in QUERIES["q_debounce"](spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
