@@ -9314,6 +9314,33 @@ def q_mmr_rerank(spark, sf_dir):
     )
 
 
+@register("q_approx_quantiles")  # rows-only: Greenwald-Khanna sketch
+# outputs are implementation-specific (DuckDB's approx_quantile is a
+# t-digest with different guarantees), so no cross-engine oracle exists
+# by design — q_quantiles is the exact oracle-checked twin, and the
+# pytest bound pins every estimate between the exact order statistics
+# at target_rank +- n/accuracy per group (test_vector_text.py).
+def q_approx_quantiles(spark, sf_dir):
+    """Per-group approximate quantiles through the MERGEABLE
+    Greenwald-Khanna sketch (approx_percentile, accuracy=1000 — rank
+    error <= n/1000) — the production path q_quantiles' docstring
+    names: exact percentile() sorts every group's values, while the
+    sketch is one-pass, bounded-memory, and partial-aggregable
+    map-side, which is what survives a 100 TB group. Rows-only by
+    contract; the error bound is pinned in pytest against the exact
+    twin."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.expr(
+        "approx_percentile(value, array(0.5, 0.9, 0.99), 1000)"
+    )
+    return ev.groupBy("event_type").agg(q.alias("q")).select(
+        "event_type",
+        F.col("q")[0].alias("p50"),
+        F.col("q")[1].alias("p90"),
+        F.col("q")[2].alias("p99"),
+    )
+
+
 @register(
     "q_debounce",
     """

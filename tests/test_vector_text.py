@@ -1940,3 +1940,30 @@ def test_mmr_greedy_stepwise_optimality_property():
             picked.append(cid)
 
     run()
+
+
+def test_approx_quantiles_within_rank_error_of_exact(spark, sf_dir):
+    """The GK sketch contract: each estimate must be an actual value
+    from its group lying between the exact order statistics at
+    target_rank -+ n/accuracy (accuracy=1000, so at fixture sizes the
+    window is a couple of ranks wide)."""
+    import pyarrow.parquet as pq
+
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    t = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    by_type = {}
+    for et, v in zip(t["event_type"], t["value"]):
+        by_type.setdefault(et, []).append(v)
+    rows = QUERIES["q_approx_quantiles"](spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        vals = sorted(by_type[r.event_type])
+        n = len(vals)
+        err = n // 1000 + 1
+        for p, got in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            target = int(p * (n - 1))
+            lo = vals[max(0, target - err)]
+            hi = vals[min(n - 1, target + err)]
+            assert lo <= got <= hi, (r.event_type, p, got, lo, hi)
+            assert got in vals, "GK returns actual sample values"
