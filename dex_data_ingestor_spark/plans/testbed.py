@@ -9656,7 +9656,10 @@ def q_priority_lateness(spark, sf_dir):
 #: shares Q11's grouped-threshold algebra). Sixth batch: q_debounce
 #: (burst keep-first; verified likewise) joins r9 displacing
 #: q_sessionize's slot for one round — same single-exchange window
-#: plan, and sessionize's algebra is exercised INSIDE debounce.
+#: plan, and sessionize's algebra is exercised INSIDE debounce;
+#: q_approx_quantiles (rows-only by contract, like q_approx_distinct)
+#: joins r10 alternating with its exact oracle-checked twin
+#: q_quantiles' slot.
 _WINDOW_R8 = [
     # never driver-checked (added r7) — the entire debt, per verdict
     "q_sessionize",
