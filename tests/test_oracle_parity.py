@@ -35,6 +35,10 @@ def test_all_queries_have_oracle_or_are_flagged():
         # rows-only category); the merge sequence and encoding are
         # golden-pinned in test_vector_text.py
         "q_bpe_tokens",
+        # Greenwald-Khanna sketch outputs are implementation-specific
+        # (DuckDB approx_quantile is a t-digest); bounded against the
+        # exact q_quantiles twin in test_vector_text.py
+        "q_approx_quantiles",
     }
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
 
