@@ -207,20 +207,19 @@ def debounce(
     chatter. A burst uses the ROLLING-extension rule (each event
     within ``gap_us`` of its predecessor extends the burst, so a
     chain of sub-gap events collapses to one survivor however long it
-    runs): a burst IS a session at a small gap, so this builds
-    directly on :func:`sessionize` and keeps each island's first row
-    by the (ts, tiebreak) total order.
+    runs): a burst IS a session at the debounce gap, and its leader
+    is exactly the row :func:`sessionize` flags as starting a new
+    island — so one lag window and a filter suffice; materializing
+    island ids and ranking within them would re-derive the same rows
+    through two extra window passes and a sort.
 
-    Scale shape: inherits sessionize's single hash exchange on
-    ``key_cols`` — the island window, the running sum, and the
-    leader rank all ride the same partitioning."""
+    Scale shape: ONE hash exchange on ``key_cols``, one window
+    function, a narrow filter."""
     tiebreak = order_tiebreak or []
-    sess = sessionize(df, key_cols, ts_col, gap_us, tiebreak)
-    w = Window.partitionBy(*key_cols, "session_seq").orderBy(
-        ts_col, *tiebreak
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak)
+    staged = df.withColumn("_prev_ts", F.lag(ts_col).over(w))
+    keep = F.col("_prev_ts").isNull() | (
+        F.expr(f"timestampdiff(MICROSECOND, _prev_ts, {ts_col})")
+        > F.lit(gap_us)
     )
-    return (
-        sess.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "session_seq")
-    )
+    return staged.filter(keep).drop("_prev_ts")

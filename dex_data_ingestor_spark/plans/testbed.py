@@ -9357,22 +9357,9 @@ def q_approx_quantiles(spark, sf_dir):
                   OR date_diff('microsecond', prev_ts, ts) > 86400000000
                   THEN 1 ELSE 0 END AS is_new
       FROM seq
-    ),
-    bursts AS (
-      SELECT user_id, event_type, event_id, ts,
-             CAST(SUM(is_new) OVER (
-               PARTITION BY user_id, event_type ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst
-      FROM flagged
-    ),
-    ranked AS (
-      SELECT user_id, event_type, event_id, ts,
-             row_number() OVER (
-               PARTITION BY user_id, event_type, burst
-               ORDER BY ts, event_id) AS rn
-      FROM bursts
     )
-    SELECT user_id, event_type, event_id, ts FROM ranked WHERE rn = 1
+    SELECT user_id, event_type, event_id, ts
+    FROM flagged WHERE is_new = 1
     """,
 )
 def q_debounce(spark, sf_dir):
@@ -9383,10 +9370,11 @@ def q_debounce(spark, sf_dir):
     throttle for retry storms and double-submits, the keep-first
     sibling of q_dedup_first (which needs exact key equality) and
     q_sessionize (which aggregates islands instead of filtering
-    them). Built on operators/timeseries.debounce = sessionize + the
-    per-island leader rank; gap arithmetic is integral microseconds.
-    One (user_id, event_type) hash exchange serves the lag window,
-    the running burst sum, AND the leader rank (plan-asserted)."""
+    them). A burst's leader is exactly the row the island rule flags
+    as NEW, so operators/timeseries.debounce is one lag window + a
+    filter; gap arithmetic is integral microseconds. One
+    (user_id, event_type) hash exchange, one window function
+    (plan-asserted)."""
     from dex_data_ingestor_spark.operators.timeseries import debounce
 
     ev = load_table(spark, sf_dir, "events").select(

@@ -161,13 +161,11 @@ def stream_debounce(
     total order, and an incrementally-mergeable aggregate state, so
     the throttle is one pass with no per-key sort.
 
-    Boundary semantics: session_window merges events strictly WITHIN
-    the gap (next.ts < prev.ts + gap), while the batch rule extends at
-    exactly-equal gaps too (diff > gap starts a burst). The two can
-    differ only when an inter-event gap equals the debounce gap to the
-    microsecond — measure-zero for real event tapes; pick a gap that
-    is not a plausible exact inter-event distance (the parity test
-    pins the fixture has no such tie)."""
+    Boundary semantics: session_window merges at exactly-equal gaps
+    too (next.ts == prev.ts + gap extends the session — probed
+    empirically and pinned in tests/test_streaming.py), which is
+    IDENTICAL to the batch rule (only diff > gap starts a burst), so
+    stream/batch parity holds with no boundary caveat."""
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)

@@ -741,30 +741,42 @@ def test_stream_nb_guard_matches_batch_predictions(spark, tmp_path):
     assert out[6].pred is None and out[6].n_tokens == 0
 
 
+def test_session_window_merges_at_exactly_equal_gap(spark):
+    """Pin the session_window boundary rule the debounce twin relies
+    on: two events EXACTLY one gap apart merge into one session (==
+    extends, same as the batch island rule's diff > gap test), and
+    one microsecond beyond splits. If a Spark upgrade ever flips this
+    to a strict merge, the debounce twins diverge at the boundary —
+    this test is the tripwire."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, t0),
+            (1, t0 + dt.timedelta(seconds=60)),
+            (2, t0),
+            (2, t0 + dt.timedelta(seconds=60, microseconds=1)),
+        ],
+        "k long, ts timestamp",
+    )
+    sessions = (
+        df.groupBy(F.session_window("ts", "60 seconds").alias("w"), "k")
+        .count()
+        .collect()
+    )
+    per_key = {}
+    for r in sessions:
+        per_key[r.k] = per_key.get(r.k, 0) + 1
+    assert per_key == {1: 1, 2: 2}, sessions
+
+
 def test_stream_debounce_batch_parity(spark, sf_dir, event_files, tmp_path):
     """The streaming burst throttle must emit exactly q_debounce's
-    leader set once drained. Precondition pinned first: the fixture
-    has no inter-event gap equal to the debounce gap to the
-    microsecond (the one boundary where session_window's strict
-    merge and the batch <=-extension could differ)."""
+    leader set once drained — including at exact-gap boundaries,
+    where both sides extend (pinned above)."""
     from dex_data_ingestor_spark.plans.testbed import QUERIES
     from dex_data_ingestor_spark.streaming.jobs import stream_debounce
-
-    ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        "ts", "event_id"
-    )
-    ties = (
-        ev.withColumn("prev", F.lag("ts").over(w))
-        .filter(
-            F.expr("timestampdiff(MICROSECOND, prev, ts)")
-            == F.lit(86_400_000_000)
-        )
-        .count()
-    )
-    assert ties == 0, "fixture grew an exact-gap tie; change the gap"
 
     stream = events_stream_from_parquet(
         spark, event_files, max_files_per_trigger=1

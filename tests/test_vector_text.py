@@ -1960,7 +1960,12 @@ def test_approx_quantiles_within_rank_error_of_exact(spark, sf_dir):
     for r in rows:
         vals = sorted(by_type[r.event_type])
         n = len(vals)
-        err = n // 1000 + 1
+        # GK guarantee: rank error <= eps*n with eps = 1/accuracy.
+        # +2 slack covers the two off-by-one ambiguities the guarantee
+        # leaves open (ceil(p*n) vs p*(n-1) target-rank conventions,
+        # and the fractional part of eps*n) so the bound holds at any
+        # SF, not just while groups fit the exact head buffer.
+        err = n // 1000 + 2
         for p, got in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
             target = int(p * (n - 1))
             lo = vals[max(0, target - err)]
