@@ -213,21 +213,49 @@ def main() -> None:
         spread[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": runs,
-                "stat": "median",
-                "spread_sec": spread,
-                "total_spread_sec": round(sum(spread.values()), 3),
-            }
-        )
-    )
+    # The legacy-17 prefix is the only round-over-round comparable
+    # subset (the headline set grew 17 -> 62 across rounds); its sum is
+    # the number the 2x-of-r1-baseline gate reads.
+    legacy = HEADLINE[:17]
+    legacy_sum = round(sum(timings[n] for n in legacy), 3)
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": runs,
+        "stat": "median",
+        "spread_sec": spread,
+        "total_spread_sec": round(sum(spread.values()), 3),
+        "legacy17_sum_sec": legacy_sum,
+    }
+    # Full per-query detail: sidecar file + an EARLY stdout line. The
+    # driver captures/parses only the last ~2000 chars of stdout, and
+    # at 62 headline entries the full dict is ~3.4 KB — r8's BENCH
+    # artifact came back `parsed: null` because of exactly this. The
+    # LAST line printed is therefore a compact summary (legacy-17
+    # per-query dict + totals, ~0.8 KB) that stays parseable at any
+    # future headline-set size.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail))
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in legacy},
+        "sf": detail["sf"],
+        "runs_per_query": runs,
+        "stat": "median",
+        "n_entries": len(HEADLINE),
+        "legacy17_sum_sec": legacy_sum,
+        "detail": "bench_detail.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1900, len(line)  # driver tail-capture budget
+    print(line)
     spark.stop()
 
 

@@ -4997,10 +4997,10 @@ def q_source_quality(spark, sf_dir):
     ),
     c AS (
       SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (
+             CAST(SUM(n_tokens) OVER (
                PARTITION BY lang
                ORDER BY n_tokens DESC, doc_id
-               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM t
     )
     SELECT doc_id, lang, n_tokens, cum_tokens

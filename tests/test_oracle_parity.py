@@ -21,6 +21,38 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     assert not problems, f"{name}: " + " | ".join(problems)
 
 
+def test_oracle_result_types_are_portable(con):
+    """Registry-wide result-TYPE audit of every oracle SQL (VERDICT r8
+    #2). The local value compare canonicalizes Python ints type-blind,
+    so a DuckDB window ``SUM(BIGINT)`` silently widening to HUGEINT
+    (int128) passes locally yet fails the driver's type-aware hash —
+    exactly how q_token_budget went red in r8 while 172/172 passed
+    here. Binding each relation (lazy ``.types``, no execution) and
+    pinning the result types to the portable cross-engine set makes
+    that whole class visible locally. If this test fails on a new
+    query: cast the offending expression in the ORACLE SQL (e.g.
+    ``CAST(SUM(x) OVER (...) AS BIGINT)`` — NOTES.md rulebook)."""
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL
+
+    allowed = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE",
+               "TIMESTAMP", "BOOLEAN"}
+
+    def ok(ts: str) -> bool:
+        if ts.endswith("[]"):  # list columns: element type must be portable
+            return ok(ts[:-2])
+        return ts in allowed or ts.startswith("DECIMAL(")
+
+    offenders = []
+    for name, sql in ORACLE_SQL.items():
+        rel = con.sql(sql)
+        offenders += [
+            (name, c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if not ok(str(t))
+        ]
+    assert not offenders, f"non-portable oracle result types: {offenders}"
+
+
 def test_all_queries_have_oracle_or_are_flagged():
     missing = set(QUERIES) - set(ORACLE_SQL)
     # rows-only checks are allowed but must be deliberate; keep the list
