@@ -44,6 +44,7 @@ analyzer/codegen breaks.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from dex_data_ingestor_spark.functions.scalars import WS
 
 #: End-of-word sentinel (classic BPE): lets merges distinguish "est"
 #: inside a word from "est" at the end. Chosen outside the split
@@ -60,7 +61,7 @@ def word_frequencies(
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
-    w = F.explode(F.split(F.trim(t), r"\s+")).alias("word")
+    w = F.explode(F.split(F.trim(t), WS)).alias("word")
     return (
         df.select(w)
         .filter(F.col("word") != "")
@@ -316,12 +317,14 @@ def apply_bpe(
 
             import pandas as pd
 
-            # Java \s is ASCII-only ([ \t\n\x0B\f\r]); Python
-            # str.split() breaks on ALL Unicode whitespace (U+00A0,
-            # U+2028, ...), which would silently change tokenization
+            # the shared explicit whitespace class (scalars.WS —
+            # \x0B excluded: RE2 \s never matched it and the
+            # expression path now uses the same class); Python
+            # str.split() would break on ALL Unicode whitespace
+            # (U+00A0, U+2028, ...), silently changing tokenization
             # the moment 'auto' crosses MAX_EXPR_MERGES. Match the
             # expression path (and word_frequencies) exactly.
-            ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+            ascii_ws = re.compile(r"[ \t\n\f\r]+")
             return pd.Series(
                 [
                     _encode_words_python(
@@ -333,7 +336,7 @@ def apply_bpe(
             )
 
         return df.withColumn(out_col, _encode(t))
-    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(F.trim(t), WS), lambda w: w != "")
     # project the word array first (HOF lambdas re-evaluate argument
     # expressions per element — the r2 shingle lesson)
     out = df.withColumn("__words", words)

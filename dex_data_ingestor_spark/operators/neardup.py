@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from dex_data_ingestor_spark.functions.scalars import md5_int64
 from dex_data_ingestor_spark.io import rebalance_if_underpartitioned
+from dex_data_ingestor_spark.functions.scalars import WS
 
 #: Mersenne prime 2^31-1: the classic universal-hash modulus.
 MINHASH_P = 2147483647
@@ -50,7 +51,7 @@ def word_ngrams(text, n: int):
 
 
 def _word_ngrams_col(c, n: int):
-    ws = F.split(F.trim(c), r"\s+")
+    ws = F.split(F.trim(c), WS)
     return _grams_from_words(ws, n)
 
 
@@ -76,7 +77,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     measured 17x slower at sf0.1.
     """
     ws = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__ws")
+        F.col(id_col), F.split(F.trim(F.col(text_col)), WS).alias("__ws")
     )
     return ws.select(
         F.col(id_col),
@@ -99,7 +100,7 @@ def minhash_signatures_wide(
     than ``shingle_n`` words have no shingles and are dropped, matching
     the old groupBy semantics (no shingle rows -> no group).
     """
-    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    ws = F.split(F.trim(F.col(text_col)), WS)
     # The no-shingle filter must be this cheap word-count predicate:
     # filtering on size(__gh) reads clean but predicate pushdown
     # substitutes the filter BELOW the projections, re-inlining the
@@ -366,7 +367,7 @@ def simhash(
     run at any scale."""
     tokens = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col(text_col)), WS)).alias("tok"),
     ).withColumn("tok_hash", md5_int64(F.col("tok")))
     sums = tokens.groupBy(id_col).agg(
         *[
@@ -512,7 +513,7 @@ def char_shingles(
     whitespace-poor text (CJK, code, URLs) where word n-grams are too
     coarse. Same downstream contract as :func:`shingles`, so the
     minhash/LSH pipeline runs unchanged on either."""
-    norm_text = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm_text = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS, " ")
     base = df.select(F.col(id_col), norm_text.alias("__t"))
     # substring with a dynamic start position needs the SQL expr form
     base = base.withColumn(
@@ -551,7 +552,7 @@ def char_minhash_signatures_wide(
     is untouched because only the min leaves the document.
     """
     norm = F.regexp_replace(
-        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+        F.lower(F.trim(F.col(text_col))), WS, " "
     )
     base = df.select(F.col(id_col), norm.alias("__t")).filter(
         F.length("__t") >= k

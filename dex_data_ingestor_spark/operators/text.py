@@ -13,10 +13,11 @@ import re
 from pyspark.sql import Column, DataFrame, functions as F
 
 from dex_data_ingestor_spark.functions.scalars import md5_int64
+from dex_data_ingestor_spark.functions.scalars import WS
 
 #: BPE-ish token pattern: word pieces, numbers, or single non-space
 #: punctuation — a deterministic stand-in for a real tokenizer's count.
-TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
 
 #: Tiny per-language stopword marker lists for the n-gram/stopword
 #: language-ID heuristic.
@@ -33,7 +34,7 @@ STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is")
 def words(text) -> Column:
     """Whitespace tokenization of trimmed text."""
     c = text if isinstance(text, Column) else F.col(text)
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(c), WS)
 
 
 def token_count(text) -> Column:
@@ -62,16 +63,19 @@ def text_stat_exprs(text_col: str) -> dict:
     word_arr = words(t)
     n_words = F.size(word_arr)
     n_tokens = token_count(t)
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w \t\n\f\r]", ""))
     n_stop = F.size(F.filter(word_arr, lambda w: w.isin(*STOPWORDS)))
     # Ratios are single IEEE divisions — already bit-deterministic; do
     # NOT round them (and never feed rounded values into further
     # arithmetic: scaled 9dp values sit exactly on round-half ties
-    # where engines' rounding algorithms diverge).
-    punct_ratio = n_punct.cast("double") / n_chars
+    # where engines' rounding algorithms diverge). Empty documents
+    # (n_chars = 0) yield NULL, not an ANSI divide-by-zero crash —
+    # oracles mirror with NULLIF. (n_words needs no guard: split of a
+    # trimmed empty string is [''], size 1, on both engines.)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars)
     stop_ratio = n_stop.cast("double") / n_words
     avg_word_len = (
-        F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / n_words
+        F.length(F.regexp_replace(t, WS, "")).cast("double") / n_words
     )
     quality = F.round(
         F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.5
@@ -161,7 +165,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 #: character classes, bounded repetition, alternation, \b — no
 #: backreferences or lookaround.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_RE = r"https?://[^\s]+"
+URL_RE = r"https?://[^ \t\n\f\r]+"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
@@ -249,7 +253,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: 64-bit int from the md5 of the normalized
     text (lowercased, whitespace collapsed) + the full content sha256.
     The md5-int is engine-portable (see functions.scalars.md5_int64)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS, " ")
     return df.select(
         F.col(id_col),
         md5_int64(norm).alias("fp64"),
@@ -279,7 +283,7 @@ def winnowing_fingerprints(
     array); one explode, no shuffle until the caller aggregates.
     Output: (id, fp) long fingerprints.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS, " ")
     base = df.select(F.col(id_col), norm.alias("__t"))
     # char codes once (HOF lambdas re-evaluate inlined expressions)
     base = base.withColumn(
@@ -346,7 +350,7 @@ def _hashed_instances(
     keep = ([id_col] if id_col is not None else []) + list(extra_cols)
     words = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         *keep,
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
+        F.explode(F.split(F.trim(F.col(text_col)), WS)).alias("__w"),
     )
     return words.select(
         *keep,
@@ -521,14 +525,14 @@ def _bigram_instances(
     unigram bucket ``fu`` when ``emit_cur`` is set — the backoff
     scorer's join key). ``None`` bucket counts keep raw hashes as
     exact event keys (see ``_bucketed``). Tokenization is the corpus
-    standard (``_hashed_instances``'s \\s+ split on trimmed text);
+    standard (``_hashed_instances``'s shared-WS split on trimmed text);
     single-token documents contribute no pairs. The pair key joins
     prev and cur with the ASCII unit separator (0x1F) so ("ab","c")
     and ("a","bc") can never collide pre-hash."""
     keep = [id_col] if id_col is not None else []
     toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         *keep,
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+        F.split(F.trim(F.col(text_col)), WS).alias("__t"),
     )
     pairs = F.expr(
         "transform(slice(__t, 2, size(__t) - 1),"
@@ -1122,7 +1126,7 @@ def pmi_collocations(
     exchange + one token-keyed exchange; the two count joins move
     only the pruned pair table."""
     toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t")
+        F.split(F.trim(F.col(text_col)), WS).alias("__t")
     )
     uni = toks.select(F.explode("__t").alias("w"))
     cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))

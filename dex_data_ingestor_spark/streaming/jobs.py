@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from dex_data_ingestor_spark import schemas
 from dex_data_ingestor_spark.operators.merge import merge_upsert
 from dex_data_ingestor_spark.session import configure_session
+from dex_data_ingestor_spark.functions.scalars import WS
 
 
 def events_stream_from_parquet(
@@ -527,7 +528,7 @@ def stream_neardup_ingest(
         )
         # < shingle_n words -> no shingles -> no LSH buckets; key those
         # by exact text hash in reserved band -1 so they still dedup
-        ws = F.split(F.trim(F.col(text_col)), r"\s+")
+        ws = F.split(F.trim(F.col(text_col)), WS)
         short = batch.filter(F.size(ws) < shingle_n).select(
             F.col(id_col),
             F.lit(-1).alias("band_id"),
@@ -663,7 +664,7 @@ def stream_contamination_guard(
         eval_docs.select(
             F.explode(
                 _grams_from_words(
-                    F.split(F.trim(F.col(text_col)), r"\s+"), n
+                    F.split(F.trim(F.col(text_col)), WS), n
                 )
             ).alias("gram")
         )
@@ -675,7 +676,7 @@ def stream_contamination_guard(
 
     with_grams = docs_stream.withColumn(
         "__grams",
-        _grams_from_words(F.split(F.trim(F.col(text_col)), r"\s+"), n),
+        _grams_from_words(F.split(F.trim(F.col(text_col)), WS), n),
     ).withColumn(
         "__gram_hashes",
         F.transform(F.col("__grams"), lambda g: F.xxhash64(g)),
@@ -747,7 +748,7 @@ def stream_perplexity_guard(
     # garbled false), not propagate NULL into size() = -1
     toks = F.coalesce(
         F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+            F.split(F.trim(F.col(text_col)), WS), lambda w: w != ""
         ),
         F.array().cast("array<string>"),
     )
@@ -833,7 +834,7 @@ def stream_nb_guard(
 
     toks = F.coalesce(
         F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+            F.split(F.trim(F.col(text_col)), WS), lambda w: w != ""
         ),
         F.array().cast("array<string>"),
     )

@@ -137,3 +137,63 @@ def test_minhash_pairs_oracle_parity_on_hot_bucket(spark, tmp_path):
     # and the output really is capped: tiled cell pairs, not 300*299/2
     n = df.count()
     assert n < 300 * 299 // 2, n
+
+
+def test_tokenizer_whitespace_parity_on_hostile_corpus(spark, tmp_path):
+    """Crafted-corpus parity for the shared explicit whitespace class
+    (VERDICT r8 "What's wrong" #3). Java ``\\s`` includes ``\\x0B``
+    (vertical tab) while DuckDB/RE2 ``\\s`` does not, so the old
+    ``\\s+`` tokenizers agreed only because no testdata contained a
+    vertical tab — one driver data regeneration away from tripping
+    every tokenizing query at once. Both sides now use
+    ``[ \\t\\n\\f\\r]+`` (scalars.WS); this corpus pins the chars
+    where the engines used to (or could) diverge: \\x0B, \\f, CR,
+    NBSP (U+00A0 — whitespace to neither engine), tabs, and
+    leading/trailing newlines."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+
+    rows = [
+        (1, "plain words only here", "en", "web", 0),
+        (2, "vertical\x0btab glues tokens", "en", "web", 0),
+        (3, "form\ffeed splits tokens", "en", "web", 0),
+        (4, "carriage\rreturn and\ttab split", "en", "web", 0),
+        (5, "nbsp is one token both sides", "en", "web", 0),
+        (6, "\n\ttrailing and leading runs\n\n", "en", "web", 0),
+        (7, "mixed \t\n\f\r all four escapes", "fr", "web", 0),
+        (8, "\x0b", "fr", "web", 0),  # lone vtab: one 1-char token
+        (9, "", "de", "web", 0),  # empty text edge
+        (10, "   ", "de", "web", 0),  # all-space edge
+    ]
+    rows = [(i, t, lang, src, len(t)) for i, t, lang, src, _ in rows]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    # one query per tokenizer entry point: split (token counts +
+    # cumulative window), split+filter (word stats battery), and the
+    # normalize-collapse regexp_replace path (fingerprint).
+    for name in ("q_token_budget", "q_text_stats", "q_fingerprint"):
+        df = QUERIES[name](spark, str(tmp_path))
+        problems = compare(df, con, ORACLE_SQL[name])
+        assert not problems, (name, problems)
+    con.close()
+    # and the divergence char really is glue now on BOTH sides: doc 2
+    # must count 3 tokens ("vertical\x0btab" is ONE token), where Java
+    # \s would have made it 4.
+    from pyspark.sql import functions as F
+
+    from dex_data_ingestor_spark.functions.scalars import WS
+
+    n = (
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .filter("doc_id = 2")
+        .select(F.size(F.split(F.trim("text"), WS)).alias("n"))
+        .head()[0]
+    )
+    assert n == 3, n
