@@ -215,6 +215,12 @@ def debounce(
 
     Scale shape: ONE hash exchange on ``key_cols``, one window
     function, a narrow filter."""
+    if "_prev_ts" in df.columns:
+        # withColumn would silently overwrite (then drop) caller data
+        raise ValueError(
+            "debounce stages an internal '_prev_ts' column; rename the "
+            "input's _prev_ts column first"
+        )
     tiebreak = order_tiebreak or []
     w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak)
     staged = df.withColumn("_prev_ts", F.lag(ts_col).over(w))

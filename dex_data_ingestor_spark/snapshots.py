@@ -176,12 +176,28 @@ def _commit(root: str, data_dir: str, op: str, extra: dict | None) -> dict:
     os.makedirs(_log_path(root), exist_ok=True)
     latest = _latest_manifest(root)
     version = (latest["version"] + 1) if latest else 1
+    extra = dict(extra or {})
+    # Carried-forward state (constraints, txn watermarks) must come
+    # from this commit's OWN lineage — the mainline latest for
+    # mainline commits, the branch head for branch-staged ones — never
+    # the raw latest manifest, which may belong to the OTHER lineage:
+    # a rollback/commit_existing on mainline while a branch holds
+    # staged constraint changes would otherwise record (and thereafter
+    # enforce) the branch's unpublished constraints on mainline. The
+    # raw latest IS the right prior whenever it belongs to the same
+    # lineage (the common case), keeping this O(1) per commit on the
+    # hot mainline/streaming path.
+    prior = latest
+    if latest is not None and (
+        latest.get("branch"),
+        latest.get("branch_id"),
+    ) != (extra.get("branch"), extra.get("branch_id")):
+        prior = _prior_manifest(root, extra.get("branch"))
     # carry the per-writer transaction watermarks forward so the
     # streaming sink's replay guard survives interleaved non-stream
     # commits (compact/rollback/manual merge) and needs only the
     # LATEST manifest to decide — O(1) per micro-batch.
-    txn = dict(latest.get("txn", {})) if latest else {}
-    extra = dict(extra or {})
+    txn = dict(prior.get("txn", {})) if prior else {}
     # new entries arrive as {app: batch_id}; stored form is
     # {app: {"b": batch_id, "v": committing_version}} so stale
     # writers can be expired by version distance (see
@@ -197,8 +213,8 @@ def _commit(root: str, data_dir: str, op: str, extra: dict | None) -> dict:
     # CONSTRAINT semantics): once recorded, every later version
     # carries — and is expected to have enforced — the same set,
     # unless a commit explicitly rewrites it.
-    if "constraints" not in extra and latest and latest.get("constraints"):
-        extra["constraints"] = latest["constraints"]
+    if "constraints" not in extra and prior and prior.get("constraints"):
+        extra["constraints"] = prior["constraints"]
     manifest = {
         "version": version,
         "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
@@ -1286,6 +1302,33 @@ def snapshot_publish(root: str, branch: str) -> dict:
             f"v{mainline['version']} (already published, or mainline "
             "advanced past the staged run — restage on a fresh branch)"
         )
+    # A newer head alone does not make a fast-forward: a mainline
+    # commit interleaved BETWEEN staged commits (base v1, staged v2,
+    # mainline v3, staged v4) leaves the head newest yet publishing
+    # would silently overwrite v3 — the lost update this guard must
+    # fail loudly on (Iceberg-style WAP publish semantics). Any
+    # mainline commit newer than the branch base that is not itself a
+    # publish OF THIS branch means mainline diverged from the staged
+    # lineage.
+    interlopers = [
+        m["version"]
+        for m in _list_manifests(root)
+        if "branch" not in m
+        and m["version"] > r["version"]
+        and not (
+            m.get("op") == "publish"
+            and m.get("published_from", {}).get("branch") == branch
+            and m["published_from"].get("branch_id", r.get("id"))
+            == r.get("id")
+        )
+    ]
+    if interlopers:
+        raise SnapshotConflict(
+            f"publish of {branch!r} would overwrite mainline: mainline "
+            f"version(s) {interlopers} were committed after the branch "
+            f"base v{r['version']} outside this branch's staged lineage "
+            "— merge/restage on a fresh branch from current mainline"
+        )
     payload = {
         k: v
         for k, v in head.items()
@@ -1294,5 +1337,6 @@ def snapshot_publish(root: str, branch: str) -> dict:
     payload["published_from"] = {
         "branch": branch,
         "head_version": head["version"],
+        **({"branch_id": r["id"]} if r.get("id") is not None else {}),
     }
     return _commit(root, head["data_dir"], "publish", payload)

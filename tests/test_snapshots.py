@@ -884,6 +884,10 @@ def test_branch_write_audit_publish_flow(spark, root):
     assert pub["published_from"] == {
         "branch": "staging",
         "head_version": m_head["version"],
+        # the ref's unique id travels with the publish record so later
+        # publish-guard checks can tell this branch run from a
+        # deleted-and-recreated namesake
+        "branch_id": S._read_ref(root, "staging")["id"],
     }
     assert _rows(S.snapshot_read(spark, root)) == {
         (1, "a"),
@@ -1206,3 +1210,86 @@ def test_refresh_agg_records_resolved_to_version(spark, root, tmp_path):
         group_cols=["g"], measures=["v"],
     )
     assert m["fact_to_version"] == 2
+
+
+def test_rollback_with_staged_branch_does_not_adopt_branch_constraints(
+    spark, root
+):
+    """ADVICE r8 (medium): _commit's constraint carry-forward must read
+    the MAINLINE-resolved prior, not the raw latest manifest — a
+    rollback (or commit_existing) on mainline while a branch holds
+    staged constraint changes must NOT record, and thereafter enforce,
+    the branch's unpublished constraints on mainline."""
+    S.snapshot_write(spark.createDataFrame([(1,)], "v long"), root)
+    S.snapshot_write(spark.createDataFrame([(2,)], "v long"), root)
+    S.snapshot_create_branch(root, "staging")
+    S.snapshot_write(
+        spark.createDataFrame([(5,)], "v long"), root,
+        branch="staging", constraints={"v_pos": "v > 0"},
+    )
+    m = S.snapshot_rollback(root, to_version=1)
+    # the rollback commit carries MAINLINE's constraint state (none),
+    # not the branch's staged set
+    assert m.get("constraints", {}) == {}
+    # and mainline writes stay ungoverned by the unpublished constraint
+    m2 = S.snapshot_write(spark.createDataFrame([(-1,)], "v long"), root)
+    assert m2["constraints"] == {}
+    # the branch chain itself still carries its staged set
+    with pytest.raises(S.SnapshotConflict):
+        # mainline advanced; staging can no longer publish, but its
+        # head state is intact for auditing
+        S.snapshot_publish(root, "staging")
+
+
+def test_publish_rejects_interleaved_mainline_commit(spark, root):
+    """ADVICE r8 (low): base v1, staged v2, mainline v3, staged v4 —
+    the head is newer than mainline, so the pure version guard passes,
+    but publishing would silently overwrite the interleaved mainline
+    write. Must raise SnapshotConflict (Iceberg-style WAP publish)."""
+    S.snapshot_write(spark.createDataFrame([(1,)], "k long"), root)
+    S.snapshot_create_branch(root, "staging")
+    S.snapshot_write(
+        spark.createDataFrame([(2,)], "k long"), root, branch="staging"
+    )
+    S.snapshot_write(spark.createDataFrame([(3,)], "k long"), root)  # v3
+    S.snapshot_write(
+        spark.createDataFrame([(4,)], "k long"), root, branch="staging"
+    )
+    with pytest.raises(S.SnapshotConflict, match="overwrite mainline"):
+        S.snapshot_publish(root, "staging")
+    # mainline untouched by the refusal
+    assert _rows(S.snapshot_read(spark, root)) == {(3,)}
+
+
+def test_publish_then_restage_then_publish_again_is_allowed(spark, root):
+    """The interleaved-commit guard must not break the documented
+    keep-staging flow: publish, stage more on the same branch, publish
+    again — the intermediate mainline commit IS this branch's own
+    publish, not an interloper."""
+    S.snapshot_write(spark.createDataFrame([(1,)], "k long"), root)
+    S.snapshot_create_branch(root, "staging")
+    S.snapshot_write(
+        spark.createDataFrame([(2,)], "k long"), root, branch="staging"
+    )
+    S.snapshot_publish(root, "staging")
+    S.snapshot_write(
+        spark.createDataFrame([(5,)], "k long"), root, branch="staging"
+    )
+    S.snapshot_publish(root, "staging")
+    assert _rows(S.snapshot_read(spark, root)) == {(5,)}
+
+
+def test_debounce_rejects_reserved_prev_ts_column(spark):
+    """ADVICE r8 (low): debounce stages an internal _prev_ts column; an
+    input already carrying one must be rejected, not silently
+    clobbered and dropped."""
+    from pyspark.sql import functions as F
+
+    from dex_data_ingestor_spark.operators.timeseries import debounce
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "x")],
+        "user_id long, ts string, _prev_ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError, match="_prev_ts"):
+        debounce(df, ["user_id"], "ts")
