@@ -44,7 +44,6 @@ from dex_data_ingestor_spark.operators.incremental import (
     incremental_window,
 )
 from dex_data_ingestor_spark.operators.merge import merge_upsert
-from dex_data_ingestor_spark.operators.pct import period_over_period
 from dex_data_ingestor_spark.operators.surrogate import surrogate_key_dense
 from dex_data_ingestor_spark.operators.vector import (
     projection_matrix_units as _projection_matrix_units,
@@ -889,7 +888,7 @@ def q_stream_sliding(spark, sf_dir):
     ), marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN prev_ts IS NULL OR
-                  date_diff('microsecond', prev_ts, ts) >= 1800000000
+                  date_diff('microsecond', prev_ts, ts) > 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM ordered
     ), sessions AS (
@@ -910,7 +909,15 @@ def q_stream_session(spark, sf_dir):
     """Gap-based sessionization (30-minute inactivity gap) via
     lag + running sum — the deterministic batch form of Spark's
     session_window (streaming/jobs.py runs the native form; a pytest
-    asserts both agree)."""
+    asserts both agree). Boundary rule: a gap of EXACTLY the
+    threshold extends the session (split needs diff > gap) — the
+    empirically-pinned native session_window behavior
+    (tests/test_streaming.py::test_session_window_merges_at_exactly_equal_gap)
+    and the q_sessionize/q_debounce island rule. r9 note: this query
+    previously used >= here (the family's one divergent boundary);
+    fixture-neutral since no exact-gap pair exists in any shipped SF,
+    aligned for real second-granularity data where exact 30:00 gaps
+    are common."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -926,7 +933,7 @@ def q_stream_session(spark, sf_dir):
             F.col("prev_ts").isNull()
             | (
                 F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
-                >= 1800 * 1000 * 1000
+                > 1800 * 1000 * 1000
             ),
             F.lit(1),
         ).otherwise(F.lit(0)),
@@ -1922,6 +1929,7 @@ def q_fingerprint(spark, sf_dir):
                                       CAST(e.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(q.qe, q.qe))), 9) AS cos_sim
     FROM embeddings e, q
+    WHERE e.embedding IS NOT NULL
     ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
 )
@@ -1932,7 +1940,11 @@ def q_vector_topk(spark, sf_dir):
     operators/vector.py (recall-tested in pytest)."""
     from dex_data_ingestor_spark.operators.vector import cosine
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        # defensive like the sibling ANN queries: a NULL embedding row
+        # would rank on engine-specific NULL ordering in the oracle
+        F.col("embedding").isNotNull()
+    )
     q = em.filter(F.col("vec_id") == 0).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("qe")
     )
@@ -2645,10 +2657,14 @@ _CAPPED_PAIRS_CTE = f"""
     )"""
 
 
-@register(
-    "q_minhash_lsh",
-    f"""
-    WITH {_GRAMS_CTE},
+#: The shared shingle->minhash->band->bucket chain (grams/hashed/
+#: params/sigs/bands/buckets CTEs) used by every minhash-family oracle
+#: (q_minhash_lsh/q_minhash_pairs/q_neardup_verified/q_neardup_incremental/
+#: q_edit_distance) — ONE definition, so a chain change (band width, hash,
+#: the whitespace-class fix pattern) can never ship to some copies and
+#: not others.
+_MINHASH_BUCKETS_CTE = f"""
+    {_GRAMS_CTE},
     hashed AS (
       SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
     ),
@@ -2663,9 +2679,18 @@ _CAPPED_PAIRS_CTE = f"""
              string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k)
                AS band_sig
       FROM sigs GROUP BY 1, 2
-    )
-    SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
-    FROM bands
+    ),
+    buckets AS (
+      SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
+      FROM bands
+    )"""
+
+
+@register(
+    "q_minhash_lsh",
+    f"""
+    WITH {_MINHASH_BUCKETS_CTE}
+    SELECT doc_id, band_id, band_hash FROM buckets
     """,
 )
 def q_minhash_lsh(spark, sf_dir):
@@ -2685,26 +2710,7 @@ def q_minhash_lsh(spark, sf_dir):
 @register(
     "q_minhash_pairs",
     f"""
-    WITH {_GRAMS_CTE},
-    hashed AS (
-      SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
-    ),
-    params(k, a, b) AS (VALUES {_MINHASH_VALUES}),
-    sigs AS (
-      SELECT doc_id, k,
-             min((a * gram_hash + b) % 2147483647) AS minhash
-      FROM hashed CROSS JOIN params GROUP BY 1, 2
-    ),
-    bands AS (
-      SELECT doc_id, CAST(floor(k / 4) AS INTEGER) AS band_id,
-             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k)
-               AS band_sig
-      FROM sigs GROUP BY 1, 2
-    ),
-    buckets AS (
-      SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
-      FROM bands
-    ),
+    WITH {_MINHASH_BUCKETS_CTE},
     {_CAPPED_PAIRS_CTE}
     SELECT a_id, b_id FROM cand_pairs
     """,
@@ -3115,11 +3121,17 @@ def q_setops(spark, sf_dir):
 @register(
     "q_asof_lookup",
     """
+    WITH p AS (
+      SELECT user_id AS p_user, p_ts, value FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') WHERE rn = 1
+    )
     SELECT v.event_id, v.user_id, CAST(v.ts AS TIMESTAMP) AS ts,
            p.value AS last_purchase_value
     FROM (SELECT * FROM events WHERE event_type = 'view') v
-    ASOF LEFT JOIN (SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts,
-                           value FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN p
       ON v.user_id = p.p_user AND p.p_ts <= CAST(v.ts AS TIMESTAMP)
     """,
 )
@@ -3128,16 +3140,28 @@ def q_asof_lookup(spark, sf_dir):
     view event, the user's latest purchase value at that moment —
     checked against DuckDB's native ASOF JOIN. The engine form
     (operators/asof.py asof_lookup) is a union + last-value range
-    window: one shuffle on the key, no range-join explosion."""
-    from dex_data_ingestor_spark.operators.asof import asof_lookup
+    window: one shuffle on the key, no range-join explosion. Quotes
+    are deduplicated per (user, ts) by max event_id — the
+    q_asof_tolerance convention — because neither the last-value
+    window (ordered by ts only) nor DuckDB's ASOF JOIN defines which
+    of two same-timestamp purchases wins; without the dedup a tie is
+    a latent nondeterministic hash mismatch."""
+    from dex_data_ingestor_spark.operators.asof import (
+        asof_lookup,
+        latest_per_key,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     probes = ev.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts"
     )
-    quotes = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value")
-    )
+    quotes = latest_per_key(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        keys=["user_id", "ts"],
+        ts_col="event_id",
+    ).drop("event_id")
     out = asof_lookup(
         probes,
         quotes,
@@ -3659,26 +3683,7 @@ def q_tfidf(spark, sf_dir):
 @register(
     "q_neardup_incremental",
     f"""
-    WITH {_GRAMS_CTE},
-    hashed AS (
-      SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
-    ),
-    params(k, a, b) AS (VALUES {_MINHASH_VALUES}),
-    sigs AS (
-      SELECT doc_id, k,
-             min((a * gram_hash + b) % 2147483647) AS minhash
-      FROM hashed CROSS JOIN params GROUP BY 1, 2
-    ),
-    bands AS (
-      SELECT doc_id, CAST(floor(k / 4) AS INTEGER) AS band_id,
-             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k)
-               AS band_sig
-      FROM sigs GROUP BY 1, 2
-    ),
-    buckets AS (
-      SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
-      FROM bands
-    )
+    WITH {_MINHASH_BUCKETS_CTE}
     SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS indexed_id
     FROM buckets n
     JOIN buckets o ON n.band_id = o.band_id AND n.band_hash = o.band_hash
@@ -4111,26 +4116,7 @@ def q_embed_stats(spark, sf_dir):
 @register(
     "q_neardup_verified",
     f"""
-    WITH {_GRAMS_CTE},
-    hashed AS (
-      SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
-    ),
-    params(k, a, b) AS (VALUES {_MINHASH_VALUES}),
-    sigs AS (
-      SELECT doc_id, k,
-             min((a * gram_hash + b) % 2147483647) AS minhash
-      FROM hashed CROSS JOIN params GROUP BY 1, 2
-    ),
-    bands AS (
-      SELECT doc_id, CAST(floor(k / 4) AS INTEGER) AS band_id,
-             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k)
-               AS band_sig
-      FROM sigs GROUP BY 1, 2
-    ),
-    buckets AS (
-      SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
-      FROM bands
-    ),
+    WITH {_MINHASH_BUCKETS_CTE},
     {_CAPPED_PAIRS_CTE},
     cands AS (SELECT a_id, b_id FROM cand_pairs),
     counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
@@ -8294,27 +8280,7 @@ def q_char_entropy(spark, sf_dir):
 
 #: the shingle->minhash->band->bucket oracle prefix shared by the LSH
 #: pair queries (kept verbatim-equal to the inline copies above).
-_MINHASH_BUCKETS_CTE = f"""
-    {_GRAMS_CTE},
-    hashed AS (
-      SELECT doc_id, {_MD5_INT.format("gram")} AS gram_hash FROM grams
-    ),
-    params(k, a, b) AS (VALUES {_MINHASH_VALUES}),
-    sigs AS (
-      SELECT doc_id, k,
-             min((a * gram_hash + b) % 2147483647) AS minhash
-      FROM hashed CROSS JOIN params GROUP BY 1, 2
-    ),
-    bands AS (
-      SELECT doc_id, CAST(floor(k / 4) AS INTEGER) AS band_id,
-             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k)
-               AS band_sig
-      FROM sigs GROUP BY 1, 2
-    ),
-    buckets AS (
-      SELECT doc_id, band_id, {_MD5_INT.format("band_sig")} AS band_hash
-      FROM bands
-    )"""
+
 
 
 @register(
@@ -8836,6 +8802,7 @@ def _rrf_oracle_sql() -> str:
                                         CAST(e.embedding AS DOUBLE[])))
                   * sqrt(list_dot_product(q.qe, q.qe))), 9) AS cos_sim
       FROM embeddings e, qv q
+      WHERE e.embedding IS NOT NULL
     ),
     vec AS (
       SELECT doc_id,
@@ -8886,7 +8853,11 @@ def q_rrf_fusion(spark, sf_dir):
         .select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
     )
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        # same NULL-embedding defense as q_vector_topk: without it the
+        # oracle's rank cut depends on engine NULL-ordering defaults
+        F.col("embedding").isNotNull()
+    )
     q = em.filter(F.col("vec_id") == 0).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("qe")
     )
@@ -9250,7 +9221,11 @@ def _mmr_shortlist(spark, sf_dir):
     erases it."""
     from dex_data_ingestor_spark.operators.vector import cosine
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        # defensive like the sibling ANN queries: a NULL embedding row
+        # would rank on engine-specific NULL ordering in the oracle
+        F.col("embedding").isNotNull()
+    )
     q = em.filter(F.col("vec_id") == 0).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("qe")
     )
@@ -9556,6 +9531,18 @@ def q_priority_lateness(spark, sf_dir):
 #: rebalance to A=r8(50), B=r9(50), C=r7 remainder for the r10
 #: window.
 #:
+#: Invariant-2 promotions owed to the r10 window (changed in r9 by
+#: the oracle-SQL code-review round, fixture-neutral and locally
+#: parity-verified with crafted boundary/tie tests, but not in the
+#: full r9 debt-drain window): q_asof_lookup (quote dedup per
+#: (user, ts) by max event_id — closes a latent timestamp-tie
+#: nondeterminism), q_stream_session (boundary aligned from >= to
+#: the family's diff > gap rule, matching the empirically-pinned
+#: native session_window), q_minhash_lsh (oracle now reads the
+#: shared _MINHASH_BUCKETS_CTE; rendered SQL differs textually,
+#: same result). q_vector_topk and q_rrf_fusion also changed (NULL-
+#: embedding defense) but already ride this window.
+#:
 #: ROTATION POLICY (re-derived r8 for a 130+-entry registry — the
 #: two-halves alternation stopped closing once the registry outgrew
 #: 2x(50-canaries)): the non-canary registry is partitioned into
@@ -9651,8 +9638,11 @@ def q_priority_lateness(spark, sf_dir):
 #: q_sessionize's slot for one round — same single-exchange window
 #: plan, and sessionize's algebra is exercised INSIDE debounce;
 #: q_approx_quantiles (rows-only by contract, like q_approx_distinct)
-#: joins r10 alternating with its exact oracle-checked twin
-#: q_quantiles' slot.
+#: was originally slotted r10 alternating with its exact twin
+#: q_quantiles, but the r9 debt-drain window (below) pulls ALL
+#: never-checked entries forward, so it rides r9 as the window's one
+#: rows-only slot; from r10 it alternates with q_quantiles as
+#: planned.
 _WINDOW_R9 = [
     # never driver-checked (added r8) — the entire debt, per verdict
     # LM quality scorers

@@ -791,3 +791,50 @@ def test_stream_debounce_batch_parity(spark, sf_dir, event_files, tmp_path):
         for r in QUERIES["q_debounce"](spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_session_exact_gap_boundary_parity(spark, tmp_path):
+    """r9 boundary alignment (code-review finding): q_stream_session
+    previously split at >= gap while every sibling (q_sessionize,
+    q_debounce, native session_window — pinned above) extends at ==.
+    This crafted table holds the exact-30:00 pair no shipped fixture
+    contains: engine, oracle, AND native session_window must all call
+    it ONE session, and 30:00.000001 two."""
+    import datetime as dt
+
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from dex_data_ingestor_spark.streaming.jobs import session_windows
+    from tests.oracle_check import compare
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 10, 0), 1, "view", 1.0, None),
+        (2, T(2024, 1, 1, 10, 30), 1, "view", 1.0, None),   # == gap: same
+        (3, T(2024, 1, 1, 9, 0), 2, "view", 1.0, None),
+        (4, T(2024, 1, 1, 9, 30, 0, 1), 2, "view", 1.0, None),  # > gap: new
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    df = QUERIES["q_stream_session"](spark, str(tmp_path))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    problems = compare(df, con, ORACLE_SQL["q_stream_session"])
+    con.close()
+    assert not problems, problems
+    got = {(r.user_id, r.session_seq): r.n_events for r in df.collect()}
+    assert got == {(1, 1): 2, (2, 1): 1, (2, 2): 1}, got
+    # and the native streaming form agrees at the boundary
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+    native = {
+        (r.user_id, r.n_events)
+        for r in session_windows(ev.drop("props")).collect()
+    }
+    assert native == {(1, 2), (2, 1)}, native
