@@ -709,6 +709,7 @@ def q_token_price(spark, sf_dir):
     SELECT event_id,
            value * 1.05 AS derived_price,
            CASE WHEN user_id % 7 = 0 THEN 0.0
+                WHEN value IS NULL THEN 0.0
                 ELSE (value * 10.0) * value END AS derived_tvl,
            1 AS asset_type_id,
            '' AS pool_address,
@@ -1878,7 +1879,12 @@ def q_text_stats(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id,
-      CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+      -- COALESCE: NULL text yields NULL hit counts; every equality
+      -- below would be NULL and the CASE would fall to ELSE 'fr',
+      -- while the engine's fall-through yields 'und' (a NULL doc has
+      -- no identifiable language)
+      CASE WHEN COALESCE(greatest(hits_de, hits_en, hits_es, hits_fr), 0)
+             = 0 THEN 'und'
            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr)
              THEN 'de'
            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr)
@@ -3483,10 +3489,14 @@ def q_string_agg(spark, sf_dir):
     """Ordered string aggregation: each user's distinct event types as
     one sorted CSV — deterministic because the order is pinned."""
     ev = load_table(spark, sf_dir, "events")
+    # a key whose every event_type is NULL has an EMPTY collect_set;
+    # standard SQL string_agg (the oracle) yields NULL there, while
+    # array_join would yield '' - match the SQL semantics
+    joined = F.array_join(F.array_sort(F.collect_set("event_type")), ",")
     return ev.groupBy("user_id").agg(
-        F.array_join(
-            F.array_sort(F.collect_set("event_type")), ","
-        ).alias("types_seen")
+        F.when(F.size(F.collect_set("event_type")) > 0, joined).alias(
+            "types_seen"
+        )
     )
 
 
@@ -6444,8 +6454,9 @@ def q_vwap(spark, sf_dir):
       FROM seg GROUP BY 1
     )
     SELECT user_id,
-           (CAST(num // den AS DOUBLE)
-            + CAST(num % den AS DOUBLE) / CAST(den AS DOUBLE))
+           (CAST(num // NULLIF(den, 0) AS DOUBLE)
+            + CAST(num % NULLIF(den, 0) AS DOUBLE)
+              / CAST(NULLIF(den, 0) AS DOUBLE))
              / 1000000.0 AS twap,
            n_segments
     FROM agg
@@ -6505,10 +6516,18 @@ def q_twap(spark, sf_dir):
         F.count(F.lit(1)).alias("n_segments"),
     )
     # Spark `div` on decimals truncates to BIGINT; `%` stays decimal.
-    twap = (
-        F.expr("num div den").cast("double")
-        + F.expr("num % den").cast("double") / F.col("den").cast("double")
-    ) / F.lit(1000000.0)
+    # den = 0 (every observation of a key at the same instant: zero
+    # total span) makes TWAP undefined -> NULL, not an ANSI
+    # divide-by-zero crash; the oracle mirrors with NULLIF.
+    twap = F.when(
+        F.col("den") > 0,
+        (
+            F.expr("num div den").cast("double")
+            + F.expr("num % den").cast("double")
+            / F.col("den").cast("double")
+        )
+        / F.lit(1000000.0),
+    )
     return agg.select("user_id", twap.alias("twap"), "n_segments")
 
 
@@ -6522,7 +6541,7 @@ def q_twap(spark, sf_dir):
              date_diff('microsecond',
                        date_trunc('hour', CAST(ts AS TIMESTAMP)),
                        CAST(ts AS TIMESTAMP)) * 2097152 + event_id AS okey
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type, bar_start,
            arg_min(value, okey) AS open_px,
@@ -6560,7 +6579,12 @@ def q_ohlc_bars(spark, sf_dir):
     At 100 TB this is the plan you want: no window function, no
     second pass; with the tape date-partitioned, bars even aggregate
     partition-locally."""
-    ev = load_table(spark, sf_dir, "events")
+    # a NULL price is not a tick: without the filter, open/close pick
+    # engine-specific NULL handling (Spark min_by carries the NULL,
+    # DuckDB arg_min skips it) and the bar hashes diverge
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     okey = (
         F.expr("timestampdiff(MICROSECOND, date_trunc('hour', ts), ts)")
         * F.lit(2097152)
@@ -6830,7 +6854,7 @@ def q_markout(spark, sf_dir):
              date_diff('microsecond',
                        date_trunc('day', CAST(ts AS TIMESTAMP)),
                        CAST(ts AS TIMESTAMP)) * 2097152 + event_id AS okey
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type, CAST(d AS DATE) AS bar_date,
            arg_min(value, okey) AS open_px,

@@ -115,7 +115,11 @@ def ohlc_bars(
     from hourly bars — open = first sub-bar's open via min_by on
     bar_start, high/low/volume merge directly — rather than widening
     this window."""
-    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    events = events.withColumn("ts", F.col("ts").cast("timestamp")).filter(
+        # a NULL price is not a tick — same rule as the batch
+        # q_ohlc_bars, so the twin parity holds on NULL-bearing tapes
+        F.col("value").isNotNull()
+    )
     okey = (
         F.expr("timestampdiff(MICROSECOND, date_trunc('hour', ts), ts)")
         * F.lit(2097152)

@@ -1,0 +1,124 @@
+"""Edge-corpus tripwires (round 9): every registered query that runs
+on a single crafted table must survive — and where an oracle exists,
+MATCH it — on data the shipped fixtures never contain: NULL text/
+value/lang/event_type/user_id, empty and all-whitespace documents,
+equal-timestamp ties, zero-duration keys, lone events. The r9 sweep
+that produced these found one ANSI crash (q_twap on a zero-total-
+duration key) and four NULL-semantics divergences (OHLC NULL ticks,
+derived_tvl's null->0 mirror, string_agg's empty set) — all invisible
+to the fixture-based parity suite because no fixture carries the
+trigger rows. A driver data regeneration could; this file makes the
+whole class a pytest failure instead of a driver-round red.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+from tests.oracle_check import compare
+
+#: errors that just mean "this query needs other tables than the one
+#: the edge corpus provides" — not failures
+_SKIP_MARKERS = (
+    "PATH_NOT_FOUND",
+    "Path does not exist",
+    "Catalog Error",
+    "IO Error",
+)
+
+
+def _sweep(spark, sf_dir: str, view_sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(view_sql)
+    ran, failures = 0, []
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+            if name in ORACLE_SQL:
+                problems = compare(df, con, ORACLE_SQL[name])
+                if problems:
+                    failures.append((name, problems[0][:200]))
+            else:
+                df.collect()
+            ran += 1
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            if any(m in msg for m in _SKIP_MARKERS):
+                continue
+            failures.append((name, msg.splitlines()[0][:200]))
+    con.close()
+    return ran, failures
+
+
+@pytest.mark.slow
+def test_every_events_query_survives_edge_tape(spark, tmp_path):
+    T = dt.datetime
+    rows = [
+        # three events at the SAME microsecond (tie + zero-duration key)
+        (1, T(2024, 1, 1, 10, 0, 0), 1, "view", 10.0, None),
+        (2, T(2024, 1, 1, 10, 0, 0), 1, "view", 20.0, None),
+        (3, T(2024, 1, 1, 10, 0, 0), 1, "purchase", 30.0, None),
+        # lone event (lead/lag NULL edge)
+        (4, T(2024, 1, 2, 9, 0, 0), 2, "click", 5.0, None),
+        # NULL and zero values
+        (5, T(2024, 1, 3, 8, 0, 0), 3, "view", None, None),
+        (6, T(2024, 1, 3, 8, 1, 0), 3, "view", 0.0, None),
+        # NULL event_type / NULL user
+        (7, T(2024, 1, 4, 7, 0, 0), 4, None, 1.5, None),
+        (8, T(2024, 1, 5, 6, 0, 0), None, "view", 2.5, None),
+        # same-key same-ts purchases (as-of tie)
+        (9, T(2024, 1, 6, 12, 0, 0), 5, "purchase", 100.0, None),
+        (10, T(2024, 1, 6, 12, 0, 0), 5, "purchase", 200.0, None),
+        (11, T(2024, 1, 6, 12, 30, 0), 5, "view", 1.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    ran, failures = _sweep(
+        spark,
+        str(tmp_path),
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')",
+    )
+    assert not failures, failures
+    assert ran >= 50, ran  # the events-only family, today 53
+
+
+@pytest.mark.slow
+def test_every_documents_query_survives_hostile_corpus(spark, tmp_path):
+    rows = [
+        (1, "plain words only here", "en", "web"),
+        (2, "vertical\x0btab glues tokens", "en", "web"),
+        (3, "form\ffeed splits tokens", "en", "web"),
+        (4, "carriage\rreturn and\ttab split", "en", "web"),
+        (5, "nbsp is one token both sides", "en", "web"),
+        (6, "\n\ttrailing and leading runs\n\n", "en", "web"),
+        (7, "mixed \t\n\f\r all four escapes", "fr", "web"),
+        (8, "\x0b", "fr", "web"),
+        (9, "", "de", "web"),
+        (10, "   ", "de", "web"),
+        (11, "a", "de", "web"),
+        (12, "x y", None, "web"),
+        (13, None, "en", "web"),
+    ]
+    rows = [(i, t, lang, src, len(t) if t else 0) for i, t, lang, src in rows]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    ran, failures = _sweep(
+        spark,
+        str(tmp_path),
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')",
+    )
+    assert not failures, failures
+    assert ran >= 50, ran  # the documents-only family, today 53
