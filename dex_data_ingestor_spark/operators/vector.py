@@ -44,6 +44,20 @@ def cosine(a, b):
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def usable_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Hygiene gate for every cosine-scoring path: rows with a USABLE
+    vector — non-NULL and nonzero norm. A failed encoder emits NULL or
+    all-zero vectors at any real corpus scale; unguarded, a zero norm
+    is an ANSI divide-by-zero in Spark while DuckDB returns NULL/inf,
+    so the same row crashes one engine and silently ranks in the
+    other. Oracles mirror with
+    ``WHERE embedding IS NOT NULL AND list_dot_product(CAST(embedding
+    AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0`` (the q_embed_auc
+    convention). Narrow filter, pushed to the scan."""
+    v = _as_double_array(F.col(vec_col))
+    return df.filter(F.col(vec_col).isNotNull() & (dot(v, v) > 0))
+
+
 def _query_lit(query_vec: list[float]):
     # One SQL-parsed literal array instead of len(vec) F.lit round
     # trips; repr() round-trips doubles exactly.
@@ -574,7 +588,17 @@ def quantize_units(x: float) -> int:
     shortest-decimal repr HALF_UP, so e.g. the double nearest
     0.1234565 casts to 123457 in Spark but 123456 under true-value
     rounding — the r7 q_twap lesson, pinned in
-    tests/test_vector_text.py.)"""
+    tests/test_vector_text.py.)
+
+    Input domain (documented precondition, like q_twap's value >= 0):
+    the exact-integer pipelines downstream — PQ sub-unit squared-L2
+    sums, the gram-matrix micro-unit products, the JL projection
+    accumulators — assume unit-scale embedding components (|x| up to
+    ~1e3 keeps every int64 product exact). A garbage row with |x|
+    ~1e30 fails LOUDLY under ANSI mode (long overflow / DECIMAL range
+    error) rather than silently corrupting the index — the intended
+    behavior; clean such rows upstream (the usable_embeddings gate
+    removes NULL/zero-norm rows, not magnitude outliers)."""
     return math.floor(x * 1e6 + 0.5)
 
 

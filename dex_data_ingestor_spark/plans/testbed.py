@@ -1936,6 +1936,8 @@ def q_fingerprint(spark, sf_dir):
                 * sqrt(list_dot_product(q.qe, q.qe))), 9) AS cos_sim
     FROM embeddings e, q
     WHERE e.embedding IS NOT NULL
+      AND list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) > 0
     ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
 )
@@ -1946,11 +1948,11 @@ def q_vector_topk(spark, sf_dir):
     operators/vector.py (recall-tested in pytest)."""
     from dex_data_ingestor_spark.operators.vector import cosine
 
-    em = load_table(spark, sf_dir, "embeddings").filter(
-        # defensive like the sibling ANN queries: a NULL embedding row
-        # would rank on engine-specific NULL ordering in the oracle
-        F.col("embedding").isNotNull()
-    )
+    from dex_data_ingestor_spark.operators.vector import usable_embeddings
+
+    # hygiene gate (q_embed_auc convention): NULL or zero-norm rows
+    # have no cosine — one engine crashes, the other ranks them
+    em = usable_embeddings(load_table(spark, sf_dir, "embeddings"))
     q = em.filter(F.col("vec_id") == 0).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("qe")
     )
@@ -1996,7 +1998,10 @@ def _ivf_oracle_sql() -> str:
     WITH cent(cell, cv, cn) AS (VALUES
       {values}
     ),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE embedding IS NOT NULL
+               AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0),
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
           FROM embeddings WHERE vec_id = 0),
     assign AS (
@@ -2043,7 +2048,9 @@ def q_ann_ivf(spark, sf_dir):
         seeded_centroids,
     )
 
-    em = load_table(spark, sf_dir, "embeddings")
+    from dex_data_ingestor_spark.operators.vector import usable_embeddings
+
+    em = usable_embeddings(load_table(spark, sf_dir, "embeddings"))
     qvec = [
         float(x)
         for x in em.filter(F.col("vec_id") == 0).head()["embedding"]
@@ -2088,7 +2095,9 @@ def _lsh_ann_oracle_sql() -> str:
       {values}
     ),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-          WHERE embedding IS NOT NULL),
+          WHERE embedding IS NOT NULL
+               AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0),
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
           FROM embeddings WHERE vec_id = 0),
     buck AS (
@@ -2133,9 +2142,9 @@ def q_ann_lsh(spark, sf_dir):
         lsh_ann_topk,
     )
 
-    em = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    from dex_data_ingestor_spark.operators.vector import usable_embeddings
+
+    em = usable_embeddings(load_table(spark, sf_dir, "embeddings"))
     qvec = [
         float(x)
         for x in em.filter(F.col("vec_id") == 0).head()["embedding"]
@@ -2445,7 +2454,10 @@ def q_ann_ivfpq(spark, sf_dir):
     "q_embed_neardup",
     """
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings)
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+               AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0)
     SELECT * FROM (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              ROUND(list_dot_product(a.v, b.v)
@@ -2461,7 +2473,9 @@ def q_embed_neardup(spark, sf_dir):
     key is an LSH bucket / IVF cell (operators/vector.py)."""
     from dex_data_ingestor_spark.operators.vector import embedding_neardup_pairs
 
-    em = load_table(spark, sf_dir, "embeddings")
+    from dex_data_ingestor_spark.operators.vector import usable_embeddings
+
+    em = usable_embeddings(load_table(spark, sf_dir, "embeddings"))
     return embedding_neardup_pairs(
         em, "vec_id", "embedding", threshold=0.25, block_col="label"
     )
@@ -2494,7 +2508,10 @@ def _semdedup_oracle_sql() -> str:
     WITH cent(cell, cv, cn) AS (VALUES
       {values}
     ),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE embedding IS NOT NULL
+               AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0),
     assign AS (
       SELECT vec_id, v, cell FROM (
         SELECT vec_id, v, cell,
@@ -2540,7 +2557,9 @@ def q_semdedup(spark, sf_dir):
         semantic_dedup,
     )
 
-    em = load_table(spark, sf_dir, "embeddings")
+    from dex_data_ingestor_spark.operators.vector import usable_embeddings
+
+    em = usable_embeddings(load_table(spark, sf_dir, "embeddings"))
     cents = seeded_centroids(_IVF_DIM, _IVF_NCELLS, seed=_IVF_SEED)
     out = semantic_dedup(
         em, "vec_id", "embedding", cents,
@@ -2861,7 +2880,10 @@ def q_multimodal_join(spark, sf_dir):
     "q_similarity_topk",
     """
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+               AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0),
     pairs AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
              ROUND(list_dot_product(a.v, b.v)
@@ -2884,7 +2906,9 @@ def q_similarity_topk(spark, sf_dir):
 
     from dex_data_ingestor_spark.operators.vector import dot, norm
 
-    em = load_table(spark, sf_dir, "embeddings").select(
+    from dex_data_ingestor_spark.operators.vector import usable_embeddings
+
+    em = usable_embeddings(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -8076,9 +8100,10 @@ def q_semdedup_fast(spark, sf_dir):
     from dex_data_ingestor_spark.operators.vector import (
         seeded_centroids,
         semantic_dedup_fast,
+        usable_embeddings,
     )
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = usable_embeddings(load_table(spark, sf_dir, "embeddings"))
     cents = seeded_centroids(_IVF_DIM, _IVF_NCELLS, seed=_IVF_SEED)
     out = semantic_dedup_fast(
         em, "vec_id", "embedding", cents,
@@ -8827,6 +8852,8 @@ def _rrf_oracle_sql() -> str:
                   * sqrt(list_dot_product(q.qe, q.qe))), 9) AS cos_sim
       FROM embeddings e, qv q
       WHERE e.embedding IS NOT NULL
+        AND list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])) > 0
     ),
     vec AS (
       SELECT doc_id,
@@ -8877,11 +8904,10 @@ def q_rrf_fusion(spark, sf_dir):
         .select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
     )
 
-    em = load_table(spark, sf_dir, "embeddings").filter(
-        # same NULL-embedding defense as q_vector_topk: without it the
-        # oracle's rank cut depends on engine NULL-ordering defaults
-        F.col("embedding").isNotNull()
-    )
+    from dex_data_ingestor_spark.operators.vector import usable_embeddings
+
+    # same hygiene gate as q_vector_topk/q_embed_auc
+    em = usable_embeddings(load_table(spark, sf_dir, "embeddings"))
     q = em.filter(F.col("vec_id") == 0).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("qe")
     )
@@ -9211,7 +9237,10 @@ def _mmr_oracle_sql() -> str:
     cand AS MATERIALIZED (
       SELECT e.vec_id AS doc_id, e.v, ROUND({cos}, 9) AS cos
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings) e, qv q
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+               AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0) e, qv q
       ORDER BY cos DESC, doc_id LIMIT {_MMR_DEPTH}
     ),
     c2 AS MATERIALIZED (
@@ -9245,11 +9274,11 @@ def _mmr_shortlist(spark, sf_dir):
     erases it."""
     from dex_data_ingestor_spark.operators.vector import cosine
 
-    em = load_table(spark, sf_dir, "embeddings").filter(
-        # defensive like the sibling ANN queries: a NULL embedding row
-        # would rank on engine-specific NULL ordering in the oracle
-        F.col("embedding").isNotNull()
-    )
+    from dex_data_ingestor_spark.operators.vector import usable_embeddings
+
+    # hygiene gate (q_embed_auc convention): NULL or zero-norm rows
+    # have no cosine — one engine crashes, the other ranks them
+    em = usable_embeddings(load_table(spark, sf_dir, "embeddings"))
     q = em.filter(F.col("vec_id") == 0).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("qe")
     )

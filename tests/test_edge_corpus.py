@@ -122,3 +122,44 @@ def test_every_documents_query_survives_hostile_corpus(spark, tmp_path):
     )
     assert not failures, failures
     assert ran >= 50, ran  # the documents-only family, today 53
+
+
+@pytest.mark.slow
+def test_every_embeddings_query_survives_edge_vectors(spark, tmp_path):
+    """Vector-family edge corpus: zero vectors (norm 0 — the cosine
+    divide-by-zero one engine crashes on and the other ranks), NULL
+    embeddings, constant vectors, denormal-tiny components. The r9
+    sweep of this corpus found 8 cosine-family ANSI crashes, fixed by
+    the usable_embeddings hygiene gate (q_embed_auc convention) on
+    both engine and oracle sides. Magnitude outliers (|x| ~1e30) are
+    deliberately NOT here: the exact-integer PQ/gram/projection
+    pipelines document unit-scale input as a precondition and fail
+    loudly on violation (quantize_units docstring)."""
+    import random
+
+    import pyspark.sql.types as T
+
+    rng = random.Random(7)
+    rows = [(0, [rng.uniform(-1, 1) for _ in range(64)], 0)]
+    for i in range(1, 40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)], i % 3))
+    rows.append((40, [0.0] * 64, 1))      # zero vector: norm 0
+    rows.append((41, None, 2))            # NULL embedding
+    rows.append((42, [1.0] * 64, 0))      # constant vector
+    rows.append((44, [1e-30] * 64, 2))    # tiny components
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    ran, failures = _sweep(
+        spark,
+        str(tmp_path),
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')",
+    )
+    assert not failures, failures
+    assert ran >= 14, ran  # the embeddings-only family, today 16
