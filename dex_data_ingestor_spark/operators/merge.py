@@ -47,6 +47,13 @@ def merge_upsert(
     ``dedup_first`` a raw batch — the reference's per-batch ``processed``
     sets do exactly that, reference: Stellar.py:83,179). ``updates`` may
     omit non-updated columns; they are null-filled before the union.
+
+    NULL-key semantics are NULL-SAFE (a NULL key matches a NULL key):
+    the implementation is one groupBy on the keys, and groupBy treats
+    NULL as a real group. This is deterministic and documented —
+    unlike SQL MERGE ``ON a = b``, which never matches NULLs and
+    would make repeated merges accumulate duplicate NULL-key rows.
+    Oracles mirror with ``IS NOT DISTINCT FROM``.
     """
     cols = existing.columns
     upd = updates

@@ -766,7 +766,8 @@ def _supp_window(spark, sf_dir, lo: str | None, hi: str):
     SELECT suppkey, volume, txns FROM w2
     UNION ALL
     SELECT w1.suppkey, w1.volume, w1.txns FROM w1
-    WHERE NOT EXISTS (SELECT 1 FROM w2 WHERE w2.suppkey = w1.suppkey)
+    WHERE NOT EXISTS (SELECT 1 FROM w2
+                      WHERE w2.suppkey IS NOT DISTINCT FROM w1.suppkey)
     """,
 )
 def q_merge_upsert(spark, sf_dir):
@@ -784,11 +785,12 @@ def q_merge_upsert(spark, sf_dir):
     f"""
     WITH w1 AS ({_W1}), w2 AS ({_W2})
     SELECT COALESCE(w1.suppkey, w2.suppkey) AS suppkey,
-           CASE WHEN w2.suppkey IS NOT NULL THEN w2.volume
+           CASE WHEN w2.txns IS NOT NULL THEN w2.volume
                 ELSE w1.volume END AS volume,
-           CASE WHEN w1.suppkey IS NOT NULL THEN w1.txns
+           CASE WHEN w1.txns IS NOT NULL THEN w1.txns
                 ELSE w2.txns END AS txns
-    FROM w1 FULL OUTER JOIN w2 ON w1.suppkey = w2.suppkey
+    FROM w1 FULL OUTER JOIN w2
+      ON w1.suppkey IS NOT DISTINCT FROM w2.suppkey
     """,
 )
 def q_merge_partial_update(spark, sf_dir):
@@ -4566,7 +4568,7 @@ def q_local_supplier_volume(spark, sf_dir):
            CAST(SUM(rev) AS DOUBLE) AS total_revenue,
            100.0 * CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
                         AS DOUBLE)
-                 / CAST(SUM(rev) AS DOUBLE) AS promo_pct
+                 / NULLIF(CAST(SUM(rev) AS DOUBLE), 0) AS promo_pct
     FROM j GROUP BY 1
     """,
 )
@@ -4598,7 +4600,15 @@ def q_promo_revenue(spark, sf_dir):
         "promo_revenue",
         "total_revenue",
         (
-            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")
+            # a month whose every line is fully discounted has zero
+            # total revenue: promo share is undefined -> NULL (ANSI
+            # double/0 is an error in Spark, inf in DuckDB)
+            F.when(
+                F.col("total_revenue") != 0,
+                F.lit(100.0)
+                * F.col("promo_revenue")
+                / F.col("total_revenue"),
+            )
         ).alias("promo_pct"),
     )
 

@@ -163,3 +163,79 @@ def test_every_embeddings_query_survives_edge_vectors(spark, tmp_path):
     )
     assert not failures, failures
     assert ran >= 14, ran  # the embeddings-only family, today 16
+
+
+@pytest.mark.slow
+def test_every_relational_query_survives_edge_tpch(spark, tmp_path):
+    """TPC-H-shape edge corpus: NULL join keys (a NULL l_suppkey /
+    o_custkey row in the fact tables), NULL dates, NULL measures,
+    zero quantities, a 100%-discount line (zero revenue), NULL dim
+    attributes. The r9 sweep found q_promo_revenue's ANSI
+    divide-by-zero (a month whose every line is fully discounted) and
+    the merge-family oracles silently using non-null-safe key
+    equality while the engine's groupBy merge is null-safe — both
+    fixed; this keeps the class closed."""
+    import datetime as dt
+
+    T = dt.datetime
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+
+    w("region", [(0, "AFRICA"), (1, "AMERICA"), (2, None)],
+      "r_regionkey int, r_name string")
+    w("nation",
+      [(0, "ALGERIA", 0), (1, "BRAZIL", 1), (2, None, 2), (3, "CANADA", None)],
+      "n_nationkey int, n_name string, n_regionkey int")
+    w("customer",
+      [(1, "Cust#1", 0, 100.0, "BUILDING"),
+       (2, "Cust#2", 1, -5.0, "AUTOMOBILE"),
+       (3, None, 2, None, None),
+       (4, "Cust#4", None, 0.0, "BUILDING"),
+       (5, "Cust#5", 3, 50.0, "MACHINERY")],
+      "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+      "c_mktsegment string")
+    w("supplier",
+      [(1, "Supp#1", 0, 10.0), (2, "Supp#2", 1, None), (3, None, None, -1.0)],
+      "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+    w("part",
+      [(1, "green metal thing", "Brand#1", "STANDARD BRASS", 5, 10.0),
+       (2, "red shiny widget", "Brand#2", None, None, None),
+       (3, None, "Brand#1", "PROMO COPPER", 50, 99.9),
+       (4, "blue part", "Brand#3", "MEDIUM STEEL", 1, 0.0)],
+      "p_partkey long, p_name string, p_brand string, p_type string, "
+      "p_size int, p_retailprice double")
+    w("orders",
+      [(1, 1, "O", 100.0, T(1996, 3, 1), "1-URGENT"),
+       (2, 2, "F", None, T(1997, 6, 15), "5-LOW"),
+       (3, None, "F", 50.0, T(1995, 1, 2), None),
+       (4, 3, None, 0.0, None, "2-HIGH"),
+       (5, 5, "O", 75.0, T(1998, 5, 20), "3-MEDIUM"),
+       (6, 4, "F", 20.0, T(1996, 12, 31), "1-URGENT")],
+      "o_orderkey long, o_custkey long, o_orderstatus string, "
+      "o_totalprice double, o_orderdate timestamp_ntz, "
+      "o_orderpriority string")
+    w("lineitem",
+      [(1, 1, 1, 1, 5.0, 100.0, 0.1, 0.02, "N", "O", T(1996, 4, 1)),
+       (1, 2, 2, 2, 0.0, 50.0, 0.0, 0.0, "R", "F", T(1996, 4, 2)),
+       (2, 3, 3, 1, None, None, None, None, None, None, None),
+       (3, 1, 2, 1, 3.0, 30.0, 0.05, 0.01, "A", "F", T(1995, 2, 1)),
+       (4, 4, 1, 1, 2.0, 20.0, 1.0, 0.0, "N", "O", T(1998, 7, 1)),
+       (5, 2, 3, 1, 10.0, 200.0, 0.2, 0.05, "N", "O", T(1998, 6, 1)),
+       (5, None, None, 2, 1.0, 10.0, 0.0, 0.0, "R", "F", T(1998, 6, 2)),
+       (6, 3, 1, 1, 7.0, 70.0, 0.07, 0.03, "A", "F", T(1997, 1, 15))],
+      "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+      "l_quantity double, l_extendedprice double, l_discount double, "
+      "l_tax double, l_returnflag string, l_linestatus string, "
+      "l_shipdate timestamp_ntz")
+    views = "; ".join(
+        f"CREATE VIEW {t} AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        for t in "region nation customer supplier part orders "
+                 "lineitem".split()
+    )
+    ran, failures = _sweep(spark, str(tmp_path), views)
+    assert not failures, failures
+    assert ran >= 45, ran  # the relational family, today ~49
