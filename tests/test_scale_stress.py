@@ -367,3 +367,129 @@ def test_lm_scorers_hot_vocab_parity_at_scale(spark, tmp_path):
     ).fetchone()[0]
     con.close()
     assert n_feat <= 65536
+
+
+# =========================================================================
+# Session / product-analytics family under hot-user skew
+# =========================================================================
+
+
+@pytest.fixture(scope="module")
+def skewed_clickstream(spark, tmp_path_factory):
+    """A clickstream the way real products skew: one hot user (a bot
+    or a shared account) with 90% of 60k events in rapid-fire bursts,
+    a Zipfian tail over ~500 real users, equal-timestamp ties (retry
+    double-submits, broken by event_id), and a deterministic BOUNDARY
+    strand for one user: consecutive events spaced at exactly the
+    sessionize gap (1800 s, strict > rule -> same session), one
+    microsecond past it (new session), and exactly the debounce gap
+    (86400 s, strict > -> same burst). Spans 8 weeks so retention has
+    a real cohort grid."""
+    import datetime
+
+    rng = random.Random(20260815)
+    base = datetime.datetime(2024, 1, 1)
+    types = ("view", "click", "purchase", "scroll", "refresh")
+    rows = []
+    for i in range(N_TICKS):
+        if rng.random() < HOT_SHARE:
+            user = 1
+            # bursts: dense sub-second traffic inside a few hot hours
+            ts = base + datetime.timedelta(
+                hours=rng.randrange(0, 8 * 7 * 24, 7),
+                microseconds=rng.randrange(0, 3600_000_000),
+            )
+        else:
+            user = 2 + max(1, int(500 ** rng.random()))
+            ts = base + datetime.timedelta(
+                seconds=rng.uniform(0, 8 * 7 * 86400)
+            )
+        etype = types[min(4, int(5 ** rng.random()) - 1 + rng.randrange(3))]
+        rows.append((i, ts, user, etype, rng.uniform(0.0, 500.0), None))
+    # equal-timestamp ties: duplicate 200 hot-user rows with new ids
+    ties = [
+        (N_TICKS + j, r[1], r[2], r[3], r[4], None)
+        for j, r in enumerate(rows[:200])
+    ]
+    # boundary strand, user 9999: exact-gap chains
+    t0 = base + datetime.timedelta(days=10)
+    strand, t, eid = [], t0, N_TICKS + 10_000
+    for step_us in (
+        1_800_000_000,      # == sessionize gap -> SAME session
+        1_800_000_000,      # chain of exact gaps stays one island
+        1_800_000_001,      # 1 us past -> NEW session
+        86_400_000_000,     # == debounce gap -> same burst
+        86_400_000_001,     # 1 us past -> new burst
+    ):
+        t = t + datetime.timedelta(microseconds=step_us)
+        strand.append((eid, t, 9999, "view", 1.0, None))
+        eid += 1
+    rows = rows + ties + [(N_TICKS + 9_999, t0, 9999, "view", 1.0, None)]
+    rows += strand
+    path = tmp_path_factory.mktemp("clickstream")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).repartition(8).write.parquet(str(path / "events.parquet"))
+    return str(path)
+
+
+@pytest.mark.slow
+def test_session_family_hot_user_parity_at_scale(spark, skewed_clickstream):
+    """Sessionize/funnel/retention/rolling-DAU/salted-agg/debounce
+    must hold BITWISE oracle parity on the 60k-event hot-user tape —
+    the regime where tie-break instability, gap-boundary drift, or a
+    non-associative salted partial would first show (the shipped
+    fixtures are uniform and 60x smaller)."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{skewed_clickstream}/events.parquet/*.parquet')"
+    )
+    for name in (
+        "q_sessionize", "q_funnel", "q_retention",
+        "q_rolling_dau", "q_salted_agg", "q_debounce",
+    ):
+        df = QUERIES[name](spark, skewed_clickstream)
+        problems = compare(df, con, ORACLE_SQL[name])
+        assert not problems, (name, problems)
+    # the exact-gap strand resolved per the strict-> rule: the two
+    # exact-1800s steps stay in session 1, the +1us step opens
+    # session 2, and each 24h-scale step opens a new session -> 4
+    # sessions; debounce (24 h gap, same strict rule) keeps the
+    # exact-86400s step in burst 1 and only the +1us step opens
+    # burst 2.
+    sess = con.sql(
+        "SELECT COUNT(*) FROM (" + ORACLE_SQL["q_sessionize"]
+        + ") WHERE user_id = 9999"
+    ).fetchone()[0]
+    assert sess == 4, sess
+    bursts = con.sql(
+        "SELECT COUNT(*) FROM (" + ORACLE_SQL["q_debounce"]
+        + ") WHERE user_id = 9999"
+    ).fetchone()[0]
+    assert bursts == 2, bursts
+    con.close()
+
+
+@pytest.mark.slow
+def test_session_family_plans_hold_under_skew(spark, skewed_clickstream):
+    """The single-exchange plan claims for the window-family queries
+    must survive the hot user: skew changes task runtimes, never the
+    plan shape."""
+    import re
+
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    for name in ("q_sessionize", "q_debounce"):
+        df = QUERIES[name](spark, skewed_clickstream)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+        assert n_ex == 1, (name, n_ex, plan)
