@@ -492,29 +492,41 @@ def embedding_neardup_pairs_fast(
     )
 
 
-def _np_quantize_units(values, dim: int):
-    """Stack a pandas column of vectors and quantize to micro-unit
-    int64 by the floor(x*1e6 + 0.5) rule — the ONE numpy copy of the
-    exactness-critical quantizer shared by gram_matrix_fast and
-    pq_encode_fast. Raises on wrong-length rows (a silent top-left
-    block labeled as the full result is the failure mode) and on
-    non-finite elements (np.floor(NaN).astype(int64) is UNDEFINED —
-    typically INT64_MIN — and would overflow-wrap the integer matmuls
-    into garbage with no error; callers either pre-quarantine such
-    rows or want the loud failure)."""
+def _make_np_quantizer(dim: int):
+    """Build the numpy micro-unit quantizer as a CLOSURE — the ONE
+    numpy copy of the exactness-critical floor(x*1e6 + 0.5) rule
+    shared by gram_matrix_fast and pq_encode_fast. It must be a
+    closure, not a module-level function: the Arrow kernels capture
+    it, and cloudpickle ships closures BY VALUE while module-level
+    functions ship by reference (module + qualname) — a by-reference
+    kernel helper makes every fast twin crash with
+    ModuleNotFoundError on any executor whose PYTHONPATH lacks this
+    package (found by a clean-worker driver-sim; pinned in
+    tests/test_worker_env.py). Every other kernel in this repo is
+    already a self-contained closure for the same reason.
+
+    The returned quantizer raises on wrong-length rows (a silent
+    top-left block labeled as the full result is the failure mode)
+    and on non-finite elements (np.floor(NaN).astype(int64) is
+    UNDEFINED — typically INT64_MIN — and would overflow-wrap the
+    integer matmuls into garbage with no error; callers either
+    pre-quarantine such rows or want the loud failure)."""
     import numpy as np
 
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in values])
-    if mat.shape[1] != dim:
-        raise ValueError(
-            f"vector length {mat.shape[1]} != declared dim {dim}"
-        )
-    if not np.isfinite(mat).all():
-        raise ValueError(
-            "non-finite (NaN/Inf/NULL-element) vector components — "
-            "quantization is undefined; filter or quarantine upstream"
-        )
-    return np.floor(mat * 1e6 + 0.5).astype(np.int64)
+    def quantize(values):
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in values])
+        if mat.shape[1] != dim:
+            raise ValueError(
+                f"vector length {mat.shape[1]} != declared dim {dim}"
+            )
+        if not np.isfinite(mat).all():
+            raise ValueError(
+                "non-finite (NaN/Inf/NULL-element) vector components — "
+                "quantization is undefined; filter or quarantine upstream"
+            )
+        return np.floor(mat * 1e6 + 0.5).astype(np.int64)
+
+    return quantize
 
 
 def gram_matrix_fast(
@@ -544,12 +556,14 @@ def gram_matrix_fast(
     import numpy as np
     import pandas as pd
 
+    quantize = _make_np_quantizer(dim)
+
     def kernel(batches):
         iu = np.triu_indices(dim)
         for pdf in batches:
             if pdf.empty:
                 continue
-            units = _np_quantize_units(pdf[vec_col], dim)
+            units = quantize(pdf[vec_col])
             gram = units.T @ units
             yield pd.DataFrame(
                 {
@@ -730,6 +744,8 @@ def pq_encode_fast(
         + [T.StructField(codes_col, T.ArrayType(T.IntegerType()))]
     )
 
+    quantize = _make_np_quantizer(dim)
+
     def kernel(batches):
         for pdf in batches:
             vals = pdf[vec_col]
@@ -746,9 +762,7 @@ def pq_encode_fast(
             codes: list = [None] * len(pdf)
             idx = np.where(ok)[0]
             if len(idx):
-                units = _np_quantize_units(
-                    vals.iloc[idx], dim
-                )
+                units = quantize(vals.iloc[idx])
                 cs = np.empty((len(idx), m), dtype=np.int32)
                 for s in range(m):
                     x = units[:, s * sub : (s + 1) * sub]

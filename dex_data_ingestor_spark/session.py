@@ -40,6 +40,47 @@ RUNTIME_CONFS: dict[str, str] = {
 _CONFIGURED: set[str] = set()
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Why: cloudpickle serializes module-level functions BY REFERENCE
+    (module + qualname), so any kernel that calls a module helper —
+    the multimodal codecs' ``decode_media``, the Q96 UDF's
+    ``_price_pair_py``, the BPE pandas mirror — needs
+    ``dex_data_ingestor_spark`` importable inside every executor's
+    worker. On the local test rig that works by accident (workers run
+    ``python -m pyspark.daemon`` from the driver's cwd, and ``-m``
+    puts cwd on sys.path); on a real cluster the executors share
+    nothing with the driver's filesystem. ``addPyFile`` is the
+    standard Spark answer: the zip is fetched once per executor and
+    prepended to every worker's import path — the same mechanism as
+    ``spark-submit --py-files``. Registry queries additionally keep
+    their kernels as self-contained closures (shipped by value, see
+    ``_make_np_quantizer``) so the correctness window never depends
+    on this; the clean-worker guard in tests/test_worker_env.py pins
+    both layers.
+
+    Zip cost: ~0.1 s and a few hundred KB, once per session.
+    """
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(
+        prefix="dex_data_ingestor_spark_", suffix=".zip"
+    )
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, dirnames, filenames in os.walk(pkg_dir):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.
 
@@ -56,6 +97,13 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # A locked-down session (static conf) — reads of ns-parquet
             # will fail loudly later with a clear Spark error.
             pass
+    try:
+        _ship_package(spark)
+    except Exception:
+        # A session that forbids addPyFile (or a read-only tmp) —
+        # module-helper kernels then need the package on the
+        # executors' PYTHONPATH, the plain spark-submit contract.
+        pass
     _CONFIGURED.add(app_id)
     return spark
 

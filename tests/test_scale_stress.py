@@ -493,3 +493,135 @@ def test_session_family_plans_hold_under_skew(spark, skewed_clickstream):
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
         assert n_ex == 1, (name, n_ex, plan)
+
+
+# =========================================================================
+# Vector / ANN family under hot-cell skew
+# =========================================================================
+
+N_CLUMP = 1500        # near-identical clump -> one mega duplicate group
+N_VTAIL = 4500        # random-direction tail
+VEC_DIM = 64          # matches the fixture tables / _IVF_DIM
+
+
+@pytest.fixture(scope="module")
+def skewed_embeddings(spark, tmp_path_factory):
+    """An embedding corpus the way real encoder output skews: one
+    near-identical clump of 1500 vectors (a boilerplate page embedded
+    1500 times — pairwise cosine ~1.0, all landing in ONE IVF cell:
+    the semantic-dedup hot-cell regime the docstring warns about), a
+    4500-vector random-direction tail (12x the sf0.01 table), plus
+    the failure rows every real corpus carries — NULL embeddings and
+    all-zero vectors from crashed encoder shards — riding along to
+    prove the usable_embeddings gate at scale. Components stay unit-
+    scale (the documented exact-integer input domain) and are
+    generated as exact float32 values so the FLOAT[] parquet round
+    trip is lossless on both engines."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260815)
+    base_dir = rng.standard_normal(VEC_DIM)
+    base_dir /= np.linalg.norm(base_dir)
+    rows = []
+    vid = 0
+    # vec_id 0 is the query vector for the topk/ANN queries: a tail
+    # vector, deliberately NOT in the clump so top-k has real ranking
+    # work to do
+    q = np.float32(rng.standard_normal(VEC_DIM))
+    rows.append((vid, [float(x) for x in q], 0))
+    vid += 1
+    for _ in range(N_CLUMP):
+        v = np.float32(base_dir + 1e-3 * rng.standard_normal(VEC_DIM))
+        rows.append((vid, [float(x) for x in v], int(rng.integers(0, 4))))
+        vid += 1
+    for _ in range(N_VTAIL):
+        v = np.float32(rng.standard_normal(VEC_DIM))
+        # Zipfian label blocks: label r with p(r) ~ 1/r over 10 labels
+        label = max(1, int(10 ** rng.random())) - 1
+        rows.append((vid, [float(x) for x in v], label))
+        vid += 1
+    # encoder-failure rows: NULL and all-zero embeddings
+    for _ in range(12):
+        rows.append((vid, None, 0))
+        vid += 1
+    for _ in range(12):
+        rows.append((vid, [0.0] * VEC_DIM, 1))
+        vid += 1
+    path = tmp_path_factory.mktemp("vecs")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(8).write.parquet(str(path / "embeddings.parquet"))
+    return str(path)
+
+
+@pytest.mark.slow
+def test_vector_family_hot_cell_parity_at_scale(spark, skewed_embeddings):
+    """q_vector_topk / q_ann_ivf / q_semdedup / q_similarity_topk must
+    hold BITWISE oracle parity on the 6000-vector hot-cell corpus —
+    the regime where a tie-break instability inside the ~1.1M-pair
+    clump (thousands of cosines rounding to the same 9dp value), a
+    hot-cell partial-aggregation bug, or an unguarded NULL/zero-norm
+    row would first show (the shipped fixtures are uniform, 12x
+    smaller, and carry no failure rows)."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{skewed_embeddings}/embeddings.parquet/*.parquet')"
+    )
+    for name in (
+        "q_vector_topk", "q_ann_ivf", "q_semdedup", "q_similarity_topk",
+    ):
+        df = QUERIES[name](spark, skewed_embeddings)
+        problems = compare(df, con, ORACLE_SQL[name])
+        assert not problems, (name, problems)
+    con.close()
+
+
+@pytest.mark.slow
+def test_semdedup_hot_cell_collapses_clump(spark, skewed_embeddings):
+    """The 1500-vector clump is one duplicate group: semantic dedup
+    must keep exactly its min-id member, the BLAS twin must pin the
+    IDENTICAL survivor set under skew (the fast path's per-cell
+    matmul sees a 1500x64 block here, not the 10-row fixture cells),
+    and the pair stage must stay keyed on the cell — no cartesian /
+    nested-loop join may appear in the executed plan."""
+    from dex_data_ingestor_spark.operators.vector import (
+        seeded_centroids,
+        semantic_dedup,
+        semantic_dedup_fast,
+        usable_embeddings,
+    )
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.plans.testbed import (
+        _IVF_DIM,
+        _IVF_NCELLS,
+        _IVF_SEED,
+        _SEMDEDUP_THRESHOLD,
+    )
+
+    em = usable_embeddings(load_table(spark, skewed_embeddings, "embeddings"))
+    cents = seeded_centroids(_IVF_DIM, _IVF_NCELLS, seed=_IVF_SEED)
+    slow = semantic_dedup(
+        em, "vec_id", "embedding", cents, threshold=_SEMDEDUP_THRESHOLD
+    )
+    fast = semantic_dedup_fast(
+        em, "vec_id", "embedding", cents, threshold=_SEMDEDUP_THRESHOLD
+    )
+    slow_ids = {r.vec_id for r in slow.select("vec_id").collect()}
+    fast_ids = {r.vec_id for r in fast.select("vec_id").collect()}
+    assert slow_ids == fast_ids
+    # clump ids are 1..N_CLUMP; pairwise cosine ~1.0 >> threshold, so
+    # the whole clump is connected through its min id -> exactly the
+    # min id survives
+    clump_survivors = slow_ids & set(range(1, N_CLUMP + 1))
+    assert clump_survivors == {1}, sorted(clump_survivors)[:5]
+    # zero-norm and NULL rows were gated out, never deduped in
+    assert not any(i >= 1 + N_CLUMP + N_VTAIL for i in slow_ids)
+    plan = slow._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
