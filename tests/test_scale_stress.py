@@ -625,3 +625,125 @@ def test_semdedup_hot_cell_collapses_clump(spark, skewed_embeddings):
     plan = slow._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# =========================================================================
+# Lakehouse (snapshots.py) under long-history / many-file load
+# =========================================================================
+
+N_COMMITS = 36
+
+
+@pytest.mark.slow
+def test_lakehouse_long_history_parity_at_scale(spark, tmp_path):
+    """36 mixed commits (MERGE / DELETE / rollback / full rewrite) —
+    a year of daily batches in miniature — replayed against an exact
+    driver-side model: HEAD, three time-travel probes (including one
+    straddling a rollback), and a distant-range CDF must all match
+    the model verbatim, and the version log must list every commit.
+    The shipped tests exercise each op 1-2 commits deep; a long
+    chain is where carry-forward state (constraints, merge keys,
+    rollback data-dir reuse) would first drift."""
+    import random as pyrandom
+
+    from dex_data_ingestor_spark import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    rng = pyrandom.Random(20260815)
+
+    def to_df(state: dict[int, int]):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(state.items())], "k long, v long"
+        )
+
+    # version -> exact expected content
+    states: dict[int, dict[int, int]] = {}
+    state = {k: 0 for k in range(400)}
+    m = S.snapshot_write(to_df(state), root)
+    states[m["version"]] = dict(state)
+
+    for round_no in range(1, N_COMMITS):
+        op = rng.random()
+        if op < 0.6:  # MERGE a skewed batch (hot keys + inserts)
+            batch = {
+                rng.randrange(0, 1200): round_no for _ in range(50)
+            }
+            m = S.snapshot_merge(
+                spark, root, to_df(batch), keys=["k"]
+            )
+            state = {**state, **batch}
+        elif op < 0.8:  # DELETE by predicate
+            mod = rng.choice((7, 11, 13))
+            m = S.snapshot_delete(spark, root, f"v % {mod} = 0")
+            state = {k: v for k, v in state.items() if v % mod != 0}
+        elif op < 0.9 and len(states) > 2:  # rollback to a past version
+            target = rng.choice(sorted(states)[:-1])
+            m = S.snapshot_rollback(root, to_version=target)
+            state = dict(states[target])
+        else:  # full rewrite (compaction-style content replacement)
+            m = S.snapshot_write(to_df(state), root, op="write")
+        states[m["version"]] = dict(state)
+
+    assert len(S.snapshot_versions(root)) == len(states)
+
+    def table_state(df) -> dict[int, int]:
+        return {r.k: r.v for r in df.collect()}
+
+    # HEAD and three probes (early, straddling the chain's middle,
+    # and the most recent non-HEAD version)
+    assert table_state(S.snapshot_read(spark, root)) == state
+    versions = sorted(states)
+    for probe in (versions[1], versions[len(versions) // 2], versions[-2]):
+        assert table_state(
+            S.snapshot_read(spark, root, version=probe)
+        ) == states[probe], probe
+
+    # CDF across half the history == the model diff
+    lo = versions[len(versions) // 2]
+    old, new = states[lo], state
+    want = {}
+    for k in old.keys() | new.keys():
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+    feed = {
+        r.k: r.status
+        for r in S.snapshot_changes(
+            spark, root, from_version=lo, keys=["k"]
+        ).collect()
+    }
+    assert feed == want
+
+
+@pytest.mark.slow
+def test_lakehouse_stat_pruning_at_file_count(spark, tmp_path):
+    """64-file range-clustered snapshot (8x the shipped pruning
+    test): a point-range scan must read a handful of files, not a
+    fraction that merely rounds down — at 100 TB the manifest prune
+    IS the difference between a metadata operation and a full scan.
+    Out-of-range scans stay schema-stable at zero files."""
+    from pyspark.sql import functions as F
+
+    from dex_data_ingestor_spark import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 256_000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 1009).alias("v"),
+        )
+        .repartitionByRange(64, "k")
+    )
+    m = S.snapshot_write_with_stats(df, root, stats_cols=["k"])
+    assert len(m["files"]) == 64
+    # a 2000-wide window spans 4000 ids per file -> at most 2 files
+    pruned = S.snapshot_scan_pruned(spark, root, "k", 100_000, 101_000)
+    assert len(pruned.inputFiles()) <= 2, len(pruned.inputFiles())
+    got = pruned.filter(F.col("k").between(100_000, 101_000)).count()
+    assert got == 1001
+    empty = S.snapshot_scan_pruned(spark, root, "k", 10**9, 10**9 + 1)
+    assert empty.columns == ["k", "v"] and empty.count() == 0
