@@ -747,3 +747,123 @@ def test_lakehouse_stat_pruning_at_file_count(spark, tmp_path):
     assert got == 1001
     empty = S.snapshot_scan_pruned(spark, root, "k", 10**9, 10**9 + 1)
     assert empty.columns == ["k", "v"] and empty.count() == 0
+
+
+# =========================================================================
+# Structured Streaming twins under hot-key skew
+# =========================================================================
+
+
+@pytest.mark.slow
+def test_streaming_ohlc_hot_key_parity_and_bounded_state(
+    spark, skewed_tape, tmp_path
+):
+    """The streaming OHLC twin drained over the 60k-tick hot-key tape
+    (8 micro-batches, each spanning the FULL time range — every batch
+    delivers late data for every open bar) must emit exactly the
+    batch q_ohlc_bars series, and its state-store row count must
+    equal the number of BARS, not scale with ticks — per-key state
+    bounded by output cardinality is the claim that survives a 100x
+    tape."""
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+    from dex_data_ingestor_spark.streaming.jobs import (
+        events_stream_from_parquet,
+        ohlc_bars,
+    )
+
+    stream = events_stream_from_parquet(
+        spark, f"{skewed_tape}/events.parquet", max_files_per_trigger=1
+    )
+    q = (
+        ohlc_bars(stream)
+        .writeStream.format("memory")
+        .queryName("t_ohlc_skew")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc_skew"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    progress = q.lastProgress
+    cols = (
+        "bar_start", "event_type", "open_px", "high_px", "low_px",
+        "close_px", "n_ticks", "volume_units",
+    )
+    got = {
+        tuple(r[c] for c in cols)
+        for r in spark.sql("select * from t_ohlc_skew").collect()
+    }
+    want = {
+        tuple(r[c] for c in cols)
+        for r in QUERIES["q_ohlc_bars"](spark, skewed_tape).collect()
+    }
+    assert got == want and len(got) > 0
+    state_rows = progress["stateOperators"][0]["numRowsTotal"]
+    assert state_rows == len(want), (state_rows, len(want))
+
+
+@pytest.mark.slow
+def test_stateful_running_totals_hot_user_at_scale(
+    spark, skewed_clickstream, tmp_path
+):
+    """applyInPandasWithState over the 60k-event hot-user clickstream
+    (one user holds ~90% of all events, delivered across 8
+    micro-batches): the final per-user state must equal the batch
+    aggregate bit-for-bit on counts and to fixed precision on the
+    float sum, and state rows must equal the number of USERS — the
+    hot key grows a partition's input, never the state."""
+    from pyspark.sql import functions as F
+
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.streaming.jobs import (
+        events_stream_from_parquet,
+        running_totals_stateful,
+    )
+
+    stream = events_stream_from_parquet(
+        spark, f"{skewed_clickstream}/events.parquet",
+        max_files_per_trigger=1,
+    )
+    q = (
+        running_totals_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_state_skew")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state_skew"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    import math
+
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """select user_id, n_events, total_value from (
+                 select *, row_number() over (
+                   partition by user_id order by n_events desc) rn
+                 from t_state_skew) where rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in load_table(spark, skewed_clickstream, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final.keys() == batch.keys() and len(final) > 400
+    for uid, (n, total) in batch.items():
+        fn, ftotal = final[uid]
+        # counts exact; float totals to high relative precision only —
+        # per-batch pandas pairwise summation then cross-batch
+        # accumulation orders differently from the batch sum, so
+        # bitwise equality is not the contract here (the hot user
+        # folds ~54k doubles through 8 different partial orders)
+        assert fn == n, (uid, fn, n)
+        assert math.isclose(ftotal, total, rel_tol=1e-9), (
+            uid, ftotal, total,
+        )
+    # the hot user accumulated ~90% of 60k events through one state row
+    hot_n, _ = final[1]
+    assert hot_n > 0.8 * N_TICKS, hot_n
