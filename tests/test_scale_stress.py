@@ -867,3 +867,88 @@ def test_stateful_running_totals_hot_user_at_scale(
     # the hot user accumulated ~90% of 60k events through one state row
     hot_n, _ = final[1]
     assert hot_n > 0.8 * N_TICKS, hot_n
+
+
+# =========================================================================
+# Multimodal decode under dirty-corpus load
+# =========================================================================
+
+
+@pytest.mark.slow
+def test_multimodal_decode_dirty_corpus_at_scale(spark):
+    """3000 binary payloads the way a real crawl arrives — valid
+    images mixed with corrupt headers, truncated bodies, NULLs, and
+    decode-bomb headers claiming absurd dimensions — through the
+    image_stats kernel in one distributed pass: EXACTLY the valid
+    rows decode, every poison row quarantines with a recorded reason,
+    no task dies, and the decoded moments match a driver-side numpy
+    replay on a sample. One bad file killing a scan is the multimodal
+    failure mode this family's docstrings promise away; this is the
+    promise executed at volume."""
+    import random as pyrandom
+    import zlib
+
+    import numpy as np
+
+    from dex_data_ingestor_spark.operators.multimodal import (
+        decode_media,
+        encode_ppm,
+        image_stats,
+    )
+
+    def png_chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + crc.to_bytes(4, "big")
+        )
+
+    rng = pyrandom.Random(20260815)
+    nrng = np.random.default_rng(20260815)
+    rows = []
+    n_valid = 0
+    for i in range(3000):
+        kind = rng.random()
+        if kind < 0.8:  # valid PPM, varied dims
+            h, w = rng.randrange(2, 9), rng.randrange(2, 9)
+            arr = nrng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            rows.append((i, bytearray(encode_ppm(arr))))
+            n_valid += 1
+        elif kind < 0.87:  # corrupt: random bytes
+            rows.append((i, bytearray(rng.randbytes(rng.randrange(1, 64)))))
+        elif kind < 0.92:  # truncated PPM: header promises more pixels
+            rows.append((i, bytearray(b"P6 64 64 255\n" + b"\x00" * 10)))
+        elif kind < 0.96:  # NULL payload
+            rows.append((i, None))
+        else:  # PNG decode bomb: 1e9 x 1e9 header, tiny body
+            bomb = (
+                b"\x89PNG\r\n\x1a\n"
+                + png_chunk(
+                    b"IHDR",
+                    (10**9).to_bytes(4, "big") * 2
+                    + bytes([8, 2, 0, 0, 0]),
+                )
+                + png_chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+                + png_chunk(b"IEND", b"")
+            )
+            rows.append((i, bytearray(bomb)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary"
+    ).repartition(8)
+    out = image_stats(df).collect()
+    assert len(out) == 3000
+    by_id = {r.doc_id: r for r in out}
+    decoded_ids = {r.doc_id for r in out if r.decoded}
+    assert len(decoded_ids) == n_valid
+    # every quarantine row carries a reason; no decoded row does
+    for r in out:
+        if r.decoded:
+            assert r.error is None and r.width and r.height
+        else:
+            assert r.error, r
+    # moments spot-check: driver-side numpy replay of 20 sampled rows
+    for i in sorted(decoded_ids)[:20]:
+        arr = decode_media(bytes(rows[i][1]))
+        px = arr.astype(np.float64)
+        assert abs(by_id[i].mean_px - px.mean()) < 1e-9
+        assert abs(by_id[i].std_px - px.std()) < 1e-9
