@@ -9604,7 +9604,12 @@ def q_priority_lateness(spark, sf_dir):
 #: native session_window), q_minhash_lsh (oracle now reads the
 #: shared _MINHASH_BUCKETS_CTE; rendered SQL differs textually,
 #: same result). q_vector_topk and q_rrf_fusion also changed (NULL-
-#: embedding defense) but already ride this window.
+#: embedding defense) but already ride this window. Added by the
+#: late-r9 clean-worker fix: q_embed_gram_fast and q_ann_ivfpq
+#: (kernel quantizer rebuilt as a by-value closure — bit-identical
+#: arithmetic, re-verified green through the hostile-tz sf0.01
+#: driver-sim, but an engine-path change is an engine-path change)
+#: promote from their r11 slot into the r10 window.
 #:
 #: ROTATION POLICY (re-derived r8 for a 130+-entry registry — the
 #: two-halves alternation stopped closing once the registry outgrew
