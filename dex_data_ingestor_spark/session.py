@@ -134,6 +134,18 @@ def get_session(
         .config("spark.sql.session.timeZone", timezone)
         # Arrow for any pandas_udf path (vectorized slow-path escape hatch).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Unset, spark.driver.memory defaults to 1g — and in local
+        # mode the driver JVM IS every executor, so local[32] runs 32
+        # task slots in one 1 GiB heap. The bench survived that for
+        # eight rounds on spill behavior alone, then OOMed mid-run in
+        # r9 (UnsafeExternalSorter spill-read while hash aggregates
+        # held the rest of the heap). Static conf: only effective for
+        # the process's FIRST session (bench/driver-sim subprocesses),
+        # inert via getOrCreate on an already-running JVM.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
