@@ -185,6 +185,20 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Subset selector for the interleaved drift-A/B protocol (NOTES:
+    # measure a fixed subset in fresh alternating subprocesses before
+    # blaming engine code for a slow reading). "legacy17" or a comma
+    # list of headline names; unset = full run (the driver's mode).
+    # Subset runs SKIP the sidecar/summary contract: they print one
+    # ad-hoc JSON line and never overwrite bench_detail.json, so an
+    # A/B can't masquerade as an official record.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    subset = None
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        subset = HEADLINE[:17] if only == "legacy17" else names
+        unknown = [n for n in subset if n not in QUERIES]
+        assert not unknown, f"unknown bench names: {unknown}"
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_session(app_name="dex-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -199,7 +213,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in (subset if subset is not None else HEADLINE):
         # one untimed execution per query excludes codegen/JIT compile
         # from the measurement (steady-state throughput is the metric);
         # every timed run still re-executes the full plan from the scans.
@@ -213,6 +227,19 @@ def main() -> None:
         spread[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    if subset is not None:
+        print(json.dumps({
+            "metric": "bench_subset_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "spread_sec": spread,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "runs_per_query": runs,
+            "stat": "median",
+        }))
+        spark.stop()
+        return
     # The legacy-17 prefix is the only round-over-round comparable
     # subset (the headline set grew 17 -> 62 across rounds); its sum is
     # the number the 2x-of-r1-baseline gate reads.
