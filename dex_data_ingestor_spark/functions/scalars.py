@@ -40,6 +40,45 @@ def _col(x) -> Column:
     return x if isinstance(x, Column) else F.col(x)
 
 
+def round_ieee_bound(scale: int) -> float:
+    """Magnitude guard for round_ieee at ``scale`` dp: 10^(15-scale).
+
+    Keeps the scaled intermediate |x|*10^scale below 1e15 so it stays
+    an EXACT integer in both a double and a BIGINT (Spark's ANSI floor
+    returns BIGINT), while k-dp rounding of anything larger is below
+    double precision anyway — those pass through unrounded, which is
+    the identity on both engines and therefore still parity-safe.
+    """
+    return float(10 ** (15 - scale))
+
+
+def round_ieee(x, scale: int) -> Column:
+    """Cross-engine deterministic half-up rounding of a DOUBLE.
+
+    ``ROUND(double, k)`` is NOT portable even on bit-identical input:
+    Spark rounds HALF_UP on the value's shortest decimal repr
+    (BigDecimal.valueOf) while DuckDB rounds the binary value — the
+    sf0.1 parity sweep caught q_yoy_qoq emitting 231.67 vs 231.68 for
+    the same quotient 231.67499999999998. This helper uses only IEEE
+    ops both engines execute identically::
+
+        floor(x * 10^k + 0.5) / 10^k        -- |x| < 10^(15-k)
+        x                                   -- otherwise (incl NaN/inf)
+
+    (half-toward-+inf at exact binary ties, which cannot occur for
+    k>=1 anyway — x.xx5 is not dyadic). The oracle-side twin is
+    testbed._rieee; both sides must always change together. Probed
+    bit-identical vs a Python float reference on tie/denormal/NaN/inf
+    grids in Spark AND DuckDB (tests/test_scalars.py pins the grid).
+    """
+    c = _col(x)
+    p = F.lit(float(10**scale))
+    rounded = F.floor(c * p + F.lit(0.5)) / p
+    return F.when(
+        F.abs(c) < F.lit(round_ieee_bound(scale)), rounded
+    ).otherwise(c)
+
+
 def pct_to_fraction(apr) -> Column:
     """Percent -> fraction with falsy->0 (reference: Bifrost.py:274-278,
     Hydration.py:289-293, Stellar.py:62-65: ``apr/100`` guarded by
@@ -66,7 +105,7 @@ def apy_compound(apr, periods: int) -> Column:
     # least() SKIPS nulls in Spark — guard so null apr stays null.
     return F.when(
         apr.isNotNull(),
-        F.round(F.least(apy, F.lit(APY_CAP)), 2).cast("decimal(10,2)"),
+        round_ieee(F.least(apy, F.lit(APY_CAP)), 2).cast("decimal(10,2)"),
     )
 
 
@@ -85,7 +124,7 @@ def apy_compound_monthly(apr) -> Column:
     apy = (x12 - 1.0) * 100.0
     return F.when(
         apr.isNotNull(),
-        F.round(F.least(apy, F.lit(APY_CAP)), 2).cast("decimal(10,2)"),
+        round_ieee(F.least(apy, F.lit(APY_CAP)), 2).cast("decimal(10,2)"),
     )
 
 
@@ -96,7 +135,7 @@ def pct_change(cur, prev) -> Column:
     cur, prev = _col(cur), _col(prev)
     return F.when(
         cur.isNotNull() & prev.isNotNull() & (prev != 0),
-        F.round((cur - prev) / prev * 100.0, 2),
+        round_ieee((cur - prev) / prev * 100.0, 2),
     )
 
 

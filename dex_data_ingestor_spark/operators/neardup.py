@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from dex_data_ingestor_spark.functions.scalars import md5_int64
+from dex_data_ingestor_spark.functions.scalars import md5_int64, round_ieee
 from dex_data_ingestor_spark.io import rebalance_if_underpartitioned
 from dex_data_ingestor_spark.functions.scalars import WS
 
@@ -413,7 +413,7 @@ def ngram_jaccard_pairs(
         .select(
             "a_id",
             "b_id",
-            F.round(
+            round_ieee(
                 F.col("n_inter").cast("double")
                 / (F.col("a_grams") + F.col("b_grams") - F.col("n_inter")),
                 9,
@@ -498,7 +498,7 @@ def ngram_containment_pairs(
         .select(
             "a_id",
             "b_id",
-            F.round(
+            round_ieee(
                 F.col("n_inter").cast("double") / F.col("a_grams"), 9
             ).alias("containment"),
         )
@@ -716,7 +716,7 @@ def verify_pairs_edit_distance(
     )
     longest = F.greatest(F.length("__ta"), F.length("__tb"))
     dist = F.levenshtein("__ta", "__tb")
-    sim = F.round(
+    sim = round_ieee(
         F.lit(1.0) - dist.cast("double") / longest.cast("double"), 9
     )
     return (

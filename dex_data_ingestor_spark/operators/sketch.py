@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from dex_data_ingestor_spark.functions.scalars import md5_int64
+from dex_data_ingestor_spark.functions.scalars import md5_int64, round_ieee
 
 #: Hash domain of md5_int64 (first 8 hex chars -> 32 bits).
 KMV_DOMAIN = 2**32
@@ -57,7 +57,7 @@ def kmv_distinct(
     return agg.select(
         *[F.col(c) for c in keys],
         "kth_min_hash",
-        F.round(est, 6).alias("est_distinct"),
+        round_ieee(est, 6).alias("est_distinct"),
     )
 
 

@@ -12,7 +12,7 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from dex_data_ingestor_spark.functions.scalars import md5_int64
+from dex_data_ingestor_spark.functions.scalars import md5_int64, round_ieee
 from dex_data_ingestor_spark.functions.scalars import WS
 
 #: BPE-ish token pattern: word pieces, numbers, or single non-space
@@ -77,7 +77,7 @@ def text_stat_exprs(text_col: str) -> dict:
     avg_word_len = (
         F.length(F.regexp_replace(t, WS, "")).cast("double") / n_words
     )
-    quality = F.round(
+    quality = round_ieee(
         F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.5
         + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.25
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.25,

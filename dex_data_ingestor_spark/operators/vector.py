@@ -22,6 +22,8 @@ import random
 
 from pyspark.sql import DataFrame, functions as F
 
+from dex_data_ingestor_spark.functions.scalars import round_ieee
+
 
 def _as_double_array(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -77,7 +79,7 @@ def cosine_topk(
     """Brute-force cosine top-k against a literal query vector."""
     v = _as_double_array(F.col(vec_col))
     q = _query_lit(query_vec)
-    cos = F.round(cosine(v, q), round_dp).alias("cos_sim")
+    cos = round_ieee(cosine(v, q), round_dp).alias("cos_sim")
     return (
         df.select(F.col(id_col), cos)
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
@@ -295,7 +297,7 @@ def embedding_neardup_pairs(
     joined = (
         a.join(b, on="__blk") if block_col else a.crossJoin(b)
     ).filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
-    cos = F.round(
+    cos = round_ieee(
         dot(F.col("a___v"), F.col("b___v")) / (F.col("a___n") * F.col("b___n")),
         round_dp,
     )

@@ -10,8 +10,21 @@ DuckDB):
 - ``pow`` is NOT bit-stable across libm implementations: integer powers
   are written as explicit multiplication chains (x^12 = ((x^3)^2)^2).
 - float folds that cannot be exact (vector dot products) are rounded to
-  9 dp on both sides (verified: round(x, 9) is bit-stable cross-engine,
-  and the two engines' sums differ by ~1 ULP only).
+  9 dp on both sides — but NEVER with native ROUND: Spark rounds
+  HALF_UP on the shortest decimal repr while DuckDB rounds the binary
+  value, so ROUND(x, k) can disagree ON BIT-IDENTICAL INPUT (caught
+  live by the r9 sf0.1 sweep: q_yoy_qoq's quotient 231.67499999999998
+  rounded to 231.67 in Spark, 231.68 in DuckDB). Both sides use the
+  shared pure-IEEE formula instead — engine scalars.round_ieee, oracle
+  _rieee: ``floor(x*10^k + 0.5)/10^k`` guarded to |x| < 10^(15-k)
+  (above it the identity, which is trivially parity-safe).
+- quantizing a FLOAT/DOUBLE to decimal units likewise must avoid
+  CAST(x AS DECIMAL(18,6)) when x is not an exact short decimal
+  (same repr-vs-binary seam — caught by q_embed_stats at sf0.1):
+  use the IEEE unit quantizer floor(x*1e6 + 0.5) on both sides.
+  events.value IS an exact short decimal by generation, so the
+  _dec_sum CAST path stays (proven at sf0.1 across every events
+  aggregate).
 - ``events.ts`` is TIMESTAMP(NANOS) on disk: Spark reads it at
   microsecond precision (io.load_table), so every oracle reference to
   it is ``CAST(ts AS TIMESTAMP)`` (ns -> us truncation) first.
@@ -32,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from dex_data_ingestor_spark.io import load_table
 from dex_data_ingestor_spark.functions.scalars import (
     WS,
+    round_ieee,
     md5_int64,
     normalize_symbol,
     derived_price,
@@ -61,6 +75,19 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def _rieee(expr: str, scale: int) -> str:
+    """Oracle-side twin of scalars.round_ieee (see module rulebook):
+    the portable CASE/floor rounding form. Existing oracle literals
+    carry the expanded text (one mechanical rewrite, r9); use this for
+    any NEW oracle so the two sides can never drift."""
+    p = f"{10.0 ** scale:.1f}"
+    bound = f"{10.0 ** (15 - scale):.1f}"
+    return (
+        f"CASE WHEN abs({expr}) < {bound} THEN "
+        f"floor(({expr}) * {p} + 0.5) / {p} ELSE ({expr}) END"
+    )
 
 
 #: split-sum radix: 21-bit limbs keep every partial long sum exact for
@@ -602,11 +629,11 @@ def q_apy(spark, sf_dir):
     SELECT f.user_id, f.date, f.volume,
       CASE WHEN p14.volume IS NOT NULL AND p14.volume <> 0 AND
                 f.volume IS NOT NULL
-           THEN ROUND((f.volume - p14.volume) / p14.volume * 100.0, 2)
+           THEN CASE WHEN abs((f.volume - p14.volume) / p14.volume * 100.0) < 10000000000000.0 THEN floor(((f.volume - p14.volume) / p14.volume * 100.0) * 100.0 + 0.5) / 100.0 ELSE ((f.volume - p14.volume) / p14.volume * 100.0) END
       END AS volume_yoy,
       CASE WHEN p7.volume IS NOT NULL AND p7.volume <> 0 AND
                 f.volume IS NOT NULL
-           THEN ROUND((f.volume - p7.volume) / p7.volume * 100.0, 2)
+           THEN CASE WHEN abs((f.volume - p7.volume) / p7.volume * 100.0) < 10000000000000.0 THEN floor(((f.volume - p7.volume) / p7.volume * 100.0) * 100.0 + 0.5) / 100.0 ELSE ((f.volume - p7.volume) / p7.volume * 100.0) END
       END AS volume_qoq
     FROM fact f
     LEFT JOIN fact p14 ON f.user_id = p14.user_id
@@ -1208,7 +1235,7 @@ def q_ngram_topk(spark, sf_dir):
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
            CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
-           ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / n, 9) AS dup_frac
+           CASE WHEN abs(CAST(SUM(e - s + 1) AS DOUBLE) / n) < 1000000.0 THEN floor((CAST(SUM(e - s + 1) AS DOUBLE) / n) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(SUM(e - s + 1) AS DOUBLE) / n) END AS dup_frac
     FROM spans GROUP BY doc_id, n
     """,
 )
@@ -1838,9 +1865,13 @@ def q_pii_scrub(spark, sf_dir):
            CAST(n_words AS INTEGER) AS n_words,
            CAST(n_tokens AS INTEGER) AS n_tokens,
            punct_ratio, stopword_ratio, avg_word_len,
-           ROUND(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+           CASE WHEN abs(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
                  + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.25
-                 + LEAST(stopword_ratio * 5.0, 1.0) * 0.25, 9)
+                 + LEAST(stopword_ratio * 5.0, 1.0) * 0.25) < 1000000.0 THEN floor((LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+                 + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.25
+                 + LEAST(stopword_ratio * 5.0, 1.0) * 0.25) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+                 + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.25
+                 + LEAST(stopword_ratio * 5.0, 1.0) * 0.25) END
              AS quality_score
     FROM ratios
     """,
@@ -1931,11 +1962,16 @@ def q_fingerprint(spark, sf_dir):
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
-           ROUND(
-             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+           CASE WHEN abs(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
              / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                       CAST(e.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(q.qe, q.qe))), 9) AS cos_sim
+                * sqrt(list_dot_product(q.qe, q.qe)))) < 1000000.0 THEN floor((list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qe, q.qe)))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qe, q.qe)))) END AS cos_sim
     FROM embeddings e, q
     WHERE e.embedding IS NOT NULL
       AND list_dot_product(CAST(e.embedding AS DOUBLE[]),
@@ -1963,7 +1999,7 @@ def q_vector_topk(spark, sf_dir):
         em.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(cosine(v, F.col("qe")), 9).alias("cos_sim"),
+            round_ieee(cosine(v, F.col("qe")), 9).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -2025,9 +2061,13 @@ def _ivf_oracle_sql() -> str:
       LIMIT {_IVF_NPROBE}
     )
     SELECT a.vec_id,
-           ROUND(list_dot_product(a.v, q.qe)
+           CASE WHEN abs(list_dot_product(a.v, q.qe)
                  / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(q.qe, q.qe))), 9) AS cos_sim
+                    * sqrt(list_dot_product(q.qe, q.qe)))) < 1000000.0 THEN floor((list_dot_product(a.v, q.qe)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(q.qe, q.qe)))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (list_dot_product(a.v, q.qe)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(q.qe, q.qe)))) END AS cos_sim
     FROM assign a CROSS JOIN q
     WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probes)
     ORDER BY cos_sim DESC, vec_id
@@ -2118,9 +2158,13 @@ def _lsh_ann_oracle_sql() -> str:
       FROM qb CROSS JOIN (VALUES {flips}) AS f(f)
     )
     SELECT bk.vec_id,
-           ROUND(list_dot_product(bk.v, q.qe)
+           CASE WHEN abs(list_dot_product(bk.v, q.qe)
                  / (sqrt(list_dot_product(bk.v, bk.v))
-                    * sqrt(list_dot_product(q.qe, q.qe))), 9) AS cos_sim
+                    * sqrt(list_dot_product(q.qe, q.qe)))) < 1000000.0 THEN floor((list_dot_product(bk.v, q.qe)
+                 / (sqrt(list_dot_product(bk.v, bk.v))
+                    * sqrt(list_dot_product(q.qe, q.qe)))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (list_dot_product(bk.v, q.qe)
+                 / (sqrt(list_dot_product(bk.v, bk.v))
+                    * sqrt(list_dot_product(q.qe, q.qe)))) END AS cos_sim
     FROM buck bk CROSS JOIN q
     WHERE bk.b IN (SELECT b FROM probes)
     ORDER BY cos_sim DESC, vec_id
@@ -2462,9 +2506,13 @@ def q_ann_ivfpq(spark, sf_dir):
                                     CAST(embedding AS DOUBLE[])) > 0)
     SELECT * FROM (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             ROUND(list_dot_product(a.v, b.v)
+             CASE WHEN abs(list_dot_product(a.v, b.v)
                    / (sqrt(list_dot_product(a.v, a.v))
-                      * sqrt(list_dot_product(b.v, b.v))), 9) AS cos_sim
+                      * sqrt(list_dot_product(b.v, b.v)))) < 1000000.0 THEN floor((list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))) END AS cos_sim
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     ) WHERE cos_sim >= 0.25
     """,
@@ -2490,7 +2538,8 @@ def _semdedup_oracle_sql() -> str:
     """Oracle for q_semdedup: the same centroid literals and argmax
     tie rule as q_ann_ivf's assignment (score DESC, cell DESC —
     Spark's greatest(struct) order), then within-cell pairs at
-    ROUND(cos, 9) >= threshold and the min-id survivor anti-join.
+    the shared IEEE round (round_ieee(cos, 9)) >= threshold and the
+    min-id survivor anti-join.
     Cross-engine float discipline is inherited wholesale from the
     driver-green q_ann_ivf (argmax margins dwarf list_dot_product
     accumulation noise) and q_embed_neardup (9-dp rounded threshold
@@ -2530,10 +2579,13 @@ def _semdedup_oracle_sql() -> str:
       SELECT DISTINCT b.vec_id AS b_id
       FROM assign a JOIN assign b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE ROUND(list_dot_product(a.v, b.v)
+      WHERE CASE WHEN abs(list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
-                     * sqrt(list_dot_product(b.v, b.v))),
-                  9) >= {_SEMDEDUP_THRESHOLD}
+                     * sqrt(list_dot_product(b.v, b.v)))) < 1000000.0 THEN floor((list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v)))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v)))) END >= {_SEMDEDUP_THRESHOLD}
     )
     SELECT a.vec_id, a.cell
     FROM assign a LEFT JOIN losers l ON a.vec_id = l.b_id
@@ -2582,8 +2634,10 @@ def q_semdedup(spark, sf_dir):
     )
     SELECT * FROM (
       SELECT a_id, b_id,
-             ROUND(CAST(n_inter AS DOUBLE)
-                   / (ca.n_grams + cb.n_grams - n_inter), 9) AS jaccard
+             CASE WHEN abs(CAST(n_inter AS DOUBLE)
+                   / (ca.n_grams + cb.n_grams - n_inter)) < 1000000.0 THEN floor((CAST(n_inter AS DOUBLE)
+                   / (ca.n_grams + cb.n_grams - n_inter)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(n_inter AS DOUBLE)
+                   / (ca.n_grams + cb.n_grams - n_inter)) END AS jaccard
       FROM inter
       JOIN counts ca ON ca.doc_id = a_id
       JOIN counts cb ON cb.doc_id = b_id
@@ -2611,7 +2665,7 @@ def q_ngram_jaccard(spark, sf_dir):
     )
     SELECT * FROM (
       SELECT a_id, b_id,
-             ROUND(CAST(n_inter AS DOUBLE) / ca.n_grams, 9) AS containment
+             CASE WHEN abs(CAST(n_inter AS DOUBLE) / ca.n_grams) < 1000000.0 THEN floor((CAST(n_inter AS DOUBLE) / ca.n_grams) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(n_inter AS DOUBLE) / ca.n_grams) END AS containment
       FROM inter JOIN counts ca ON ca.doc_id = a_id
     ) WHERE containment >= 0.5
     """,
@@ -2851,8 +2905,10 @@ def q_simhash(spark, sf_dir):
     """
     SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
            CAST(len(e.embedding) AS INTEGER) AS emb_dim,
-           ROUND(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                       CAST(e.embedding AS DOUBLE[]))), 9)
+           CASE WHEN abs(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])))) < 1000000.0 THEN floor((sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])))) END
              AS emb_norm
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     """,
@@ -2874,7 +2930,7 @@ def q_multimodal_join(spark, sf_dir):
         "n_chars",
         "label",
         F.size("embedding").alias("emb_dim"),
-        F.round(F.sqrt(dot(v, v)), 9).alias("emb_norm"),
+        round_ieee(F.sqrt(dot(v, v)), 9).alias("emb_norm"),
     )
 
 
@@ -2888,9 +2944,13 @@ def q_multimodal_join(spark, sf_dir):
                                     CAST(embedding AS DOUBLE[])) > 0),
     pairs AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
-             ROUND(list_dot_product(a.v, b.v)
+             CASE WHEN abs(list_dot_product(a.v, b.v)
                    / (sqrt(list_dot_product(a.v, a.v))
-                      * sqrt(list_dot_product(b.v, b.v))), 9) AS cos_sim
+                      * sqrt(list_dot_product(b.v, b.v)))) < 1000000.0 THEN floor((list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))) END AS cos_sim
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
     )
     SELECT vec_id, other_id, cos_sim FROM pairs
@@ -2931,7 +2991,7 @@ def q_similarity_topk(spark, sf_dir):
         .select(
             "vec_id",
             "other_id",
-            F.round(
+            round_ieee(
                 dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 9
             ).alias("cos_sim"),
         )
@@ -3260,9 +3320,13 @@ def q_sql_interface(spark, sf_dir):
       FROM ranked GROUP BY event_type
     )
     SELECT event_type, kth_min_hash,
-           ROUND(CASE WHEN kth_min_hash IS NOT NULL
+           CASE WHEN abs(CASE WHEN kth_min_hash IS NOT NULL
                       THEN (63.0 * 4294967296.0) / CAST(kth_min_hash AS DOUBLE)
-                      ELSE CAST(n AS DOUBLE) END, 6) AS est_distinct
+                      ELSE CAST(n AS DOUBLE) END) < 1000000000.0 THEN floor((CASE WHEN kth_min_hash IS NOT NULL
+                      THEN (63.0 * 4294967296.0) / CAST(kth_min_hash AS DOUBLE)
+                      ELSE CAST(n AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0 ELSE (CASE WHEN kth_min_hash IS NOT NULL
+                      THEN (63.0 * 4294967296.0) / CAST(kth_min_hash AS DOUBLE)
+                      ELSE CAST(n AS DOUBLE) END) END AS est_distinct
     FROM agg
     """,
 )
@@ -3282,9 +3346,9 @@ def q_kmv_distinct(spark, sf_dir):
     "q_quantiles",
     """
     SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 9)  AS p50,
-           ROUND(quantile_cont(value, 0.9), 9)  AS p90,
-           ROUND(quantile_cont(value, 0.99), 9) AS p99
+           CASE WHEN abs(quantile_cont(value, 0.5)) < 1000000.0 THEN floor((quantile_cont(value, 0.5)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (quantile_cont(value, 0.5)) END  AS p50,
+           CASE WHEN abs(quantile_cont(value, 0.9)) < 1000000.0 THEN floor((quantile_cont(value, 0.9)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (quantile_cont(value, 0.9)) END  AS p90,
+           CASE WHEN abs(quantile_cont(value, 0.99)) < 1000000.0 THEN floor((quantile_cont(value, 0.99)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (quantile_cont(value, 0.99)) END AS p99
     FROM events GROUP BY event_type
     """,
 )
@@ -3294,9 +3358,9 @@ def q_quantiles(spark, sf_dir):
     approx_percentile/t-digest, which is not cross-engine-checkable)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 9).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 9).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 9).alias("p99"),
+        round_ieee(F.expr("percentile(value, 0.5)"), 9).alias("p50"),
+        round_ieee(F.expr("percentile(value, 0.9)"), 9).alias("p90"),
+        round_ieee(F.expr("percentile(value, 0.99)"), 9).alias("p99"),
     )
 
 
@@ -3336,11 +3400,16 @@ def q_histogram(spark, sf_dir):
       FROM documents
     ), scored AS (
       SELECT doc_id, lang, n_words, sha,
-             ROUND(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+             CASE WHEN abs(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
                + (1.0 - LEAST((CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0)) * 4.0,
                               1.0)) * 0.25
-               + LEAST((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25,
-               9) AS quality_score
+               + LEAST((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25) < 1000000.0 THEN floor((LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+               + (1.0 - LEAST((CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0)) * 4.0,
+                              1.0)) * 0.25
+               + LEAST((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+               + (1.0 - LEAST((CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0)) * 4.0,
+                              1.0)) * 0.25
+               + LEAST((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25) END AS quality_score
       FROM stats
     ), gated AS (
       SELECT * FROM scored
@@ -3480,10 +3549,10 @@ def q_time_rollup(spark, sf_dir):
     "q_stats_agg",
     """
     SELECT event_type,
-           ROUND(stddev_samp(value), 9) AS sd_value,
-           ROUND(var_samp(value), 9) AS var_value,
-           ROUND(corr(value, CAST(user_id AS DOUBLE)), 9) AS corr_value_user,
-           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 9)
+           CASE WHEN abs(stddev_samp(value)) < 1000000.0 THEN floor((stddev_samp(value)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (stddev_samp(value)) END AS sd_value,
+           CASE WHEN abs(var_samp(value)) < 1000000.0 THEN floor((var_samp(value)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (var_samp(value)) END AS var_value,
+           CASE WHEN abs(corr(value, CAST(user_id AS DOUBLE))) < 1000000.0 THEN floor((corr(value, CAST(user_id AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (corr(value, CAST(user_id AS DOUBLE))) END AS corr_value_user,
+           CASE WHEN abs(covar_samp(value, CAST(user_id AS DOUBLE))) < 1000000.0 THEN floor((covar_samp(value, CAST(user_id AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (covar_samp(value, CAST(user_id AS DOUBLE))) END
              AS covar_value_user
     FROM events GROUP BY event_type
     """,
@@ -3495,10 +3564,10 @@ def q_stats_agg(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     u = F.col("user_id").cast("double")
     return ev.groupBy("event_type").agg(
-        F.round(F.stddev_samp("value"), 9).alias("sd_value"),
-        F.round(F.var_samp("value"), 9).alias("var_value"),
-        F.round(F.corr(F.col("value"), u), 9).alias("corr_value_user"),
-        F.round(F.covar_samp(F.col("value"), u), 9).alias("covar_value_user"),
+        round_ieee(F.stddev_samp("value"), 9).alias("sd_value"),
+        round_ieee(F.var_samp("value"), 9).alias("var_value"),
+        round_ieee(F.corr(F.col("value"), u), 9).alias("corr_value_user"),
+        round_ieee(F.covar_samp(F.col("value"), u), 9).alias("covar_value_user"),
     )
 
 
@@ -3578,8 +3647,10 @@ def q_json_extract(spark, sf_dir):
       FROM inter
       JOIN counts ca ON ca.doc_id = a_id
       JOIN counts cb ON cb.doc_id = b_id
-      WHERE ROUND(CAST(n_inter AS DOUBLE)
-                  / (ca.n_grams + cb.n_grams - n_inter), 9) >= 0.5
+      WHERE CASE WHEN abs(CAST(n_inter AS DOUBLE)
+                  / (ca.n_grams + cb.n_grams - n_inter)) < 1000000.0 THEN floor((CAST(n_inter AS DOUBLE)
+                  / (ca.n_grams + cb.n_grams - n_inter)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(n_inter AS DOUBLE)
+                  / (ca.n_grams + cb.n_grams - n_inter)) END >= 0.5
     ),
     sym AS (SELECT a_id AS a, b_id AS b FROM pairs
             UNION ALL SELECT b_id AS a, a_id AS b FROM pairs),
@@ -4098,18 +4169,33 @@ def q_table_diff(spark, sf_dir):
     WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                WHERE embedding IS NOT NULL),
     x AS (
-      SELECT i AS dim, CAST(v[i] AS DECIMAL(18,6)) AS xd
-      FROM e, unnest(range(1, len(v)+1)) AS u(i)
+      SELECT i AS dim, CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS u
+      FROM e, unnest(range(1, len(v)+1)) AS ui(i)
     ),
     agg AS (
       SELECT dim, COUNT(*) AS n,
-             CAST(SUM(xd) AS DOUBLE) AS s,
-             CAST(SUM(xd * xd) AS DOUBLE) AS ss
+             CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(u * u) AS BIGINT) AS ssu
       FROM x GROUP BY 1
+    ),
+    d AS (
+      SELECT dim, n,
+             CAST(su AS DOUBLE) AS s, CAST(ssu AS DOUBLE) AS ss,
+             CAST(n AS DOUBLE) AS nd
+      FROM agg
     )
-    SELECT dim, n, ROUND(s / n, 9) AS mean_val,
-           ROUND((ss - s * s / n) / n, 9) AS var_val
-    FROM agg
+    SELECT dim, n,
+           CASE WHEN abs(s / nd / 1000000.0) < 1000000.0
+                THEN floor((s / nd / 1000000.0) * 1000000000.0 + 0.5)
+                     / 1000000000.0
+                ELSE (s / nd / 1000000.0) END AS mean_val,
+           CASE WHEN abs((ss - s * s / nd) / nd / 1000000000000.0)
+                     < 1000000.0
+                THEN floor(((ss - s * s / nd) / nd / 1000000000000.0)
+                           * 1000000000.0 + 0.5) / 1000000000.0
+                ELSE ((ss - s * s / nd) / nd / 1000000000000.0)
+           END AS var_val
+    FROM d
     """,
 )
 def q_embed_stats(spark, sf_dir):
@@ -4117,10 +4203,19 @@ def q_embed_stats(spark, sf_dir):
     corpus (posexplode -> groupBy dim) — the drift/degeneracy check a
     training pipeline runs on its vector features (a collapsed or
     shifted dimension shows up here before it poisons a model).
-    Addends are quantized to decimal(18,6) so both moment sums are
-    exact and order-free (float ties at 6 dp are impossible — 5e-7 is
-    not dyadic); the mean/variance arithmetic then happens in identical
-    IEEE doubles, rounded 9 dp."""
+
+    Addends quantize to BIGINT micro-units via the pure-IEEE rule
+    ``floor(x*1e6 + 0.5)`` — NOT ``CAST(x AS DECIMAL(18,6))``: the
+    decimal cast rounds Spark's shortest-decimal repr but DuckDB's
+    binary digits, and at sf0.1 two float components landed in the
+    gap (sweep-caught 1e-9 mean divergence on dim 64; the module
+    rulebook now records the class). Both moment sums are exact
+    BIGINTs (|x| < ~3e3 keeps u*u in int64 at any corpus size the
+    schema allows; ANSI overflows loudly past it), the BIGINT->DOUBLE
+    casts are correctly rounded in both engines (unlike the
+    DECIMAL(38) cast q_twap had to decompose around), and the
+    mean/variance arithmetic is the identical IEEE op sequence on
+    both sides, finished with the shared round_ieee."""
     em = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
@@ -4130,21 +4225,22 @@ def q_embed_stats(spark, sf_dir):
         )
     ).select(
         (F.col("pos") + 1).alias("dim"),
-        F.col("xv").cast("decimal(18,6)").alias("xd"),
+        F.floor(F.col("xv") * F.lit(1000000.0) + F.lit(0.5)).alias("u"),
     )
     agg = x.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xd").cast("double").alias("s"),
-        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("ss"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("ssu"),
     )
+    s = F.col("su").cast("double")
+    ss = F.col("ssu").cast("double")
+    nd = F.col("n").cast("double")
     return agg.select(
         "dim",
         "n",
-        F.round(F.col("s") / F.col("n"), 9).alias("mean_val"),
-        F.round(
-            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
-            / F.col("n"),
-            9,
+        round_ieee(s / nd / F.lit(1000000.0), 9).alias("mean_val"),
+        round_ieee(
+            (ss - s * s / nd) / nd / F.lit(1000000000000.0), 9
         ).alias("var_val"),
     )
 
@@ -4164,13 +4260,17 @@ def q_embed_stats(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT a_id, b_id,
-           ROUND(CAST(n_inter AS DOUBLE)
-                 / (ca.n_grams + cb.n_grams - n_inter), 9) AS jaccard
+           CASE WHEN abs(CAST(n_inter AS DOUBLE)
+                 / (ca.n_grams + cb.n_grams - n_inter)) < 1000000.0 THEN floor((CAST(n_inter AS DOUBLE)
+                 / (ca.n_grams + cb.n_grams - n_inter)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(n_inter AS DOUBLE)
+                 / (ca.n_grams + cb.n_grams - n_inter)) END AS jaccard
     FROM inter
     JOIN counts ca ON ca.doc_id = a_id
     JOIN counts cb ON cb.doc_id = b_id
-    WHERE ROUND(CAST(n_inter AS DOUBLE)
-                / (ca.n_grams + cb.n_grams - n_inter), 9) >= 0.5
+    WHERE CASE WHEN abs(CAST(n_inter AS DOUBLE)
+                / (ca.n_grams + cb.n_grams - n_inter)) < 1000000.0 THEN floor((CAST(n_inter AS DOUBLE)
+                / (ca.n_grams + cb.n_grams - n_inter)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(n_inter AS DOUBLE)
+                / (ca.n_grams + cb.n_grams - n_inter)) END >= 0.5
     """,
 )
 def q_neardup_verified(spark, sf_dir):
@@ -4211,7 +4311,7 @@ def q_neardup_verified(spark, sf_dir):
     cb = counts.select(
         F.col("doc_id").alias("b_id"), F.col("n_grams").alias("b_grams")
     )
-    jac = F.round(
+    jac = round_ieee(
         F.col("n_inter").cast("double")
         / (F.col("a_grams") + F.col("b_grams") - F.col("n_inter")),
         9,
@@ -4240,8 +4340,10 @@ def q_neardup_verified(spark, sf_dir):
       FROM inter
       JOIN counts ca ON ca.doc_id = a_id
       JOIN counts cb ON cb.doc_id = b_id
-      WHERE ROUND(CAST(n_inter AS DOUBLE)
-                  / (ca.n_grams + cb.n_grams - n_inter), 9) >= 0.5
+      WHERE CASE WHEN abs(CAST(n_inter AS DOUBLE)
+                  / (ca.n_grams + cb.n_grams - n_inter)) < 1000000.0 THEN floor((CAST(n_inter AS DOUBLE)
+                  / (ca.n_grams + cb.n_grams - n_inter)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(n_inter AS DOUBLE)
+                  / (ca.n_grams + cb.n_grams - n_inter)) END >= 0.5
     ),
     sym AS (SELECT a_id AS a, b_id AS b FROM pairs
             UNION ALL SELECT b_id AS a, a_id AS b FROM pairs),
@@ -4340,7 +4442,7 @@ _MIX_CASE = "CASE lang " + " ".join(
     ),
     tot AS (SELECT COUNT(*) AS total FROM documents)
     SELECT lang, n_docs,
-           ROUND({_MIX_CASE} * total / n_docs, 9) AS weight
+           CASE WHEN abs({_MIX_CASE} * total / n_docs) < 1000000.0 THEN floor(({_MIX_CASE} * total / n_docs) * 1000000000.0 + 0.5) / 1000000000.0 ELSE ({_MIX_CASE} * total / n_docs) END AS weight
     FROM counts CROSS JOIN tot
     """,
 )
@@ -4359,7 +4461,7 @@ def q_mix_weights(spark, sf_dir):
     return counts.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_docs",
-        F.round(target * F.col("total") / F.col("n_docs"), 9).alias(
+        round_ieee(target * F.col("total") / F.col("n_docs"), 9).alias(
             "weight"
         ),
     )
@@ -4386,9 +4488,13 @@ def q_mix_weights(spark, sf_dir):
       FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag, n,
-           ROUND((n * sxy - sx * sy)
+           CASE WHEN abs((n * sxy - sx * sy)
                  / (sqrt(n * sxx - sx * sx)
-                    * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
+                    * sqrt(n * syy - sy * sy))) < 1000000.0 THEN floor(((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx)
+                    * sqrt(n * syy - sy * sy))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE ((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx)
+                    * sqrt(n * syy - sy * sy))) END AS corr_qty_price
     FROM m
     """,
 )
@@ -4418,7 +4524,7 @@ def q_corr(spark, sf_dir):
         n * F.col("syy") - sy * sy
     )
     return m.select(
-        "l_returnflag", "n", F.round(num / den, 9).alias("corr_qty_price")
+        "l_returnflag", "n", round_ieee(num / den, 9).alias("corr_qty_price")
     )
 
 
@@ -4618,13 +4724,15 @@ def q_promo_revenue(spark, sf_dir):
     """
     WITH stats AS (
       SELECT event_type,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                   / COUNT(value), 9) AS mean_v,
-             ROUND(stddev_samp(value), 9) AS sd_v
+             CASE WHEN abs(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value)) < 1000000.0 THEN floor((CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value)) END AS mean_v,
+             CASE WHEN abs(stddev_samp(value)) < 1000000.0 THEN floor((stddev_samp(value)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (stddev_samp(value)) END AS sd_v
       FROM events GROUP BY 1
     )
     SELECT e.event_id, e.event_type, e.value,
-           ROUND((e.value - s.mean_v) / s.sd_v, 9) AS z
+           CASE WHEN abs((e.value - s.mean_v) / s.sd_v) < 1000000.0 THEN floor(((e.value - s.mean_v) / s.sd_v) * 1000000000.0 + 0.5) / 1000000000.0 ELSE ((e.value - s.mean_v) / s.sd_v) END AS z
     FROM events e JOIN stats s USING (event_type)
     WHERE s.sd_v > 0
       AND abs((e.value - s.mean_v) / s.sd_v) > 2.5
@@ -4642,10 +4750,10 @@ def q_outlier_events(spark, sf_dir):
     bit-identical doubles."""
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
-        F.round(
+        round_ieee(
             _dec_sum_expr(F.col("value")) / F.count("value"), 9
         ).alias("mean_v"),
-        F.round(F.stddev_samp("value"), 9).alias("sd_v"),
+        round_ieee(F.stddev_samp("value"), 9).alias("sd_v"),
     )
     z = (F.col("value") - F.col("mean_v")) / F.col("sd_v")
     # sd == 0 (a constant-valued group) must be excluded EXPLICITLY:
@@ -4658,7 +4766,7 @@ def q_outlier_events(spark, sf_dir):
         ev.join(F.broadcast(stats), "event_type")
         .filter((F.col("sd_v") > 0) & (F.abs(z) > 2.5))
         .select(
-            "event_id", "event_type", "value", F.round(z, 9).alias("z")
+            "event_id", "event_type", "value", round_ieee(z, 9).alias("z")
         )
     )
 
@@ -4674,7 +4782,7 @@ def _bm25_contrib_sql(t: str) -> str:
     9 dp right after the ln so both engines sum identical doubles."""
     return (
         f"CASE WHEN tf_{t} = 0 THEN 0.0 ELSE "
-        f"ROUND(LN((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0), 9) "
+        f"CASE WHEN abs(LN((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)) < 1000000.0 THEN floor((LN((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (LN((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)) END "
         f"* (tf_{t} * {_BM25_K1 + 1.0}) "
         f"/ (tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)) "
         f"END"
@@ -4705,9 +4813,13 @@ def _bm25_contrib_sql(t: str) -> str:
       FROM per_doc
     )
     SELECT doc_id,
-           ROUND({_bm25_contrib_sql("spark")}
+           CASE WHEN abs({_bm25_contrib_sql("spark")}
                  + {_bm25_contrib_sql("table")}
-                 + {_bm25_contrib_sql("query")}, 9) AS bm25
+                 + {_bm25_contrib_sql("query")}) < 1000000.0 THEN floor(({_bm25_contrib_sql("spark")}
+                 + {_bm25_contrib_sql("table")}
+                 + {_bm25_contrib_sql("query")}) * 1000000000.0 + 0.5) / 1000000000.0 ELSE ({_bm25_contrib_sql("spark")}
+                 + {_bm25_contrib_sql("table")}
+                 + {_bm25_contrib_sql("query")}) END AS bm25
     FROM per_doc CROSS JOIN stats
     WHERE tf_spark + tf_table + tf_query > 0
     """,
@@ -4754,7 +4866,7 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
 
     def contrib(t: str):
         tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
-        idf = F.round(
+        idf = round_ieee(
             F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0), 9
         )
         k1, b = _BM25_K1, _BM25_B
@@ -4769,7 +4881,7 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
     total = contrib("spark") + contrib("table") + contrib("query")
     return scored.filter(
         sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0
-    ).select("doc_id", F.round(total, 9).alias("bm25"))
+    ).select("doc_id", round_ieee(total, 9).alias("bm25"))
 
 
 
@@ -4979,8 +5091,10 @@ def q_rolling_dau(spark, sf_dir):
            COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dup_docs,
-           ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 9) AS dup_rate,
+           CASE WHEN abs(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*)) < 1000000.0 THEN floor((CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*)) END AS dup_rate,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs
     FROM d GROUP BY 1
@@ -5009,7 +5123,7 @@ def q_source_quality(spark, sf_dir):
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         dup.cast("bigint").alias("n_dup_docs"),
-        F.round(
+        round_ieee(
             dup.cast("double") / F.count(F.lit(1)), 9
         ).alias("dup_rate"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -6250,11 +6364,16 @@ def q_inactive_customers(spark, sf_dir):
       FROM curate_src
     ), scored AS (
       SELECT doc_id, lang, n_words, sha,
-             ROUND(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+             CASE WHEN abs(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
                + (1.0 - LEAST((CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0)) * 4.0,
                               1.0)) * 0.25
-               + LEAST((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25,
-               9) AS quality_score
+               + LEAST((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25) < 1000000.0 THEN floor((LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+               + (1.0 - LEAST((CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0)) * 4.0,
+                              1.0)) * 0.25
+               + LEAST((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+               + (1.0 - LEAST((CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0)) * 4.0,
+                              1.0)) * 0.25
+               + LEAST((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25) END AS quality_score
       FROM stats
     ), gated AS (
       SELECT * FROM scored
@@ -7724,8 +7843,10 @@ def q_backoff_logloss(spark, sf_dir):
     SELECT event_type,
            max(peak_units) AS high_units,
            max(peak_units - v_units) AS max_dd_units,
-           ROUND(max(CAST(peak_units - v_units AS DOUBLE)
-                     / CAST(peak_units AS DOUBLE)), 9) AS max_dd_frac,
+           CASE WHEN abs(max(CAST(peak_units - v_units AS DOUBLE)
+                     / CAST(peak_units AS DOUBLE))) < 1000000.0 THEN floor((max(CAST(peak_units - v_units AS DOUBLE)
+                     / CAST(peak_units AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (max(CAST(peak_units - v_units AS DOUBLE)
+                     / CAST(peak_units AS DOUBLE))) END AS max_dd_frac,
            COUNT(*) AS n_ticks
     FROM path GROUP BY 1
     """,
@@ -7773,7 +7894,7 @@ def q_drawdown(spark, sf_dir):
     return path.groupBy("event_type").agg(
         F.max("peak_units").alias("high_units"),
         F.max(dd).alias("max_dd_units"),
-        F.round(
+        round_ieee(
             F.max(dd.cast("double") / F.col("peak_units").cast("double")), 9
         ).alias("max_dd_frac"),
         F.count(F.lit(1)).alias("n_ticks"),
@@ -7825,8 +7946,7 @@ def q_drawdown(spark, sf_dir):
       FROM m
     )
     SELECT type_a, type_b, n_hours,
-           ROUND(
-             (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END
+           CASE WHEN abs((CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END
               * (CAST(ABS(num) // 1000000000000 AS DOUBLE)
                    * 1000000000000.0
                  + CAST(ABS(num) % 1000000000000 AS DOUBLE)))
@@ -7835,8 +7955,25 @@ def q_drawdown(spark, sf_dir):
                      + CAST(denx % 1000000000000 AS DOUBLE))
                 * sqrt(CAST(deny // 1000000000000 AS DOUBLE)
                          * 1000000000000.0
-                       + CAST(deny % 1000000000000 AS DOUBLE))),
-             9) AS corr
+                       + CAST(deny % 1000000000000 AS DOUBLE)))) < 1000000.0 THEN floor(((CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END
+              * (CAST(ABS(num) // 1000000000000 AS DOUBLE)
+                   * 1000000000000.0
+                 + CAST(ABS(num) % 1000000000000 AS DOUBLE)))
+             / (sqrt(CAST(denx // 1000000000000 AS DOUBLE)
+                       * 1000000000000.0
+                     + CAST(denx % 1000000000000 AS DOUBLE))
+                * sqrt(CAST(deny // 1000000000000 AS DOUBLE)
+                         * 1000000000000.0
+                       + CAST(deny % 1000000000000 AS DOUBLE)))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE ((CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END
+              * (CAST(ABS(num) // 1000000000000 AS DOUBLE)
+                   * 1000000000000.0
+                 + CAST(ABS(num) % 1000000000000 AS DOUBLE)))
+             / (sqrt(CAST(denx // 1000000000000 AS DOUBLE)
+                       * 1000000000000.0
+                     + CAST(denx % 1000000000000 AS DOUBLE))
+                * sqrt(CAST(deny // 1000000000000 AS DOUBLE)
+                         * 1000000000000.0
+                       + CAST(deny % 1000000000000 AS DOUBLE)))) END AS corr
     FROM d WHERE denx > 0 AND deny > 0
     """,
 )
@@ -8069,7 +8206,7 @@ def q_nb_classify(spark, sf_dir):
     )
     SELECT * FROM (
       SELECT a_id, b_id,
-             ROUND(CAST(n_inter AS DOUBLE) / ca.n_grams, 9) AS containment
+             CASE WHEN abs(CAST(n_inter AS DOUBLE) / ca.n_grams) < 1000000.0 THEN floor((CAST(n_inter AS DOUBLE) / ca.n_grams) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(n_inter AS DOUBLE) / ca.n_grams) END AS containment
       FROM inter JOIN counts ca ON ca.doc_id = a_id
     ) WHERE containment >= 0.5
     """,
@@ -8351,8 +8488,10 @@ def q_char_entropy(spark, sf_dir):
     v AS (
       SELECT c.a_id, c.b_id,
              CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
-             ROUND(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
-                   / CAST(greatest(ta.ln, tb.ln) AS DOUBLE), 9)
+             CASE WHEN abs(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                   / CAST(greatest(ta.ln, tb.ln) AS DOUBLE)) < 1000000.0 THEN floor((1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                   / CAST(greatest(ta.ln, tb.ln) AS DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                   / CAST(greatest(ta.ln, tb.ln) AS DOUBLE)) END
                AS edit_sim
       FROM cand_pairs c
       JOIN t ta ON ta.doc_id = c.a_id
@@ -8429,9 +8568,13 @@ def q_edit_distance(spark, sf_dir):
            CAST(rnum // 1000000000000 AS DOUBLE)
              + CAST(rnum % 1000000000000 AS DOUBLE) / 1000000000000.0
              AS rv_24h,
-           ROUND(sqrt(CAST(rnum // 1000000000000 AS DOUBLE)
+           CASE WHEN abs(sqrt(CAST(rnum // 1000000000000 AS DOUBLE)
              + CAST(rnum % 1000000000000 AS DOUBLE)
-               / 1000000000000.0), 9) AS vol_24h
+               / 1000000000000.0)) < 1000000.0 THEN floor((sqrt(CAST(rnum // 1000000000000 AS DOUBLE)
+             + CAST(rnum % 1000000000000 AS DOUBLE)
+               / 1000000000000.0)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (sqrt(CAST(rnum // 1000000000000 AS DOUBLE)
+             + CAST(rnum % 1000000000000 AS DOUBLE)
+               / 1000000000000.0)) END AS vol_24h
     FROM roll
     """,
 )
@@ -8500,7 +8643,7 @@ def q_rolling_vol(spark, sf_dir):
         "bar_start",
         "n_bars",
         rv.alias("rv_24h"),
-        F.round(F.sqrt(rv), 9).alias("vol_24h"),
+        round_ieee(F.sqrt(rv), 9).alias("vol_24h"),
     )
 
 
@@ -8840,9 +8983,13 @@ def _rrf_oracle_sql() -> str:
     ),
     bm AS (
       SELECT doc_id,
-             ROUND({_bm25_contrib_sql("spark")}
+             CASE WHEN abs({_bm25_contrib_sql("spark")}
                    + {_bm25_contrib_sql("table")}
-                   + {_bm25_contrib_sql("query")}, 9) AS bm25
+                   + {_bm25_contrib_sql("query")}) < 1000000.0 THEN floor(({_bm25_contrib_sql("spark")}
+                   + {_bm25_contrib_sql("table")}
+                   + {_bm25_contrib_sql("query")}) * 1000000000.0 + 0.5) / 1000000000.0 ELSE ({_bm25_contrib_sql("spark")}
+                   + {_bm25_contrib_sql("table")}
+                   + {_bm25_contrib_sql("query")}) END AS bm25
       FROM per_doc CROSS JOIN stats
       WHERE tf_spark + tf_table + tf_query > 0
     ),
@@ -8855,11 +9002,16 @@ def _rrf_oracle_sql() -> str:
            FROM embeddings WHERE vec_id = 0),
     cs AS (
       SELECT e.vec_id AS doc_id,
-             ROUND(
-               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             CASE WHEN abs(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                         CAST(e.embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(q.qe, q.qe))), 9) AS cos_sim
+                  * sqrt(list_dot_product(q.qe, q.qe)))) < 1000000.0 THEN floor((list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qe, q.qe)))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qe, q.qe)))) END AS cos_sim
       FROM embeddings e, qv q
       WHERE e.embedding IS NOT NULL
         AND list_dot_product(CAST(e.embedding AS DOUBLE[]),
@@ -8924,7 +9076,7 @@ def q_rrf_fusion(spark, sf_dir):
     v = F.transform("embedding", lambda x: x.cast("double"))
     cs = em.crossJoin(F.broadcast(q)).select(
         F.col("vec_id").alias("doc_id"),
-        F.round(cosine(v, F.col("qe")), 9).alias("cos_sim"),
+        round_ieee(cosine(v, F.col("qe")), 9).alias("cos_sim"),
     )
     w_vec = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
     vec = (
@@ -8984,14 +9136,20 @@ def q_rrf_fusion(spark, sf_dir):
       FROM agg
     )
     SELECT n_a, x_a, n_b, x_b,
-           ROUND(p_a, 9) AS rate_a,
-           ROUND(p_b, 9) AS rate_b,
+           CASE WHEN abs(p_a) < 1000000.0 THEN floor((p_a) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (p_a) END AS rate_a,
+           CASE WHEN abs(p_b) < 1000000.0 THEN floor((p_b) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (p_b) END AS rate_b,
            CASE WHEN n_a > 0 AND n_b > 0
                  AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
-                THEN ROUND((p_a - p_b)
+                THEN CASE WHEN abs((p_a - p_b)
                            / sqrt(p * (1.0 - p)
                                   * (1.0 / CAST(n_a AS DOUBLE)
-                                     + 1.0 / CAST(n_b AS DOUBLE))), 9)
+                                     + 1.0 / CAST(n_b AS DOUBLE)))) < 1000000.0 THEN floor(((p_a - p_b)
+                           / sqrt(p * (1.0 - p)
+                                  * (1.0 / CAST(n_a AS DOUBLE)
+                                     + 1.0 / CAST(n_b AS DOUBLE)))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE ((p_a - p_b)
+                           / sqrt(p * (1.0 - p)
+                                  * (1.0 / CAST(n_a AS DOUBLE)
+                                     + 1.0 / CAST(n_b AS DOUBLE)))) END
                 ELSE NULL END AS z
     FROM rates
     """,
@@ -9069,11 +9227,11 @@ def q_ab_test(spark, sf_dir):
         "x_a",
         "n_b",
         "x_b",
-        F.round(p_a, 9).alias("rate_a"),
-        F.round(p_b, 9).alias("rate_b"),
+        round_ieee(p_a, 9).alias("rate_a"),
+        round_ieee(p_b, 9).alias("rate_b"),
         F.when(
             (n_a > 0) & (n_b > 0) & (x_tot > 0) & (x_tot < n_tot),
-            F.round(z, 9),
+            round_ieee(z, 9),
         ).alias("z"),
     )
 
@@ -9085,11 +9243,16 @@ def q_ab_test(spark, sf_dir):
                FROM embeddings WHERE vec_id = 0),
     scored AS (
       SELECT CAST(FLOOR(
-               ROUND(
-                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               CASE WHEN abs(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
                  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                           CAST(e.embedding AS DOUBLE[])))
-                    * sqrt(list_dot_product(q.qe, q.qe))), 9)
+                    * sqrt(list_dot_product(q.qe, q.qe)))) < 1000000.0 THEN floor((list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qe, q.qe)))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qe, q.qe)))) END
                * 1000000000.0 + 0.5) AS BIGINT) AS u,
              CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS pos
       FROM embeddings e, q
@@ -9115,8 +9278,10 @@ def q_ab_test(spark, sf_dir):
       FROM ranked
     )
     SELECT n_pos, n_neg,
-           ROUND(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
-                 / CAST(2 * n_pos * n_neg AS DOUBLE), 9) AS auc
+           CASE WHEN abs(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE)) < 1000000.0 THEN floor((CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE)) END AS auc
     FROM agg
     """,
 )
@@ -9159,7 +9324,7 @@ def q_embed_auc(spark, sf_dir):
     em = em.filter(F.col("embedding").isNotNull() & (dot(v, v) > 0))
     scored = em.crossJoin(F.broadcast(q)).select(
         F.floor(
-            F.round(cosine(v, F.col("qe")), 9) * 1000000000.0 + 0.5
+            round_ieee(cosine(v, F.col("qe")), 9) * 1000000000.0 + 0.5
         ).alias("u"),
         F.when(F.col("label") == F.col("qlabel"), 1)
         .otherwise(0)
@@ -9184,7 +9349,7 @@ def q_embed_auc(spark, sf_dir):
     return agg.select(
         "n_pos",
         "n_neg",
-        F.round(
+        round_ieee(
             (
                 F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
             ).cast("double")
@@ -9245,7 +9410,7 @@ def _mmr_oracle_sql() -> str:
     WITH qv AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qe
                 FROM embeddings WHERE vec_id = 0),
     cand AS MATERIALIZED (
-      SELECT e.vec_id AS doc_id, e.v, ROUND({cos}, 9) AS cos
+      SELECT e.vec_id AS doc_id, e.v, CASE WHEN abs({cos}) < 1000000.0 THEN floor(({cos}) * 1000000000.0 + 0.5) / 1000000000.0 ELSE ({cos}) END AS cos
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings
             WHERE embedding IS NOT NULL
@@ -9260,7 +9425,7 @@ def _mmr_oracle_sql() -> str:
     ),
     pairs AS MATERIALIZED (
       SELECT x.doc_id AS a, y.doc_id AS b,
-             CAST(FLOOR(ROUND({pair_cos}, 9) * 1000000000.0 + 0.5)
+             CAST(FLOOR(CASE WHEN abs({pair_cos}) < 1000000.0 THEN floor(({pair_cos}) * 1000000000.0 + 0.5) / 1000000000.0 ELSE ({pair_cos}) END * 1000000000.0 + 0.5)
                   AS BIGINT) AS s
       FROM c2 x JOIN c2 y ON x.doc_id < y.doc_id
     ),
@@ -9298,7 +9463,7 @@ def _mmr_shortlist(spark, sf_dir):
         .select(
             F.col("vec_id").alias("doc_id"),
             v.alias("v"),
-            F.round(cosine(F.col("v"), F.col("qe")), 9).alias("cos"),
+            round_ieee(cosine(F.col("v"), F.col("qe")), 9).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), "doc_id")
         .limit(_MMR_DEPTH)
@@ -9337,7 +9502,7 @@ def q_mmr_rerank(spark, sf_dir):
             F.col("x.doc_id").alias("a"),
             F.col("y.doc_id").alias("b"),
             F.floor(
-                F.round(cosine(F.col("x.v"), F.col("y.v")), 9)
+                round_ieee(cosine(F.col("x.v"), F.col("y.v")), 9)
                 * 1000000000.0
                 + 0.5
             ).alias("s"),

@@ -260,3 +260,103 @@ def test_dec_sum_negative_and_null_groups(spark):
     }
     assert out[1] == 1.499999
     assert out[2] is None
+
+
+# ---------------------------------------------------------------------------
+# round_ieee: the shared cross-engine rounding rule (engine round_ieee,
+# oracle _rieee). Native ROUND(double, k) can disagree between Spark and
+# DuckDB ON BIT-IDENTICAL INPUT (Spark rounds the shortest decimal repr
+# HALF_UP, DuckDB the binary value) — the r9 sf0.1 sweep caught q_yoy_qoq
+# emitting 231.67 vs 231.68 for the same quotient. These tests pin the
+# floor-formula bit-identical against a pure-Python IEEE reference in BOTH
+# engines on a hostile grid, and pin the live tie value that caught it.
+# ---------------------------------------------------------------------------
+
+_ROUND_GRID = [
+    231.67499999999998,   # the q_yoy_qoq tie (binary just under x.675)
+    -231.67499999999998,
+    0.1234565004,
+    -0.0013534415,        # the q_embed_stats sf0.1 mean neighborhood
+    1e-9, 2.5e-10, -2.5e-10,
+    999999.999999,
+    0.49999999999999994,  # largest double < 0.5
+    1e12,                 # beyond the scale-9 guard: identity
+    float("nan"), float("inf"), float("-inf"),
+]
+
+
+def _round_ref(v, scale):
+    import math
+
+    from dex_data_ingestor_spark.functions.scalars import round_ieee_bound
+
+    if not math.isfinite(v) or abs(v) >= round_ieee_bound(scale):
+        return v
+    return math.floor(v * float(10**scale) + 0.5) / float(10**scale)
+
+
+@pytest.mark.parametrize("scale", [2, 6, 9])
+def test_round_ieee_spark_matches_python_reference(spark, scale):
+    import math
+    import struct
+
+    from dex_data_ingestor_spark.functions.scalars import round_ieee
+
+    df = spark.createDataFrame([(v,) for v in _ROUND_GRID], "x double")
+    got = {
+        struct.pack("<d", r["x"]): r["r"]
+        for r in df.select(
+            "x", round_ieee(F.col("x"), scale).alias("r")
+        ).collect()
+    }
+    for v in _ROUND_GRID:
+        want = _round_ref(v, scale)
+        have = got[struct.pack("<d", v)]
+        if math.isnan(want):
+            assert math.isnan(have), (v, scale, have)
+        else:
+            assert struct.pack("<d", want) == struct.pack("<d", have), (
+                v, scale, want, have,
+            )
+
+
+@pytest.mark.parametrize("scale", [2, 6, 9])
+def test_rieee_duckdb_matches_python_reference(scale):
+    import math
+    import struct
+
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import _rieee
+
+    con = duckdb.connect()
+    for v in _ROUND_GRID:
+        lit = (
+            f"CAST({v!r} AS DOUBLE)"
+            if math.isfinite(v)
+            else f"'{v}'::DOUBLE"
+        )
+        have = con.sql(
+            f"SELECT {_rieee('x', scale)} FROM (SELECT {lit} AS x)"
+        ).fetchone()[0]
+        want = _round_ref(v, scale)
+        if math.isnan(want):
+            assert math.isnan(have), (v, scale, have)
+        else:
+            assert struct.pack("<d", want) == struct.pack("<d", have), (
+                v, scale, want, have,
+            )
+
+
+def test_pct_change_tie_value_matches_oracle_round(spark):
+    """The live q_yoy_qoq red: cur=132.67, prev=40.0 gives the quotient
+    231.67499999999998, where Spark's ROUND said 231.67 and DuckDB's said
+    231.68. Both sides now use the IEEE rule; pin the agreed value."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import _rieee
+
+    v = _one(spark, pct_change(F.lit(132.67), F.lit(40.0)))
+    expr = _rieee("(132.67 - 40.0) / 40.0 * 100.0", 2)
+    want = duckdb.sql(f"SELECT {expr}").fetchone()[0]
+    assert v == want == 231.68
