@@ -197,3 +197,53 @@ def test_tokenizer_whitespace_parity_on_hostile_corpus(spark, tmp_path):
         .head()[0]
     )
     assert n == 3, n
+
+
+#: Measure columns the registry aggregates through DECIMAL(18,6) casts
+#: (oracle side) / _dec_sum quantization (engine side).
+_SHORT_DECIMAL_MEASURES = [
+    ("events", "value"),
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_discount"),
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_tax"),
+    ("orders", "o_totalprice"),
+    ("part", "p_retailprice"),
+    ("supplier", "s_acctbal"),
+    ("customer", "c_acctbal"),
+]
+
+
+def test_fixture_measures_honor_the_decimal_cast_precondition(sf_dir):
+    """The rulebook keeps plain CAST(x AS DECIMAL(18,6)) in the _dec_sum
+    oracles ONLY because the driver generates measures as short decimals
+    — the cast is cross-engine-unambiguous iff each value's micro-units
+    sit far from a .5 rounding boundary (Spark rounds the shortest repr,
+    DuckDB the binary digits; q_embed_stats diverged at sf0.1 exactly
+    because float32 components violate this). If a driver data
+    regeneration ever ships full-precision doubles, THIS test fails with
+    a pointed message instead of ~40 driver hash reds: switch the
+    affected pairs to the IEEE unit quantizer (floor(x*1e6 + 0.5), see
+    q_embed_stats) on both sides.
+
+    Measured today: worst boundary distance 3.05e-5 units, max
+    magnitude <5e5 (safe until ~4e9, where half-ulp reaches 0.5 units).
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    for table, col in _SHORT_DECIMAL_MEASURES:
+        dist, mag = con.sql(
+            f"""
+            SELECT max(abs({col}*1000000.0 - round({col}*1000000.0))),
+                   max(abs({col}))
+            FROM read_parquet('{sf_dir}/{table}.parquet')
+            WHERE {col} IS NOT NULL
+            """
+        ).fetchone()
+        assert dist is None or dist < 0.4, (
+            f"{table}.{col}: a value's micro-units are {dist} from an "
+            "integer — the DECIMAL(18,6) oracle casts are no longer "
+            "cross-engine-safe; move the pairs to the IEEE quantizer"
+        )
+        assert mag is None or mag < 4e9, (table, col, mag)

@@ -360,3 +360,67 @@ def test_pct_change_tie_value_matches_oracle_round(spark):
     expr = _rieee("(132.67 - 40.0) / 40.0 * 100.0", 2)
     want = duckdb.sql(f"SELECT {expr}").fetchone()[0]
     assert v == want == 231.68
+
+
+def test_round_ieee_dense_tie_grid_both_engines(spark):
+    """Exhaustive boundary sweep: for scales 2 and 9, every half-step
+    tie point n + 0.5 (in target-dp units) nudged by -2..+2 ULPs —
+    5 neighbors per tie, ~10k values total — must round identically in
+    Spark, DuckDB, and the pure-Python IEEE reference. This is the
+    dense version of the spot grid above: any future 'optimization' of
+    round_ieee/_rieee that changes a single boundary case fails here."""
+    import math
+    import struct
+
+    import duckdb
+    import pandas as pd
+
+    from dex_data_ingestor_spark.functions.scalars import round_ieee
+    from dex_data_ingestor_spark.plans.testbed import _rieee
+
+    vals = []
+    for scale in (2, 9):
+        step = 10.0 ** -scale
+        for n in range(0, 500):
+            tie = (n + 0.5) * step
+            for m in range(-2, 3):
+                v = tie
+                if m < 0:
+                    for _ in range(-m):
+                        v = math.nextafter(v, -math.inf)
+                elif m > 0:
+                    for _ in range(m):
+                        v = math.nextafter(v, math.inf)
+                vals.append((scale, v))
+                vals.append((scale, -v))
+
+    for scale in (2, 9):
+        sub = [v for s, v in vals if s == scale]
+        want = [_round_ref(v, scale) for v in sub]
+
+        df = spark.createDataFrame([(v,) for v in sub], "x double")
+        got_spark = [
+            r["r"]
+            for r in df.select(
+                round_ieee(F.col("x"), scale).alias("r")
+            ).collect()
+        ]
+        # collect() preserves createDataFrame order on a local session
+        assert len(got_spark) == len(want)
+        for v, w, g in zip(sub, want, got_spark):
+            assert struct.pack("<d", w) == struct.pack("<d", g), (
+                "spark", scale, v, w, g,
+            )
+
+        con = duckdb.connect()
+        con.register("grid", pd.DataFrame({"x": sub}))
+        got_duck = [
+            row[0]
+            for row in con.sql(
+                f"SELECT {_rieee('x', scale)} FROM grid"
+            ).fetchall()
+        ]
+        for v, w, g in zip(sub, want, got_duck):
+            assert struct.pack("<d", w) == struct.pack("<d", g), (
+                "duckdb", scale, v, w, g,
+            )
