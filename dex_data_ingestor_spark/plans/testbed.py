@@ -3545,30 +3545,131 @@ def q_time_rollup(spark, sf_dir):
     )
 
 
+_E22 = "1" + "0" * 22
+
+
+def _det_to_double(x: str, engine: str) -> str:
+    """Deterministic exact-big-integer -> DOUBLE conversion, identical
+    in Spark (DECIMAL(38,0)) and DuckDB (HUGEINT).
+
+    A direct huge-decimal->double cast is correctly rounded in Spark
+    (BigDecimal) but NOT in DuckDB (int128 limbs, the q_twap find), so
+    values past 2^53 cannot just be CAST. Split instead into three
+    limbs at 10^22 / 10^11 via exact integer div/mod (10^22 and 10^11
+    are exactly representable doubles; the high limb stays < 9e15 for
+    |x| < 9e37, so every limb cast is exact) and reassemble with a
+    fixed IEEE op order — probed bit-identical cross-engine on
+    36-digit values. Negative inputs sign-split (div/mod conventions
+    diverge on negatives)."""
+    dv = "div" if engine == "spark" else "//"
+    big = (
+        f"CAST('{_E22}' AS DECIMAL(38,0))"
+        if engine == "spark"
+        else f"CAST('{_E22}' AS HUGEINT)"
+    )
+    a = f"abs({x})"
+    mag = (
+        f"(CAST({a} {dv} {big} AS DOUBLE) * 1e22"
+        f" + CAST(({a} % {big}) {dv} 100000000000 AS DOUBLE) * 1e11)"
+        f" + CAST(({a} % {big}) % 100000000000 AS DOUBLE)"
+    )
+    return f"(CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END) * ({mag})"
+
+
+def _stats_agg_outputs(engine: str) -> list[str]:
+    """The four q_stats_agg output expressions (``expr AS alias``) over
+    the exact moment columns (nv su ssu np psu psy pssu pssy psxy) —
+    ONE text for both engines (only _det_to_double's div/HUGEINT
+    spelling differs), so the sides cannot drift. See q_stats_agg for
+    the moment contract."""
+    det = lambda e: _det_to_double(e, engine)  # noqa: E731
+    m_v = "(nv * ssu - su * su)"
+    m_pv = "(np * pssu - psu * psu)"
+    m_pu = "(np * pssy - psy * psy)"
+    c_n = "(np * psxy - psu * psy)"
+    var = f"{det(m_v)} / CAST(nv * (nv - 1) AS DOUBLE) / 1e12"
+    covar = f"{det(c_n)} / CAST(np * (np - 1) AS DOUBLE) / 1e6"
+    corr = f"{det(c_n)} / (sqrt({det(m_pv)}) * sqrt({det(m_pu)}))"
+    out = [
+        (f"CASE WHEN nv > 1 THEN sqrt({var}) END", "sd_value"),
+        (f"CASE WHEN nv > 1 THEN {var} END", "var_value"),
+        (
+            f"CASE WHEN np > 1 AND {m_pv} > 0 AND {m_pu} > 0 "
+            f"THEN {corr} END",
+            "corr_value_user",
+        ),
+        (f"CASE WHEN np > 1 THEN {covar} END", "covar_value_user"),
+    ]
+    return [f"{_rieee(e, 9)} AS {alias}" for e, alias in out]
+
+
 @register(
     "q_stats_agg",
-    """
+    f"""
+    WITH uu AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u,
+             CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+                  THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+             END AS pu,
+             CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+                  THEN user_id END AS py
+      FROM events
+    ),
+    mm AS (
+      SELECT event_type,
+             COUNT(u) AS nv,
+             SUM(CAST(u AS HUGEINT)) AS su,
+             SUM(CAST(u AS HUGEINT) * u) AS ssu,
+             COUNT(pu) AS np,
+             SUM(CAST(pu AS HUGEINT)) AS psu,
+             SUM(CAST(py AS HUGEINT)) AS psy,
+             SUM(CAST(pu AS HUGEINT) * pu) AS pssu,
+             SUM(CAST(py AS HUGEINT) * py) AS pssy,
+             SUM(CAST(pu AS HUGEINT) * py) AS psxy
+      FROM uu GROUP BY 1
+    )
     SELECT event_type,
-           CASE WHEN abs(stddev_samp(value)) < 1000000.0 THEN floor((stddev_samp(value)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (stddev_samp(value)) END AS sd_value,
-           CASE WHEN abs(var_samp(value)) < 1000000.0 THEN floor((var_samp(value)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (var_samp(value)) END AS var_value,
-           CASE WHEN abs(corr(value, CAST(user_id AS DOUBLE))) < 1000000.0 THEN floor((corr(value, CAST(user_id AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (corr(value, CAST(user_id AS DOUBLE))) END AS corr_value_user,
-           CASE WHEN abs(covar_samp(value, CAST(user_id AS DOUBLE))) < 1000000.0 THEN floor((covar_samp(value, CAST(user_id AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (covar_samp(value, CAST(user_id AS DOUBLE))) END
-             AS covar_value_user
-    FROM events GROUP BY event_type
+           {", ".join(_stats_agg_outputs("duck"))}
+    FROM mm
     """,
 )
 def q_stats_agg(spark, sf_dir):
     """Statistical aggregates (stddev/variance/correlation/covariance)
-    per group, rounded 9 dp — the engines' streaming-moment algorithms
-    agree to ~ULP on this data (verified by the oracle)."""
+    per group from EXACT integer moments — never the engines' native
+    streaming-moment aggregates, whose partial-merge ORDER (a function
+    of partitioning!) perturbs low bits: deterministic on a fixed rig,
+    nondeterministic across layouts, and cross-engine only '~ULP
+    close'. Here values quantize to micro-units by the pure-IEEE floor
+    rule, all moments (sum, sum-of-squares, cross) are exact int64/
+    int128 sums (order-free => partition-layout-invariant), and the
+    variance/covariance/correlation algebra runs on deterministically
+    converted doubles (_det_to_double) in an identical IEEE op
+    sequence both sides. Native-aggregate NULL semantics preserved:
+    var/sd over non-NULL values, covar/corr over pairwise-complete
+    rows, NULL below 2 observations; zero-variance corr is NULL (not
+    Spark's native NaN). Domain: |value|*1e6 * rows-per-group < 3e18
+    keeps every moment inside DECIMAL(38)/HUGEINT (ANSI overflows
+    loudly past it); at larger groups re-anchor on a first-pass
+    integer mean before the second moment."""
     ev = load_table(spark, sf_dir, "events")
-    u = F.col("user_id").cast("double")
-    return ev.groupBy("event_type").agg(
-        round_ieee(F.stddev_samp("value"), 9).alias("sd_value"),
-        round_ieee(F.var_samp("value"), 9).alias("var_value"),
-        round_ieee(F.corr(F.col("value"), u), 9).alias("corr_value_user"),
-        round_ieee(F.covar_samp(F.col("value"), u), 9).alias("covar_value_user"),
+    u = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+    ud = u.cast("decimal(38,0)")
+    pair = F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    pud = F.when(pair, ud)
+    pyd = F.when(pair, F.col("user_id").cast("decimal(38,0)"))
+    m = ev.groupBy("event_type").agg(
+        F.count(ud).alias("nv"),
+        F.sum(ud).alias("su"),
+        F.sum(ud * ud).alias("ssu"),
+        F.count(pud).alias("np"),
+        F.sum(pud).alias("psu"),
+        F.sum(pyd).alias("psy"),
+        F.sum(pud * pud).alias("pssu"),
+        F.sum(pyd * pyd).alias("pssy"),
+        F.sum(pud * pyd).alias("psxy"),
     )
+    return m.selectExpr("event_type", *_stats_agg_outputs("spark"))
 
 
 @register(
@@ -4719,17 +4820,43 @@ def q_promo_revenue(spark, sf_dir):
     )
 
 
+def _exact_mean_sd_outputs(engine: str) -> list[str]:
+    """Per-group mean_v / sd_v (``expr AS alias``) from the exact
+    micro-unit moment columns (nv su ssu) — the q_stats_agg discipline
+    (exact order-free integer moments, deterministic double
+    conversion, shared IEEE round), one text for both engines."""
+    det = lambda e: _det_to_double(e, engine)  # noqa: E731
+    m_v = "(nv * ssu - su * su)"
+    mean = f"CASE WHEN nv > 0 THEN {det('su')} / CAST(nv AS DOUBLE) / 1e6 END"
+    sd = (
+        f"CASE WHEN nv > 1 THEN sqrt({det(m_v)}"
+        f" / CAST(nv * (nv - 1) AS DOUBLE) / 1e12) END"
+    )
+    return [
+        f"{_rieee(mean, 9)} AS mean_v",
+        f"{_rieee(sd, 9)} AS sd_v",
+    ]
+
+
 @register(
     "q_outlier_events",
-    """
-    WITH stats AS (
+    f"""
+    WITH uu AS (
       SELECT event_type,
-             CASE WHEN abs(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                   / COUNT(value)) < 1000000.0 THEN floor((CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                   / COUNT(value)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                   / COUNT(value)) END AS mean_v,
-             CASE WHEN abs(stddev_samp(value)) < 1000000.0 THEN floor((stddev_samp(value)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (stddev_samp(value)) END AS sd_v
-      FROM events GROUP BY 1
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      FROM events
+    ),
+    mm AS (
+      SELECT event_type,
+             COUNT(u) AS nv,
+             SUM(CAST(u AS HUGEINT)) AS su,
+             SUM(CAST(u AS HUGEINT) * u) AS ssu
+      FROM uu GROUP BY 1
+    ),
+    stats AS (
+      SELECT event_type,
+             {", ".join(_exact_mean_sd_outputs("duck"))}
+      FROM mm
     )
     SELECT e.event_id, e.event_type, e.value,
            CASE WHEN abs((e.value - s.mean_v) / s.sd_v) < 1000000.0 THEN floor(((e.value - s.mean_v) / s.sd_v) * 1000000000.0 + 0.5) / 1000000000.0 ELSE ((e.value - s.mean_v) / s.sd_v) END AS z
@@ -4744,17 +4871,22 @@ def q_outlier_events(spark, sf_dir):
     value sits >2.5 sample standard deviations from their type's mean.
     Two-pass shape — tiny per-type stats aggregate, broadcast back
     onto the fact, filter — NOT a window over the full table, so at
-    100 TB the only full-data pass is the final scan+filter. Mean is
-    decimal-exact / count; mean and sd are rounded to 9 dp BEFORE the
-    z computation on both engines so the filter threshold compares
+    100 TB the only full-data pass is the final scan+filter. Mean and
+    sd come from exact micro-unit moments (the q_stats_agg
+    discipline: order-free integer sums, deterministic double
+    conversion — stddev_samp's partial-merge order would perturb low
+    bits across partition layouts), rounded 9 dp BEFORE the z
+    computation on both engines so the filter threshold compares
     bit-identical doubles."""
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        round_ieee(
-            _dec_sum_expr(F.col("value")) / F.count("value"), 9
-        ).alias("mean_v"),
-        round_ieee(F.stddev_samp("value"), 9).alias("sd_v"),
+    u = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+    ud = u.cast("decimal(38,0)")
+    m = ev.groupBy("event_type").agg(
+        F.count(ud).alias("nv"),
+        F.sum(ud).alias("su"),
+        F.sum(ud * ud).alias("ssu"),
     )
+    stats = m.selectExpr("event_type", *_exact_mean_sd_outputs("spark"))
     z = (F.col("value") - F.col("mean_v")) / F.col("sd_v")
     # sd == 0 (a constant-valued group) must be excluded EXPLICITLY:
     # Spark's non-ANSI x/0.0 is NULL (rows silently drop) while

@@ -46,6 +46,9 @@ SUBSET = [
     "q_asof_price",
     "q_sessionize",
     "q_ohlc_bars",
+    # exact-moment statistics (layout-invariant by construction)
+    "q_stats_agg",
+    "q_outlier_events",
     # float folds smoothed by round_ieee
     "q_embed_stats",
     "q_vector_topk",
