@@ -3342,26 +3342,103 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(ev, "user_key", k=64, group_by=["event_type"])
 
 
+#: q_quantiles percentiles as exact rationals k/100.
+_QUANTILE_PCTS = [(50, "p50"), (90, "p90"), (99, "p99")]
+
+
+def _quantile_agg_exprs(engine: str) -> list[str]:
+    """Per-percentile order-statistic picks (``expr AS alias``) over
+    the ranked rows (columns u, rn, n): the two bracketing sorted
+    values at 0-based rank lo = (k*(n-1)) div 100 and lo+1. One text
+    for both engines (only the integer-division spelling differs)."""
+    dv = "div" if engine == "spark" else "//"
+    out = ["MAX(n) AS n"]
+    for k, _ in _QUANTILE_PCTS:
+        lo = f"(({k} * (n - 1)) {dv} 100)"
+        out.append(f"SUM(CASE WHEN rn = {lo} THEN u END) AS lo{k}")
+        out.append(
+            f"COALESCE(SUM(CASE WHEN rn = {lo} + 1 THEN u END), 0)"
+            f" AS hi{k}"
+        )
+    return out
+
+
+def _quantile_out_exprs() -> list[str]:
+    """Exact-rational linear interpolation over the picked order
+    statistics: p_k = (u_lo*(100-rem) + u_hi*rem) / 100 / 1e6 with
+    rem = (k*(n-1)) mod 100 — all-integer until one exact double cast
+    (|total| <= 100*|u|max < 2^53) and one IEEE division; identical
+    text both engines."""
+    out = []
+    for k, alias in _QUANTILE_PCTS:
+        rem = f"(({k} * (n - 1)) % 100)"
+        total = f"(lo{k} * (100 - {rem}) + hi{k} * {rem})"
+        out.append(
+            f"{_rieee(f'CAST({total} AS DOUBLE) / 1e8', 9)} AS {alias}"
+        )
+    return out
+
+
 @register(
     "q_quantiles",
-    """
-    SELECT event_type,
-           CASE WHEN abs(quantile_cont(value, 0.5)) < 1000000.0 THEN floor((quantile_cont(value, 0.5)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (quantile_cont(value, 0.5)) END  AS p50,
-           CASE WHEN abs(quantile_cont(value, 0.9)) < 1000000.0 THEN floor((quantile_cont(value, 0.9)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (quantile_cont(value, 0.9)) END  AS p90,
-           CASE WHEN abs(quantile_cont(value, 0.99)) < 1000000.0 THEN floor((quantile_cont(value, 0.99)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (quantile_cont(value, 0.99)) END AS p99
-    FROM events GROUP BY event_type
+    f"""
+    WITH uu AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      FROM events WHERE value IS NOT NULL
+    ),
+    rk AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u)
+               - 1 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM uu
+    ),
+    ag AS (
+      SELECT event_type, {", ".join(_quantile_agg_exprs("duck")[1:])},
+             MAX(n) AS n
+      FROM rk GROUP BY 1
+    )
+    SELECT event_type, {", ".join(_quantile_out_exprs())}
+    FROM ag
     """,
 )
 def q_quantiles(spark, sf_dir):
-    """Exact interpolated quantiles per group (both engines use linear
-    interpolation on the sorted values; production path at 100 TB is
-    approx_percentile/t-digest, which is not cross-engine-checkable)."""
+    """Exact interpolated quantiles per group — from EXACT order
+    statistics, not the engines' native percentile()/quantile_cont():
+    their interpolation formulas (lo + (hi-lo)*f vs lo*(1-f) + hi*f)
+    round differently in floating point, the last '~ULP close'
+    cross-engine seam of the stats family. Here values quantize to
+    micro-units, a per-group rank pass picks the two bracketing sorted
+    values at 0-based rank (k*(n-1)) div 100, and the linear
+    interpolation runs in exact integer arithmetic until one exact
+    double cast + one IEEE division — deterministic by construction.
+    Plan: the rank window and the aggregate share the event_type
+    partitioning (one exchange); the sort is the same per-group sort
+    native exact percentile needs anyway — the production path at
+    100 TB is approx_percentile/t-digest (q_approx_quantiles), which
+    is not cross-engine-checkable."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        round_ieee(F.expr("percentile(value, 0.5)"), 9).alias("p50"),
-        round_ieee(F.expr("percentile(value, 0.9)"), 9).alias("p90"),
-        round_ieee(F.expr("percentile(value, 0.99)"), 9).alias("p99"),
+    uu = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("u"),
     )
+    rk = uu.selectExpr(
+        "event_type",
+        "u",
+        "row_number() OVER (PARTITION BY event_type ORDER BY u) - 1"
+        " AS rn",
+        "count(*) OVER (PARTITION BY event_type) AS n",
+    )
+    ag = rk.groupBy("event_type").agg(
+        *[
+            F.expr(e.rsplit(" AS ", 1)[0]).alias(e.rsplit(" AS ", 1)[1])
+            for e in _quantile_agg_exprs("spark")
+        ]
+    )
+    return ag.selectExpr("event_type", *_quantile_out_exprs())
 
 
 @register(
