@@ -46,9 +46,11 @@ SUBSET = [
     "q_asof_price",
     "q_sessionize",
     "q_ohlc_bars",
-    # exact-moment statistics (layout-invariant by construction)
+    # exact-moment / exact-order-statistic family (layout-invariant
+    # by construction)
     "q_stats_agg",
     "q_outlier_events",
+    "q_quantiles",
     # float folds smoothed by round_ieee
     "q_embed_stats",
     "q_vector_topk",
