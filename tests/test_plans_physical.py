@@ -572,3 +572,24 @@ def test_debounce_single_key_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_debounce")
     assert "Python" not in plan
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_quantiles_single_exchange_no_python(spark, sf_dir):
+    """q_quantiles' exact order-statistic form: the rank window and the
+    group aggregate share the event_type partitioning — exactly one
+    hash exchange, no join, and the whole pipeline stays JVM-side."""
+    plan = plan_of(spark, sf_dir, "q_quantiles")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_stats_agg_single_exchange_exact_moments(spark, sf_dir):
+    """q_stats_agg: one partial+final hash aggregate pair over ONE
+    exchange; the moment sums are decimal (exact), never the native
+    stddev/corr streaming buffers (their partial-merge order would
+    make results layout-dependent)."""
+    plan = plan_of(spark, sf_dir, "q_stats_agg")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    for native in ("stddev_samp(", "var_samp(", "corr(", "covar_samp("):
+        assert native not in plan, (native, plan)
