@@ -192,11 +192,14 @@ def main() -> None:
     # Subset runs SKIP the sidecar/summary contract: they print one
     # ad-hoc JSON line and never overwrite bench_detail.json, so an
     # A/B can't masquerade as an official record.
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
     subset = None
     if only:
         names = [n.strip() for n in only.split(",") if n.strip()]
         subset = HEADLINE[:17] if only == "legacy17" else names
+        # a typo'd selector must error, not print a plausible 0-second
+        # "measurement" over zero queries
+        assert subset, f"SPARK_GRAFT_BENCH_ONLY selected nothing: {only!r}"
         unknown = [n for n in subset if n not in QUERIES]
         assert not unknown, f"unknown bench names: {unknown}"
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

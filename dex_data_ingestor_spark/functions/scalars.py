@@ -65,8 +65,13 @@ def round_ieee(x, scale: int) -> Column:
         floor(x * 10^k + 0.5) / 10^k        -- |x| < 10^(15-k)
         x                                   -- otherwise (incl NaN/inf)
 
-    (half-toward-+inf at exact binary ties, which cannot occur for
-    k>=1 anyway — x.xx5 is not dyadic). The oracle-side twin is
+    Half-toward-+inf at exact binary ties — and COMPUTED ties are
+    real, not hypothetical: x.xx5 itself is not dyadic, but x*10^k
+    can round to an exact .5 (0.045*100 == 4.5 exactly), where
+    negatives now round toward +inf (round_ieee(-0.045, 2) = -0.04)
+    unlike old F.round's HALF_UP away from zero. Parity-safe because
+    both engines share the formula; do not "optimize" assuming the
+    tie branch is unreachable. The oracle-side twin is
     testbed._rieee; both sides must always change together. Probed
     bit-identical vs a Python float reference on tie/denormal/NaN/inf
     grids in Spark AND DuckDB (tests/test_scalars.py pins the grid).

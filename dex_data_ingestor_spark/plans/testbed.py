@@ -90,6 +90,37 @@ def _rieee(expr: str, scale: int) -> str:
     )
 
 
+_E22 = "1" + "0" * 22
+
+
+def _det_to_double(x: str, engine: str) -> str:
+    """Deterministic exact-big-integer -> DOUBLE conversion, identical
+    in Spark (DECIMAL(38,0)) and DuckDB (HUGEINT).
+
+    A direct huge-decimal->double cast is correctly rounded in Spark
+    (BigDecimal) but NOT in DuckDB (int128 limbs, the q_twap find), so
+    values past 2^53 cannot just be CAST. Split instead into three
+    limbs at 10^22 / 10^11 via exact integer div/mod (10^22 and 10^11
+    are exactly representable doubles; the high limb stays < 9e15 for
+    |x| < 9e37, so every limb cast is exact) and reassemble with a
+    fixed IEEE op order — probed bit-identical cross-engine on
+    36-digit values. Negative inputs sign-split (div/mod conventions
+    diverge on negatives)."""
+    dv = "div" if engine == "spark" else "//"
+    big = (
+        f"CAST('{_E22}' AS DECIMAL(38,0))"
+        if engine == "spark"
+        else f"CAST('{_E22}' AS HUGEINT)"
+    )
+    a = f"abs({x})"
+    mag = (
+        f"(CAST({a} {dv} {big} AS DOUBLE) * 1e22"
+        f" + CAST(({a} % {big}) {dv} 100000000000 AS DOUBLE) * 1e11)"
+        f" + CAST(({a} % {big}) % 100000000000 AS DOUBLE)"
+    )
+    return f"(CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END) * ({mag})"
+
+
 #: split-sum radix: 21-bit limbs keep every partial long sum exact for
 #: up to 2^42 rows per group (document-level bound; switch to 16-bit
 #: limbs for 2^47 if a table ever exceeds 4.4e12 rows).
@@ -543,10 +574,11 @@ _APY_F = 10**8
     f"""
     WITH base AS (
       -- events.value carries exactly 2 decimal digits, so value*100 is
-      -- integral to within 1e-9 at every sf and ROUND(double) is
-      -- unambiguous (no half-way cases exist); the BIGINT cast of the
-      -- already-integral double is exact in every engine.
-      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS k
+      -- integral to within 1e-9 at every sf; quantize by the shared
+      -- IEEE rule (floor(x + 0.5)) rather than native ROUND(double) so
+      -- even out-of-contract data that computes to an exact .5 tie
+      -- rounds identically in both engines (value >= 0 per contract).
+      SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS k
       FROM events
     ), s1 AS (  -- x = 1 + (value/100)/12 in fixed point: floor(k*F/120000)
       SELECT event_id, {_APY_F} + (k * {_APY_F}) // 120000 AS x FROM base
@@ -583,9 +615,10 @@ def q_apy(spark, sf_dir):
     every version of an engine. r1-r4 recorded a driver hash mismatch
     not reproducible locally (judge r4: 0/10,000 diffs three ways);
     this round removes the LAST two non-integer surfaces — the input
-    double->DECIMAL(12,2) cast (now CAST(ROUND(value*100) AS BIGINT):
-    value*100 is integral within 1e-9, so ROUND(double) has no
-    half-way cases and the BIGINT cast is exact in both engines) and
+    double->DECIMAL(12,2) cast (now the shared IEEE quantizer
+    CAST(floor(value*100 + 0.5) AS BIGINT): value*100 is integral
+    within 1e-9 and the formula stays bit-identical cross-engine even
+    at a computed .5 tie) and
     the DECIMAL(12,0) x DECIMAL(3,2) display finish (dropped; the
     result is integer cents).
 
@@ -600,7 +633,7 @@ def q_apy(spark, sf_dir):
     return (
         ev.selectExpr(
             "event_id",
-            "CAST(ROUND(value * 100) AS BIGINT) AS k",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS k",
         )
         .selectExpr("event_id", f"{fp} + (k * {fp}) div 120000 AS x")
         .selectExpr("event_id", f"(((x * x) div {fp}) * x) div {fp} AS x3")
@@ -3363,18 +3396,22 @@ def _quantile_agg_exprs(engine: str) -> list[str]:
     return out
 
 
-def _quantile_out_exprs() -> list[str]:
+def _quantile_out_exprs(engine: str) -> list[str]:
     """Exact-rational linear interpolation over the picked order
     statistics: p_k = (u_lo*(100-rem) + u_hi*rem) / 100 / 1e6 with
-    rem = (k*(n-1)) mod 100 — all-integer until one exact double cast
-    (|total| <= 100*|u|max < 2^53) and one IEEE division; identical
-    text both engines."""
+    rem = (k*(n-1)) mod 100 — all-integer, converted through
+    _det_to_double (NOT a bare double cast: |total| = 100*|u| passes
+    2^53 once |value| > ~9e7, where DuckDB's HUGEINT->DOUBLE cast is
+    not correctly rounded — the review-found gap the fixture guard's
+    4e9 magnitude bound would not catch), then one IEEE division;
+    identical text both engines."""
     out = []
     for k, alias in _QUANTILE_PCTS:
         rem = f"(({k} * (n - 1)) % 100)"
         total = f"(lo{k} * (100 - {rem}) + hi{k} * {rem})"
         out.append(
-            f"{_rieee(f'CAST({total} AS DOUBLE) / 1e8', 9)} AS {alias}"
+            f"{_rieee(f'{_det_to_double(total, engine)} / 1e8', 9)}"
+            f" AS {alias}"
         )
     return out
 
@@ -3395,11 +3432,10 @@ def _quantile_out_exprs() -> list[str]:
       FROM uu
     ),
     ag AS (
-      SELECT event_type, {", ".join(_quantile_agg_exprs("duck")[1:])},
-             MAX(n) AS n
+      SELECT event_type, {", ".join(_quantile_agg_exprs("duck"))}
       FROM rk GROUP BY 1
     )
-    SELECT event_type, {", ".join(_quantile_out_exprs())}
+    SELECT event_type, {", ".join(_quantile_out_exprs("duck"))}
     FROM ag
     """,
 )
@@ -3417,7 +3453,10 @@ def q_quantiles(spark, sf_dir):
     partitioning (one exchange); the sort is the same per-group sort
     native exact percentile needs anyway — the production path at
     100 TB is approx_percentile/t-digest (q_approx_quantiles), which
-    is not cross-engine-checkable."""
+    is not cross-engine-checkable. Semantics note vs the old native
+    form: a group whose every value is NULL no longer emits a
+    NULL-quantile row — the non-NULL filter removes it before
+    grouping (both sides, deliberately)."""
     ev = load_table(spark, sf_dir, "events")
     uu = ev.filter(F.col("value").isNotNull()).select(
         "event_type",
@@ -3438,7 +3477,7 @@ def q_quantiles(spark, sf_dir):
             for e in _quantile_agg_exprs("spark")
         ]
     )
-    return ag.selectExpr("event_type", *_quantile_out_exprs())
+    return ag.selectExpr("event_type", *_quantile_out_exprs("spark"))
 
 
 @register(
@@ -3620,37 +3659,6 @@ def q_time_rollup(spark, sf_dir):
             _dec_sum(F.col("value"), "total_value"),
         )
     )
-
-
-_E22 = "1" + "0" * 22
-
-
-def _det_to_double(x: str, engine: str) -> str:
-    """Deterministic exact-big-integer -> DOUBLE conversion, identical
-    in Spark (DECIMAL(38,0)) and DuckDB (HUGEINT).
-
-    A direct huge-decimal->double cast is correctly rounded in Spark
-    (BigDecimal) but NOT in DuckDB (int128 limbs, the q_twap find), so
-    values past 2^53 cannot just be CAST. Split instead into three
-    limbs at 10^22 / 10^11 via exact integer div/mod (10^22 and 10^11
-    are exactly representable doubles; the high limb stays < 9e15 for
-    |x| < 9e37, so every limb cast is exact) and reassemble with a
-    fixed IEEE op order — probed bit-identical cross-engine on
-    36-digit values. Negative inputs sign-split (div/mod conventions
-    diverge on negatives)."""
-    dv = "div" if engine == "spark" else "//"
-    big = (
-        f"CAST('{_E22}' AS DECIMAL(38,0))"
-        if engine == "spark"
-        else f"CAST('{_E22}' AS HUGEINT)"
-    )
-    a = f"abs({x})"
-    mag = (
-        f"(CAST({a} {dv} {big} AS DOUBLE) * 1e22"
-        f" + CAST(({a} % {big}) {dv} 100000000000 AS DOUBLE) * 1e11)"
-        f" + CAST(({a} % {big}) % 100000000000 AS DOUBLE)"
-    )
-    return f"(CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END) * ({mag})"
 
 
 def _stats_agg_outputs(engine: str) -> list[str]:

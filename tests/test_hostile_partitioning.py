@@ -71,7 +71,6 @@ sys.path.insert(0, "@REPO@")
 sys.path.insert(0, "@REPO@/tests")
 
 from pyspark.sql import SparkSession
-import duckdb
 
 spark = (
     SparkSession.builder.master("local[3]")
@@ -87,15 +86,10 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
-from oracle_check import compare
+from oracle_check import compare, duck_connection
 
 SF = "@SF@"
-con = duckdb.connect()
-for t in ("region nation customer supplier part orders lineitem "
-          "events documents embeddings").split():
-    con.sql(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
-    )
+con = duck_connection(SF)
 
 names = @SUBSET@
 bad = []
