@@ -952,3 +952,99 @@ def test_multimodal_decode_dirty_corpus_at_scale(spark):
         px = arr.astype(np.float64)
         assert abs(by_id[i].mean_px - px.mean()) < 1e-9
         assert abs(by_id[i].std_px - px.std()) < 1e-9
+
+
+# =========================================================================
+# Exact-stats family under hot-key skew (r9: q_stats_agg /
+# q_outlier_events / q_quantiles rebuilt on exact integer moments and
+# order statistics — stress the one-giant-group regime where the
+# moment magnitudes and the rank window are furthest from the shipped
+# fixtures, plus NULL holes for the pairwise-complete semantics)
+# =========================================================================
+
+
+@pytest.fixture(scope="module")
+def skewed_stats_tape(spark, tmp_path_factory):
+    """60k events, one hot event_type with 90% of rows, values across
+    1e-3..1e6 (inside the documented moment domain — the 1.5e8 tape
+    above is deliberately OUTSIDE it, see the overflow test), with
+    NULL value / NULL user_id holes so var-n and pairwise-n differ."""
+    import datetime
+
+    rng = random.Random(20260816)
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(N_TICKS):
+        etype = "hot" if rng.random() < HOT_SHARE else f"t{rng.randint(1, 40)}"
+        mag = rng.choice((1e-3, 1.0, 311.7, 1e6))
+        value = None if rng.random() < 0.02 else mag * (1.0 + rng.random())
+        user = None if rng.random() < 0.03 else rng.randint(1, 500)
+        ts = base + datetime.timedelta(seconds=rng.uniform(0, 72 * 3600))
+        rows.append((i, ts, user, etype, value, None))
+    path = tmp_path_factory.mktemp("stats_tape")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).repartition(8).write.parquet(str(path / "events.parquet"))
+    return str(path)
+
+
+@pytest.mark.slow
+def test_exact_stats_hot_key_parity_at_scale(spark, skewed_stats_tape):
+    """Bitwise oracle parity for the exact-stats family on the 60k
+    hot-key tape: a 54k-row group pushes nv*ssu toward 1e34 (the
+    _det_to_double regime, far past 2^53) and exercises average-free
+    rank interpolation over a group 60x the fixture's."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{skewed_stats_tape}/events.parquet/*.parquet')"
+    )
+    for name in ("q_stats_agg", "q_outlier_events", "q_quantiles"):
+        problems = compare(
+            QUERIES[name](spark, skewed_stats_tape), con, ORACLE_SQL[name]
+        )
+        assert not problems, (name, problems)
+    con.close()
+
+
+@pytest.mark.slow
+def test_stats_moments_overflow_loudly_out_of_domain(spark, tmp_path):
+    """The stats moment domain (sufficient bound: |value|*1e6 *
+    rows-per-group < 3e18, q_stats_agg docstring) is enforced by ANSI
+    decimal overflow, not silent wraparound. 100k rows of value 3e8 in
+    one group put nv*ssu at ~9e38 > DECIMAL(38) — the query must
+    RAISE there rather than emit corrupt moments. (The 1.5e8 market
+    tape above happens to squeak inside the NECESSARY bound because
+    its magnitudes are mixed — the sufficient bound is what the
+    docstring promises, so the violation here is constructed, not
+    sampled.)"""
+    from pyspark.sql import functions as SF
+
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    path = str(tmp_path / "wide")
+    (
+        spark.range(100_000)
+        .select(
+            SF.col("id").alias("event_id"),
+            SF.lit("2024-03-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+            (SF.col("id") % 500).alias("user_id"),
+            SF.lit("hot").alias("event_type"),
+            SF.lit(3.0e8).alias("value"),
+            SF.lit(None).cast("string").alias("props"),
+        )
+        .repartition(8)
+        .write.parquet(path + "/events.parquet")
+    )
+    with pytest.raises(
+        Exception,
+        match="(?i)overflow|out of range|cannot be represented|NUMERIC_VALUE",
+    ):
+        QUERIES["q_stats_agg"](spark, path).collect()
