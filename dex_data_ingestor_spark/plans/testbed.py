@@ -9993,6 +9993,16 @@ def q_priority_lateness(spark, sf_dir):
 #: driver-sim, but an engine-path change is an engine-path change)
 #: promote from their r11 slot into the r10 window.
 #:
+#: Added by the late-r9 determinism program (both sides rewritten
+#: together; parity re-proven at sf0.001/0.01/0.1 + hostile
+#: partitioning + edge/skew corpora, but value-level outputs
+#: CHANGED, so each owes a fresh driver row in r10): q_yoy_qoq +
+#: every round_ieee-smoothed query (the ~90-site native-ROUND swap;
+#: representatives suffice per cohort rules), q_embed_stats
+#: (BIGINT micro-unit moments), q_stats_agg / q_outlier_events
+#: (exact integer moments via _det_to_double), q_quantiles (exact
+#: order statistics), q_apy (floor-rule input quantizer).
+#:
 #: ROTATION POLICY (re-derived r8 for a 130+-entry registry — the
 #: two-halves alternation stopped closing once the registry outgrew
 #: 2x(50-canaries)): the non-canary registry is partitioned into
