@@ -363,7 +363,18 @@ def _nll_units(count_expr, total_col):
     quantization expression (pure-IEEE floor(x*1e6 + 0.5) after the
     single libm ln) shared by batch scoring, the one-row model, and
     its unseen-bucket default — bit-parity is structural, not a
-    convention."""
+    convention.
+
+    Measured residual (r9 probe, 25k count-ratio inputs): JVM
+    Math.log differs from glibc log (DuckDB == CPython) by exactly
+    1 ULP on ~4.8% of inputs. The quantizer absorbs it: a 1-ULP ln
+    disagreement shifts x*1e6 by ~3e-9, so floor(x+0.5) flips only
+    when the scaled value sits within that of a .5 boundary —
+    ~3e-9 probability per distinct bucket, ~1e-5 expected flips
+    across a 65k-bucket model. This is the engine's one remaining
+    probabilistic (not constructive) cross-engine surface; if a
+    driver row ever reds an LM scorer with a 1-unit NLL delta on
+    one bucket, this is the mechanism to check first."""
     return F.floor(
         -F.log(count_expr / total_col) * 1000000.0 + F.lit(0.5)
     )
