@@ -4653,65 +4653,90 @@ def q_mix_weights(spark, sf_dir):
     )
 
 
+def _corr_output(engine: str) -> str:
+    """q_corr's output expression over the exact cent-unit moment
+    columns (n sx sy sxx syy sxy) — one text for both engines. The
+    1e2 unit scales cancel exactly in the Pearson ratio, so no
+    rescale divisions appear."""
+    det = lambda e: _det_to_double(e, engine)  # noqa: E731
+    m_x = "(n * sxx - sx * sx)"
+    m_y = "(n * syy - sy * sy)"
+    c_n = "(n * sxy - sx * sy)"
+    corr = f"{det(c_n)} / (sqrt({det(m_x)}) * sqrt({det(m_y)}))"
+    guarded = (
+        f"CASE WHEN n > 1 AND {m_x} > 0 AND {m_y} > 0 THEN {corr} END"
+    )
+    return f"{_rieee(guarded, 9)} AS corr_qty_price"
+
+
 @register(
     "q_corr",
-    """
-    WITH m AS (
+    f"""
+    WITH uu AS (
       SELECT l_returnflag,
-             COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-               AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sxy
-      FROM lineitem GROUP BY 1
+             CASE WHEN l_quantity IS NOT NULL
+                       AND l_extendedprice IS NOT NULL
+                  THEN CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)
+             END AS ux,
+             CASE WHEN l_quantity IS NOT NULL
+                       AND l_extendedprice IS NOT NULL
+                  THEN CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             END AS uy
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             COUNT(ux) AS n,
+             SUM(CAST(ux AS HUGEINT)) AS sx,
+             SUM(CAST(uy AS HUGEINT)) AS sy,
+             SUM(CAST(ux AS HUGEINT) * ux) AS sxx,
+             SUM(CAST(uy AS HUGEINT) * uy) AS syy,
+             SUM(CAST(ux AS HUGEINT) * uy) AS sxy
+      FROM uu GROUP BY 1
     )
-    SELECT l_returnflag, n,
-           CASE WHEN abs((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx)
-                    * sqrt(n * syy - sy * sy))) < 1000000.0 THEN floor(((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx)
-                    * sqrt(n * syy - sy * sy))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE ((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx)
-                    * sqrt(n * syy - sy * sy))) END AS corr_qty_price
+    SELECT l_returnflag, n, {_corr_output("duck")}
     FROM m
     """,
 )
 def q_corr(spark, sf_dir):
     """Statistical aggregate family: per-group Pearson correlation
-    built from EXACT decimal moment sums (sum, sum-of-squares,
-    cross-moment) recombined in identical IEEE double arithmetic —
-    never the engine's native corr(), whose streaming co-moment update
-    order differs between engines (and between partitionings!). The
-    exact-moments form is order-free, so the result is independent of
-    parallelism — which is also why it is the RIGHT form at 100 TB.
-    sqrt is IEEE-exact (unlike pow/log), so it stays bit-stable."""
+    built from EXACT integer cent-unit moments (sum, sum-of-squares,
+    cross-moment) recombined via _det_to_double in identical IEEE
+    double arithmetic — never the engine's native corr(), whose
+    streaming co-moment update order differs between engines (and
+    between partitionings!). The r9 upgrade from decimal-sum moments:
+    CAST(DECIMAL(38,s) AS DOUBLE) stops being portable once the
+    underlying scaled integer passes ~2^63 (DuckDB leaves its int64
+    fast path for the non-correctly-rounded int128 one — probed: 20
+    of 80 random casts differ at 1e19+), and this query's sxy/syy sat
+    only 2x under that cliff at sf0.1. The exact-moments form is
+    order-free, so the result is independent of parallelism — which
+    is also why it is the RIGHT form at 100 TB. sqrt is IEEE-exact
+    (unlike pow/log), so it stays bit-stable. Pairwise-complete NULL
+    semantics (native corr convention); zero-variance groups yield
+    NULL by guard."""
     li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(18,2)")
-    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    pair = (
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    ux = F.when(
+        pair,
+        F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)),
+    ).cast("decimal(38,0)")
+    uy = F.when(
+        pair,
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)),
+    ).cast("decimal(38,0)")
     m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.count(ux).alias("n"),
+        F.sum(ux).alias("sx"),
+        F.sum(uy).alias("sy"),
+        F.sum(ux * ux).alias("sxx"),
+        F.sum(uy * uy).alias("syy"),
+        F.sum(ux * uy).alias("sxy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    num = n * F.col("sxy") - sx * sy
-    den = F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(
-        n * F.col("syy") - sy * sy
-    )
-    return m.select(
-        "l_returnflag", "n", round_ieee(num / den, 9).alias("corr_qty_price")
-    )
+    return m.selectExpr("l_returnflag", "n", _corr_output("spark"))
 
 
 
@@ -10001,7 +10026,9 @@ def q_priority_lateness(spark, sf_dir):
 #: representatives suffice per cohort rules), q_embed_stats
 #: (BIGINT micro-unit moments), q_stats_agg / q_outlier_events
 #: (exact integer moments via _det_to_double), q_quantiles (exact
-#: order statistics), q_apy (floor-rule input quantizer).
+#: order statistics), q_apy (floor-rule input quantizer), q_corr
+#: (cent-unit integer moments — decimal sums sat 2x under the
+#: ~2^63 DuckDB decimal->double cast cliff).
 #:
 #: ROTATION POLICY (re-derived r8 for a 130+-entry registry — the
 #: two-halves alternation stopped closing once the registry outgrew
