@@ -7,6 +7,13 @@ DuckDB):
 
 - double SUM/AVG: cast addends to DECIMAL(18,6) (exact, order-free),
   SUM, cast the result back to DOUBLE; AVG = double(sum)/count.
+  DOMAIN: the final DECIMAL's underlying scaled integer (value*10^s)
+  must stay well under 2^63 — DuckDB's decimal->double cast leaves
+  its correctly-rounded int64 fast path there for non-correctly-
+  rounded int128 limb math (probed r9: 20/80 random casts diverge
+  past 1e19; the q_twap find, localized). Past it, use integer
+  micro-units + _det_to_double (q_corr, q_stats_agg) or the q+r
+  division decomposition (q_twap).
 - ``pow`` is NOT bit-stable across libm implementations: integer powers
   are written as explicit multiplication chains (x^12 = ((x^3)^2)^2).
 - float folds that cannot be exact (vector dot products) are rounded to
