@@ -51,6 +51,7 @@ SUBSET = [
     "q_stats_agg",
     "q_outlier_events",
     "q_quantiles",
+    "q_corr",
     # float folds smoothed by round_ieee
     "q_embed_stats",
     "q_vector_topk",
