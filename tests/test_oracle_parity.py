@@ -211,6 +211,12 @@ _SHORT_DECIMAL_MEASURES = [
     ("part", "p_retailprice"),
     ("supplier", "s_acctbal"),
     ("customer", "c_acctbal"),
+    # computed measures the registry also decimal-casts: the product
+    # of two short decimals is not itself an exact decimal double, but
+    # its micro-units must still sit far from the .5 cast boundary
+    # (they do while the true product has <= 4 dp and magnitude << 4e9)
+    ("lineitem", "l_extendedprice * (1 - l_discount)"),
+    ("lineitem", "l_extendedprice * (1 + l_tax)"),
 ]
 
 
