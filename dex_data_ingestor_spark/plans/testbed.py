@@ -9048,8 +9048,9 @@ def q_pmi_collocations(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
-           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_l_quantity,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_l_quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_l_extendedprice
     FROM lineitem
     WHERE (CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
@@ -9070,7 +9071,15 @@ def q_incremental_agg(spark, sf_dir):
     make maintain == recompute an exact equality — the discipline
     that lets a 100 TB pipeline refresh a roll-up at |delta| cost
     forever without drift. One |delta| groupBy + one group-keyed
-    full-outer join; nothing rescans the retained base rows."""
+    full-outer join; nothing rescans the retained base rows.
+
+    The maintained sums stay exact DECIMAL(38,6) INSIDE matview (the
+    maintenance algebra's correctness discipline); this query casts
+    them to DOUBLE at its output boundary -- the registry's portable
+    sum convention (r9 driver red: DECIMAL results hash
+    type-divergently across engines even when bitwise-equal, the
+    decimal twin of r8's HUGEINT lesson). Scaled values here top out
+    ~2.1e14, far inside the 2^63 correctly-rounded-cast domain."""
     from dex_data_ingestor_spark.operators.matview import (
         grouped_sums,
         maintain_grouped_sums,
@@ -9092,7 +9101,12 @@ def q_incremental_agg(spark, sf_dir):
     base = grouped_sums(base_rows, gcols, ms)
     removed = base_rows.filter(F.col("l_orderkey") % 7 == 0)
     added = li.filter((F.col("sd") >= lo) & (F.col("sd") < hi))
-    return maintain_grouped_sums(base, removed, added, gcols, ms)
+    out = maintain_grouped_sums(base, removed, added, gcols, ms)
+    return out.select(
+        *gcols,
+        "n_rows",
+        *[F.col(f"sum_{m}").cast("double").alias(f"sum_{m}") for m in ms],
+    )
 
 
 # =========================================================================
@@ -10137,7 +10151,7 @@ def q_priority_lateness(spark, sf_dir):
 #: never-checked entries forward, so it rides r9 as the window's one
 #: rows-only slot; from r10 it alternates with q_quantiles as
 #: planned.
-_WINDOW_R9 = [
+_WINDOW_R9_RETIRED = [
     # never driver-checked (added r8) — the entire debt, per verdict
     # LM quality scorers
     "q_unigram_logloss",
@@ -10200,15 +10214,107 @@ _WINDOW_R9 = [
 ]
 
 
+# =========================================================================
+# Driver correctness-window ordering (round 10)
+# =========================================================================
+
+#: Round-10 window. The r9 debt-drain consumed the whole r9 window, so
+#: the r6 cohort (35 queries, now the oldest — 4 rounds) fills first,
+#: exactly per the rotation policy's "oldest cohort" rule (the r8
+#: comment's provisional "C=r7 fills r10" arithmetic predates the
+#: debt-drain pulling everything forward; age wins). Then the
+#: invariant-2 promotions that owe a fresh driver row:
+#:
+#: - q_incremental_agg — r9 driver RED (DECIMAL(38,6) result columns
+#:   hash type-divergently; the decimal twin of r8's HUGEINT). Fixed
+#:   this round: DOUBLE at the boundary on both sides, DECIMAL struck
+#:   from the portable-type audits. Needs its green row.
+#: - q_token_budget — r8 driver RED, oracle fixed in r9 (CAST window
+#:   SUM AS BIGINT) but NOT in the r9 debt-drain window, so the fix
+#:   has never been driver-confirmed. Rides now.
+#: - q_stream_session (r9 boundary alignment >= -> diff > gap),
+#:   q_minhash_lsh (oracle re-rendered through the shared buckets
+#:   CTE) — the two remaining r9 oracle-review promotions without an
+#:   r9 row (q_asof_lookup's sits in the r6 cohort above;
+#:   q_vector_topk/q_rrf_fusion/q_embed_gram_fast/q_ann_ivfpq already
+#:   took r9 greens).
+#: - q_yoy_qoq, q_apy, q_outlier_events — determinism-program rewrites
+#:   (round_ieee smoothing / floor-rule quantizer / exact integer
+#:   moments) whose value-level outputs changed in r9; the program's
+#:   other rewrites (q_corr, q_quantiles, q_stats_agg, q_embed_stats)
+#:   are already in the r6 cohort above.
+#:
+#: Canaries fill the remaining 8 slots (flagship + one per core
+#: family; q_text_stats doubles as the round_ieee representative for
+#: the ~90-site ROUND swap, q_group_agg as the _dec_sum one).
+_WINDOW_R10 = [
+    # red / never-confirmed fixes first
+    "q_incremental_agg",
+    "q_token_budget",
+    # r6 cohort (oldest; 35)
+    "q_anti_join",
+    "q_approx_distinct",
+    "q_asof_lookup",
+    "q_cms_topk",
+    "q_corr",
+    "q_cube",
+    "q_dedup_survivors",
+    "q_embed_stats",
+    "q_entity_match",
+    "q_histogram",
+    "q_json_extract",
+    "q_kmv_distinct",
+    "q_late_arrivals",
+    "q_minhash_pairs",
+    "q_mix_weights",
+    "q_neardup_incremental",
+    "q_neardup_verified",
+    "q_pivot",
+    "q_profile",
+    "q_quantiles",
+    "q_range_join",
+    "q_rollup",
+    "q_salted_join",
+    "q_semi_join",
+    "q_seq_packing",
+    "q_setops",
+    "q_shipping_priority",
+    "q_simhash",
+    "q_sql_interface",
+    "q_stats_agg",
+    "q_string_agg",
+    "q_table_diff",
+    "q_tfidf",
+    "q_time_rollup",
+    "q_window_running",
+    # invariant-2 promotions (changed in r9, no r9 row)
+    "q_stream_session",
+    "q_minhash_lsh",
+    "q_yoy_qoq",
+    "q_apy",
+    "q_outlier_events",
+    # canaries
+    "q_flagship_daily_revenue",
+    "q_group_agg",
+    "q_merge_upsert",
+    "q_asof_price",
+    "q_vector_topk",
+    "q_stream_tumbling",
+    "q_dedup_exact",
+    "q_text_stats",
+]
+
+
 def _window_order(registry: dict) -> dict:
-    """Rebuild a registry dict with _WINDOW_R9 first (keeping each
+    """Rebuild a registry dict with _WINDOW_R10 first (keeping each
     family's relative order), everything else after in file order."""
-    out = {n: registry[n] for n in _WINDOW_R9 if n in registry}
+    out = {n: registry[n] for n in _WINDOW_R10 if n in registry}
     out.update((n, v) for n, v in registry.items() if n not in out)
     return out
 
 
-assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
-assert set(_WINDOW_R9) <= set(QUERIES), set(_WINDOW_R9) - set(QUERIES)
+assert len(_WINDOW_R10) == 50, len(_WINDOW_R10)
+assert set(_WINDOW_R10) <= set(QUERIES), set(_WINDOW_R10) - set(QUERIES)
+assert len(set(_WINDOW_R10)) == 50
 QUERIES = _window_order(QUERIES)
 ORACLE_SQL = _window_order(ORACLE_SQL)

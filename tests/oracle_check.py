@@ -61,9 +61,34 @@ def _rows_to_multiset(columns, rows):
     return out
 
 
+#: Spark result types that survive the driver's type-aware value hash.
+#: Decimals are deliberately ABSENT: they are the registry's internal
+#: exactness vehicle, but at the result boundary Spark materializes
+#: Decimal objects while DuckDB's decimal surfaces as float64 — r9's
+#: q_incremental_agg went driver-red on exactly that (bitwise-equal
+#: values, type-divergent hash; the decimal twin of r8's HUGEINT).
+_PORTABLE_SPARK_TYPES = {
+    "string", "bigint", "int", "smallint", "double", "float",
+    "date", "timestamp", "timestamp_ntz", "boolean", "binary",
+}
+
+
+def _portable(dtype: str) -> bool:
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        return _portable(dtype[6:-1])
+    return dtype in _PORTABLE_SPARK_TYPES
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems = []
+    for name, dtype in spark_df.dtypes:
+        if not _portable(dtype):
+            problems.append(
+                f"non-portable spark result type: {name}: {dtype} "
+                "(cast to double/bigint at the query boundary — "
+                "NOTES.md rulebook)"
+            )
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)

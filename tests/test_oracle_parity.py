@@ -31,7 +31,13 @@ def test_oracle_result_types_are_portable(con):
     pinning the result types to the portable cross-engine set makes
     that whole class visible locally. If this test fails on a new
     query: cast the offending expression in the ORACLE SQL (e.g.
-    ``CAST(SUM(x) OVER (...) AS BIGINT)`` — NOTES.md rulebook)."""
+    ``CAST(SUM(x) OVER (...) AS BIGINT)`` — NOTES.md rulebook).
+
+    DECIMAL was in the allowed set until r9 proved it is NOT portable
+    (q_incremental_agg driver red: Spark DECIMAL(38,6) materializes as
+    Python Decimal, DuckDB's as float64 — bitwise-equal values, type-
+    divergent hash). Decimals are an internal exactness vehicle only;
+    every result column must cross the boundary as DOUBLE or BIGINT."""
     from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL
 
     allowed = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE",
@@ -40,7 +46,7 @@ def test_oracle_result_types_are_portable(con):
     def ok(ts: str) -> bool:
         if ts.endswith("[]"):  # list columns: element type must be portable
             return ok(ts[:-2])
-        return ts in allowed or ts.startswith("DECIMAL(")
+        return ts in allowed
 
     offenders = []
     for name, sql in ORACLE_SQL.items():
