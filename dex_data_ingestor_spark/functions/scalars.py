@@ -45,9 +45,16 @@ def round_ieee_bound(scale: int) -> float:
 
     Keeps the scaled intermediate |x|*10^scale below 1e15 so it stays
     an EXACT integer in both a double and a BIGINT (Spark's ANSI floor
-    returns BIGINT), while k-dp rounding of anything larger is below
-    double precision anyway — those pass through unrounded, which is
-    the identity on both engines and therefore still parity-safe.
+    returns BIGINT). Values above the guard pass through UNROUNDED —
+    deliberately, even though k-dp rounding only truly drops below
+    double resolution near 2^53*10^-k ≈ 9*10^(15-k): the 1x-9x band
+    above the guard (where rounding would still be meaningful) is
+    traded away for a power-of-ten bound that is trivially exact in
+    both engines' literal pipelines. Identity is the same function on
+    both sides, so parity is unaffected; widening the guard toward
+    9e15-scaled would also be parity-safe but would change emitted
+    values on every query pair that crosses the band, forcing a mass
+    driver re-verification for no correctness gain.
     """
     return float(10 ** (15 - scale))
 

@@ -3386,21 +3386,31 @@ def q_kmv_distinct(spark, sf_dir):
 _QUANTILE_PCTS = [(50, "p50"), (90, "p90"), (99, "p99")]
 
 
-def _quantile_agg_exprs(engine: str) -> list[str]:
-    """Per-percentile order-statistic picks (``expr AS alias``) over
-    the ranked rows (columns u, rn, n): the two bracketing sorted
+def _quantile_agg_pairs(engine: str) -> list[tuple[str, str]]:
+    """Per-percentile order-statistic picks as (expr, alias) tuples
+    over the ranked rows (columns u, rn, n): the two bracketing sorted
     values at 0-based rank lo = (k*(n-1)) div 100 and lo+1. One text
-    for both engines (only the integer-division spelling differs)."""
+    for both engines (only the integer-division spelling differs).
+    Tuples, not 'expr AS alias' strings: the Spark side aliases
+    structurally, so an aggregate containing CAST(... AS ...) can
+    never be mis-split on the wrong ' AS ' (review finding r9)."""
     dv = "div" if engine == "spark" else "//"
-    out = ["MAX(n) AS n"]
+    out = [("MAX(n)", "n")]
     for k, _ in _QUANTILE_PCTS:
         lo = f"(({k} * (n - 1)) {dv} 100)"
-        out.append(f"SUM(CASE WHEN rn = {lo} THEN u END) AS lo{k}")
+        out.append((f"SUM(CASE WHEN rn = {lo} THEN u END)", f"lo{k}"))
         out.append(
-            f"COALESCE(SUM(CASE WHEN rn = {lo} + 1 THEN u END), 0)"
-            f" AS hi{k}"
+            (
+                f"COALESCE(SUM(CASE WHEN rn = {lo} + 1 THEN u END), 0)",
+                f"hi{k}",
+            )
         )
     return out
+
+
+def _quantile_agg_exprs(engine: str) -> list[str]:
+    """The DuckDB-rendered string form of :func:`_quantile_agg_pairs`."""
+    return [f"{e} AS {a}" for e, a in _quantile_agg_pairs(engine)]
 
 
 def _quantile_out_exprs(engine: str) -> list[str]:
@@ -3480,8 +3490,8 @@ def q_quantiles(spark, sf_dir):
     )
     ag = rk.groupBy("event_type").agg(
         *[
-            F.expr(e.rsplit(" AS ", 1)[0]).alias(e.rsplit(" AS ", 1)[1])
-            for e in _quantile_agg_exprs("spark")
+            F.expr(e).alias(a)
+            for e, a in _quantile_agg_pairs("spark")
         ]
     )
     return ag.selectExpr("event_type", *_quantile_out_exprs("spark"))

@@ -79,6 +79,23 @@ def _ship_package(spark: SparkSession) -> None:
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, root))
     spark.sparkContext.addPyFile(zpath)
+    # The zip must OUTLIVE registration: executors re-fetch registered
+    # files from the ORIGINAL path at task-dependency update (local
+    # mode compares the userFiles copy against the source byte-wise —
+    # unlinking here made the very first task die with "exists and
+    # does not match contents", reproduced r10). So the cleanup is
+    # deferred to interpreter exit instead of leaking one zip per
+    # session forever.
+    import atexit
+
+    atexit.register(lambda p=zpath: _unlink_quiet(p))
+
+
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
 
 
 def configure_session(spark: SparkSession) -> SparkSession:
@@ -99,11 +116,22 @@ def configure_session(spark: SparkSession) -> SparkSession:
             pass
     try:
         _ship_package(spark)
-    except Exception:
+    except Exception as exc:
         # A session that forbids addPyFile (or a read-only tmp) —
         # module-helper kernels then need the package on the
         # executors' PYTHONPATH, the plain spark-submit contract.
-        pass
+        # Warn instead of passing silently: if that contract is ALSO
+        # unmet, the first module-helper kernel dies on an executor
+        # ImportError far from this cause.
+        import warnings
+
+        warnings.warn(
+            f"could not ship dex_data_ingestor_spark to executors "
+            f"({exc!r}); module-helper kernels require the package "
+            f"on the executors' PYTHONPATH",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     _CONFIGURED.add(app_id)
     return spark
 

@@ -81,6 +81,62 @@ def test_all_queries_have_oracle_or_are_flagged():
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
 
 
+def _balanced_span(s: str, start: int) -> int:
+    """Index just past the ')' closing the '(' at ``start``."""
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise AssertionError("unbalanced parens")
+
+
+def test_rieee_case_expansions_never_desync():
+    """Every expanded _rieee CASE literal in every ORACLE_SQL carries
+    the rounded expression in TRIPLICATE (guard, floor branch, else
+    branch) — a hand edit to one copy silently desynchronizes the
+    rounding rule (ADVICE r9). This guard re-parses each expansion
+    (balanced-paren scan, so nested CASE/abs inside the expression is
+    fine), recovers (expr, scale), and asserts the whole span is
+    byte-identical to a fresh ``_rieee(expr, scale)`` rendering — so
+    the three copies plus both constants can never drift apart
+    undetected. Anything that LOOKS like the expansion signature
+    (``CASE WHEN abs(...) < <float> THEN floor((``) must parse fully;
+    a partial match is exactly the desync this test exists to catch."""
+    import math
+    import re
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, _rieee
+
+    sig = re.compile(r"CASE WHEN abs\(")
+    checked = 0
+    for name, sql in ORACLE_SQL.items():
+        for m in sig.finditer(sql):
+            open_paren = m.end() - 1
+            end_x = _balanced_span(sql, open_paren)
+            expr = sql[open_paren + 1 : end_x - 1]
+            after = sql[end_x:]
+            head = re.match(r" < (\d+(?:\.\d+)?) THEN floor\(", after)
+            if not head:
+                continue  # a genuine abs() comparison, not a rounding site
+            bound = float(head.group(1))
+            scale = 15 - round(math.log10(bound))
+            span_start = m.start()
+            rendered = _rieee(expr, scale)
+            actual = sql[span_start : span_start + len(rendered)]
+            assert actual == rendered, (
+                f"{name}: desynced _rieee expansion for scale {scale}:\n"
+                f"  expected: {rendered}\n  actual:   {actual}"
+            )
+            checked += 1
+    # the registry carries dozens of these; a collapse to ~0 means the
+    # parser regressed, not that the sites vanished
+    assert checked >= 40, checked
+
+
 def test_approx_distinct_bounded_relative_error(spark, sf_dir):
     """q_approx_distinct is rows-only for the driver (HLL++ estimates
     are implementation-specific, no cross-engine oracle) — so pin its

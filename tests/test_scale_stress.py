@@ -1048,3 +1048,77 @@ def test_stats_moments_overflow_loudly_out_of_domain(spark, tmp_path):
         match="(?i)overflow|out of range|cannot be represented|NUMERIC_VALUE",
     ):
         QUERIES["q_stats_agg"](spark, path).collect()
+
+
+# =========================================================================
+# Matview family (added r10 — the family that went driver-red in r9
+# gets the same hot-key stress treatment as the rest)
+# =========================================================================
+
+
+@pytest.mark.slow
+def test_matview_long_maintenance_chain_never_drifts(spark):
+    """The 100 TB claim under test: a maintained roll-up equals a
+    from-scratch recompute EXACTLY after an arbitrarily long chain of
+    refreshes — 25 rounds of skewed churn (one hot group holds ~90%
+    of rows; every round deletes, updates, and inserts) over values
+    chosen to drift under float accumulation (0.1 is not dyadic; the
+    1e9-magnitude rows make naive double sums lose the 0.1 tails
+    entirely). Equality is checked EVERY round, bitwise on the
+    DECIMAL(38,6) sums — one ULP of drift anywhere in the chain fails
+    the round it appears."""
+    from dex_data_ingestor_spark.operators import matview as MV
+
+    def row(k):
+        g = "hot" if k % 10 else f"cold{k % 7}"
+        # non-dyadic small tails beside 1e9 spikes: poison for a
+        # float running sum, exact for the decimal path
+        v = 0.1 + (k % 13) * 0.01 + (1.0e9 if k % 97 == 0 else 0.0)
+        return (k, g, v)
+
+    n = 6000
+    fact = {k: row(k) for k in range(n)}
+    schema = "k long, g string, v double"
+    base = MV.grouped_sums(
+        spark.createDataFrame(list(fact.values()), schema), ["g"], ["v"]
+    )
+    next_key = n
+    for rnd in range(25):
+        # churn: delete 40 keys, update 80 (both images), insert 60
+        dels = [k for k in range(rnd * 40, rnd * 40 + 40) if k in fact]
+        upds = [
+            k
+            for k in range(2000 + rnd * 80, 2000 + rnd * 80 + 80)
+            if k in fact and k not in dels
+        ]
+        removed = [fact[k] for k in dels] + [fact[k] for k in upds]
+        added = []
+        for k in upds:
+            kk, g, v = fact[k]
+            fact[k] = (kk, g, v + 0.1)
+            added.append(fact[k])
+        for _ in range(60):
+            fact[next_key] = row(next_key)
+            added.append(fact[next_key])
+            next_key += 1
+        for k in dels:
+            del fact[k]
+        base = MV.maintain_grouped_sums(
+            base,
+            spark.createDataFrame(removed, schema),
+            spark.createDataFrame(added, schema),
+            ["g"],
+            ["v"],
+        )
+        # sever the 25-round lineage so the plan does not grow
+        # unboundedly (exactly what a snapshot-stored aggregate does
+        # between refreshes at scale)
+        base = base.localCheckpoint()
+        want = MV.grouped_sums(
+            spark.createDataFrame(list(fact.values()), schema),
+            ["g"],
+            ["v"],
+        )
+        got = {r.g: (r.n_rows, r.sum_v) for r in base.collect()}
+        exp = {r.g: (r.n_rows, r.sum_v) for r in want.collect()}
+        assert got == exp, f"drift at round {rnd}"
