@@ -214,6 +214,12 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     materialize(QUERIES["q_count"](spark, sf_dir))
 
+    # The legacy-17 sum is the round-gate number; the r9 driver run
+    # proved the box can inflate individual runs 4-5x under co-tenant
+    # pressure (spread ~= the measurement). Median-of-5 for those
+    # entries tolerates two bad runs instead of one, for ~20 s of
+    # extra wall on queries that are each sub-2 s.
+    legacy_runs = max(runs, 5)
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in (subset if subset is not None else HEADLINE):
@@ -221,8 +227,13 @@ def main() -> None:
         # from the measurement (steady-state throughput is the metric);
         # every timed run still re-executes the full plan from the scans.
         materialize(QUERIES[name](spark, sf_dir))
+        n_runs = (
+            legacy_runs
+            if subset is None and name in HEADLINE[:17]
+            else runs
+        )
         samples = []
-        for _ in range(runs):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
@@ -255,6 +266,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
+        "legacy17_runs": legacy_runs,
         "stat": "median",
         "spread_sec": spread,
         "total_spread_sec": round(sum(spread.values()), 3),
@@ -278,6 +290,7 @@ def main() -> None:
         "queries": {n: timings[n] for n in legacy},
         "sf": detail["sf"],
         "runs_per_query": runs,
+        "legacy17_runs": legacy_runs,
         "stat": "median",
         "n_entries": len(HEADLINE),
         "legacy17_sum_sec": legacy_sum,

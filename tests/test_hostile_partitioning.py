@@ -40,6 +40,9 @@ SUBSET = [
     "q_group_agg",
     "q_yoy_qoq",
     "q_twap",
+    # incremental maintenance (signed-delta merge must not depend on
+    # which partition folds a delta; r9 driver-red family)
+    "q_incremental_agg",
     # first-wins / top-k / as-of / session windows
     "q_dedup_first",
     "q_topk",

@@ -593,3 +593,22 @@ def test_stats_agg_single_exchange_exact_moments(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     for native in ("stddev_samp(", "var_samp(", "corr(", "covar_samp("):
         assert native not in plan, (native, plan)
+
+
+def test_incremental_agg_maintenance_joins_on_group_key(spark, sf_dir):
+    """q_incremental_agg's maintenance step: the |delta| rows aggregate
+    through their own partial+final pair and merge into the base via
+    ONE full-outer join keyed on the group columns — the fact table is
+    scanned only to seed/derive the deltas, never rescanned by the
+    merge, and nothing crosses into Python. At 100 TB the base side is
+    the snapshot-stored aggregate (group-cardinality-sized), so the
+    join cost is O(touched groups), which is what this plan shape
+    certifies."""
+    plan = plan_of(spark, sf_dir, "q_incremental_agg")
+    assert "FullOuter" in plan, plan
+    # group-key join: null-safe equality on both grouping columns
+    assert "l_returnflag" in plan and "l_linestatus" in plan, plan
+    assert "Python" not in plan, plan
+    # one join total — base agg vs delta agg; no second join sneaks a
+    # fact rescan into the merge
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin|^\(\d+\) ShuffledHashJoin|^\(\d+\) BroadcastHashJoin", plan, re.M)) == 1, plan
