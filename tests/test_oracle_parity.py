@@ -81,6 +81,85 @@ def test_all_queries_have_oracle_or_are_flagged():
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
 
 
+def test_oracle_materialization_classes_agree(con):
+    """Mechanism-based twin of the type audits above. Both driver reds
+    (r8 HUGEINT, r9 DECIMAL) shared one channel: a DuckDB result type
+    whose ``fetchall`` Python class (int / Decimal — what the local
+    compare sees) differs from its pandas ``.df()`` class (float64 —
+    what the driver's hash evidently sees). The named-type allowlist
+    blocks the two known offenders; this audit detects the CHANNEL, so
+    a type we never thought about (UBIGINT, TIME, interval, a future
+    DuckDB widening) cannot slip a third instance through. LIMIT 0
+    frames would be vacuous, so each relation contributes its full
+    sf0.001 result."""
+    import datetime as dt
+    import decimal
+
+    import numpy as np
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL
+
+    def cls(v):
+        if v is None:
+            return None
+        if isinstance(v, bool) or isinstance(v, np.bool_):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, dt.datetime):
+            return "ts"
+        if isinstance(v, dt.date):
+            return "date"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "list"
+        return type(v).__name__
+
+    offenders = []
+    for name, sql in ORACLE_SQL.items():
+        rel = con.sql(sql)
+        rows = rel.fetchall()
+        df = con.sql(sql).df()
+        cols = list(df.columns)
+        for j, c in enumerate(cols):
+            vals = [r[j] for r in rows]
+            has_null = any(v is None for v in vals)
+            fetch_cls = {cls(v) for v in vals} - {None}
+            # NaT/NaN placeholders for SQL NULLs must not count as a
+            # float materialization of a non-float column
+            pandas_cls = {
+                cls(v) for v in df[c] if not (v is None or v != v)
+            } - {None}
+            if not fetch_cls or not pandas_cls or fetch_cls == pandas_cls:
+                continue
+            # pandas has no date dtype: DATE -> midnight Timestamp is
+            # its universal convention, driver-green since r1
+            if fetch_cls == {"date"} and pandas_cls == {"ts"}:
+                continue
+            # nullable-int columns widen to float64 with NaN — a
+            # nullability artifact, driver-green (q_time_rollup,
+            # q_rrf_fusion); a NULL-FREE int->float jump stays fatal:
+            # that is exactly how HUGEINT surfaced in r8
+            if (
+                fetch_cls == {"int"}
+                and pandas_cls == {"float"}
+                and has_null
+            ):
+                continue
+            offenders.append((name, c, fetch_cls, pandas_cls))
+    assert not offenders, (
+        "oracle columns materialize differently via fetchall vs pandas "
+        f"(the r8/r9 driver-red channel): {offenders}"
+    )
+
+
 def _balanced_span(s: str, start: int) -> int:
     """Index just past the ')' closing the '(' at ``start``."""
     depth = 0
