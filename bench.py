@@ -227,11 +227,10 @@ def main() -> None:
         # from the measurement (steady-state throughput is the metric);
         # every timed run still re-executes the full plan from the scans.
         materialize(QUERIES[name](spark, sf_dir))
-        n_runs = (
-            legacy_runs
-            if subset is None and name in HEADLINE[:17]
-            else runs
-        )
+        # legacy-17 entries get the deeper sampling in the official
+        # run AND in subset A/B probes — a drift-A/B reading must stay
+        # statistically comparable to the gate number it cross-checks
+        n_runs = legacy_runs if name in HEADLINE[:17] else runs
         samples = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -250,6 +249,7 @@ def main() -> None:
             "spread_sec": spread,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "runs_per_query": runs,
+            "legacy17_runs": legacy_runs,
             "stat": "median",
         }))
         spark.stop()

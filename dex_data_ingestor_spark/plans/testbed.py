@@ -10161,67 +10161,8 @@ def q_priority_lateness(spark, sf_dir):
 #: never-checked entries forward, so it rides r9 as the window's one
 #: rows-only slot; from r10 it alternates with q_quantiles as
 #: planned.
-_WINDOW_R9_RETIRED = [
-    # never driver-checked (added r8) — the entire debt, per verdict
-    # LM quality scorers
-    "q_unigram_logloss",
-    "q_bigram_logloss",
-    "q_backoff_logloss",
-    "q_nb_classify",
-    "q_dsir_weights",
-    "q_dsir_sample",
-    # heuristic filter batteries
-    "q_gopher_rules",
-    "q_c4_filters",
-    "q_char_entropy",
-    # vector / ANN / eval
-    "q_ann_pq",
-    "q_ann_pq_rerank",
-    "q_ann_ivfpq",
-    "q_random_project",
-    "q_embed_gram",
-    "q_embed_gram_fast",
-    "q_embed_auc",
-    "q_mmr_rerank",
-    "q_semdedup",
-    "q_semdedup_fast",
-    # corpus / containment / retrieval
-    "q_ngram_containment",
-    "q_ngram_containment_fast",
-    "q_cluster_split",
-    "q_curate_materialized",
-    "q_edit_distance",
-    "q_inverted_index",
-    "q_pmi_collocations",
-    "q_rrf_fusion",
-    "q_pagerank",
-    "q_approx_quantiles",
-    # market metrics / risk legs
-    "q_ohlc_bars",
-    "q_ohlc_daily",
-    "q_tick_rule_flow",
-    "q_realized_var",
-    "q_markout",
-    "q_drawdown",
-    "q_return_corr",
-    "q_rolling_vol",
-    # product analytics / incremental
-    "q_debounce",
-    "q_ab_test",
-    "q_incremental_agg",
-    # TPC-H shapes (Q2/Q7/Q11/Q12/Q14-promo/Q20/Q21)
-    "q_volume_shipping",
-    "q_min_cost_supplier",
-    "q_part_promotion",
-    "q_important_stock",
-    "q_priority_lateness",
-    "q_waiting_suppliers",
-    # canaries (trimmed to 4 under invariant 3 — see block comment)
-    "q_flagship_daily_revenue",
-    "q_merge_upsert",
-    "q_asof_price",
-    "q_vector_topk",
-]
+#: (The r9 window list itself is retired; it is preserved at commit
+#: df882d4 — the narrative above is the durable record.)
 
 
 # =========================================================================

@@ -88,7 +88,7 @@ def _ship_package(spark: SparkSession) -> None:
     # session forever.
     import atexit
 
-    atexit.register(lambda p=zpath: _unlink_quiet(p))
+    atexit.register(_unlink_quiet, zpath)
 
 
 def _unlink_quiet(path: str) -> None:

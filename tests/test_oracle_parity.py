@@ -133,9 +133,19 @@ def test_oracle_materialization_classes_agree(con):
             has_null = any(v is None for v in vals)
             fetch_cls = {cls(v) for v in vals} - {None}
             # NaT/NaN placeholders for SQL NULLs must not count as a
-            # float materialization of a non-float column
+            # float materialization of a non-float column; the NaN
+            # probe must stay scalar-only (a list cell's `v != v` is
+            # an elementwise array whose bool() raises)
+            def _is_null(v):
+                if v is None:
+                    return True
+                return (
+                    not isinstance(v, (list, tuple, np.ndarray))
+                    and v != v
+                )
+
             pandas_cls = {
-                cls(v) for v in df[c] if not (v is None or v != v)
+                cls(v) for v in df[c] if not _is_null(v)
             } - {None}
             if not fetch_cls or not pandas_cls or fetch_cls == pandas_cls:
                 continue
