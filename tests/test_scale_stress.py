@@ -1122,3 +1122,109 @@ def test_matview_long_maintenance_chain_never_drifts(spark):
         got = {r.g: (r.n_rows, r.sum_v) for r in base.collect()}
         exp = {r.g: (r.n_rows, r.sum_v) for r in want.collect()}
         assert got == exp, f"drift at round {rnd}"
+
+
+# =========================================================================
+# Graph + packing/tokenization families (added r10: the last two heavy
+# families without a skew stress; oracle parity under engineered skew,
+# the exact-stats pattern)
+# =========================================================================
+
+
+@pytest.mark.slow
+def test_pagerank_hub_graph_parity_at_scale(spark, tmp_path):
+    """PageRank on an extreme-skew trade graph: one hub customer
+    trading with 2,000 suppliers and one hub supplier serving 3,000
+    customers (star in-degree ~100x the fixture's max), plus a long
+    tail with duplicate order lines (exercising the DISTINCT pair
+    dedup). All-integer updates mean skew can only break the
+    PLUMBING (the dst-keyed shuffles, checkpoint truncation), never
+    the values — so bitwise oracle parity on this graph certifies
+    the loop end-to-end under hub pressure."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    rng = random.Random(20260815)
+    orders, lineitem = [], []
+    ok = 0
+    # hub customer 1: 2000 orders, each to a distinct supplier
+    for s in range(1, 2001):
+        ok += 1
+        orders.append((ok, 1))
+        lineitem.append((ok, s))
+    # hub supplier 9999: 3000 customers' orders land on it
+    for c in range(2, 3002):
+        ok += 1
+        orders.append((ok, c))
+        lineitem.append((ok, 9999))
+    # Zipfian tail with duplicate lines per order
+    for _ in range(8000):
+        ok += 1
+        c = max(2, int(3000 ** rng.random()))
+        s = max(1, int(2000 ** rng.random()))
+        orders.append((ok, c))
+        for _ in range(rng.randint(1, 3)):
+            lineitem.append((ok, s))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).repartition(8).write.parquet(sf + "/orders.parquet")
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_suppkey long"
+    ).repartition(8).write.parquet(sf + "/lineitem.parquet")
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    problems = compare(QUERIES["q_pagerank"](spark, sf), con,
+                       ORACLE_SQL["q_pagerank"])
+    con.close()
+    assert not problems, problems
+
+
+@pytest.mark.slow
+def test_packing_token_budget_hot_lang_parity_at_scale(spark, tmp_path):
+    """Sequence packing + token-budget selection on a corpus 10x the
+    sf0.1 table with a 90%-hot language, mass token-count TIES (the
+    deterministic (n_tokens DESC, doc_id) tiebreak is the seam skew
+    data stresses — r8's q_token_budget red lived in this window),
+    and giant outlier docs that exhaust the budget within a few rows.
+    Bitwise oracle parity for the window family under that skew."""
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    rng = random.Random(20260816)
+    rows = []
+    for i in range(5000):
+        lang = "en" if i % 10 else f"l{i % 4}"
+        if i % 50 == 0:
+            words = 5000  # giant doc: blows the 20k budget fast
+        else:
+            words = 200 + (i % 7) * 25  # dense tie bands
+        text = " ".join(
+            f"w{rng.randint(0, 50)}" for _ in range(words)
+        )
+        rows.append((i, text, lang, f"src{i % 3}", len(text)))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, "
+        "source string, n_chars long"
+    ).repartition(16).write.parquet(sf + "/documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    for name in ("q_seq_packing", "q_token_budget", "q_mix_weights"):
+        problems = compare(QUERIES[name](spark, sf), con,
+                           ORACLE_SQL[name])
+        assert not problems, (name, problems)
+    con.close()
