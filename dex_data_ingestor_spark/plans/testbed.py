@@ -10198,6 +10198,13 @@ def q_priority_lateness(spark, sf_dir):
 #: Canaries fill the remaining 8 slots (flagship + one per core
 #: family; q_text_stats doubles as the round_ieee representative for
 #: the ~90-site ROUND swap, q_group_agg as the _dec_sum one).
+#:
+#: Forward plan (r11): once this window lands, latest-green cohorts
+#: are A = the ~45 r8 greens never re-checked since (oldest, 3
+#: rounds), B = the r9 debt-drain's ~45, C = this window's 50. r11
+#: fronts cohort A plus the standing canaries (45 + 5 = 50, zero
+#: spare); r12 fronts B. Invariants 1-3 (new/changed queries promote;
+#: canaries trim for owed slots) override as always.
 _WINDOW_R10 = [
     # red / never-confirmed fixes first
     "q_incremental_agg",
