@@ -5,6 +5,7 @@ posture) — pushdown, pruning, broadcast, no Python UDFs in hot paths.
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from dex_data_ingestor_spark.io import load_table
@@ -612,3 +613,64 @@ def test_incremental_agg_maintenance_joins_on_group_key(spark, sf_dir):
     # one join total — base agg vs delta agg; no second join sneaks a
     # fact rescan into the merge
     assert len(re.findall(r"^\(\d+\) SortMergeJoin|^\(\d+\) ShuffledHashJoin|^\(\d+\) BroadcastHashJoin", plan, re.M)) == 1, plan
+
+
+@pytest.mark.slow
+def test_plan_shape_inventory_pinned(spark):
+    """Registry-wide shuffle-regression net: the initial-plan shape of
+    EVERY query — shuffle-exchange count, broadcast count, cartesian
+    count, Python presence — is pinned to tests/plan_inventory.json
+    (generated at sf0.001 under the standard session confs). A change
+    that silently adds an exchange to any of the 176 queries, demotes
+    a broadcast to a shuffle, sneaks in a cartesian product, or drops
+    Python into a JVM-only plan fails HERE naming the query, instead
+    of surfacing as a bench regression two rounds later.
+
+    Counts are INITIAL (pre-AQE) plans, so the deliberate diamonds
+    overstate runtime exchanges (ReusedExchange appears only in
+    executed adaptive plans) — that is fine for a regression pin;
+    stability is what matters. If a pinned value changes for a GOOD
+    reason (an optimization, a Spark upgrade), review the diff and
+    regenerate: the test docstring IS the recipe — build each query at
+    sf0.001, explain('formatted'), recount, rewrite the JSON."""
+    import contextlib
+    import io
+    import json
+    import os
+
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    pin_path = os.path.join(os.path.dirname(__file__), "plan_inventory.json")
+    with open(pin_path) as fh:
+        pinned = json.load(fh)
+    assert set(pinned) == set(QUERIES), (
+        "registry and plan inventory diverged: "
+        f"{set(pinned) ^ set(QUERIES)}"
+    )
+
+    def metrics(plan: str) -> dict:
+        return {
+            "exchanges": len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)),
+            "broadcasts": len(
+                re.findall(r"^\(\d+\) BroadcastExchange\b", plan, re.M)
+            ),
+            "cartesian": len(re.findall(r"CartesianProduct", plan)),
+            "python": bool(
+                re.search(
+                    r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+                    r"|BatchEvalPython|PythonMapInArrow",
+                    plan,
+                )
+            ),
+        }
+
+    drift = []
+    for name, fn in QUERIES.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, sf).explain("formatted")
+        got = metrics(buf.getvalue())
+        if got != pinned[name]:
+            drift.append((name, {"pinned": pinned[name], "got": got}))
+    assert not drift, f"plan shapes drifted: {drift}"
