@@ -674,3 +674,87 @@ def test_plan_shape_inventory_pinned(spark):
         if got != pinned[name]:
             drift.append((name, {"pinned": pinned[name], "got": got}))
     assert not drift, f"plan shapes drifted: {drift}"
+
+
+@pytest.mark.slow
+def test_global_windows_only_on_bounded_inputs(spark):
+    """A Window with no PARTITION BY moves its entire input to one
+    task — the quietest scale-killer Spark offers (WindowExec warns,
+    nobody reads warnings). Registry-wide sweep of every physical
+    plan: global window specs may appear ONLY in the four queries
+    whose input at that node is bounded by construction —
+
+      q_surrogate_join  dense_rank over DISTINCT dim tuples (dim
+                        cardinality; surrogate keys need global order)
+      q_revenue_share   rank over nation-level aggregates (~25 rows)
+      q_rrf_fusion      ranks over top-k cuts (k=50 per leg)
+      q_embed_auc       level-2 prefix sum over bucket summaries
+                        (5,000 rows; the level-1 pass is partitioned)
+
+    Any other query growing a global window fails here naming it.
+    Discrimination note: the formatted node prints [funcs],[part],
+    [order] for partitioned+ordered but only two groups when either
+    is absent, so the reliable signal is the windowspecdefinition
+    argument list — unpartitioned iff every non-frame arg carries a
+    sort direction (partition columns print bare)."""
+    import contextlib
+    import io
+
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    allowed = {
+        "q_surrogate_join", "q_revenue_share", "q_rrf_fusion",
+        "q_embed_auc",
+    }
+
+    def specs(text):
+        out = []
+        for m in re.finditer(r"windowspecdefinition\(", text):
+            depth, start = 1, m.end()
+            for i in range(start, len(text)):
+                if text[i] == "(":
+                    depth += 1
+                elif text[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        out.append(text[start:i])
+                        break
+        return out
+
+    def is_global(spec):
+        args, depth, cur = [], 0, ""
+        for ch in spec:
+            if ch == "," and depth == 0:
+                args.append(cur.strip())
+                cur = ""
+            else:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                cur += ch
+        args.append(cur.strip())
+        args = [a for a in args if not a.startswith("specifiedwindowframe")]
+        if not args:
+            return True
+        return all(" ASC" in a or " DESC" in a for a in args)
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, sf).explain("formatted")
+        plan = buf.getvalue()
+        for block in re.findall(
+            r"^\(\d+\) Window\n(?:^(?!\(\d).*\n)*", plan, re.M
+        ):
+            m = re.search(r"Arguments: (.*)", block)
+            if m and any(is_global(s) for s in specs(m.group(1))):
+                offenders.setdefault(name, 0)
+                offenders[name] += 1
+                break
+    assert set(offenders) <= allowed, (
+        "global (unpartitioned) windows outside the bounded-input "
+        f"allowlist: {sorted(set(offenders) - allowed)}"
+    )
