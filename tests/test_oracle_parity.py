@@ -170,6 +170,32 @@ def test_oracle_materialization_classes_agree(con):
     )
 
 
+def test_oracle_sql_never_reintroduces_banned_constructs():
+    """Static rulebook guard over every ORACLE_SQL (comment-stripped):
+
+    - native ``ROUND(`` — Spark and DuckDB disagree on bit-identical
+      doubles (shortest-repr vs binary rounding; the r9 sf0.1 reds);
+      every rounding site must be the shared _rieee expansion.
+    - raw ``\\s`` in regex literals — Java's class includes \\x0B,
+      RE2's does not; tokenizers must use the explicit shared class
+      (scalars.WS / its DuckDB twin).
+
+    Both classes were eradicated in r9; this pins the eradication so
+    a future oracle cannot quietly regress either."""
+    import re
+
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL
+
+    offenders = []
+    for name, sql in ORACLE_SQL.items():
+        code = re.sub(r"--[^\n]*", "", sql)
+        if re.search(r"(?<![\w_])round\s*\(", code, re.I):
+            offenders.append((name, "native ROUND("))
+        if "\\s" in code:
+            offenders.append((name, "raw \\s regex class"))
+    assert not offenders, offenders
+
+
 def _balanced_span(s: str, start: int) -> int:
     """Index just past the ')' closing the '(' at ``start``."""
     depth = 0
