@@ -1035,10 +1035,10 @@ def c4_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         terminal_frac.alias("terminal_line_frac"),
-        n_sentences.alias("n_sentences"),
+        n_sentences.cast("long").alias("n_sentences"),
         has_brace.alias("has_brace"),
         has_lorem.alias("has_lorem"),
-        n_js_lines.alias("n_js_lines"),
+        n_js_lines.cast("long").alias("n_js_lines"),
         keep.alias("keep"),
     )
 

@@ -577,7 +577,7 @@ def gram_matrix_fast(
             )
 
     cells = df.select(F.col(vec_col)).mapInPandas(
-        kernel, "i int, j int, n long, s_units long"
+        kernel, "i long, j long, n long, s_units long"
     )
     return cells.groupBy("i", "j").agg(
         F.sum("n").cast("bigint").alias("n"),

@@ -3593,7 +3593,11 @@ def q_corpus_curation(spark, sf_dir):
         min_words=5,
         near_dup=True,
     )
-    return out.select("doc_id", "n_words", "quality_score")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "quality_score",
+    )
 
 
 @register("q_approx_distinct")  # rows-only: HLL++ estimates are
@@ -4427,7 +4431,7 @@ def q_embed_stats(spark, sf_dir):
             "pos", "xv"
         )
     ).select(
-        (F.col("pos") + 1).alias("dim"),
+        (F.col("pos") + 1).cast("long").alias("dim"),
         F.floor(F.col("xv") * F.lit(1000000.0) + F.lit(0.5)).alias("u"),
     )
     agg = x.groupBy("dim").agg(
@@ -6707,7 +6711,11 @@ def q_curate_stripped(spark, sf_dir):
         strip_substrings_min_len=20,
         strip_materialize_dir=None,
     )
-    return out.select("doc_id", "n_words", "quality_score")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "quality_score",
+    )
 
 
 # Output is bit-identical to q_curate_stripped (a parquet round-trip
@@ -6735,7 +6743,11 @@ def q_curate_materialized(spark, sf_dir):
         near_dup=True,
         strip_substrings_min_len=20,
     )
-    return out.select("doc_id", "n_words", "quality_score")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "quality_score",
+    )
 
 
 ORACLE_SQL["q_curate_materialized"] = ORACLE_SQL["q_curate_stripped"]
@@ -7873,7 +7885,7 @@ def q_embed_gram(spark, sf_dir):
         """
         flatten(transform(v, (xi, i) ->
           transform(slice(v, i + 1, size(v) - i), (xj, k) ->
-            struct(i + 1 AS i, i + k + 1 AS j,
+            struct(CAST(i + 1 AS BIGINT) AS i, CAST(i + k + 1 AS BIGINT) AS j,
                    CAST(xi AS DECIMAL(18,6))
                      * CAST(xj AS DECIMAL(18,6)) AS p))))
         """

@@ -79,6 +79,21 @@ def _portable(dtype: str) -> bool:
     return dtype in _PORTABLE_SPARK_TYPES
 
 
+def _scan_nonfinite(v) -> bool:
+    """True if v is (or contains, for lists) a NaN or ±inf float. A
+    non-finite double at the RESULT boundary is always a leaked
+    undefined computation (the registry's NULLIF/guard discipline
+    exists to prevent it) and is a cross-engine hash hazard: pandas
+    materialization conflates NaN with SQL NULL, so the driver's hash
+    and the local bitwise compare can disagree about what a NaN means.
+    Swept registry-wide in r10: zero emitters — this keeps it zero."""
+    if isinstance(v, float):
+        return not math.isfinite(v)
+    if isinstance(v, (list, tuple)):
+        return any(_scan_nonfinite(x) for x in v)
+    return False
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems = []
@@ -91,6 +106,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
             )
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
+    for row in s_rows:
+        bad = [
+            s_cols[i] for i, v in enumerate(row) if _scan_nonfinite(v)
+        ]
+        if bad:
+            problems.append(
+                f"non-finite float at the result boundary in {bad} "
+                "(guard the divide/log with NULLIF — NOTES.md rulebook)"
+            )
+            break
     rel = con.sql(sql)
     d_cols = list(rel.columns)
     d_rows = rel.fetchall()

@@ -170,6 +170,59 @@ def test_oracle_materialization_classes_agree(con):
     )
 
 
+def test_result_column_widths_match_oracle(spark, sf_dir, con):
+    """Registry-wide cross-engine WIDTH audit: every Spark result
+    column's dtype must map exactly onto the DuckDB oracle column's
+    type (bigint↔BIGINT, int↔INTEGER, double↔DOUBLE, …). The named
+    allowed pair is timestamp_ntz↔TIMESTAMP — the repo-wide session
+    convention, driver-green across 24 queries since r1.
+
+    Why: the portable-type audits pin each SIDE's types, but nothing
+    pinned the PAIRING. An r10 sweep found seven int32↔BIGINT pairs —
+    empirically driver-benign (q_embed_gram, q_c4_filters took r9
+    hash-greens carrying the mismatch), but the same sweep is how the
+    r8 HUGEINT and r9 DECIMAL channels were found, so the registry was
+    normalized to width-identical pairs and this test keeps it there:
+    a width asymmetry can only survive behind an explicit entry here.
+
+    Schema-only on both sides (Spark analysis, lazy DuckDB bind) — no
+    execution, so the full registry costs seconds."""
+    expected = {
+        "bigint": "BIGINT",
+        "int": "INTEGER",
+        "smallint": "SMALLINT",
+        "double": "DOUBLE",
+        "float": "FLOAT",
+        "string": "VARCHAR",
+        "date": "DATE",
+        "boolean": "BOOLEAN",
+        "binary": "BLOB",
+        "timestamp_ntz": "TIMESTAMP",
+    }
+
+    def duck_expected(spark_type: str):
+        if spark_type.startswith("array<") and spark_type.endswith(">"):
+            inner = duck_expected(spark_type[6:-1])
+            return f"{inner}[]" if inner else None
+        return expected.get(spark_type)
+
+    offenders = []
+    for name, sql in ORACLE_SQL.items():
+        sdt = dict(QUERIES[name](spark, sf_dir).dtypes)
+        rel = con.sql(sql)
+        ddt = dict(zip(rel.columns, (str(t) for t in rel.types)))
+        for col, st in sdt.items():
+            want = duck_expected(st)
+            if want is None:
+                offenders.append((name, col, st, "unmapped spark type"))
+            elif ddt.get(col) != want:
+                offenders.append((name, col, st, ddt.get(col)))
+    assert not offenders, (
+        "cross-engine column width/type pairs diverge "
+        f"(normalize at the query boundary): {offenders}"
+    )
+
+
 def test_oracle_sql_never_reintroduces_banned_constructs():
     """Static rulebook guard over every ORACLE_SQL (comment-stripped):
 
