@@ -46,6 +46,21 @@ _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 _RAW_READS: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
 
 
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through Spark's Hadoop FileSystem, so
+    scheme-qualified paths (s3a://, hdfs://) behave exactly like local
+    ones. ``os.path.exists`` sees only the driver's local filesystem —
+    against a remote table it returns False every time, which turns
+    "merge into existing" write paths into silent full overwrites of
+    the remote table (the table looks freshly-initialized on every
+    run). Every engine write path that branches on table existence
+    must come through here."""
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(hconf).exists(hpath)
+
+
 def _stat_sig(path: str) -> tuple:
     try:
         st = os.stat(path)

@@ -30,15 +30,40 @@ from pyspark.sql import types as T
 from dex_data_ingestor_spark import schemas
 
 
+def ntz_lit(v):
+    """TIMESTAMP_NTZ literal from a naive datetime / ISO string, built
+    TEXTUALLY so it is timezone-free. ``F.lit(naive_datetime)`` is NOT:
+    py4j converts the naive value to an instant via the Python
+    process's local timezone, then Spark renders that instant in the
+    SESSION timezone — under the engine's pinned Asia/Hong_Kong
+    session (reference parity, session.py get_session) a naive
+    midnight from a UTC process becomes 08:00 wall time, silently
+    shifting every window bound and stamped column by the tz offset.
+    The string round-trip has no instant in the middle, so the wall
+    time survives any (process tz, session tz) combination. Columns
+    pass through untouched."""
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            raise ValueError(
+                "ntz_lit takes naive wall-clock datetimes; convert "
+                f"aware datetimes explicitly (got {v!r})"
+            )
+        return F.to_timestamp_ntz(F.lit(v.isoformat(sep=" ")))
+    if isinstance(v, str):
+        return F.to_timestamp_ntz(F.lit(v))
+    return F.lit(v)
+
+
 def incremental_window(df: DataFrame, ts_col: str, lo, hi) -> DataFrame:
     """Half-open incremental scan ``lo < ts <= hi``.
 
     ``lo`` may be None (bootstrap: no lower bound beyond the data's own
     minimum). Exactly the reference's no-overlap/no-gap window contract.
-    """
-    cond = F.col(ts_col) <= F.lit(hi)
+    Bounds go through ``ntz_lit`` — naive datetimes mean NTZ wall-clock
+    time, independent of the process and session timezones."""
+    cond = F.col(ts_col) <= ntz_lit(hi)
     if lo is not None:
-        cond = (F.col(ts_col) > F.lit(lo)) & cond
+        cond = (F.col(ts_col) > ntz_lit(lo)) & cond
     return df.filter(cond)
 
 

@@ -21,7 +21,60 @@ with long idle spans, which AQE's skew handling splits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: Per-event-id headroom of the packed tick ordering key below.
+TICK_ORDER_ID_BOUND = 1 << 21
+
+
+def packed_tick_order(
+    ts: str = "ts", event_id: str = "event_id", unit: str = "hour"
+) -> Column:
+    """One-BIGINT total tick order: ``us_into_<unit> * 2^21 +
+    event_id`` — the ordering key the OHLC family's open/close
+    selection runs on (q_ohlc_bars, q_return_corr, the streaming
+    twin). Packed into a single scalar because DuckDB's
+    arg_min/arg_max accept only scalar keys, so the oracle can mirror
+    it verbatim; within one <unit> bucket the key is monotone in
+    (ts, event_id), breaking timestamp ties by event id.
+
+    The packing is only an order if ``event_id < 2^21``: a larger id
+    bleeds into the microsecond digits and can rank a LATER tick
+    below an earlier one (wrong open/close — silently, since nothing
+    overflows int64 until event_id ~2^42). Shipped fixtures stay far
+    inside the bound (max 99,999 at sf0.1), but ids are unbounded at
+    production scale, so the domain is enforced LOUDLY here: any row
+    outside [0, 2^21) raises through ``assert_true`` instead of
+    corrupting the bar series — the quantize_units posture. Tapes
+    with larger ids should re-key (dense per-bucket ids) or widen the
+    packing after re-deriving the overflow bound (us_into_hour needs
+    2^32, leaving 2^31 of id room in int64; us_into_day needs 2^37)."""
+    okey = (
+        F.expr(
+            f"timestampdiff(MICROSECOND, date_trunc('{unit}', {ts}), {ts})"
+        )
+        * F.lit(TICK_ORDER_ID_BOUND)
+        + F.col(event_id)
+    )
+    in_domain = (F.col(event_id) >= 0) & (
+        F.col(event_id) < F.lit(TICK_ORDER_ID_BOUND)
+    )
+    # assert_true yields NULL when the domain holds (raises otherwise),
+    # so the coalesce keeps the key's value bit-identical to the
+    # unguarded form on in-contract data.
+    return okey + F.coalesce(
+        F.assert_true(
+            in_domain,
+            F.concat(
+                F.lit(
+                    "packed_tick_order: event_id outside [0, 2^21) "
+                    "breaks the packed ordering: "
+                ),
+                F.col(event_id).cast("string"),
+            ),
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
 
 
 def date_spine(

@@ -40,6 +40,7 @@ from dex_data_ingestor_spark.operators.dedup import dedup_first
 from dex_data_ingestor_spark.operators.incremental import (
     Bookmark,
     incremental_window,
+    ntz_lit,
 )
 from dex_data_ingestor_spark.operators.merge import merge_upsert
 from dex_data_ingestor_spark.operators.pct import period_over_period
@@ -62,8 +63,15 @@ class DexWarehouse:
         return os.path.join(self.root, table)
 
     def read(self, table: str, schema=None) -> DataFrame | None:
+        from dex_data_ingestor_spark.io import table_exists
+
         p = self.path(table)
-        if not os.path.exists(p):
+        # Hadoop-FS check, not os.path.exists: with a scheme-qualified
+        # warehouse root (s3a://, hdfs://) a local check returns False
+        # for every table, and merge_write's "initial write" branch
+        # would then overwrite the remote table with just the current
+        # window's rows on every run.
+        if not table_exists(self.spark, p):
             return None
         reader = self.spark.read
         if schema is not None:
@@ -93,6 +101,13 @@ class DexWarehouse:
                 writer = writer.partitionBy(partition_col)
             writer.parquet(self.path(table))
             return
+        # The staging copy below removes read-your-own-lineage hazards,
+        # but the final overwrite is NOT crash-atomic on parquet (the
+        # target is deleted before it is rewritten); a failure in that
+        # window needs the staging dir or a re-run to restore. The
+        # crash-atomic production sink is the snapshot table's
+        # manifest commit (operators/snapshots.py; streaming twin
+        # foreach_batch_merge_snapshots).
         if partition_col is None:
             merged = merge_upsert(existing, updates, keys, update_cols)
             staging = self.path(table) + "._staging"
@@ -180,14 +195,43 @@ def sync_dim_tokens(
     return n
 
 
+def _daily_recompute_window(
+    source: DataFrame, window_lo, window_hi
+) -> DataFrame:
+    """Incremental window widened to the FULL first day: ``(day_floor(
+    lo) - 1µs, hi]``. Daily-fact tasks aggregate per calendar day but
+    merge with REPLACE semantics (the reference's ``ON DUPLICATE KEY
+    UPDATE volume = VALUES(volume)``, Hydration.py:236), so a window
+    finer than one day — the documented hourly cron — must never
+    aggregate only its own slice: that would replace the stored day
+    with the last hour's numbers. Recomputing from the day floor makes
+    the merged row "the full day as of hi" at ANY window granularity
+    (hourly runs converge to the exact day total at day end, re-runs
+    are idempotent). The widened scan is bounded by window + 1 day and
+    stays partition-prunable on a date-partitioned source. The 1 µs
+    underhang also closes the midnight sliver: with day-aligned
+    ``(lo, hi]`` windows a tick at exactly midnight lands in the
+    PREVIOUS window yet belongs to the new day, and the next window's
+    recompute would otherwise drop it."""
+    day_lo = dt.datetime.combine(
+        window_lo.date(), dt.time.min
+    ) - dt.timedelta(microseconds=1)
+    return incremental_window(
+        source, "ts", min(window_lo, day_lo), window_hi
+    )
+
+
 def sync_token_daily_stats(
     wh: DexWarehouse, source: DataFrame, window_lo, window_hi
 ) -> int:
     """fact_token_daily_stats (reference: Hydration.py:191-241 /
     Stellar.py:105-148): daily rollup + latest price + 14d/7d
     period-over-period, merged on (token_id, date) with the partial
-    update set volume/volume_usd/yoy/qoq/txns/price."""
-    batch = incremental_window(source, "ts", window_lo, window_hi)
+    update set volume/volume_usd/yoy/qoq/txns/price. The window is
+    widened to the full first day (_daily_recompute_window) so
+    sub-daily cron windows replace each day with its true
+    running-day aggregate, never an hour slice."""
+    batch = _daily_recompute_window(source, window_lo, window_hi)
     token_id = F.xxhash64(F.lit(1), F.col("user_id").cast("string"))
     daily = (
         batch.groupBy(
@@ -245,7 +289,7 @@ def sync_token_daily_stats(
             F.lit(None).cast("double").alias("txns_yoy"),
             F.lit(None).cast("double").alias("txns_qoq"),
             "price_usd",
-            F.lit(window_hi).cast("timestamp_ntz").alias("created_at"),
+            ntz_lit(window_hi).alias("created_at"),
         )
     )
     n = fact.count()
@@ -273,8 +317,11 @@ def sync_yield_stats(
     """fact_yield_stats (reference: Bifrost.py:270-295 staking APY/TVL;
     Hydration.py:286-306): APR -> compounded APY (capped DECIMAL(10,2)),
     TVL = supply*price with null->0, merged on
-    (token_id, pool_address, date)."""
-    batch = incremental_window(source, "ts", window_lo, window_hi)
+    (token_id, pool_address, date). Full-first-day window for the
+    same reason as sync_token_daily_stats: avg/max/sum per day must
+    be recomputed from the day floor, or an hourly window's slice
+    replaces the stored day."""
+    batch = _daily_recompute_window(source, window_lo, window_hi)
     token_id = F.xxhash64(F.lit(1), F.col("user_id").cast("string"))
     daily = batch.groupBy(
         token_id.alias("token_id"), F.to_date("ts").alias("date")
@@ -293,7 +340,7 @@ def sync_yield_stats(
         apy_compound_monthly(pct_to_fraction(F.col("apr_pct"))).alias("apy"),
         derived_tvl(F.col("supply"), F.col("price")).alias("tvl"),
         derived_tvl(F.col("supply"), F.col("price")).alias("tvl_usd"),
-        F.lit(window_hi).cast("timestamp_ntz").alias("created_at"),
+        ntz_lit(window_hi).alias("created_at"),
     )
     n = fact.count()
     wh.merge_write(
@@ -336,16 +383,34 @@ def etl_job_till_now(
 
 
 def run_catchup(
-    spark: SparkSession, sf_dir: str, warehouse_root: str, now: dt.datetime
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse_root: str,
+    now: dt.datetime,
+    tasks: list[str] | None = None,
 ) -> dict[str, int]:
-    """Boot-time catch-up across all tasks (reference: main.py:40-50) —
-    the whole scheduler loop as one deterministic batch entry point.
-    Live deployments run the same pipelines under Structured Streaming
-    (streaming/jobs.py: AvailableNow per cycle + foreachBatch merge)."""
+    """Boot-time catch-up (reference: main.py:40-50) — the scheduler
+    loop as one deterministic batch entry point. Live deployments run
+    the same pipelines under Structured Streaming (streaming/jobs.py:
+    AvailableNow per cycle + foreachBatch merge).
+
+    Defaults to the three BASE pipelines, not the whole TASKS registry:
+    the five reference-named composite tasks each wrap these same base
+    pipelines for a DIFFERENT upstream source (main.py wires one API
+    per task), so iterating the full registry against one source would
+    run each base pipeline up to four times over identical rows —
+    idempotent but pure wasted work (each run is a full scan plus a
+    staged merge rewrite). Per-source deployments pass their own task
+    list with one source wired per task."""
     wh = DexWarehouse(spark, warehouse_root)
     events = load_table(spark, sf_dir, "events")
+    names = tasks if tasks is not None else [
+        "sync_dim_tokens",
+        "sync_token_daily_stats",
+        "sync_yield_stats",
+    ]
     return {
-        name: etl_job_till_now(wh, name, events, now)[0] for name in TASKS
+        name: etl_job_till_now(wh, name, events, now)[0] for name in names
     }
 
 
@@ -449,7 +514,7 @@ def sync_stellar_pool_task(
         F.lit(None).cast("double").alias("txns_yoy"),
         F.lit(None).cast("double").alias("txns_qoq"),
         "price_usd",
-        F.lit(window_hi).cast("timestamp_ntz").alias("created_at"),
+        ntz_lit(window_hi).alias("created_at"),
     )
     n = fact.count()
     wh.merge_write(
@@ -482,13 +547,29 @@ def compact_partitions(
     """Small-file compaction for a partitioned table.
 
     Incremental merges leave one file per write per partition; this
-    rewrites each partition into ``target_files_per_partition`` files
-    (repartition by partition value -> dynamic overwrite). Run it
-    periodically, like any lakehouse OPTIMIZE — at 100 TB target the
-    hot (recently merged) partitions only by filtering first.
+    rewrites each partition into at most ``target_files_per_partition``
+    files and dynamically overwrites. Run it periodically, like any
+    lakehouse OPTIMIZE — at 100 TB target the hot (recently merged)
+    partitions only by filtering first.
+
+    Shuffle shape: rows hash by (partition value, salt) where salt is
+    a deterministic row hash mod target. ``repartition(n, col)`` would
+    be wrong twice over: every row of one partition value lands in ONE
+    task (so the target-files knob silently does nothing) and n=1
+    funnels the whole table through a single task — the salt keys give
+    each partition value up to ``target`` writers while values spread
+    across the full shuffle parallelism.
     """
     df = spark.read.parquet(table_path)
-    compacted = df.repartition(target_files_per_partition, F.col(partition_col))
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]),
+        F.lit(max(1, target_files_per_partition)),
+    )
+    compacted = (
+        df.withColumn("__salt", salt)
+        .repartition(F.col(partition_col), F.col("__salt"))
+        .drop("__salt")
+    )
     staging = table_path + "._compact"
     compacted.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -515,18 +596,29 @@ def etl_backfill(
     window to bounded chunks so each merge touches a bounded partition
     set and a failure resumes from the bookmark, not from zero).
 
+    Boundary arithmetic: incremental_window is ``lo < ts <= hi``, so
+    each chunk passes ``(bound - 1µs)`` for both ends — at the tape's
+    microsecond resolution ``{ts : lo-1µs < ts <= hi-1µs}`` is exactly
+    ``[lo, hi)``. Without the shift a row stamped exactly ``start``
+    is excluded from chunk 1 and from every later chunk — dropped
+    forever — while a row at exactly ``end`` is wrongly included. The
+    stored bookmark is likewise ``hi - 1µs``, so a following
+    incremental run picks up at exactly ``ts == end`` with no gap and
+    no overlap.
+
     Returns one metrics dict per chunk: window bounds, rows written,
     wall seconds.
     """
     import time
 
+    us = dt.timedelta(microseconds=1)
     reports: list[dict] = []
     lo = start
     while lo < end:
         hi = min(lo + step, end)
         t0 = time.perf_counter()
-        count = TASKS[task_name](wh, source, lo, hi)
-        wh.bookmark.set_last_run(task_name, hi)
+        count = TASKS[task_name](wh, source, lo - us, hi - us)
+        wh.bookmark.set_last_run(task_name, hi - us)
         reports.append(
             {
                 "task": task_name,

@@ -6992,7 +6992,11 @@ def q_ohlc_bars(spark, sf_dir):
     event_id``. us_into_hour < 3.6e9 and event_id < 2^21 at every
     shipped SF (max observed 99,999 at sf0.1; 2^21 headroom holds to
     sf≈20), so the key < 2^53 — exact BIGINT on both engines, ties
-    broken by event_id. high/low are plain min/max of stored doubles
+    broken by event_id. The id domain is ENFORCED loudly (an
+    out-of-range id would silently misorder ticks, not overflow):
+    operators/timeseries.packed_tick_order raises via assert_true on
+    any event_id outside [0, 2^21), identical value inside it.
+    high/low are plain min/max of stored doubles
     (exact); the bar's traded volume uses the q_twap micro-unit rule
     ``floor(value*1e6+0.5)`` summed as BIGINT (bar sums ≤ ~1e13 at
     sf1 — far under 2^53; DuckDB's HUGEINT sum is cast back).
@@ -7006,14 +7010,14 @@ def q_ohlc_bars(spark, sf_dir):
     # a NULL price is not a tick: without the filter, open/close pick
     # engine-specific NULL handling (Spark min_by carries the NULL,
     # DuckDB arg_min skips it) and the bar hashes diverge
+    from dex_data_ingestor_spark.operators.timeseries import (
+        packed_tick_order,
+    )
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
-    okey = (
-        F.expr("timestampdiff(MICROSECOND, date_trunc('hour', ts), ts)")
-        * F.lit(2097152)
-        + F.col("event_id")
-    )
+    okey = packed_tick_order("ts", "event_id", "hour")
     ticks = ev.select(
         "event_type",
         F.date_trunc("hour", F.col("ts"))
@@ -8282,12 +8286,12 @@ def q_return_corr(spark, sf_dir):
     everything downstream is bar-sized — the correct shape."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
-    okey = (
-        F.expr("timestampdiff(MICROSECOND, date_trunc('hour', ts), ts)")
-        * F.lit(2097152)
-        + F.col("event_id")
+    from dex_data_ingestor_spark.operators.timeseries import (
+        packed_tick_order,
     )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    okey = packed_tick_order("ts", "event_id", "hour")
     closes = (
         ev.select(
             "event_type",

@@ -95,12 +95,44 @@ def parse_json_payload(
 ) -> DataFrame:
     """Kafka wire rows -> typed rows: UTF-8 decode the value, parse
     JSON against an explicit schema (no inference — malformed records
-    yield NULL structs, filterable, never job failures), and keep the
-    broker timestamp for watermarking."""
+    never fail the job), and keep the broker timestamp for
+    watermarking.
+
+    Malformed records stay FILTERABLE and REPLAYABLE: PERMISSIVE
+    ``from_json`` yields an all-NULL-fields struct for unparseable
+    input, which flattening alone makes indistinguishable from a valid
+    message whose fields are all null — and drops the original bytes,
+    so there is no dead-letter path. The parse therefore carries
+    Spark's ``columnNameOfCorruptRecord`` channel and emits two marker
+    columns: ``_corrupt`` (true iff the parser rejected the record)
+    and ``_raw`` (the original payload text, populated ONLY for
+    corrupt rows — the dead-letter/replay copy; NULL otherwise so the
+    happy path carries no duplicate payload bytes). Downstream:
+    ``.filter(~F.col("_corrupt"))`` for the clean stream,
+    ``.filter("_corrupt")`` for the dead-letter sink."""
+    corrupt_field = "_corrupt_record"
+    assert corrupt_field not in payload_schema.fieldNames(), (
+        f"payload schema may not declare {corrupt_field!r}: it is the "
+        "parser's corrupt-record channel"
+    )
+    # build a copy — StructType.add mutates the caller's schema object
+    schema = T.StructType(
+        list(payload_schema.fields)
+        + [T.StructField(corrupt_field, T.StringType())]
+    )
     parsed = kafka_df.select(
         F.col("timestamp").alias(ts_col),
         F.from_json(
-            F.col("value").cast("string"), payload_schema
+            F.col("value").cast("string"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_field},
         ).alias("payload"),
     )
-    return parsed.select(ts_col, "payload.*")
+    return parsed.select(
+        ts_col,
+        *[f"payload.{f}" for f in payload_schema.fieldNames()],
+        F.col(f"payload.{corrupt_field}")
+        .isNotNull()
+        .alias("_corrupt"),
+        F.col(f"payload.{corrupt_field}").alias("_raw"),
+    )

@@ -109,22 +109,25 @@ def ohlc_bars(
     incrementally mergeable, which is what makes the bar build a
     one-pass streaming operator rather than a sort.
 
-    Constraint: ``window`` must evenly divide one hour (the packed
+    Constraints: ``window`` must evenly divide one hour (the packed
     key is microseconds-into-HOUR, monotone within any window that
-    nests inside an hour boundary). Longer bars (4h/daily) roll up
-    from hourly bars — open = first sub-bar's open via min_by on
-    bar_start, high/low/volume merge directly — rather than widening
-    this window."""
+    nests inside an hour boundary), and ``event_id`` must lie in
+    [0, 2^21) — the packed key's id headroom; out-of-domain ids would
+    silently misorder open/close, so the shared builder
+    (operators/timeseries.packed_tick_order) raises on them instead.
+    Longer bars (4h/daily) roll up from hourly bars — open = first
+    sub-bar's open via min_by on bar_start, high/low/volume merge
+    directly — rather than widening this window."""
+    from dex_data_ingestor_spark.operators.timeseries import (
+        packed_tick_order,
+    )
+
     events = events.withColumn("ts", F.col("ts").cast("timestamp")).filter(
         # a NULL price is not a tick — same rule as the batch
         # q_ohlc_bars, so the twin parity holds on NULL-bearing tapes
         F.col("value").isNotNull()
     )
-    okey = (
-        F.expr("timestampdiff(MICROSECOND, date_trunc('hour', ts), ts)")
-        * F.lit(2097152)
-        + F.col("event_id")
-    )
+    okey = packed_tick_order("ts", "event_id", "hour")
     return (
         events.withWatermark("ts", watermark)
         .withColumn("okey", okey)
@@ -214,14 +217,23 @@ def foreach_batch_merge(
     update_cols: list[str] | None = None,
 ):
     """Streaming upsert sink: every micro-batch MERGEs into the target
-    parquet table via merge_upsert — replay-safe because the merge is
-    idempotent (the reference's H4 guarantee, now enforced by
-    construction). Returns the started query (AvailableNow)."""
+    parquet table via merge_upsert — REPLAY-safe because the merge is
+    idempotent (the reference's H4 guarantee, enforced by
+    construction), but the final overwrite is not crash-ATOMIC on
+    plain parquet: the target is deleted before it is rewritten, so a
+    mid-write failure leaves the staging dir as the recovery copy and
+    the checkpoint replays the batch. Production exactly-once is
+    foreach_batch_merge_snapshots, whose manifest commit is atomic and
+    skips replayed batch ids. Returns the started query
+    (AvailableNow)."""
+    from dex_data_ingestor_spark.io import table_exists
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
-        if os.path.exists(target_path):
+        # Hadoop-FS existence check: os.path.exists on an s3a://hdfs
+        # target is always False, which would make every micro-batch
+        # "initialize" the table — overwriting all previously merged
+        # data with just itself.
+        if table_exists(spark, target_path):
             existing = spark.read.parquet(target_path)
         else:
             existing = spark.createDataFrame([], batch_df.schema)
@@ -519,11 +531,10 @@ def stream_neardup_ingest(
         verify_pairs_jaccard,
     )
 
+    from dex_data_ingestor_spark.io import table_exists
+
     def _table_exists(path: str) -> bool:
-        jvm = spark.sparkContext._jvm  # noqa: SLF001
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        return hpath.getFileSystem(hconf).exists(hpath)
+        return table_exists(spark, path)
 
     def _batch_buckets(batch: DataFrame) -> DataFrame:
         lsh = lsh_band_buckets_wide(
@@ -578,8 +589,16 @@ def stream_neardup_ingest(
             partners = hits.select(
                 F.col("indexed_id").alias(id_col)
             ).distinct()
-            acc_docs = spark.read.parquet(accepted_path).join(
-                partners, id_col
+            # dropDuplicates: the documented at-least-once case (appends
+            # landed, checkpoint commit lost -> replay re-appends) leaves
+            # duplicate accepted rows; without the dedup each duplicated
+            # doc's (id, gram) rows double in the verify stage, inflating
+            # exact Jaccard past threshold and wrongly rejecting unique
+            # new docs — the exact failure verify exists to prevent.
+            acc_docs = (
+                spark.read.parquet(accepted_path)
+                .dropDuplicates([id_col])
+                .join(partners, id_col)
             )
             verified_idx = verify_pairs_jaccard(
                 hits.select(

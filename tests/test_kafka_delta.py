@@ -47,6 +47,24 @@ def test_parse_json_payload(spark):
     assert out[0].kafka_ts == ts
     # malformed payload -> NULL fields, not a job failure
     assert out[1].event_id is None
+    # the corrupt marker discriminates "unparseable" from "valid but
+    # all-null", and only corrupt rows carry the raw dead-letter copy
+    assert out[0]._corrupt is False and out[0]._raw is None
+    assert out[1]._corrupt is True and out[1]._raw == "not json"
+
+
+def test_parse_json_payload_all_null_fields_is_not_corrupt(spark):
+    """A VALID message whose fields are all JSON null must not be
+    conflated with a malformed record: payload struct non-NULL,
+    _corrupt False, no dead-letter copy."""
+    payload_schema = T.StructType([T.StructField("event_id", T.LongType())])
+    ts = dt.datetime(2024, 1, 1, 12)
+    rows = [(None, b'{"event_id": null}', "events", 0, 0, ts, 0)]
+    wire = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    out = parse_json_payload(wire, payload_schema).collect()
+    assert out[0].event_id is None
+    assert out[0]._corrupt is False
+    assert out[0]._raw is None
 
 
 def test_delta_merge_gated(spark, tmp_path):

@@ -88,13 +88,11 @@ def test_incremental_equals_full_rebuild(spark, sf_dir, tmp_path):
             "token_id", "pool_address", "date", "apy"
         )
     )
-    # days fully inside one window agree; the split day differs because
-    # each run aggregates only its own window (the reference has the
-    # same property — per-window partial upserts). Compare non-split days.
-    split = mid.date()
-    a_rows = [r for r in a if r[2] != split]
-    b_rows = [r for r in b if r[2] != split]
-    assert a_rows == b_rows and len(a_rows) > 0
+    # ALL days agree, including the split day: the second window widens
+    # to its first day's floor (_daily_recompute_window), so the split
+    # day is recomputed in full instead of being replaced by its
+    # post-mid slice.
+    assert a == b and len(a) > 0
 
 
 def test_partitioned_merge_prunes_and_preserves(spark, sf_dir, tmp_path):
@@ -204,9 +202,14 @@ def test_quality_checks_on_warehouse(spark, sf_dir, tmp_path):
 
 
 def test_backfill_chunks_equal_single_window(spark, sf_dir, tmp_path):
-    """Chunked backfill over January == one catch-up window for days
-    strictly inside chunks (chunk boundaries split daily aggregates the
-    same way incremental windows do — same reference property)."""
+    """Chunked backfill over January == one catch-up window — for ALL
+    days, including chunk-boundary days: each chunk's window widens to
+    its first day's floor (_daily_recompute_window), so a boundary day
+    split across two chunks is recomputed in full by the later chunk
+    instead of being replaced by its post-boundary slice. The stored
+    bookmark is end - 1µs, placing the NEXT incremental window's first
+    covered instant at exactly ``end`` (no gap, no overlap with the
+    backfill's half-open [start, end))."""
     import datetime as dt
 
     from dex_data_ingestor_spark.io import load_table
@@ -221,22 +224,56 @@ def test_backfill_chunks_equal_single_window(spark, sf_dir, tmp_path):
     )
     assert len(reports) == 4  # 10+10+10+1 days
     assert all(r["rows"] >= 0 and r["seconds"] >= 0 for r in reports)
-    assert wh_a.bookmark.get_last_run("sync_yield_stats") == end
+    assert wh_a.bookmark.get_last_run(
+        "sync_yield_stats"
+    ) == end - dt.timedelta(microseconds=1)
 
     wh_b = DexWarehouse(spark, str(tmp_path / "bf_b"))
     etl_job_till_now(wh_b, "sync_yield_stats", events, end)
 
-    boundary_days = {
-        dt.date(2024, 1, 11), dt.date(2024, 1, 21), dt.date(2024, 1, 31)
-    }
     a = {
         (r.token_id, r.date): r.apy
         for r in wh_a.read("fact_yield_stats").collect()
-        if r.date not in boundary_days
     }
     b = {
         (r.token_id, r.date): r.apy
         for r in wh_b.read("fact_yield_stats").collect()
-        if r.date not in boundary_days
     }
     assert a == b and len(a) > 0
+
+
+def test_ntz_lit_is_timezone_free(spark):
+    """Pins the tz class behind the r10 pipelines fix: the engine
+    session pins Asia/Hong_Kong (reference parity) while this process
+    runs UTC, and ``F.lit(naive_datetime)`` round-trips through an
+    INSTANT (python-local tz in, session tz out) — a naive midnight
+    becomes 08:00 wall time, shifting every window bound and stamped
+    column by the tz offset. ntz_lit builds the literal textually, so
+    the wall time must survive verbatim; incremental_window must select
+    by NTZ wall-clock, not by shifted instants."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dex_data_ingestor_spark.operators.incremental import (
+        incremental_window,
+        ntz_lit,
+    )
+
+    assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Hong_Kong"
+    naive = dt.datetime(2024, 1, 10, 0, 0, 0)
+
+    got = spark.range(1).select(ntz_lit(naive).alias("t")).collect()[0].t
+    assert got == naive  # the F.lit form renders 08:00 here
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 10, 6, 33),)], "ts timestamp_ntz"
+    )
+    # 06:33 is AFTER midnight in wall-clock terms; the shifted-instant
+    # form excluded it (bound became 08:00)
+    assert incremental_window(df, "ts", naive, naive + dt.timedelta(days=1)).count() == 1
+    # aware datetimes are rejected loudly rather than guessed at
+    import pytest
+
+    with pytest.raises(ValueError, match="naive"):
+        ntz_lit(naive.replace(tzinfo=dt.timezone.utc))

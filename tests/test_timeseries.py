@@ -418,6 +418,53 @@ def test_ohlc_bars_tie_break_and_parity(spark, tmp_path):
     assert not problems, problems
 
 
+def test_packed_tick_order_raises_on_out_of_domain_event_id(
+    spark, tmp_path
+):
+    """The packed (us_into_hour * 2^21 + event_id) ordering key is
+    only an order while event_id < 2^21 — a larger id bleeds into the
+    microsecond digits and can rank a later tick below an earlier one
+    WITHOUT overflowing int64, i.e. silently. packed_tick_order
+    therefore enforces the domain loudly (assert_true), and inside
+    the domain the guard must be value-invisible (bit-identical key,
+    exercised by every OHLC parity test). Pin both halves."""
+    import pytest
+
+    from dex_data_ingestor_spark.operators.timeseries import (
+        TICK_ORDER_ID_BOUND,
+        packed_tick_order,
+    )
+    from dex_data_ingestor_spark.plans.testbed import QUERIES
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    # in-domain: guard is a no-op — key equals the raw packing
+    ok = spark.createDataFrame(
+        [(1, base, 5.0), (TICK_ORDER_ID_BOUND - 1, base, 6.0)],
+        "event_id long, ts timestamp_ntz, value double",
+    )
+    got = [
+        r[0]
+        for r in ok.select(
+            packed_tick_order("ts", "event_id", "hour")
+        ).collect()
+    ]
+    assert got == [1, TICK_ORDER_ID_BOUND - 1]
+
+    # out-of-domain id (the misordering regime): raises, not corrupts —
+    # end-to-end through the registered query, the path a real tape hits
+    rows = [
+        ("swap", TICK_ORDER_ID_BOUND, base, 50.0),
+        ("swap", 1, base + datetime.timedelta(minutes=1), 60.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_type string, event_id long, ts timestamp_ntz, value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="packed_tick_order"):
+        QUERIES["q_ohlc_bars"](spark, str(tmp_path)).collect()
+
+
 def test_tick_rule_carried_sign_golden(spark, tmp_path):
     """Pins the tick-rule classifier on a hand-walked tape: uptick=+1,
     downtick=-1, equal price carries the previous nonzero sign, and
