@@ -10221,6 +10221,18 @@ def q_priority_lateness(spark, sf_dir):
 #: fronts cohort A plus the standing canaries (45 + 5 = 50, zero
 #: spare); r12 fronts B. Invariants 1-3 (new/changed queries promote;
 #: canaries trim for owed slots) override as always.
+#:
+#: Invariant-2 promotions OWED to r11 from the late-r10 continuation
+#: session (engine paths changed, outputs locally bitwise-verified at
+#: sf0.001+sf0.01 under hostile tz; values unchanged by construction):
+#: - width normalization (int32 -> bigint result columns):
+#:   q_corpus_curation, q_curate_stripped, q_curate_materialized,
+#:   q_embed_gram, q_embed_gram_fast, q_c4_filters (q_embed_stats's
+#:   cast rides ITS r10 window slot);
+#: - packed_tick_order loud-guard swap: q_ohlc_bars, q_ohlc_daily,
+#:   q_return_corr.
+#: Nine owed rows; trim cohort-A's cheapest relational shapes if r11
+#: slots run short, per the standing rule.
 _WINDOW_R10 = [
     # red / never-confirmed fixes first
     "q_incremental_agg",
