@@ -59,6 +59,13 @@ def asof_lookup(
     Freshness is judged per value column against the timestamp of the
     quote that actually SUPPLIED the carried value (a newer quote with
     a NULL value does not launder an older value's staleness).
+
+    Only QUOTE rows can supply a carried value (the ``__tag == 0``
+    guard below): when the probe side already carries a column with a
+    value column's name, an unguarded last-non-null would carry the
+    probes' own values forward and contaminate later probes' as-of
+    results; the guard makes the output the quote-supplied value in
+    every case, matching the supplied-ts freshness logic.
     """
     tagged_q = quotes.select(
         *keys,
@@ -82,7 +89,9 @@ def asof_lookup(
     )
     filled = unioned
     for c in value_cols:
-        carried = F.last(F.col(c), ignorenulls=True).over(w)
+        carried = F.last(
+            F.when(F.col("__tag") == 0, F.col(c)), ignorenulls=True
+        ).over(w)
         if tolerance is not None:
             # Timestamp of the quote that supplied THIS column's value:
             # the last quote row where the column was non-null.

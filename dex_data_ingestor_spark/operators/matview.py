@@ -161,10 +161,26 @@ def snapshot_refresh_agg(
     # version even if another commit lands mid-refresh — and the
     # manifest must always record the maintained upper bound so the
     # next refresh knows where to resume
-    if to_version is None:
-        from dex_data_ingestor_spark.snapshots import _resolve
+    from dex_data_ingestor_spark.snapshots import _resolve
 
+    if to_version is None:
         to_version = _resolve(fact_root)["version"]
+    # refresh continuity: a prior refresh recorded the fact version it
+    # maintained THROUGH; resuming from anything else double-applies
+    # (re-run after success) or skips (stale caller state) deltas into
+    # an aggregate that still claims recompute-equality — silently.
+    # The manifest is the source of truth, so the mismatch is fatal.
+    prior = _resolve(agg_root)
+    prior_to = prior.get("fact_to_version")
+    if prior_to is not None and prior.get("fact_root") == fact_root:
+        if from_version != prior_to:
+            raise ValueError(
+                f"snapshot_refresh_agg: from_version={from_version} but "
+                f"the aggregate at {agg_root} is already maintained "
+                f"through fact version {prior_to} (manifest "
+                f"v{prior['version']}); resume from {prior_to} or "
+                "rebuild the aggregate"
+            )
     ch = snapshot_changes(
         spark, fact_root, from_version, to_version, keys=keys
     )

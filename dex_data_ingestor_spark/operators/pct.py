@@ -26,6 +26,25 @@ from pyspark.sql import DataFrame, functions as F
 from dex_data_ingestor_spark.functions.scalars import pct_change
 
 
+def _shift_days(fact: DataFrame, date_col: str, days: int):
+    """``date_col + days`` PRESERVING the column's type. ``date_add``
+    returns DATE even for TIMESTAMP input, so using it unconditionally
+    makes the self-join compare midnight-coerced dates against raw
+    timestamps — every prior-row lookup silently misses (all-NULL
+    ``_chg`` outputs, indistinguishable from "no prior row"). DATE
+    keeps date_add (bit-identical to the original behavior); TIMESTAMP
+    shifts via timestampadd; anything else is rejected loudly."""
+    dtype = dict(fact.dtypes)[date_col]
+    if dtype == "date":
+        return F.expr(f"date_add({date_col}, {days})")
+    if dtype.startswith("timestamp"):
+        return F.expr(f"timestampadd(DAY, {days}, {date_col})")
+    raise ValueError(
+        f"period_over_period needs a DATE or TIMESTAMP {date_col!r}; "
+        f"got {dtype}"
+    )
+
+
 def period_over_period(
     fact: DataFrame,
     keys: Sequence[str],
@@ -42,7 +61,7 @@ def period_over_period(
     """
     prev = fact.select(
         *[F.col(k) for k in keys],
-        F.expr(f"date_add({date_col}, {offset_days})").alias(date_col),
+        _shift_days(fact, date_col, offset_days).alias(date_col),
         *[F.col(c).alias(f"__prev_{c}") for c in value_cols],
     )
     joined = fact.join(prev, on=[*keys, date_col], how="left")
@@ -89,7 +108,7 @@ def period_over_period_multi(
         roles.append(
             fact.select(
                 *[F.col(k) for k in keys],
-                F.expr(f"date_add({date_col}, {days})").alias(date_col),
+                _shift_days(fact, date_col, days).alias(date_col),
                 F.col(value_col),
                 F.lit(suffix).alias("__role"),
             )

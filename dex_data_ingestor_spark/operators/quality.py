@@ -25,7 +25,11 @@ def violations_duplicate_key(df: DataFrame, keys: Sequence[str]) -> DataFrame:
 
 
 def violations_null(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """Rows violating NOT NULL on any of ``cols``."""
+    """Rows violating NOT NULL on any of ``cols``. An empty column
+    list is a misconfigured check — rejected by name rather than left
+    to surface as ``df.filter(None)``'s opaque TypeError."""
+    if not cols:
+        raise ValueError("violations_null: empty column list")
     cond = None
     for c in cols:
         x = F.col(c).isNull()

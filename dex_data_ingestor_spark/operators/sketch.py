@@ -33,22 +33,54 @@ def kmv_distinct(
 
     Output: group cols + ``kth_min_hash`` (null when the group has
     fewer than k distinct values) + ``est_distinct`` (double, rounded
-    6 dp). One shuffle: the rank window partitions on the group keys
-    and the following group-aggregate reuses that partitioning.
+    6 dp). Grouped: one shuffle — the rank window partitions on the
+    group keys and the following group-aggregate reuses that
+    partitioning. Ungrouped: a distributed top-k (TakeOrdered) plus a
+    count — NOT a global window, which would sort every distinct hash
+    through one task (distinct values of a fact column are unbounded,
+    so the bounded-input exemption the repo's global-window audit
+    allows does not apply here).
+
+    NULLs are not values: a NULL input hashes to NULL, which Spark's
+    ascending window ranks FIRST (shifting every real rank by one —
+    the k-th slot silently holds the (k-1)-th smallest hash) while
+    DuckDB ranks it LAST; filtering is both the correct DISTINCT-count
+    semantics and the only cross-engine-stable choice. The hash input
+    is the value's string rendering (cast inside, like countmin_table,
+    so non-string columns work and every call site hashes the same
+    rendering).
     """
     keys = group_by or []
-    hashed = df.select(
-        *[F.col(c) for c in keys], md5_int64(F.col(col)).alias("__h")
-    ).distinct()
+    hashed = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            *[F.col(c) for c in keys],
+            md5_int64(F.col(col).cast("string")).alias("__h"),
+        )
+        .distinct()
+    )
     if keys:
         w = Window.partitionBy(*keys).orderBy("__h")
+        ranked = hashed.withColumn("__rn", F.row_number().over(w))
+        agg = ranked.groupBy(*[F.col(c) for c in keys]).agg(
+            F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias(
+                "kth_min_hash"
+            ),
+            F.count(F.lit(1)).alias("__n"),
+        )
     else:
-        w = Window.orderBy("__h")
-    ranked = hashed.withColumn("__rn", F.row_number().over(w))
-    agg = ranked.groupBy(*[F.col(c) for c in keys]).agg(
-        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("kth_min_hash"),
-        F.count(F.lit(1)).alias("__n"),
-    )
+        topk = hashed.orderBy("__h").limit(k)
+        kth = topk.agg(
+            F.max("__h").alias("__maxk"),
+            F.count(F.lit(1)).alias("__kn"),
+        )
+        total = hashed.agg(F.count(F.lit(1)).alias("__n"))
+        agg = total.crossJoin(kth).select(
+            F.when(F.col("__kn") == k, F.col("__maxk")).alias(
+                "kth_min_hash"
+            ),
+            F.col("__n"),
+        )
     est = F.when(
         F.col("kth_min_hash").isNotNull(),
         (F.lit(float(k - 1)) * F.lit(float(KMV_DOMAIN)))

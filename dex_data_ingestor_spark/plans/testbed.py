@@ -3349,6 +3349,7 @@ def q_sql_interface(spark, sf_dir):
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
                AS h
       FROM events
+      WHERE user_id IS NOT NULL
     ), ranked AS (
       SELECT event_type, h,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn

@@ -20,6 +20,7 @@ play the source role everywhere else in the testbed.
 from __future__ import annotations
 
 import datetime as _dt
+import math
 import re
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
@@ -43,6 +44,11 @@ def _sql_literal(value) -> str:
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
     if isinstance(value, (int, float)):
+        # repr(inf/nan) would interpolate the bare tokens `inf`/`nan`
+        # into the remote SQL — a syntax error at best, a column
+        # reference at worst; reject like any other unsafe value
+        if isinstance(value, float) and not math.isfinite(value):
+            raise ValueError(f"non-finite SQL bound literal: {value!r}")
         return repr(value)
     if isinstance(value, _dt.datetime):
         return "'" + value.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
@@ -78,6 +84,13 @@ def jdbc_reader(
         .option("dbtable", table_or_query)
     )
     if partition_column is not None:
+        # str(None) would ship the literal option value "None" and fail
+        # deep inside the JDBC source at load time; reject at build time
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "jdbc_reader: partition_column requires explicit "
+                "lower_bound and upper_bound"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))

@@ -1,5 +1,7 @@
 """Unit tests for iterative connected components (operators/graph.py)."""
 
+from pyspark.sql import functions as F
+
 from dex_data_ingestor_spark.operators.graph import (
     component_survivors,
     connected_components,
@@ -211,3 +213,59 @@ def test_pagerank_dangling_node_keeps_base_mass(spark):
     }
     # node 2's mass is trapped (no out-edge); node 1 emits 150000
     assert p2 == {1: 150000, 2: 277500}
+
+
+def test_kmv_distinct_ignores_nulls_and_matches_grouped_form(spark):
+    """NULLs are not values: md5_int64(NULL) is NULL, which Spark's
+    ascending rank window orders FIRST — before the fix every real
+    rank shifted by one, so the k-th slot held the (k-1)-th smallest
+    hash (systematic overestimate) and the exact branch counted NULL
+    as a distinct value. Also pins the ungrouped path — a distributed
+    top-k, not a global window — against the grouped path's value on
+    identical data."""
+    from dex_data_ingestor_spark.operators.sketch import kmv_distinct
+
+    rows = [(str(i),) for i in range(100)] + [(None,), (None,)]
+    df = spark.createDataFrame(rows, "v string")
+
+    # grouped form on a constant key == ungrouped form, values equal
+    g = kmv_distinct(
+        df.withColumn("k", F.lit(1)), "v", k=64, group_by=["k"]
+    ).collect()[0]
+    u = kmv_distinct(df, "v", k=64).collect()[0]
+    assert g.kth_min_hash == u.kth_min_hash
+    assert g.est_distinct == u.est_distinct
+
+    # the NULL rows are invisible: same result as the NULL-free input
+    clean = kmv_distinct(
+        spark.createDataFrame(rows[:100], "v string"), "v", k=64
+    ).collect()[0]
+    assert (u.kth_min_hash, u.est_distinct) == (
+        clean.kth_min_hash,
+        clean.est_distinct,
+    )
+
+    # under k distinct non-null values: exact branch, NULL not counted
+    small = spark.createDataFrame(
+        [(str(i),) for i in range(10)] + [(None,)], "v string"
+    )
+    assert kmv_distinct(small, "v", k=64).collect()[0].est_distinct == 10.0
+
+    # non-string columns hash their string rendering (cast inside)
+    ints = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    got = kmv_distinct(ints, "v", k=64).collect()[0]
+    assert got.est_distinct == 10.0
+
+
+def test_kmv_distinct_ungrouped_plan_has_no_global_window(spark):
+    """The ungrouped estimate must be a distributed top-k (TakeOrdered
+    / limit), never a single-partition Window sort of every distinct
+    hash — the scale posture the registry's global-window audit
+    enforces for table-sized inputs."""
+    from tests.conftest import plan_formatted
+
+    from dex_data_ingestor_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame([(str(i),) for i in range(50)], "v string")
+    plan = plan_formatted(kmv_distinct(df, "v", k=8))
+    assert "Window" not in plan, plan

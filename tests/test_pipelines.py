@@ -277,3 +277,89 @@ def test_ntz_lit_is_timezone_free(spark):
 
     with pytest.raises(ValueError, match="naive"):
         ntz_lit(naive.replace(tzinfo=dt.timezone.utc))
+
+
+def test_period_over_period_timestamp_key_and_loud_reject(spark):
+    """date_add returns DATE even for TIMESTAMP input, so the shifted
+    join key silently never matched a non-midnight timestamp fact —
+    every _chg output NULL, indistinguishable from 'no prior row'.
+    The shift now preserves the column type; non-date/timestamp keys
+    are rejected by name."""
+    import datetime as dtm
+
+    import pytest
+
+    from dex_data_ingestor_spark.operators.pct import (
+        period_over_period,
+        period_over_period_multi,
+    )
+
+    T = dtm.datetime
+    fact = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 13, 0), 100.0), (1, T(2024, 1, 8, 13, 0), 150.0)],
+        "k long, d timestamp_ntz, v double",
+    )
+    out = {
+        r.d: r.v_chg
+        for r in period_over_period(fact, ["k"], "d", ["v"], 7).collect()
+    }
+    assert out[T(2024, 1, 8, 13, 0)] == 50.0  # (150-100)/100*100
+    assert out[T(2024, 1, 1, 13, 0)] is None
+
+    multi = {
+        r.d: r.v_yoy
+        for r in period_over_period_multi(
+            fact, ["k"], "d", "v", {"_yoy": 7}
+        ).collect()
+    }
+    assert multi[T(2024, 1, 8, 13, 0)] == 50.0
+
+    bad = spark.createDataFrame([(1, "2024-01-01", 1.0)], "k long, d string, v double")
+    with pytest.raises(ValueError, match="DATE or TIMESTAMP"):
+        period_over_period(bad, ["k"], "d", ["v"], 7)
+
+
+def test_surrogate_key_hash_rejects_null_key_components(spark):
+    """Spark's multi-column xxhash64 skips null children, so natural
+    keys differing only in WHICH component is NULL collide into one
+    surrogate id — silently merging dimension members. The operator
+    now raises on NULL key parts (values bit-identical for non-null
+    keys, pinned here against the raw expression)."""
+    import pytest
+    from pyspark.sql import functions as FF
+
+    from dex_data_ingestor_spark.operators.surrogate import (
+        surrogate_key_hash,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "chain long, addr string"
+    )
+    got = {
+        (r.chain, r.addr): r.id
+        for r in surrogate_key_hash(ok, ["chain", "addr"]).collect()
+    }
+    raw = {
+        (r.chain, r.addr): r.id
+        for r in ok.withColumn(
+            "id", FF.xxhash64(FF.col("chain"), FF.col("addr"))
+        ).collect()
+    }
+    assert got == raw  # guard is value-invisible on non-null keys
+
+    # the silent-collision regime raises instead
+    bad = spark.createDataFrame(
+        [("a", None), (None, "a")], "x string, y string"
+    )
+    with pytest.raises(Exception, match="surrogate_key_hash"):
+        surrogate_key_hash(bad, ["x", "y"]).collect()
+
+
+def test_violations_null_rejects_empty_column_list(spark):
+    import pytest
+
+    from dex_data_ingestor_spark.operators import quality as Q
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="empty column list"):
+        Q.violations_null(df, [])

@@ -1293,3 +1293,50 @@ def test_debounce_rejects_reserved_prev_ts_column(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     with pytest.raises(ValueError, match="_prev_ts"):
         debounce(df, ["user_id"], "ts")
+
+
+def test_refresh_agg_rejects_discontinuous_from_version(spark, root, tmp_path):
+    """Refresh continuity: the aggregate's manifest records the fact
+    version it is maintained through; resuming from any other version
+    double-applies (re-run after success) or skips deltas into an
+    aggregate that still claims recompute-equality. The mismatch is
+    now fatal by name; the correct resume still works."""
+    import pytest
+
+    from dex_data_ingestor_spark.operators import matview as MV
+
+    agg_root = str(tmp_path / "agg")
+    fact = spark.createDataFrame(
+        [(1, "x", 5.0), (2, "y", 2.0)], "k long, g string, v double"
+    )
+    S.snapshot_write(fact, root)
+    S.snapshot_write(MV.grouped_sums(fact, ["g"], ["v"]), agg_root)
+
+    S.snapshot_merge(
+        spark, root,
+        spark.createDataFrame([(1, "x", 7.0)], "k long, g string, v double"),
+        keys=["k"],
+    )
+    MV.snapshot_refresh_agg(
+        spark, root, agg_root, from_version=1,
+        group_cols=["g"], measures=["v"],
+    )
+    # replaying the SAME refresh (stale caller state / re-run after
+    # success) would double-apply v1->v2's deltas — fatal
+    with pytest.raises(ValueError, match="maintained\nthrough|maintained through"):
+        MV.snapshot_refresh_agg(
+            spark, root, agg_root, from_version=1,
+            group_cols=["g"], measures=["v"],
+        )
+    # the recorded resume point works and stays exact
+    S.snapshot_merge(
+        spark, root,
+        spark.createDataFrame([(3, "z", 1.0)], "k long, g string, v double"),
+        keys=["k"],
+    )
+    MV.snapshot_refresh_agg(
+        spark, root, agg_root, from_version=2,
+        group_cols=["g"], measures=["v"],
+    )
+    want = MV.grouped_sums(S.snapshot_read(spark, root), ["g"], ["v"])
+    assert _rows(S.snapshot_read(spark, agg_root)) == _rows(want)

@@ -157,3 +157,32 @@ def test_salted_sum_count_matches_plain_agg_and_adds_salt_stage(spark):
     assert explain_shuffle_partitions(
         salted_sum_count(df, ["k"], "v", salt_buckets=8)
     ) >= 2
+
+
+def test_jdbc_reader_partition_bounds_and_nonfinite_literals(spark):
+    """partitionColumn without explicit bounds used to ship the literal
+    option string "None" (NumberFormatException deep in the JDBC source
+    at load time); non-finite float bounds used to interpolate the bare
+    tokens inf/nan into remote SQL. Both are rejected at build time by
+    name now."""
+    import pytest
+
+    from dex_data_ingestor_spark.sources.jdbc import (
+        _sql_literal,
+        jdbc_reader,
+    )
+
+    with pytest.raises(ValueError, match="lower_bound and upper_bound"):
+        jdbc_reader(
+            spark, "jdbc:mysql://h/db", "t", partition_column="id"
+        )
+    # with bounds, the builder constructs fine (no .load() — no DB here)
+    assert jdbc_reader(
+        spark, "jdbc:mysql://h/db", "t",
+        partition_column="id", lower_bound=0, upper_bound=100,
+    ) is not None
+    with pytest.raises(ValueError, match="non-finite"):
+        _sql_literal(float("nan"))
+    with pytest.raises(ValueError, match="non-finite"):
+        _sql_literal(float("inf"))
+    assert _sql_literal(1.5) == "1.5"

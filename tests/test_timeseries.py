@@ -779,3 +779,34 @@ def test_debounce_rolling_extension_golden(spark):
         ).collect()
     )
     assert got == [(1, "a", 1), (1, "a", 4), (1, "b", 5), (2, "a", 7)]
+
+
+def test_asof_lookup_ignores_probe_side_values(spark):
+    """Probe rows that already carry a column named like a value
+    column must not supply carried values: only quote rows (__tag 0)
+    feed the last-non-null window. Before the guard, a probe's own
+    'price' rode forward and contaminated later probes' as-of
+    results."""
+    from dex_data_ingestor_spark.operators.asof import asof_lookup
+
+    t0 = datetime.datetime(2024, 5, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    quotes = spark.createDataFrame(
+        [(1, ts(0), 7.0)], "uid long, qts timestamp_ntz, price double"
+    )
+    # P1 carries its own price 5.0 (e.g. raw trade price); P2's is NULL
+    probes = spark.createDataFrame(
+        [(1, ts(5), 5.0), (1, ts(10), None)],
+        "uid long, pts timestamp_ntz, price double",
+    )
+    out = {
+        r.pts: r.price
+        for r in asof_lookup(
+            probes, quotes, ["uid"], "pts", "qts", ["price"]
+        ).collect()
+    }
+    # both probes see the QUOTE value, not P1's own 5.0
+    assert out == {ts(5): 7.0, ts(10): 7.0}
