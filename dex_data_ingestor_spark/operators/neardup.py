@@ -8,7 +8,8 @@ engine-portable hashing (md5-int64), no Python in the hot path:
   join. The only shuffles are the signature groupBy and the bucket
   self-join; at 100 TB both shuffle *candidate buckets*, never all
   pairs — the classic sub-quadratic near-dup design.
-- SimHash: sign-aggregated token-hash bits -> single 64-bit key;
+- SimHash: sign-aggregated token-hash bits -> single integer key
+  (up to 32 bits — the token hash's entropy);
   near-dups share (or almost share) the key. Linear, one groupBy.
 - n-gram Jaccard: exact pairwise similarity, restricted to pairs that
   share at least one gram (the join prunes the quadratic space).
@@ -160,11 +161,22 @@ def lsh_band_buckets_wide(
     wide: DataFrame, id_col: str, rows_per_band: int = 4
 ) -> DataFrame:
     """Band buckets straight from wide signatures — narrow transform,
-    zero additional shuffles. Output: (id, band_id, band_hash)."""
+    zero additional shuffles. Output: (id, band_id, band_hash).
+
+    A remainder band is emitted when ``rows_per_band`` does not divide
+    K (matching the long-format lsh_band_buckets, which buckets by
+    floor(k/rows_per_band)): silently dropping the trailing signature
+    columns would lower recall below what the banding parameters
+    promise, and make the two "API parity" forms produce different
+    bucket tables for identical inputs."""
     nk = len(MINHASH_PARAMS)
+    n_bands = (nk + rows_per_band - 1) // rows_per_band
     bands = []
-    for band_id in range(0, nk // rows_per_band):
-        ks = range(band_id * rows_per_band, (band_id + 1) * rows_per_band)
+    for band_id in range(0, n_bands):
+        ks = range(
+            band_id * rows_per_band,
+            min((band_id + 1) * rows_per_band, nk),
+        )
         sig = F.concat_ws(",", *[F.col(f"m{k}").cast("string") for k in ks])
         bands.append(
             F.struct(
@@ -364,7 +376,19 @@ def simhash(
     The per-bit expressions are built as SQL strings (one parse each)
     rather than nested Column calls: the Column form costs ~200 Py4J
     round trips for 32 bits, ~1 s of driver-side plan construction per
-    run at any scale."""
+    run at any scale.
+
+    ``bits`` is capped at 32: md5_int64 carries exactly 32 bits of
+    entropy, so bit positions >= 32 are constant 0 (every sign-sum is
+    -n_tokens — no extra discrimination while callers believe they
+    widened the sketch), and bits=64 would additionally build the
+    literal 2^63, which overflows BIGINT. Widening the sketch means
+    widening the token hash first."""
+    if not 1 <= bits <= 32:
+        raise ValueError(
+            f"simhash: bits must be in [1, 32] (md5_int64 has 32 bits "
+            f"of entropy; got {bits})"
+        )
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), WS)).alias("tok"),

@@ -238,11 +238,25 @@ def canonicalize_url(url) -> Column:
         ),
     ).otherwise(raw)
     c = F.regexp_replace(c, r"#.*$", "")  # fragment
-    # tracking params (leading ? or & kept, then re-normalized)
-    c = F.regexp_replace(c, r"[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "")
-    # if the leading ?param was dropped, promote the first & back to ?
-    c = F.regexp_replace(c, r"^([^?]*)&", "$1?")
-    c = F.regexp_replace(c, r"\?$", "")  # nothing left after ?
+    # Tracking params, handled STRUCTURALLY: split at the first '?',
+    # filter the '&'-separated params, rejoin. The previous regex
+    # chain stripped '[?&]utm_x=v' then promoted '^([^?]*)&' back to
+    # '?' — but that promotion also fired on URLs with a legitimate
+    # '&' in the PATH and no query at all ('/a&b' -> '/a?b', a
+    # different URL), and its greedy group rewrote the LAST '&'. The
+    # split form touches only the actual query string.
+    base = F.regexp_extract(c, r"^([^?]*)", 1)
+    query = F.regexp_extract(c, r"^[^?]*\?(.*)$", 1)
+    kept = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="),
+        ),
+        "&",
+    )
+    c = F.when(kept == "", base).otherwise(
+        F.concat(base, F.lit("?"), kept)
+    )
     # trailing slash: strip, except the bare root path scheme://host/
     return F.when(c.rlike(r"^[^/?#]*//[^/?#]*/$"), c).otherwise(
         F.regexp_replace(c, r"/$", "")

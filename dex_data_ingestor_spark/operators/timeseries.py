@@ -186,6 +186,13 @@ def sessionize(
     are bounded by per-key data, and AQE handles the partition-level
     skew.
     """
+    if "_prev_ts" in df.columns:
+        # same contract as debounce below: never silently overwrite
+        # (and then drop) a caller's column of the staging name
+        raise ValueError(
+            "sessionize: input already has a '_prev_ts' column; "
+            "rename it first"
+        )
     tiebreak = order_tiebreak or []
     w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak)
     staged = df.withColumn("_prev_ts", F.lag(ts_col).over(w))

@@ -120,12 +120,21 @@ def ivf_assign(
     prunes to the probed cells' files only.
     """
     v = _as_double_array(F.col(vec_col))
+    nv = norm(v)
+    # zero-norm / NULL embeddings (failed encoders) quarantine to a
+    # NULL cell instead of raising ANSI DIVIDE_BY_ZERO mid-job: the
+    # denominator substitutes 1.0 for the degenerate norm (masked out
+    # below, so the value never surfaces), and the cell is NULL —
+    # downstream same-cell pair stages then never compare these rows
+    # (a NULL block key joins nothing), which is the usable_embeddings
+    # quarantine semantics applied at the operator boundary.
+    nv_safe = F.when(nv > 0, nv).otherwise(F.lit(1.0))
     scored = None
     for i, c in enumerate(centroids):
         # full cosine: centroids are NOT assumed unit-norm (k-means
         # means are not); |c| is a plan-time constant.
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        s = dot(v, _query_lit(c)) / (norm(v) * F.lit(cn))
+        s = dot(v, _query_lit(c)) / (nv_safe * F.lit(cn))
         scored = (
             F.struct(s.alias("score"), F.lit(i).alias("cell"))
             if scored is None
@@ -133,7 +142,8 @@ def ivf_assign(
                 scored, F.struct(s.alias("score"), F.lit(i).alias("cell"))
             )
         )
-    return df.withColumn(cell_col, scored["cell"])
+    usable = F.col(vec_col).isNotNull() & (nv > 0)
+    return df.withColumn(cell_col, F.when(usable, scored["cell"]))
 
 
 def ivf_topk(
@@ -147,10 +157,21 @@ def ivf_topk(
     cell_col: str = "cell",
     round_dp: int = 9,
 ) -> DataFrame:
-    """Probe the nprobe closest cells, then brute-force within them."""
+    """Probe the nprobe closest cells, then brute-force within them.
+
+    Probe scoring divides by BOTH norms — the same full cosine
+    ivf_assign uses for assignment. Scoring cells by raw dot (the
+    query norm alone is a constant) disagrees with cosine assignment
+    whenever centroids are not unit-norm (k-means means are not): the
+    cell the true neighbors were assigned to by cosine may then never
+    be probed. Identical for unit centroids (seeded_centroids)."""
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     sims = [
-        (i, sum(a * b for a, b in zip(c, query_vec)) / qn)
+        (
+            i,
+            sum(a * b for a, b in zip(c, query_vec))
+            / (qn * (math.sqrt(sum(x * x for x in c)) or 1.0)),
+        )
         for i, c in enumerate(centroids)
     ]
     probe_cells = [i for i, _ in sorted(sims, key=lambda t: -t[1])[:nprobe]]
@@ -454,6 +475,8 @@ def embedding_neardup_pairs_fast(
     ``np.round`` is half-even while Spark's ``round`` is HALF_UP;
     the emitted cos_sim value can therefore differ on a tie digit —
     round_dp guards the DECISION, not value-level parity."""
+    from collections import Counter
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -467,6 +490,29 @@ def embedding_neardup_pairs_fast(
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ok-mask (the pq_encode_fast pattern): a NULL or odd-length
+        # vector would crash np.stack and kill the whole job, where
+        # the HOF twin computes a NULL cosine and drops the pair at
+        # the threshold filter — dropping the rows up front yields
+        # exactly the twin's pair set, keeping the documented
+        # "survivor SET is identical" contract on dirty blocks.
+        vecs = list(pdf[vec_col])
+        lens = [len(v) for v in vecs if v is not None]
+        # modal length = the corpus dim; a lone longer/shorter corrupt
+        # vector must not outvote the block
+        want = Counter(lens).most_common(1)[0][0] if lens else 0
+        ok = np.array(
+            [v is not None and len(v) == want for v in vecs], dtype=bool
+        )
+        pdf = pdf[ok]
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "a_id": pd.Series([], dtype="int64"),
+                    "b_id": pd.Series([], dtype="int64"),
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
         ids = pdf[id_col].to_numpy()
         mat = np.stack(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
@@ -812,9 +858,13 @@ def pq_adc_topk(
         term = F.element_at(_unit_lit(lut), F.col(codes_col)[s] + 1)
         dist = term if dist is None else dist + term
     return (
-        encoded.select(
-            F.col(id_col), dist.alias("approx_dist_units")
-        )
+        encoded
+        # pq_encode_fast quarantines bad vectors to NULL codes; their
+        # NULL distances would sort FIRST ascending and displace true
+        # neighbors from the top-k — quarantined rows are not
+        # candidates, so they are excluded before ranking
+        .filter(F.col(codes_col).isNotNull())
+        .select(F.col(id_col), dist.alias("approx_dist_units"))
         .orderBy("approx_dist_units", id_col)
         .limit(k)
     )

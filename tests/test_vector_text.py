@@ -1972,3 +1972,163 @@ def test_approx_quantiles_within_rank_error_of_exact(spark, sf_dir):
             hi = vals[min(n - 1, target + err)]
             assert lo <= got <= hi, (r.event_type, p, got, lo, hi)
             assert got in vals, "GK returns actual sample values"
+
+
+def test_ivf_assign_quarantines_zero_norm_and_null_vectors(spark):
+    """A failed-encoder row (all-zero or NULL embedding) must land in a
+    NULL cell — not raise ANSI DIVIDE_BY_ZERO mid-job (norm(v) = 0 in
+    the cosine denominator) and not join any pair stage (NULL block
+    keys match nothing). Clean rows' assignments are untouched."""
+    from dex_data_ingestor_spark.operators.vector import (
+        ivf_assign,
+        seeded_centroids,
+        semantic_dedup,
+    )
+
+    cents = seeded_centroids(4, 3, seed=1)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.001]),   # near-dup of 1
+        (3, [0.0, 0.0, 0.0, 0.0]),     # zero norm: quarantine
+        (4, None),                      # NULL: quarantine
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells = {r.vec_id: r.cell for r in ivf_assign(df, "embedding", cents).collect()}
+    assert cells[3] is None and cells[4] is None
+    assert cells[1] is not None and cells[1] == cells[2]
+
+    # end-to-end: dedup keeps the min-id survivor of the clean pair and
+    # passes quarantined rows through untouched
+    out = semantic_dedup(df, "vec_id", "embedding", cents, threshold=0.99)
+    assert sorted(r.vec_id for r in out.collect()) == [1, 3, 4]
+
+
+def test_neardup_pairs_fast_survives_dirty_blocks(spark):
+    """The BLAS kernel must drop NULL / odd-length vectors like its HOF
+    twin does (NULL cosine -> fails the threshold), not crash np.stack
+    — the documented identical-survivor-set contract on dirty data."""
+    from dex_data_ingestor_spark.operators.vector import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_fast,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 1e-9], 0),    # near-dup of 1
+        (3, None, 0),           # NULL in the same block
+        (4, [1.0, 0.0, 0.0], 0),  # wrong dim in the same block
+        (5, [0.5, 0.5], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    fast = sorted(
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs_fast(
+            df, "vec_id", "embedding", 0.99, "cell", round_dp=9
+        ).collect()
+    )
+    hof = sorted(
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(
+            df.filter(F.col("embedding").isNotNull()),
+            "vec_id", "embedding", 0.99, "cell",
+        ).collect()
+        if r.a_id != 4 and r.b_id != 4
+    )
+    assert fast == hof == [(1, 2)]
+
+
+def test_pq_adc_topk_excludes_quarantined_codes(spark):
+    """pq_encode_fast quarantines bad vectors to NULL codes; their NULL
+    ADC distances would sort FIRST ascending and displace true
+    neighbors from the top-k."""
+    from dex_data_ingestor_spark.operators.vector import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode_fast,
+    )
+
+    cb = pq_codebooks(dim=4, m=2, k=4, seed=3)
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = pq_encode_fast(df, "embedding", cb)
+    assert [r.codes for r in enc.filter(F.col("vec_id") == 3).collect()] == [None]
+    got = [r.vec_id for r in pq_adc_topk(
+        enc, "vec_id", cb, [1.0, 0.0, 0.0, 0.0], k=3
+    ).collect()]
+    assert 3 not in got and set(got) == {1, 2}
+
+
+def test_canonicalize_url_preserves_path_ampersands(spark):
+    """A legitimate '&' in the PATH of a query-less URL must survive:
+    the old regex chain promoted it to '?' ('/a&b' -> '/a?b'), making
+    two different URLs collide as dedup keys. Query filtering is now
+    structural (split at the first '?'), so only real params move."""
+    from dex_data_ingestor_spark.operators.text import canonicalize_url
+
+    cases = [
+        ("https://a.com/a&b", "https://a.com/a&b"),
+        ("https://a.com/a&b&c", "https://a.com/a&b&c"),
+        ("https://a.com/a&b?utm_x=1", "https://a.com/a&b"),
+        ("https://a.com/a&b?utm_x=1&q=2", "https://a.com/a&b?q=2"),
+        ("https://a.com/p?utm_a=1&utm_b=2&q=1", "https://a.com/p?q=1"),
+        ("https://a.com/p?q=1&utm_a=1&r=2", "https://a.com/p?q=1&r=2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["canon"]
+        for r in df.select(
+            "i", canonicalize_url("url").alias("canon")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_simhash_rejects_bits_beyond_hash_entropy(spark):
+    """md5_int64 has 32 bits of entropy: positions >= 32 are constant 0
+    (no discrimination) and bits=64 builds a BIGINT-overflowing 2^63
+    literal — both now rejected by name."""
+    import pytest
+
+    from dex_data_ingestor_spark.operators.neardup import simhash
+
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    with pytest.raises(ValueError, match="bits"):
+        simhash(df, "id", "text", bits=64)
+    with pytest.raises(ValueError, match="bits"):
+        simhash(df, "id", "text", bits=0)
+    assert simhash(df, "id", "text", bits=32).count() == 1
+
+
+def test_lsh_band_buckets_wide_emits_remainder_band(spark):
+    """rows_per_band not dividing K must produce a remainder band over
+    the trailing signature columns (matching the long form's
+    floor(k/rows_per_band) buckets), not silently drop them."""
+    from dex_data_ingestor_spark.operators.neardup import (
+        MINHASH_PARAMS,
+        lsh_band_buckets,
+        lsh_band_buckets_wide,
+        minhash_signatures,
+        minhash_signatures_wide,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six")], "id long, text string"
+    )
+    K = len(MINHASH_PARAMS)
+    rpb = 3
+    assert K % rpb != 0  # the regression regime
+    wide = lsh_band_buckets_wide(
+        minhash_signatures_wide(df, "id", "text"), "id", rows_per_band=rpb
+    )
+    long_form = lsh_band_buckets(
+        minhash_signatures(df, "id", "text"), "id", rows_per_band=rpb
+    )
+    w = {(r.band_id) for r in wide.collect()}
+    l = {(r.band_id) for r in long_form.collect()}
+    assert w == l and len(w) == (K + rpb - 1) // rpb
