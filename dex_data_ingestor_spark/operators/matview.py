@@ -212,4 +212,8 @@ def snapshot_refresh_agg(
             "fact_from_version": from_version,
             "fact_to_version": to_version,
         },
+        # the maintained result was derived from the aggregate head
+        # read above; a concurrent commit to agg_root must conflict,
+        # not be silently overwritten
+        expected_base=prior["version"],
     )

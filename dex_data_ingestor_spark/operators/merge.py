@@ -124,15 +124,31 @@ def cdc_apply(
     broken by preferring the delete (a delete and upsert at the same
     instant resolve to absent — the conservative read).
     """
+    winners = _cdc_winners(changes, keys, order_by, op_col, delete_op)
+    return winners.filter(F.col(op_col) != delete_op)
+
+
+def _cdc_winners(
+    changes: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    op_col: str,
+    delete_op: str,
+) -> DataFrame:
+    """Per-key winning change row: highest ``order_by``, delete
+    preferred at an exact tie. The ONE copy of the compaction rank —
+    cdc_apply and merge_apply_cdc both defer here, so the tie-break
+    rule cannot desynchronize between whole-log compaction and its
+    incremental fold (the equivalence the property test pins)."""
     from pyspark.sql import Window
 
     is_del = (F.col(op_col) == delete_op).cast("int")
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).desc() for c in order_by], is_del.desc()
     )
-    ranked = changes.withColumn("__rn", F.row_number().over(w))
     return (
-        ranked.filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
 
@@ -157,18 +173,7 @@ def merge_apply_cdc(
     for a Debezium-style stream: one rank window per batch + one
     key-partitioned merge, both skew-safe under AQE.
     """
-    from pyspark.sql import Window
-
-    is_del = (F.col(op_col) == delete_op).cast("int")
-
-    w = Window.partitionBy(*keys).orderBy(
-        *[F.col(c).desc() for c in order_by], is_del.desc()
-    )
-    winners = (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    winners = _cdc_winners(changes, keys, order_by, op_col, delete_op)
     deletes = winners.filter(F.col(op_col) == delete_op).select(*keys)
     upserts = winners.filter(F.col(op_col) != delete_op).drop(op_col)
     survived = existing.join(deletes, keys, "left_anti")
@@ -210,7 +215,12 @@ def table_diff(
     )
     cond = None
     for k in keys:
-        c = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        # NULL-SAFE, like merge_upsert's groupBy key semantics in this
+        # module: with a plain ==, a NULL-key row present identically
+        # in both versions never matches itself and reports phantom
+        # 'removed' + 'added' drift on every diff (and every CDF /
+        # incremental-refresh built on it applies spurious deltas)
+        c = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
     diffs = [

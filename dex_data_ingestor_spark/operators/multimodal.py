@@ -231,6 +231,12 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
+    # w/h >= 1 BEFORE the byte-budget check: h=0 makes expected=0, and
+    # zlib decompress(idat, max_length=0) means UNLIMITED — a deflate
+    # bomb would then inflate in full before the length mismatch could
+    # raise, defeating the bomb guard below
+    if w < 1 or h < 1:
+        raise ValueError(f"PNG dimensions invalid ({w}x{h})")
     if depth != 8 or interlace != 0:
         raise NotImplementedError(
             f"PNG bit depth {depth} / interlace {interlace} unsupported "
@@ -1431,7 +1437,13 @@ def extract_features(
         if p is None:
             return None
         try:
-            return _image_grid_features(decode_media(bytes(p)))
+            arr = decode_media(bytes(p))
+            if arr.size == 0:
+                # a decodable 0-pixel image would emit all-NaN grid
+                # features (empty-slice means), silently corrupting
+                # every downstream cosine — same guard as image_stats
+                raise ValueError("zero-pixel image")
+            return _image_grid_features(arr)
         except _QUARANTINE_ERRORS:
             return _fake_features(p)
 

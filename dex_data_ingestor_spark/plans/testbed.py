@@ -4315,23 +4315,23 @@ def q_entity_match(spark, sf_dir):
     "q_table_diff",
     """
     WITH old_t AS (
-      SELECT o_orderkey, o_orderstatus, o_totalprice
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS in_old
       FROM orders WHERE o_orderkey % 7 <> 0
     ),
     new_t AS (
       SELECT o_orderkey, o_orderstatus,
              CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
-                  ELSE o_totalprice END AS o_totalprice
+                  ELSE o_totalprice END AS o_totalprice, 1 AS in_new
       FROM orders WHERE o_orderkey % 5 <> 0
     ),
     j AS (
       SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-             CASE WHEN o.o_orderkey IS NULL THEN 'added'
-                  WHEN n.o_orderkey IS NULL THEN 'removed'
+             CASE WHEN o.in_old IS NULL THEN 'added'
+                  WHEN n.in_new IS NULL THEN 'removed'
                   WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
                     OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
                   THEN 'changed' ELSE 'same' END AS status,
-             CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+             CASE WHEN o.in_old IS NULL OR n.in_new IS NULL
                   THEN ''
                   ELSE array_to_string(list_sort(list_filter(LIST_VALUE(
                     CASE WHEN o.o_orderstatus IS DISTINCT FROM
@@ -4342,7 +4342,7 @@ def q_entity_match(spark, sf_dir):
                          THEN 'o_totalprice' END), x -> x IS NOT NULL)),
                     ',') END AS changed_cols
       FROM old_t o FULL OUTER JOIN new_t n
-        ON o.o_orderkey = n.o_orderkey
+        ON o.o_orderkey IS NOT DISTINCT FROM n.o_orderkey
     )
     SELECT o_orderkey, status, changed_cols
     FROM j WHERE status <> 'same'

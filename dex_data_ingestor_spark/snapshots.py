@@ -39,7 +39,9 @@ conditional-put variant).
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import json
+import math
 import os
 import uuid
 from collections.abc import Sequence
@@ -170,9 +172,28 @@ def _resolve(
     return eligible[-1]
 
 
-def _commit(root: str, data_dir: str, op: str, extra: dict | None) -> dict:
+def _commit(
+    root: str,
+    data_dir: str,
+    op: str,
+    extra: dict | None,
+    expected_base: int | None = None,
+) -> dict:
     """Atomically claim the next version number. O_CREAT|O_EXCL makes
-    exactly one concurrent committer win each number."""
+    exactly one concurrent committer win each number.
+
+    ``expected_base`` is the read-modify-write guard: the version the
+    committing operation READ as its base (merge/delete/update/compact
+    and the stream sink all derive their output from a specific
+    lineage head). Without it, a committer that lost a race would
+    silently claim base+2 instead — its output was derived from
+    base, so every row the winning base+1 commit introduced VANISHES
+    from latest (the classic lost update; the O_EXCL claim alone only
+    catches the two writers computing the SAME number). The check
+    compares against the committing lineage's CURRENT head right
+    before claiming; a mismatch raises :class:`SnapshotConflict`, and
+    two same-base racers are still serialized by the O_EXCL claim —
+    the loser re-raises and retries from a fresh read."""
     os.makedirs(_log_path(root), exist_ok=True)
     latest = _latest_manifest(root)
     version = (latest["version"] + 1) if latest else 1
@@ -193,6 +214,15 @@ def _commit(root: str, data_dir: str, op: str, extra: dict | None) -> dict:
         latest.get("branch_id"),
     ) != (extra.get("branch"), extra.get("branch_id")):
         prior = _prior_manifest(root, extra.get("branch"))
+    if expected_base is not None:
+        head = prior["version"] if prior else 0
+        if head != expected_base:
+            raise SnapshotConflict(
+                f"read-modify-write base was v{expected_base} but the "
+                f"lineage head is now v{head} under {root}: a "
+                "concurrent commit landed after the base was read — "
+                "re-read the head and retry the operation"
+            )
     # carry the per-writer transaction watermarks forward so the
     # streaming sink's replay guard survives interleaved non-stream
     # commits (compact/rollback/manual merge) and needs only the
@@ -287,6 +317,7 @@ def snapshot_write(
     constraints: dict[str, str] | None = None,
     drop_constraints: Sequence[str] | None = None,
     branch: str | None = None,
+    expected_base: int | None = None,
 ) -> dict:
     """Write ``df`` as a NEW snapshot version and return its manifest.
 
@@ -316,6 +347,20 @@ def snapshot_write(
     effective = _effective_constraints(
         root, constraints, drop_constraints, extra, branch=branch
     )
+    extra = _with_branch_extra(root, branch, extra)
+    # ALWAYS recorded (even when empty) so _commit's carry-forward
+    # cannot resurrect a dropped constraint
+    extra["constraints"] = effective
+    data_dir = _write_and_enforce(df, root, op, effective)
+    return _commit(root, data_dir, op, extra, expected_base=expected_base)
+
+
+def _with_branch_extra(
+    root: str, branch: str | None, extra: dict | None
+) -> dict:
+    """Copy ``extra`` with the branch-staging fields attached (shared
+    by both write entry points, so a stats-indexed write can stage on
+    a branch exactly like a plain one)."""
     extra = dict(extra or {})
     if branch is not None:
         r = _read_ref(root, branch)
@@ -327,9 +372,15 @@ def snapshot_write(
         # resurrect an abandoned run's staged commits as its head
         if r.get("id") is not None:
             extra["branch_id"] = r["id"]
-    # ALWAYS recorded (even when empty) so _commit's carry-forward
-    # cannot resurrect a dropped constraint
-    extra["constraints"] = effective
+    return extra
+
+
+def _write_and_enforce(
+    df: DataFrame, root: str, op: str, effective: dict[str, str]
+) -> str:
+    """Write the data dir and re-enforce persisted constraints on the
+    WRITTEN FILES (the TOCTOU-closing sequence both write entry points
+    must share — see snapshot_write's docstring). Returns the dir."""
     data_dir = os.path.join(root, DATA_DIR, uuid.uuid4().hex)
     df.write.mode("error").parquet(data_dir)
     if effective and op != "compact":
@@ -339,7 +390,7 @@ def snapshot_write(
         snapshot_check_constraints(
             df.sparkSession.read.parquet(data_dir), effective
         )
-    return _commit(root, data_dir, op, extra)
+    return data_dir
 
 
 class ConstraintViolation(Exception):
@@ -452,7 +503,8 @@ def snapshot_merge(
     """
     from dex_data_ingestor_spark.operators.merge import merge_upsert
 
-    current = snapshot_read(spark, root)
+    base = _resolve(root)
+    current = spark.read.parquet(base["data_dir"])
     # case-INSENSITIVE name comparison: Spark resolves columns
     # case-insensitively by default, so treating a case-variant as
     # "new" would make withColumn silently REPLACE the existing
@@ -478,7 +530,10 @@ def snapshot_merge(
     if new_cols:
         extra["evolved_cols"] = new_cols
     merged = merge_upsert(current, updates, keys, update_cols)
-    return snapshot_write(merged, root, op="merge", extra=extra)
+    return snapshot_write(
+        merged, root, op="merge", extra=extra,
+        expected_base=base["version"],
+    )
 
 
 def snapshot_delete(
@@ -504,18 +559,24 @@ def snapshot_delete(
     CHECK constraints carry forward and re-enforce (a row subset
     cannot newly violate them, but the invariant "recorded ==
     enforced" stays uniform across every commit path)."""
-    current = snapshot_read(spark, root)
+    base = _resolve(root)
+    current = spark.read.parquet(base["data_dir"])
     cond = F.expr(predicate)
     remaining = current.filter(~F.coalesce(cond, F.lit(False)))
-    # both counts read the LATEST version's immutable data dir —
-    # deterministic lineage, so counting before the write is safe
-    # (unlike the constraint TOCTOU, which guards arbitrary inputs)
-    n_deleted = current.count() - remaining.count()
+    # ONE pass over the LATEST version's immutable data dir for the
+    # manifest metadata (deterministic lineage, so counting before the
+    # write is safe — unlike the constraint TOCTOU, which guards
+    # arbitrary inputs); the previous current.count() - remaining
+    # .count() form paid two full scans for one number
+    n_deleted = current.select(
+        F.count(F.when(F.coalesce(cond, F.lit(False)), 1)).alias("n")
+    ).collect()[0].n
     return snapshot_write(
         remaining,
         root,
         op="delete",
         extra={"predicate": predicate, "n_deleted": n_deleted},
+        expected_base=base["version"],
     )
 
 
@@ -539,7 +600,8 @@ def snapshot_update(
     evolve_schema); the matched-row count and assignments land in the
     manifest; persisted CHECK constraints re-enforce on the result,
     so an UPDATE that would break an invariant commits nothing."""
-    current = snapshot_read(spark, root)
+    base = _resolve(root)
+    current = spark.read.parquet(base["data_dir"])
     existing_lc = {c.lower() for c in current.columns}
     unknown = [c for c in set_exprs if c.lower() not in existing_lc]
     if unknown:
@@ -548,7 +610,10 @@ def snapshot_update(
             "snapshot_merge(evolve_schema=True) to widen the schema"
         )
     cond = F.coalesce(F.expr(predicate), F.lit(False))
-    n_updated = current.filter(cond).count()
+    # one agg pass for the manifest metadata, not a second full scan
+    n_updated = current.select(
+        F.count(F.when(cond, 1)).alias("n")
+    ).collect()[0].n
     updated = current.withColumns(
         {
             col: F.when(cond, F.expr(expr)).otherwise(F.col(col))
@@ -564,6 +629,7 @@ def snapshot_update(
             "set": dict(set_exprs),
             "n_updated": n_updated,
         },
+        expected_base=base["version"],
     )
 
 
@@ -653,6 +719,30 @@ def snapshot_rollback(root: str, to_version: int) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _stat_bound(v, *, lo: bool):
+    """A footer min/max as a JSON-SAFE, ORDER-PRESERVING manifest
+    value — raw pyarrow statistics can be date / datetime / Decimal /
+    bytes, which ``json.dump`` in _commit rejects (the commit would
+    then crash AFTER the data dir was written, leaving an orphan, for
+    exactly the date columns a pruning index is most wanted on).
+    Dates/timestamps become ISO strings (lexicographic order ==
+    chronological; scan callers pass bounds in the same ISO form);
+    Decimals become floats widened one ULP OUTWARD so the recorded
+    range still CONTAINS the true value (pruning is a superset
+    guarantee — shrinking the range would wrongly exclude files);
+    bytes return None (no stats: the file is conservatively read)."""
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, dt.datetime):  # before date: datetime IS a date
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return math.nextafter(f, -math.inf if lo else math.inf)
+    return None
+
+
 def _one_file_stats(path: str, cols: Sequence[str]) -> dict:
     """min/max for ``cols`` from ONE parquet file's FOOTER (no data
     pages are read). Pure function of the path — runs executor-side."""
@@ -673,7 +763,10 @@ def _one_file_stats(path: str, cols: Sequence[str]) -> dict:
             los.append(s.min)
             his.append(s.max)
         if los:
-            stats[c] = [min(los), max(his)]
+            b_lo = _stat_bound(min(los), lo=True)
+            b_hi = _stat_bound(max(his), lo=False)
+            if b_lo is not None and b_hi is not None:
+                stats[c] = [b_lo, b_hi]
     return {"file": os.path.basename(path), "stats": stats}
 
 
@@ -783,6 +876,8 @@ def snapshot_write_with_stats(
     bloom_cols: Sequence[str] | None = None,
     constraints: dict[str, str] | None = None,
     drop_constraints: Sequence[str] | None = None,
+    branch: str | None = None,
+    expected_base: int | None = None,
 ) -> dict:
     """:func:`snapshot_write` + per-file min/max stats for
     ``stats_cols`` recorded in the manifest (read from parquet footers
@@ -802,17 +897,13 @@ def snapshot_write_with_stats(
     can establish its skipping indexes AND its CHECK constraints in
     one commit."""
     effective = _effective_constraints(
-        root, constraints, drop_constraints, extra
+        root, constraints, drop_constraints, extra, branch=branch
     )
-    data_dir = os.path.join(root, DATA_DIR, uuid.uuid4().hex)
-    df.write.mode("error").parquet(data_dir)
-    if effective and op != "compact":
-        snapshot_check_constraints(
-            df.sparkSession.read.parquet(data_dir), effective
-        )
+    extra = _with_branch_extra(root, branch, extra)
+    data_dir = _write_and_enforce(df, root, op, effective)
     files = _file_stats(df.sparkSession, data_dir, stats_cols)
     payload = {
-        **(extra or {}),
+        **extra,
         "files": files,
         "stats_cols": list(stats_cols),
         "constraints": effective,
@@ -837,7 +928,7 @@ def snapshot_write_with_stats(
             "num_bits": BLOOM_INDEX_BITS,
             "num_hashes": BLOOM_INDEX_HASHES,
         }
-    return _commit(root, data_dir, op, payload)
+    return _commit(root, data_dir, op, payload, expected_base=expected_base)
 
 
 def snapshot_scan_point(
@@ -1049,8 +1140,11 @@ def snapshot_compact(
             stats_cols,
             op="compact",
             bloom_cols=bloom_cols or None,
+            expected_base=prior["version"],
         )
-    return snapshot_write(compacted, root, op="compact")
+    return snapshot_write(
+        compacted, root, op="compact", expected_base=prior["version"]
+    )
 
 
 def snapshot_vacuum(

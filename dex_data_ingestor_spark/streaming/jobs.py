@@ -1006,12 +1006,22 @@ def foreach_batch_merge_snapshots(
     app_id = txn_app_id or checkpoint_dir
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # ONE manifest read per batch: the replay decision and the
-        # merge base come from the SAME snapshot (re-resolving latest
-        # for the read would open a window where a maintenance commit
+        # ONE resolution per batch: the replay decision and the merge
+        # base come from the SAME snapshot (re-resolving latest for
+        # the read would open a window where a maintenance commit
         # lands in between and the guard's decision no longer matches
-        # the merge base).
-        latest = S._latest_manifest(root)
+        # the merge base). The base is the MAINLINE head (_resolve),
+        # NOT the raw log tail: the tail can be a branch-STAGED
+        # commit, and merging into it would publish unaudited branch
+        # data as mainline without snapshot_publish. The base version
+        # also rides the commit as expected_base, so a concurrent
+        # commit between read and claim surfaces as SnapshotConflict
+        # (a lost update otherwise — the merge output was derived
+        # from the stale base).
+        try:
+            latest = S._resolve(root)
+        except FileNotFoundError:
+            latest = None
         entry = (latest or {}).get("txn", {}).get(app_id, {})
         last_for_app = entry.get("b", -1) if isinstance(entry, dict) else entry
         if batch_id <= last_for_app:
@@ -1034,6 +1044,7 @@ def foreach_batch_merge_snapshots(
                 "keys": list(keys),
                 "txn": {app_id: batch_id},
             },
+            expected_base=latest["version"] if latest else 0,
         )
 
     return (

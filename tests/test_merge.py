@@ -231,3 +231,27 @@ def test_delta_merge_parity_with_parquet_path(
                      update_cols=update_cols)
     )
     assert got == want
+
+
+def test_table_diff_null_keys_match_null_safely(spark):
+    """A NULL-key row present identically in both versions (the state
+    merge_upsert's NULL-safe key semantics legitimately create) must
+    produce NO diff rows — the == join reported it as phantom
+    'removed' + 'added' on every diff, feeding spurious deltas to the
+    CDF and the incremental aggregate refresh."""
+    from dex_data_ingestor_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(None, 1.0), (1, 2.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(None, 1.0), (1, 2.0), (2, 3.0)], "k long, v double"
+    )
+    out = {(r.k, r.status) for r in table_diff(old, new, ["k"]).collect()}
+    assert out == {(2, "added")}
+
+    # a CHANGED null-key row still surfaces
+    new2 = spark.createDataFrame([(None, 9.0)], "k long, v double")
+    old2 = spark.createDataFrame([(None, 1.0)], "k long, v double")
+    got = table_diff(old2, new2, ["k"]).collect()
+    assert len(got) == 1 and got[0].status == "changed"

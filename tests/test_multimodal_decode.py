@@ -1706,3 +1706,48 @@ def test_progressive_subsampled_chroma_matches_baseline():
     a, p = decode_media(base), decode_media(prog)
     assert a.shape == p.shape == (16, 16, 3)
     assert (a == p).all()
+
+
+def test_png_zero_height_bomb_quarantines_before_inflating():
+    """IHDR h=0 makes expected=0, and zlib decompress(data, 0) means
+    UNLIMITED — a deflate bomb would inflate in full before the length
+    check. The dimension guard must reject it up front."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from dex_data_ingestor_spark.operators.multimodal import decode_media
+
+    def chunk(ctype, body):
+        c = struct.pack(">I", len(body)) + ctype + body
+        return c + struct.pack(">I", zlib.crc32(ctype + body))
+
+    ihdr = struct.pack(">IIBBBBB", 64, 0, 8, 2, 0, 0, 0)  # h = 0
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)  # 64 MiB -> tiny
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="dimensions invalid"):
+        decode_media(png)
+
+
+def test_extract_features_quarantines_zero_pixel_images(spark):
+    """A decodable 0-width image must take the digest pseudo-feature
+    path, not emit an all-NaN grid vector into downstream cosines."""
+    import math
+
+    from dex_data_ingestor_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    payload = b"P6\n0 5\n255\n"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = extract_features(df).collect()[0]
+    assert row.features is not None
+    assert not any(math.isnan(x) for x in row.features)

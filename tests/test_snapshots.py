@@ -1340,3 +1340,147 @@ def test_refresh_agg_rejects_discontinuous_from_version(spark, root, tmp_path):
     )
     want = MV.grouped_sums(S.snapshot_read(spark, root), ["g"], ["v"])
     assert _rows(S.snapshot_read(spark, agg_root)) == _rows(want)
+
+
+def test_read_modify_write_base_guard_prevents_lost_update(spark, root):
+    """The lost-update race: two writers both read v1 as their merge
+    base; A commits v2, then B's commit — derived from v1 — must raise
+    SnapshotConflict, NOT silently claim v3 (which would erase every
+    row A merged). Simulated by handing snapshot_write B's stale
+    expected_base after A's commit landed."""
+    base_df = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    S.snapshot_write(base_df, root)  # v1
+
+    # writer A lands v2
+    S.snapshot_merge(
+        spark, root,
+        spark.createDataFrame([(2, 20.0)], "k long, v double"),
+        keys=["k"],
+    )
+    # writer B derived its output from v1 — stale base must conflict
+    stale_output = spark.createDataFrame(
+        [(1, 10.0), (3, 30.0)], "k long, v double"
+    )
+    with pytest.raises(S.SnapshotConflict, match="base was v1"):
+        S.snapshot_write(
+            stale_output, root, op="merge", expected_base=1
+        )
+    # v2's merged row is intact (nothing was lost)
+    assert (2, 20.0) in _rows(S.snapshot_read(spark, root))
+
+    # retry from a FRESH base succeeds
+    S.snapshot_merge(
+        spark, root,
+        spark.createDataFrame([(3, 30.0)], "k long, v double"),
+        keys=["k"],
+    )
+    assert _rows(S.snapshot_read(spark, root)) == {
+        (1, 10.0), (2, 20.0), (3, 30.0),
+    }
+
+
+def test_base_guard_ignores_interleaved_branch_commits(spark, root):
+    """expected_base compares against the committing LINEAGE's head:
+    a branch-STAGED commit claiming the next shared version number
+    must not make a mainline read-modify-write spuriously conflict
+    (version numbers are shared across lineages; bases are not)."""
+    S.snapshot_write(
+        spark.createDataFrame([(1, 10.0)], "k long, v double"), root
+    )  # v1 mainline
+    S.snapshot_create_branch(root, "audit")
+    S.snapshot_write(
+        spark.createDataFrame([(9, 90.0)], "k long, v double"),
+        root,
+        branch="audit",
+    )  # v2 staged
+    # mainline merge read v1 as its base; the staged v2 is not in its
+    # lineage, so the commit goes through (as v3)
+    m = S.snapshot_merge(
+        spark, root,
+        spark.createDataFrame([(2, 20.0)], "k long, v double"),
+        keys=["k"],
+    )
+    assert m["version"] == 3
+    assert (9, 90.0) not in _rows(S.snapshot_read(spark, root))
+
+
+def test_write_with_stats_handles_date_columns_and_branch(spark, root):
+    """Footer min/max for DATE columns used to crash json.dump at
+    commit time (datetime.date is not JSON-serializable), killing
+    exactly the pruning-index writes a date-partitioned table wants;
+    bounds are now ISO strings (order-preserving), and the stats
+    writer takes the same branch staging the plain writer has."""
+    import datetime as dtm
+
+    df = spark.createDataFrame(
+        [(1, dtm.date(2024, 1, 1)), (2, dtm.date(2024, 6, 1))],
+        "k long, d date",
+    ).repartitionByRange(2, "d")
+    m = S.snapshot_write_with_stats(df, root, stats_cols=["d"])
+    assert m["version"] == 1
+    for f in m["files"]:
+        for lo, hi in f["stats"].values():
+            assert isinstance(lo, str) and isinstance(hi, str)
+    # pruning works with ISO-string bounds
+    pruned = S.snapshot_scan_pruned(
+        spark, root, "d", "2024-05-01", "2024-12-31"
+    )
+    assert {r.k for r in pruned.collect()} == {2}
+
+    # branch staging through the stats writer: invisible to mainline
+    S.snapshot_create_branch(root, "wap")
+    S.snapshot_write_with_stats(
+        spark.createDataFrame([(3, dtm.date(2025, 1, 1))], "k long, d date"),
+        root,
+        stats_cols=["d"],
+        branch="wap",
+    )
+    assert {r.k for r in S.snapshot_read(spark, root).collect()} == {1, 2}
+    assert {
+        r.k for r in S.snapshot_read(spark, root, ref="wap").collect()
+    } == {3}
+
+
+def test_stream_merge_base_is_mainline_not_staged_branch(
+    spark, tmp_path
+):
+    """The stream sink's merge base is the MAINLINE head: with a
+    branch-staged commit sitting at the raw log tail, merging into the
+    tail would publish unaudited branch data as mainline without
+    snapshot_publish. The staged rows must stay invisible to mainline
+    after the stream commit, and the branch head must be untouched."""
+    from dex_data_ingestor_spark.streaming.jobs import (
+        foreach_batch_merge_snapshots,
+    )
+
+    root = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.createDataFrame([(1, 10.0)], "event_id long, value double"),
+        root,
+    )  # v1 mainline
+    S.snapshot_create_branch(root, "audit")
+    S.snapshot_write(
+        spark.createDataFrame([(99, 99.0)], "event_id long, value double"),
+        root,
+        branch="audit",
+    )  # v2 staged at the log tail
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(2, 20.0)], "event_id long, value double"
+    ).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, value double")
+        .parquet(src)
+    )
+    q = foreach_batch_merge_snapshots(
+        stream, str(tmp_path / "ckpt"), root, keys=["event_id"],
+        spark=spark,
+    )
+    q.awaitTermination(timeout=120)
+
+    main_rows = _rows(S.snapshot_read(spark, root))
+    assert main_rows == {(1, 10.0), (2, 20.0)}  # no staged leak
+    assert _rows(S.snapshot_read(spark, root, ref="audit")) == {
+        (99, 99.0)
+    }
