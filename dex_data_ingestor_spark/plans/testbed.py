@@ -10231,9 +10231,22 @@ def q_priority_lateness(spark, sf_dir):
 #:   q_embed_gram, q_embed_gram_fast, q_c4_filters (q_embed_stats's
 #:   cast rides ITS r10 window slot);
 #: - packed_tick_order loud-guard swap: q_ohlc_bars, q_ohlc_daily,
-#:   q_return_corr.
-#: Nine owed rows; trim cohort-A's cheapest relational shapes if r11
-#: slots run short, per the standing rule.
+#:   q_return_corr;
+#: - review rounds 2-4 (operator hardening; all fixture-value-
+#:   identical, each subset-driver-simmed on change): q_kmv_distinct
+#:   (oracle NULL filter paired), q_table_diff (null-safe join,
+#:   oracle paired), q_yoy_qoq (type-preserving shift), q_ann_ivf /
+#:   q_semdedup / q_semdedup_fast / q_ann_pq / q_ann_pq_rerank /
+#:   q_ann_ivfpq / q_embed_neardup (zero-norm quarantine + kernel
+#:   ok-mask + NULL-code exclusion), q_simhash (bits guard),
+#:   q_cdc_apply (shared winners helper), q_sessionize / q_debounce
+#:   (collision guards), q_multimodal_join (zero-pixel feature
+#:   guard), q_asof_lookup / q_asof_tolerance / q_asof_price
+#:   (quote-only carried values), q_incremental_agg (refresh
+#:   continuity + expected_base).
+#: ~25 owed rows — more than half the r11 window; fill the remaining
+#: slots with cohort-A's OLDEST entries and roll the rest of A to
+#: r12 with B, per the standing age-wins rule.
 _WINDOW_R10 = [
     # red / never-confirmed fixes first
     "q_incremental_agg",
