@@ -96,6 +96,12 @@ class DexWarehouse:
         """
         existing = self.read(table)
         if existing is None:
+            # an EMPTY initial batch (a cron window before the first
+            # event) must not initialize the table: zero rows write a
+            # file-less directory that every later read fails to infer
+            # a schema from; the first non-empty window initializes
+            if updates.isEmpty():
+                return
             writer = updates.write.mode("overwrite")
             if partition_col is not None:
                 writer = writer.partitionBy(partition_col)

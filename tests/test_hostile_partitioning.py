@@ -67,6 +67,10 @@ SUBSET = [
     "q_minhash_lsh",
     "q_text_stats",
     "q_dsir_weights",
+    # r10 continuation-session oracle rewrites (kmv NULL filter /
+    # null-safe diff join): keep their layout invariance pinned
+    "q_kmv_distinct",
+    "q_table_diff",
 ]
 
 _SUBPROC = r"""

@@ -1228,3 +1228,77 @@ def test_packing_token_budget_hot_lang_parity_at_scale(spark, tmp_path):
                            ORACLE_SQL[name])
         assert not problems, (name, problems)
     con.close()
+
+
+@pytest.mark.slow
+def test_pipeline_hourly_cron_equals_rebuild_hot_token(spark, tmp_path):
+    """Pipelines-family skew stress (the family the r10 continuation
+    session changed: full-first-day recompute windows + NTZ-safe
+    bounds). A 30k-event tape with one token at ~90% share and
+    non-dyadic values, driven through the HOURLY cron the reference
+    actually runs (etl_job_till_now every hour over 3 days, including
+    partial-day windows and the midnight boundary), must equal ONE
+    full catch-up bitwise for BOTH daily facts — replace-clobber of a
+    hot day by an hour slice is exactly what the old windows did."""
+    import datetime as dtm
+    import random
+
+    import pandas as pd
+
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.plans.pipelines import (
+        DexWarehouse,
+        etl_job_till_now,
+    )
+
+    rng = random.Random(77)
+    base = dtm.datetime(2024, 3, 1)
+    rows = []
+    for i in range(30_000):
+        uid = 7 if rng.random() < 0.9 else rng.randrange(50)
+        ts = base + dtm.timedelta(
+            seconds=rng.randrange(3 * 24 * 3600),
+            microseconds=rng.randrange(1_000_000),
+        )
+        # non-dyadic tails beside spikes: poison for a float fold,
+        # exact under the decimal discipline
+        val = rng.choice([0.1, 0.3, 1e6 + 0.7, 42.42, None])
+        rows.append((i, ts, uid, "swap", val, "{}"))
+    # one tick at exactly midnight of day 2: the sliver case
+    rows.append((30_000, base + dtm.timedelta(days=1), 7, "swap", 5.5, "{}"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(sf / "events.parquet")
+    events = load_table(spark, str(sf), "events")
+
+    # A: hourly cron over the full span (72 windows + a tail hour)
+    wh_a = DexWarehouse(spark, str(tmp_path / "wh_a"))
+    now = base
+    end = base + dtm.timedelta(days=3, hours=1)
+    while now <= end:
+        for task in ("sync_token_daily_stats", "sync_yield_stats"):
+            etl_job_till_now(wh_a, task, events, now)
+        now += dtm.timedelta(hours=3)
+
+    # B: one catch-up at the final instant
+    wh_b = DexWarehouse(spark, str(tmp_path / "wh_b"))
+    for task in ("sync_token_daily_stats", "sync_yield_stats"):
+        etl_job_till_now(wh_b, task, events, end)
+
+    for table, cols in (
+        ("fact_token_daily_stats",
+         ["token_id", "date", "volume", "txns_count"]),
+        ("fact_yield_stats", ["token_id", "date", "apy", "tvl"]),
+    ):
+        a = sorted(
+            (tuple(r) for r in wh_a.read(table).select(*cols).collect()),
+            key=repr,
+        )
+        b = sorted(
+            (tuple(r) for r in wh_b.read(table).select(*cols).collect()),
+            key=repr,
+        )
+        assert a == b and len(a) > 0, table
