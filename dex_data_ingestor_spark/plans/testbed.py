@@ -1707,9 +1707,13 @@ def q_window_rank(spark, sf_dir):
     )
 
 
-@register(
-    "q_grouping_sets",
-    """
+#: One SQL text, two engines (the _SQL_INTERFACE pattern): the engine
+#: runs the IDENTICAL statement the oracle runs. The previous form
+#: kept a hand-maintained near-copy inline (already drifting
+#: cosmetically) and registered a global __orders_gs temp view —
+#: mutable session state a concurrent run with a different sf_dir
+#: would silently repoint.
+_GROUPING_SETS_SQL = """
     SELECT o_orderpriority, o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
@@ -1719,27 +1723,18 @@ def q_window_rank(spark, sf_dir):
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
                             (o_orderpriority, o_orderstatus))
-    """,
-)
+"""
+
+
+@register("q_grouping_sets", _GROUPING_SETS_SQL)
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (the general form behind the rollup/cube
     queries) with GROUPING() disambiguation of NULL-as-total vs
     NULL-as-value. One expand + one hash aggregate."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__orders_gs")
-    return orders.sparkSession.sql(
-        """
-        SELECT o_orderpriority, o_orderstatus,
-               COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-                 AS total_price,
-               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
-               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
-        FROM __orders_gs
-        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
-                                (o_orderpriority, o_orderstatus))
-        """
-    )
+    from dex_data_ingestor_spark.io import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_GROUPING_SETS_SQL)
 
 
 @register(
@@ -1751,7 +1746,8 @@ def q_grouping_sets(spark, sf_dir):
                value AS last_view_value,
                ROW_NUMBER() OVER (PARTITION BY user_id, ts
                                   ORDER BY event_id DESC) AS rn
-        FROM events WHERE event_type = 'view') WHERE rn = 1
+        FROM events
+        WHERE event_type = 'view' AND value IS NOT NULL) WHERE rn = 1
     ),
     probes AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -1780,7 +1776,12 @@ def q_asof_tolerance(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     quotes = latest_per_key(
-        ev.filter(F.col("event_type") == "view").select(
+        # NULL-valued views are not quotes — both sides, same rule
+        # (and same rationale) as q_asof_lookup
+        ev.filter(
+            (F.col("event_type") == "view")
+            & F.col("value").isNotNull()
+        ).select(
             "user_id", "ts", "event_id",
             F.col("value").alias("last_view_value"),
         ),
@@ -2000,7 +2001,9 @@ def q_fingerprint(spark, sf_dir):
     "q_vector_topk",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
-               FROM embeddings WHERE vec_id = 0)
+               FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0)
     SELECT e.vec_id,
            CASE WHEN abs(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
              / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
@@ -2048,6 +2051,24 @@ def q_vector_topk(spark, sf_dir):
 
 # IVF index constants (shared by the Spark plan and the generated
 # oracle SQL below — both derive from the same seeded centroids).
+def _query_vec(em, vec_id: int = 0) -> list[float]:
+    """The ANN queries' driver-side anchor vector (an O(1) lookup
+    standing in for a user-supplied query). Raises a NAMED error when
+    the anchor row is absent or was filtered by the usable-embeddings
+    gate — the bare ``.head()["embedding"]`` form died with
+    ``TypeError: 'NoneType' object is not subscriptable`` at
+    plan-build time, which reads as a harness bug rather than a data
+    precondition."""
+    row = em.filter(F.col("vec_id") == vec_id).head()
+    if row is None or row["embedding"] is None:
+        raise ValueError(
+            f"ANN query anchor vec_id={vec_id} is absent or unusable "
+            "(NULL/zero-norm embedding) in this corpus; these "
+            "registry entries need a usable anchor row"
+        )
+    return [float(x) for x in row["embedding"]]
+
+
 _IVF_DIM = 64
 _IVF_NCELLS = 8
 _IVF_NPROBE = 2
@@ -2081,7 +2102,9 @@ def _ivf_oracle_sql() -> str:
                AND list_dot_product(CAST(embedding AS DOUBLE[]),
                                     CAST(embedding AS DOUBLE[])) > 0),
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
-          FROM embeddings WHERE vec_id = 0),
+          FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     assign AS (
       SELECT vec_id, v, cell,
              ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -2133,10 +2156,7 @@ def q_ann_ivf(spark, sf_dir):
     from dex_data_ingestor_spark.operators.vector import usable_embeddings
 
     em = usable_embeddings(load_table(spark, sf_dir, "embeddings"))
-    qvec = [
-        float(x)
-        for x in em.filter(F.col("vec_id") == 0).head()["embedding"]
-    ]
+    qvec = _query_vec(em)
     cents = seeded_centroids(_IVF_DIM, _IVF_NCELLS, seed=_IVF_SEED)
     indexed = ivf_assign(em, "embedding", cents)
     return ivf_topk(
@@ -2181,7 +2201,9 @@ def _lsh_ann_oracle_sql() -> str:
                AND list_dot_product(CAST(embedding AS DOUBLE[]),
                                     CAST(embedding AS DOUBLE[])) > 0),
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
-          FROM embeddings WHERE vec_id = 0),
+          FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     buck AS (
       SELECT e.vec_id, e.v,
              CAST(SUM(CASE WHEN list_dot_product(e.v, pl.pv) > 0
@@ -2231,10 +2253,7 @@ def q_ann_lsh(spark, sf_dir):
     from dex_data_ingestor_spark.operators.vector import usable_embeddings
 
     em = usable_embeddings(load_table(spark, sf_dir, "embeddings"))
-    qvec = [
-        float(x)
-        for x in em.filter(F.col("vec_id") == 0).head()["embedding"]
-    ]
+    qvec = _query_vec(em)
     planes = hyperplanes(_IVF_DIM, _LSH_ANN_NPLANES, seed=_LSH_ANN_SEED)
     return lsh_ann_topk(
         em, "vec_id", "embedding", planes, qvec, k=10, hamming_probe=1
@@ -2379,10 +2398,7 @@ def q_ann_pq(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    qvec = [
-        float(x)
-        for x in em.filter(F.col("vec_id") == 0).head()["embedding"]
-    ]
+    qvec = _query_vec(em)
     cbs = pq_codebooks(_IVF_DIM, _PQ_M, _PQ_K, seed=_PQ_SEED)
     encoded = pq_encode(em, "embedding", cbs)
     return pq_adc_topk(encoded, "vec_id", cbs, qvec, k=10)
@@ -2406,10 +2422,7 @@ def q_ann_pq_rerank(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    qvec = [
-        float(x)
-        for x in em.filter(F.col("vec_id") == 0).head()["embedding"]
-    ]
+    qvec = _query_vec(em)
     cbs = pq_codebooks(_IVF_DIM, _PQ_M, _PQ_K, seed=_PQ_SEED)
     return pq_rerank_topk(
         em, "vec_id", "embedding", cbs, qvec, k=10, shortlist=50
@@ -2513,10 +2526,7 @@ def q_ann_ivfpq(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    qvec = [
-        float(x)
-        for x in em.filter(F.col("vec_id") == 0).head()["embedding"]
-    ]
+    qvec = _query_vec(em)
     coarse = _ivfpq_coarse()
     # probe selection: exact integer L2 on the driver (model-sized)
     qu = [quantize_units(x) for x in qvec]
@@ -3258,7 +3268,9 @@ def q_setops(spark, sf_dir):
         SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, value,
                ROW_NUMBER() OVER (PARTITION BY user_id, ts
                                   ORDER BY event_id DESC) AS rn
-        FROM events WHERE event_type = 'purchase') WHERE rn = 1
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL)
+      WHERE rn = 1
     )
     SELECT v.event_id, v.user_id, CAST(v.ts AS TIMESTAMP) AS ts,
            p.value AS last_purchase_value
@@ -3288,9 +3300,15 @@ def q_asof_lookup(spark, sf_dir):
         "event_id", "user_id", "ts"
     )
     quotes = latest_per_key(
-        ev.filter(F.col("event_type") == "purchase").select(
-            "user_id", "ts", "event_id", "value"
-        ),
+        # a NULL-valued purchase is not a quote (the OHLC "a NULL
+        # price is not a tick" rule) — filtered on BOTH sides: the
+        # engine's last-non-null carry would skip it while DuckDB's
+        # native ASOF would return it, and a NULL-valued row could
+        # also win the (user, ts) tie dedup and shadow a real value
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        ).select("user_id", "ts", "event_id", "value"),
         keys=["user_id", "ts"],
         ts_col="event_id",
     ).drop("event_id")
@@ -7313,7 +7331,11 @@ def q_ohlc_daily(spark, sf_dir):
     reduction has already happened); at 100 TB the first stage reads
     the materialized hourly table instead and the tape is never
     rescanned."""
-    hourly = QUERIES["q_ohlc_bars"](spark, sf_dir)
+    # direct call, not QUERIES["q_ohlc_bars"]: the registry dict is
+    # rebuilt/reordered at module bottom and may be wrapped or pruned
+    # by a driver — a plain function call expresses the same reuse
+    # with no dependency on registry contents at call time
+    hourly = q_ohlc_bars(spark, sf_dir)
     return (
         hourly.groupBy(
             "event_type",
@@ -9289,7 +9311,9 @@ def _rrf_oracle_sql() -> str:
       FROM bm QUALIFY r <= {_RRF_DEPTH}
     ),
     qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
-           FROM embeddings WHERE vec_id = 0),
+           FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     cs AS (
       SELECT e.vec_id AS doc_id,
              CASE WHEN abs(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
@@ -9530,7 +9554,9 @@ def q_ab_test(spark, sf_dir):
     "q_embed_auc",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS qlabel
-               FROM embeddings WHERE vec_id = 0),
+               FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     scored AS (
       SELECT CAST(FLOOR(
                CASE WHEN abs(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
@@ -9602,16 +9628,20 @@ def q_embed_auc(spark, sf_dir):
     )
 
     em = load_table(spark, sf_dir, "embeddings")
-    q = em.filter(F.col("vec_id") == 0).select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
-        F.col("label").alias("qlabel"),
-    )
     v = F.transform("embedding", lambda x: x.cast("double"))
     # hygiene gate (mirrored in the oracle WHERE): NULL or zero-norm
     # embeddings have no cosine — unguarded they'd produce a NULL
     # quantized score, which exclusive_prefix_sum's bucket equi-join
-    # would silently drop (its contract requires non-NULL keys)
+    # would silently drop (its contract requires non-NULL keys).
+    # Applied BEFORE the query-row extraction so a degenerate anchor
+    # empties BOTH legs the same way the oracle's gated q CTE does —
+    # an ungated zero-norm anchor hits the Spark-NULL-vs-DuckDB-inf
+    # division seam instead.
     em = em.filter(F.col("embedding").isNotNull() & (dot(v, v) > 0))
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
     scored = em.crossJoin(F.broadcast(q)).select(
         F.floor(
             round_ieee(cosine(v, F.col("qe")), 9) * 1000000000.0 + 0.5
@@ -9698,7 +9728,9 @@ def _mmr_oracle_sql() -> str:
     a{k} AS MATERIALIZED (SELECT * FROM a{k - 1} UNION ALL SELECT * FROM s{k})""")
     return f"""
     WITH qv AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qe
-                FROM embeddings WHERE vec_id = 0),
+                FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     cand AS MATERIALIZED (
       SELECT e.vec_id AS doc_id, e.v, CASE WHEN abs({cos}) < 1000000.0 THEN floor(({cos}) * 1000000000.0 + 0.5) / 1000000000.0 ELSE ({cos}) END AS cos
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -9959,7 +9991,16 @@ def q_important_stock(spark, sf_dir):
             "left_semi",
         )
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum(value_units).cast("long").alias("value_units"))
+        # decimal(38,0) accumulator, long only at the boundary: the
+        # oracle sums in HUGEINT, and a plain long sum would WRAP
+        # silently past 2^63 on a hot part while DuckDB stays exact —
+        # the module-wide exact-sum discipline (ANSI would catch the
+        # decimal overflow loudly instead)
+        .agg(
+            F.sum(value_units.cast("decimal(38,0)"))
+            .cast("long")
+            .alias("value_units")
+        )
     )
     tot = pv.agg(
         F.sum(F.col("value_units").cast("decimal(38,0)")).alias(

@@ -239,3 +239,53 @@ def test_every_relational_query_survives_edge_tpch(spark, tmp_path):
     ran, failures = _sweep(spark, str(tmp_path), views)
     assert not failures, failures
     assert ran >= 45, ran  # the relational family, today ~49
+
+
+def test_degenerate_query_anchor_parity_and_loud_ann_error(
+    spark, tmp_path
+):
+    """The anchor-vector seam (r10 continuation review): vec_id 0 is
+    the query anchor of the whole vector family. With a ZERO-NORM
+    anchor, the oracle q CTEs used to keep the row (NULL/inf-scored
+    output rows) while the gated engine legs went empty — a
+    guaranteed hash mismatch on exactly the degenerate data the
+    hygiene gates exist for. Both sides now gate the anchor, so the
+    expression-form queries must stay ORACLE-PARITY-GREEN on this
+    corpus, and the driver-side ANN anchors must raise the NAMED
+    error instead of 'NoneType is not subscriptable'."""
+    import random
+
+    import duckdb
+    import pyspark.sql.types as T
+
+    rng = random.Random(9)
+    rows = [(0, [0.0] * 64, 0)]  # the anchor IS the zero vector
+    for i in range(1, 30):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)], i % 3))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    for name in ("q_vector_topk", "q_embed_auc"):
+        problems = compare(
+            QUERIES[name](spark, str(tmp_path)), con, ORACLE_SQL[name]
+        )
+        assert not problems, (name, problems)
+    con.close()
+
+    # cosine-family anchors gate zero-norm and raise by name; the PQ
+    # family is L2 — a zero vector is a VALID query there, so it must
+    # keep building (its own gate is isNotNull only)
+    for name in ("q_ann_ivf", "q_ann_lsh"):
+        with pytest.raises(ValueError, match="anchor"):
+            QUERIES[name](spark, str(tmp_path))
+    assert QUERIES["q_ann_pq"](spark, str(tmp_path)).count() > 0
