@@ -10285,9 +10285,16 @@ def q_priority_lateness(spark, sf_dir):
 #:   guard), q_asof_lookup / q_asof_tolerance / q_asof_price
 #:   (quote-only carried values), q_incremental_agg (refresh
 #:   continuity + expected_base).
-#: ~25 owed rows — more than half the r11 window; fill the remaining
-#: slots with cohort-A's OLDEST entries and roll the rest of A to
-#: r12 with B, per the standing age-wins rule.
+#: - review round 5 (engine-side registry review; anchor/NULL-quote
+#:   seams — oracle q CTEs gated, asof NULL-quote filters paired,
+#:   grouping_sets one-text form, important_stock decimal sum):
+#:   q_vector_topk, q_rrf_fusion, q_embed_auc, q_mmr_rerank,
+#:   q_ann_ivf, q_ann_lsh, q_ann_pq, q_ann_pq_rerank, q_ann_ivfpq,
+#:   q_asof_lookup, q_asof_tolerance, q_grouping_sets,
+#:   q_important_stock, q_ohlc_daily.
+#: ~35 owed rows — most of the r11 window; fill the remaining slots
+#: with cohort-A's OLDEST entries and roll the rest of A to r12 with
+#: B, per the standing age-wins rule.
 _WINDOW_R10 = [
     # red / never-confirmed fixes first
     "q_incremental_agg",
