@@ -11,6 +11,13 @@ the MEDIAN is reported, with per-query spread (max-min) alongside:
 round-over-round single-run deltas on a shared box were dominated by
 environmental noise (r3->r4 "improved" 24% with zero code change), so
 a delta smaller than the recorded spread is noise, not signal.
+
+The legacy-17 GATE stat is the per-query MIN over 5 runs (r11): on a
+warm deterministic workload co-tenant pressure only ever ADDS time, so
+the minimum is the engine-true reading and cannot overstate speed —
+medians were twice (r9, r10) inflated 1.5-2x by box noise, each time
+costing an interleaved A/B session to attribute. A `box_noise` flag
+marks runs whose total spread exceeds 20% of the total.
 """
 
 from __future__ import annotations
@@ -221,6 +228,7 @@ def main() -> None:
     # extra wall on queries that are each sub-2 s.
     legacy_runs = max(runs, 5)
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in (subset if subset is not None else HEADLINE):
         # one untimed execution per query excludes codegen/JIT compile
@@ -237,6 +245,7 @@ def main() -> None:
             materialize(QUERIES[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        mins[name] = round(min(samples), 3)
         spread[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
@@ -246,6 +255,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "queries_min": mins,
             "spread_sec": spread,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "runs_per_query": runs,
@@ -256,21 +266,39 @@ def main() -> None:
         return
     # The legacy-17 prefix is the only round-over-round comparable
     # subset (the headline set grew 17 -> 62 across rounds); its sum is
-    # the number the 2x-of-r1-baseline gate reads.
+    # the number the 2x-of-r1-baseline gate reads. GATE STAT = MIN of
+    # the 5 samples (VERDICT r10 #2): the workload is warm and
+    # deterministic, so the minimum is the engine-true reading — the
+    # standard noise-resistant estimator under co-tenant inflation
+    # (which can only ADD time, never subtract it). The r9 driver box
+    # inflated single runs 4-5x and median-of-5 still let two bad runs
+    # shift the reading; two rounds burned A/B sessions interpreting
+    # it. Median stays recorded beside it for drift forensics.
     legacy = HEADLINE[:17]
-    legacy_sum = round(sum(timings[n] for n in legacy), 3)
+    legacy_sum = round(sum(mins[n] for n in legacy), 3)
+    legacy_sum_median = round(sum(timings[n] for n in legacy), 3)
+    total_spread = round(sum(spread.values()), 3)
+    # co-tenant pressure flag: when the run-to-run spread is a large
+    # fraction of the measurement itself, the box was noisy and any
+    # round-over-round delta in the MEDIAN stats is suspect (the min
+    # gate stat is designed to stay valid anyway)
+    box_noise = bool(total_spread > 0.2 * total)
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": mins,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
         "legacy17_runs": legacy_runs,
         "stat": "median",
         "spread_sec": spread,
-        "total_spread_sec": round(sum(spread.values()), 3),
+        "total_spread_sec": total_spread,
+        "box_noise": box_noise,
         "legacy17_sum_sec": legacy_sum,
+        "legacy17_stat": "min",
+        "legacy17_sum_median_sec": legacy_sum_median,
     }
     # Full per-query detail: sidecar file + an EARLY stdout line. The
     # driver captures/parses only the last ~2000 chars of stdout, and
@@ -287,13 +315,18 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": {n: timings[n] for n in legacy},
+        # per-query MIN for the gate subset, so the displayed entries
+        # sum to the gate number
+        "queries": {n: mins[n] for n in legacy},
         "sf": detail["sf"],
         "runs_per_query": runs,
         "legacy17_runs": legacy_runs,
-        "stat": "median",
+        "stat": "median(total)/min(legacy17)",
         "n_entries": len(HEADLINE),
         "legacy17_sum_sec": legacy_sum,
+        "legacy17_stat": "min",
+        "legacy17_sum_median_sec": legacy_sum_median,
+        "box_noise": box_noise,
         "detail": "bench_detail.json",
     }
     line = json.dumps(summary)

@@ -35,11 +35,13 @@ def kmv_distinct(
     fewer than k distinct values) + ``est_distinct`` (double, rounded
     6 dp). Grouped: one shuffle — the rank window partitions on the
     group keys and the following group-aggregate reuses that
-    partitioning. Ungrouped: a distributed top-k (TakeOrdered) plus a
-    count — NOT a global window, which would sort every distinct hash
-    through one task (distinct values of a fact column are unbounded,
-    so the bounded-input exemption the repo's global-window audit
-    allows does not apply here).
+    partitioning. Ungrouped: a single distributed top-k (TakeOrdered,
+    per-partition bounded heaps) over the deduped hashes — NOT a
+    global window, which would sort every distinct hash through one
+    task (distinct values of a fact column are unbounded, so the
+    bounded-input exemption the repo's global-window audit allows
+    does not apply here), and no second counting pass: when the top-k
+    is unsaturated its row count equals the distinct count exactly.
 
     NULLs are not values: a NULL input hashes to NULL, which Spark's
     ascending window ranks FIRST (shifting every real rank by one —
@@ -69,17 +71,22 @@ def kmv_distinct(
             F.count(F.lit(1)).alias("__n"),
         )
     else:
+        # ONE branch, one scan, one distinct exchange: the separate
+        # global count the previous form cross-joined in was redundant
+        # — TakeOrdered(limit=k) returns ALL distinct hashes whenever
+        # there are fewer than k, so the top-k's own row count IS the
+        # exact distinct count in precisely the regime where the
+        # estimator falls back to it (kth_min_hash null). When the
+        # top-k saturates (__kn == k), the estimate never reads __n.
         topk = hashed.orderBy("__h").limit(k)
-        kth = topk.agg(
+        agg = topk.agg(
             F.max("__h").alias("__maxk"),
             F.count(F.lit(1)).alias("__kn"),
-        )
-        total = hashed.agg(F.count(F.lit(1)).alias("__n"))
-        agg = total.crossJoin(kth).select(
+        ).select(
             F.when(F.col("__kn") == k, F.col("__maxk")).alias(
                 "kth_min_hash"
             ),
-            F.col("__n"),
+            F.col("__kn").alias("__n"),
         )
     est = F.when(
         F.col("kth_min_hash").isNotNull(),

@@ -10295,74 +10295,116 @@ def q_priority_lateness(spark, sf_dir):
 #: ~35 owed rows — most of the r11 window; fill the remaining slots
 #: with cohort-A's OLDEST entries and roll the rest of A to r12 with
 #: B, per the standing age-wins rule.
-_WINDOW_R10 = [
-    # red / never-confirmed fixes first
-    "q_incremental_agg",
-    "q_token_budget",
-    # r6 cohort (oldest; 35)
-    "q_anti_join",
-    "q_approx_distinct",
-    "q_asof_lookup",
-    "q_cms_topk",
-    "q_corr",
-    "q_cube",
-    "q_dedup_survivors",
-    "q_embed_stats",
-    "q_entity_match",
-    "q_histogram",
-    "q_json_extract",
-    "q_kmv_distinct",
-    "q_late_arrivals",
-    "q_minhash_pairs",
-    "q_mix_weights",
-    "q_neardup_incremental",
-    "q_neardup_verified",
-    "q_pivot",
-    "q_profile",
-    "q_quantiles",
-    "q_range_join",
-    "q_rollup",
-    "q_salted_join",
-    "q_semi_join",
-    "q_seq_packing",
-    "q_setops",
-    "q_shipping_priority",
-    "q_simhash",
-    "q_sql_interface",
-    "q_stats_agg",
-    "q_string_agg",
-    "q_table_diff",
-    "q_tfidf",
-    "q_time_rollup",
-    "q_window_running",
-    # invariant-2 promotions (changed in r9, no r9 row)
-    "q_stream_session",
-    "q_minhash_lsh",
-    "q_yoy_qoq",
-    "q_apy",
-    "q_outlier_events",
-    # canaries
-    "q_flagship_daily_revenue",
-    "q_group_agg",
-    "q_merge_upsert",
-    "q_asof_price",
-    "q_vector_topk",
-    "q_stream_tumbling",
-    "q_dedup_exact",
-    "q_text_stats",
+#: (The r10 window list itself is retired; it is preserved at commit
+#: bcc63b7 — the narrative above is the durable record.)
+
+# =========================================================================
+# Driver correctness-window ordering (round 11)
+# =========================================================================
+
+#: Round-11 window: the debt-drain round. Every entry of OWED_R11
+#: (below — the ~27 queries whose engine or oracle changed in the
+#: late-r10 continuation AFTER their last driver row; the only place a
+#: red can currently hide, per the r8 q_token_budget precedent) rides
+#: first, then the remaining slots fill from the r7-row cohort (the
+#: oldest; its rows are 4 rounds old at r11). With 27 owed + 23 oldest
+#: the window is full: canaries trim to zero per invariant 3 (all 8
+#: took r10 greens; precedent: the r9 debt-drain window). Of the 37
+#: non-owed r7-cohort queries, the 23 that ride are the structurally
+#: heavy / semantically distinctive ones; the 14 that roll to r12 are
+#: the single-shape relational scans and filters (q_count, q_distinct,
+#: q_null_filter, q_point_filter, q_blacklist_filter, q_string_norm,
+#: q_date_parts, q_derived_cols, q_prefix_enrich, q_min_bootstrap,
+#: q_topk, q_dim_broadcast_join, q_incremental_range,
+#: q_merge_partial_update) — each one's algebra is exercised inside a
+#: heavier windowed entry and none has changed since its r7 green.
+#: r12 then fronts those 14 + the r8 cohort (38 - 4 already owed-
+#: promoted here = 34), overflow rolling to r13 with the r9 cohort.
+#: The staleness contract is now PINNED BY TEST, not prose:
+#: tests/test_window_rotation.py recomputes every query's latest
+#: driver row from the CORRECTNESS_r*.json ledger and asserts that
+#: (a) OWED_R11 is a subset of this window and (b) post-r11 no
+#: registry query's latest row would be older than 4 rounds (176
+#: queries / 50 per round = 3.52 — a 3-round bound is arithmetically
+#: impossible in steady state, so 4 is the contract).
+
+#: Queries changed after their last driver row (NOTES.md r10 items
+#: 17, 21-23, 25) — locally bitwise-verified at sf0.001+sf0.01 under
+#: hostile tz, but local-green != driver-green until each has a fresh
+#: row. Grouped by the change that touched them.
+OWED_R11 = [
+    # width normalization (int32 -> bigint result columns; item 17)
+    "q_corpus_curation",
+    "q_curate_stripped",
+    "q_curate_materialized",
+    "q_embed_gram",
+    "q_embed_gram_fast",
+    "q_c4_filters",
+    # packed_tick_order loud-guard swap (item 21)
+    "q_ohlc_bars",
+    "q_ohlc_daily",
+    "q_return_corr",
+    # review rounds 2-4: operator hardening (item 23)
+    "q_ann_ivf",
+    "q_semdedup",
+    "q_semdedup_fast",
+    "q_ann_pq",
+    "q_ann_pq_rerank",
+    "q_ann_ivfpq",
+    "q_embed_neardup",
+    "q_cdc_apply",
+    "q_sessionize",
+    "q_debounce",
+    "q_multimodal_join",
+    "q_asof_tolerance",
+    "q_grouping_sets",
+    "q_important_stock",
+    # review round 5: anchor/NULL-quote seams, engine-side registry
+    # review (item 25; the legs without an r10 row)
+    "q_rrf_fusion",
+    "q_embed_auc",
+    "q_mmr_rerank",
+    "q_ann_lsh",
+]
+
+_WINDOW_R11 = OWED_R11 + [
+    # r7-row cohort (oldest; the 23 heavy/distinctive of its 37)
+    "q_charngram_lsh",
+    "q_contamination",
+    "q_dedup_first",
+    "q_dup_substrings",
+    "q_fingerprint",
+    "q_gap_fill",
+    "q_hash_split",
+    "q_lang_id",
+    "q_moving_avg",
+    "q_ngram_jaccard",
+    "q_ngram_topk",
+    "q_pii_scrub",
+    "q_repetition",
+    "q_scrub_contamination",
+    "q_span_dedup",
+    "q_stratified_sample",
+    "q_stream_sliding",
+    "q_strip_dup_substrings",
+    "q_surrogate_join",
+    "q_token_price",
+    "q_topk_per_key",
+    "q_tvl",
+    "q_window_rank",
 ]
 
 
 def _window_order(registry: dict) -> dict:
-    """Rebuild a registry dict with _WINDOW_R10 first (keeping each
+    """Rebuild a registry dict with _WINDOW_R11 first (keeping each
     family's relative order), everything else after in file order."""
-    out = {n: registry[n] for n in _WINDOW_R10 if n in registry}
+    out = {n: registry[n] for n in _WINDOW_R11 if n in registry}
     out.update((n, v) for n, v in registry.items() if n not in out)
     return out
 
 
-assert len(_WINDOW_R10) == 50, len(_WINDOW_R10)
-assert set(_WINDOW_R10) <= set(QUERIES), set(_WINDOW_R10) - set(QUERIES)
-assert len(set(_WINDOW_R10)) == 50
+assert len(_WINDOW_R11) == 50, len(_WINDOW_R11)
+assert set(_WINDOW_R11) <= set(QUERIES), set(_WINDOW_R11) - set(QUERIES)
+assert len(set(_WINDOW_R11)) == 50
 QUERIES = _window_order(QUERIES)
 ORACLE_SQL = _window_order(ORACLE_SQL)

@@ -43,6 +43,7 @@ import decimal
 import json
 import math
 import os
+import re
 import uuid
 from collections.abc import Sequence
 
@@ -743,6 +744,33 @@ def _stat_bound(v, *, lo: bool):
     return None
 
 
+#: isoformat() timestamp shape — the ONLY string form _query_bound
+#: rewrites (a date-only string or an arbitrary string bound passes
+#: through untouched; plain dates have no separator to normalize).
+_ISO_T_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}")
+
+
+def _query_bound(v, *, lo: bool):
+    """A caller-supplied scan bound rendered the way :func:`_stat_bound`
+    rendered the manifest values it will be compared against. Without
+    this, a datetime object raises TypeError against the stored ISO
+    strings, and ``datetime.isoformat()`` output ('T' separator) sorts
+    after every stored space-separated value — silently wrong pruning.
+    Decimal bounds widen OUTWARD (lo toward -inf, hi toward +inf): the
+    query range can only grow, so skipping stays a superset guarantee.
+    """
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return _ISO_T_RE.sub(lambda m: m.group(0).replace("T", " "), v)
+    if isinstance(v, (dt.datetime, dt.date, decimal.Decimal)):
+        return _stat_bound(v, lo=lo)
+    raise TypeError(
+        f"unsupported scan-bound type {type(v).__name__}: pass "
+        "int/float/str/date/datetime/Decimal"
+    )
+
+
 def _one_file_stats(path: str, cols: Sequence[str]) -> dict:
     """min/max for ``cols`` from ONE parquet file's FOOTER (no data
     pages are read). Pure function of the path — runs executor-side."""
@@ -1016,7 +1044,17 @@ def snapshot_scan_pruned(
     partition pruning and Delta/Iceberg file skipping implement. Files
     without recorded stats for ``col`` are conservatively INCLUDED.
     Returns the DataFrame (caller still applies the exact predicate —
-    skipping is a superset guarantee, not a filter)."""
+    skipping is a superset guarantee, not a filter).
+
+    ``lo``/``hi`` are normalized through the SAME rendering
+    :func:`_stat_bound` used when the manifest was written, so pruning
+    cannot depend on the caller's value form: datetime/date objects
+    become the stored ISO strings (space separator — a raw datetime
+    would be unorderable against the stored str and raise TypeError),
+    ``datetime.isoformat()``-style strings get their 'T' separator
+    replaced (a 'T'-form bound sorts AFTER every space-separated
+    stored value and would silently prune wrong files), and Decimals
+    widen one ULP OUTWARD (more files kept, never fewer)."""
     m = _resolve(root, version=version)
     files = m.get("files")
     if not files:
@@ -1024,6 +1062,8 @@ def snapshot_scan_pruned(
             f"version {m['version']} has no file stats (written via "
             "snapshot_write_with_stats?)"
         )
+    lo = _query_bound(lo, lo=True)
+    hi = _query_bound(hi, lo=False)
     keep = []
     for f in files:
         rng = f["stats"].get(col)

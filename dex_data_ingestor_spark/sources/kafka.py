@@ -111,10 +111,15 @@ def parse_json_payload(
     ``.filter(~F.col("_corrupt"))`` for the clean stream,
     ``.filter("_corrupt")`` for the dead-letter sink."""
     corrupt_field = "_corrupt_record"
-    assert corrupt_field not in payload_schema.fieldNames(), (
-        f"payload schema may not declare {corrupt_field!r}: it is the "
-        "parser's corrupt-record channel"
-    )
+    # contract check, not a debug assert: under ``python -O`` an assert
+    # is stripped, and a payload schema declaring _corrupt_record would
+    # then silently alias the parser's corrupt-record channel (every
+    # row with a non-null field value would flag as corrupt)
+    if corrupt_field in payload_schema.fieldNames():
+        raise ValueError(
+            f"payload schema may not declare {corrupt_field!r}: it is "
+            "the parser's corrupt-record channel"
+        )
     # build a copy — StructType.add mutates the caller's schema object
     schema = T.StructType(
         list(payload_schema.fields)

@@ -269,3 +269,12 @@ def test_kmv_distinct_ungrouped_plan_has_no_global_window(spark):
     df = spark.createDataFrame([(str(i),) for i in range(50)], "v string")
     plan = plan_formatted(kmv_distinct(df, "v", k=8))
     assert "Window" not in plan, plan
+    # ADVICE r10: the former two-branch form (top-k cross-joined with a
+    # separate global count) evaluated the deduped hash set twice. The
+    # single-branch form reads the source ONCE and has no join at all —
+    # when the top-k is unsaturated its own row count is the exact
+    # distinct count, so the second pass was redundant by construction.
+    assert "Join" not in plan, plan
+    # formatted plans print each node twice (tree line + detail
+    # section), so ONE scan node == exactly 2 occurrences
+    assert plan.count("Scan ExistingRDD") <= 2, plan

@@ -67,6 +67,25 @@ def test_parse_json_payload_all_null_fields_is_not_corrupt(spark):
     assert out[0]._raw is None
 
 
+def test_parse_json_payload_rejects_corrupt_record_collision(spark):
+    """A payload schema declaring the parser's corrupt-record channel
+    name must fail loudly with ValueError — ADVICE r10: this was a
+    bare assert, stripped under ``python -O``, after which such a
+    schema would silently alias the parser channel (rows flagged
+    corrupt whenever the user field held a value)."""
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    ts = dt.datetime(2024, 1, 1, 12)
+    rows = [(None, b"{}", "events", 0, 0, ts, 0)]
+    wire = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        parse_json_payload(wire, payload_schema)
+
+
 def test_delta_merge_gated(spark, tmp_path):
     """No delta-spark in this environment: the gate must raise a clear
     RuntimeError pointing at the pure-Spark merge, not an ImportError

@@ -148,6 +148,73 @@ def test_file_stats_skipping_prunes_files_and_keeps_results(spark, root):
     assert empty.columns == ["k", "v"] and empty.count() == 0
 
 
+def test_scan_pruned_normalizes_bound_forms(spark, root):
+    """ADVICE r10: timestamp footer stats are stored as ISO strings
+    with a SPACE separator, but scan bounds compared with raw < / > —
+    a datetime object raised TypeError, and an isoformat() 'T' string
+    sorted after every stored value (silently pruning wrong files).
+    Every caller form must now prune identically: datetime objects,
+    'T'-separated isoformat strings, and the stored space form."""
+    import datetime as dt
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    # timestamp_ntz: Spark writes it as TIMESTAMP_MICROS (naive), the
+    # one timestamp physical form whose parquet footers carry min/max
+    # stats (plain TIMESTAMP defaults to INT96 — no stats at all) and
+    # whose pyarrow values round-trip tz-free, matching the engine's
+    # session-tz-proof ntz convention.
+    df = (
+        spark.range(0, 8_000)
+        .select(
+            F.col("id").alias("k"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+                + F.make_interval(hours=F.col("id") % 96)
+            ).alias("ts"),
+        )
+        .repartitionByRange(8, "ts")
+    )
+    S.snapshot_write_with_stats(df, root, stats_cols=["ts"])
+
+    lo_dt = dt.datetime(2024, 1, 2, 0, 0, 0)
+    hi_dt = dt.datetime(2024, 1, 2, 6, 0, 0)
+    forms = [
+        (lo_dt, hi_dt),
+        (lo_dt.isoformat(), hi_dt.isoformat()),  # 'T' separator
+        (lo_dt.isoformat(sep=" "), hi_dt.isoformat(sep=" ")),
+    ]
+    picked = [
+        sorted(S.snapshot_scan_pruned(spark, root, "ts", lo, hi)
+               .inputFiles())
+        for lo, hi in forms
+    ]
+    assert picked[0] == picked[1] == picked[2]
+    assert 0 < len(picked[0]) < 8  # really pruned, really kept some
+    # exact predicate via string-cast ntz bounds (the repo's tz rule:
+    # never F.lit a naive datetime into a comparison — it renders
+    # through the session timezone and shifts the filter)
+    exact = F.col("ts").between(
+        F.lit(lo_dt.isoformat(sep=" ")).cast("timestamp_ntz"),
+        F.lit(hi_dt.isoformat(sep=" ")).cast("timestamp_ntz"),
+    )
+    got = (
+        S.snapshot_scan_pruned(spark, root, "ts", lo_dt, hi_dt)
+        .filter(exact)
+        .count()
+    )
+    want = S.snapshot_read(spark, root).filter(exact).count()
+    assert got == want > 0
+
+    # Decimal bounds widen OUTWARD (superset: never fewer files), and
+    # unsupported bound types fail loudly instead of deep-loop TypeError
+    assert S._query_bound(decimal.Decimal("1.5"), lo=True) < 1.5
+    assert S._query_bound(decimal.Decimal("1.5"), lo=False) > 1.5
+    with pytest.raises(TypeError, match="scan-bound"):
+        S.snapshot_scan_pruned(spark, root, "ts", b"\x00", b"\xff")
+
+
 def test_scan_pruned_includes_files_without_stats(spark, root):
     from pyspark.sql import functions as F
 
