@@ -6708,7 +6708,11 @@ def q_curate_stripped(spark, sf_dir):
     Scale note on the single-statement form: the exact-dedup window
     and the LSH candidate/anti-join branches form a diamond over the
     strip output, so the declarative plan re-evaluates the strip
-    subtree once per branch (~3x; visible in the sf0.1 bench entry).
+    subtree once per branch (~2x since r11's one-pass segment rebuild
+    cut the strip-internal re-evaluation; 71→61 initial-plan
+    exchanges, 35→25 source scans — the residual diamond is the
+    LSH/anti-join pair, irreducible declaratively because per-branch
+    column pruning defeats exchange reuse).
     At 100 TB you would not do that: the stripped corpus is itself a
     product artifact — write it (snapshot table / parquet), then run
     curation over the materialized copy, paying the strip exactly
