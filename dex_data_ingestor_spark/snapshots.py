@@ -744,30 +744,90 @@ def _stat_bound(v, *, lo: bool):
     return None
 
 
-#: isoformat() timestamp shape — the ONLY string form _query_bound
-#: rewrites (a date-only string or an arbitrary string bound passes
-#: through untouched; plain dates have no separator to normalize).
+#: isoformat() timestamp shape ('T' separator) and _stat_bound's
+#: stored renderings (space-separated timestamp / date-only).
 _ISO_T_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}")
+_TS_STAT_RE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}")
+_DATE_STAT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
 
-def _query_bound(v, *, lo: bool):
+def _query_bound(v, *, lo: bool, sample):
     """A caller-supplied scan bound rendered the way :func:`_stat_bound`
-    rendered the manifest values it will be compared against. Without
-    this, a datetime object raises TypeError against the stored ISO
-    strings, and ``datetime.isoformat()`` output ('T' separator) sorts
-    after every stored space-separated value — silently wrong pruning.
-    Decimal bounds widen OUTWARD (lo toward -inf, hi toward +inf): the
-    query range can only grow, so skipping stays a superset guarantee.
+    rendered THIS COLUMN's manifest values (``sample`` is one stored
+    bound for the column; None when the column has no recorded stats,
+    in which case every file is kept and the bound is never compared).
+    Normalizing by the bound's Python type ALONE is not enough — a
+    datetime bound against DATE-form stats ('2024-01-02') renders as
+    '2024-01-02 00:00:00', which sorts after the day it names and
+    silently prunes matching files — so form mismatches raise instead
+    of guessing:
+
+    - numeric stats: int/float pass; Decimal widens one ULP OUTWARD
+      (lo toward -inf, hi toward +inf — the range only grows, so
+      skipping stays a superset guarantee); temporal/str bounds raise.
+    - timestamp-form stats ('YYYY-MM-DD HH:MM:SS...'): datetime
+      renders via _stat_bound (space separator); a 'T'-form isoformat
+      string gets its separator replaced (it would otherwise sort
+      after every stored value); a date bound raises (is an inclusive
+      day's hi midnight or end-of-day? — caller must say, with a
+      datetime).
+    - date-form stats ('YYYY-MM-DD'): date renders via isoformat;
+      datetime raises (same ambiguity, mirrored).
+    - any other string stats (a plain string column): string bounds
+      pass through UNTOUCHED — the stored values were never rewritten,
+      so the bound must not be either (a string column legitimately
+      holding 'T'-form ISO text compares verbatim).
     """
-    if isinstance(v, bool) or isinstance(v, (int, float)):
+    if isinstance(v, bool):
         return v
-    if isinstance(v, str):
-        return _ISO_T_RE.sub(lambda m: m.group(0).replace("T", " "), v)
-    if isinstance(v, (dt.datetime, dt.date, decimal.Decimal)):
-        return _stat_bound(v, lo=lo)
+    if sample is None:
+        return v  # no stats recorded: never compared, any form is fine
+    if isinstance(sample, (int, float)):
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, decimal.Decimal):
+            return _stat_bound(v, lo=lo)
+        raise TypeError(
+            f"column stores numeric stats; got bound of type "
+            f"{type(v).__name__}"
+        )
+    if isinstance(sample, str):
+        if _TS_STAT_RE.match(sample):
+            if isinstance(v, dt.datetime):
+                return _stat_bound(v, lo=lo)
+            if isinstance(v, str):
+                return _ISO_T_RE.sub(
+                    lambda m: m.group(0).replace("T", " "), v
+                )
+            raise TypeError(
+                "column stores timestamp-form stats; pass a datetime "
+                f"or an ISO string, got {type(v).__name__} (a date is "
+                "ambiguous at the hi bound — say midnight or "
+                "end-of-day with a datetime)"
+            )
+        if _DATE_STAT_RE.match(sample):
+            if isinstance(v, dt.datetime):
+                raise TypeError(
+                    "column stores DATE-form stats; pass a "
+                    "datetime.date or a 'YYYY-MM-DD' string (a "
+                    "datetime would render with a time part and sort "
+                    "after the day it names, silently mis-pruning)"
+                )
+            if isinstance(v, dt.date):
+                return v.isoformat()
+            if isinstance(v, str):
+                return v
+            raise TypeError(
+                f"column stores DATE-form stats; got {type(v).__name__}"
+            )
+        if isinstance(v, str):
+            return v  # plain string column: verbatim comparison
+        raise TypeError(
+            f"column stores string stats; got bound of type "
+            f"{type(v).__name__}"
+        )
     raise TypeError(
-        f"unsupported scan-bound type {type(v).__name__}: pass "
-        "int/float/str/date/datetime/Decimal"
+        f"unsupported stored stat type {type(sample).__name__}"
     )
 
 
@@ -1047,14 +1107,16 @@ def snapshot_scan_pruned(
     skipping is a superset guarantee, not a filter).
 
     ``lo``/``hi`` are normalized through the SAME rendering
-    :func:`_stat_bound` used when the manifest was written, so pruning
-    cannot depend on the caller's value form: datetime/date objects
-    become the stored ISO strings (space separator — a raw datetime
-    would be unorderable against the stored str and raise TypeError),
-    ``datetime.isoformat()``-style strings get their 'T' separator
-    replaced (a 'T'-form bound sorts AFTER every space-separated
-    stored value and would silently prune wrong files), and Decimals
-    widen one ULP OUTWARD (more files kept, never fewer)."""
+    :func:`_stat_bound` used when the manifest was written, keyed on
+    the FORM this column's stored stats actually take (see
+    :func:`_query_bound`): datetime bounds against timestamp-form
+    stats render with the stored space separator, 'T'-form isoformat
+    strings get their separator replaced, date bounds against
+    DATE-form stats render as 'YYYY-MM-DD', Decimals against numeric
+    stats widen one ULP OUTWARD (more files kept, never fewer) — and
+    FORM MISMATCHES (a datetime against DATE-form stats, a date
+    against timestamp-form stats) raise TypeError instead of silently
+    pruning wrong files. Plain string columns compare verbatim."""
     m = _resolve(root, version=version)
     files = m.get("files")
     if not files:
@@ -1062,8 +1124,11 @@ def snapshot_scan_pruned(
             f"version {m['version']} has no file stats (written via "
             "snapshot_write_with_stats?)"
         )
-    lo = _query_bound(lo, lo=True)
-    hi = _query_bound(hi, lo=False)
+    sample = next(
+        (f["stats"][col][0] for f in files if f["stats"].get(col)), None
+    )
+    lo = _query_bound(lo, lo=True, sample=sample)
+    hi = _query_bound(hi, lo=False, sample=sample)
     keep = []
     for f in files:
         rng = f["stats"].get(col)

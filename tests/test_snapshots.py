@@ -208,11 +208,82 @@ def test_scan_pruned_normalizes_bound_forms(spark, root):
     assert got == want > 0
 
     # Decimal bounds widen OUTWARD (superset: never fewer files), and
-    # unsupported bound types fail loudly instead of deep-loop TypeError
-    assert S._query_bound(decimal.Decimal("1.5"), lo=True) < 1.5
-    assert S._query_bound(decimal.Decimal("1.5"), lo=False) > 1.5
-    with pytest.raises(TypeError, match="scan-bound"):
+    # form mismatches fail loudly instead of deep-loop TypeError
+    assert S._query_bound(decimal.Decimal("1.5"), lo=True, sample=1.0) < 1.5
+    assert S._query_bound(decimal.Decimal("1.5"), lo=False, sample=1.0) > 1.5
+    with pytest.raises(TypeError, match="timestamp-form"):
         S.snapshot_scan_pruned(spark, root, "ts", b"\x00", b"\xff")
+    # a DATE bound against timestamp-form stats is ambiguous at the hi
+    # end (midnight vs end-of-day) — loud reject, never a guess
+    with pytest.raises(TypeError, match="timestamp-form"):
+        S.snapshot_scan_pruned(
+            spark, root, "ts", dt.date(2024, 1, 2), dt.date(2024, 1, 3)
+        )
+
+
+def test_scan_pruned_form_mismatches_and_string_columns(spark, root):
+    """The r11 review's confirmed mis-pruning cases, pinned:
+
+    (a) a plain STRING column legitimately storing 'T'-form ISO text
+        must compare VERBATIM — rewriting the bound's 'T' to a space
+        made the bound sort before every stored value and pruned the
+        matching file;
+    (b) a datetime bound against a DATE-form stat column renders with
+        a time part, sorts after the day it names, and silently
+        pruned half the matching data — it must raise instead;
+    (c) a date/'YYYY-MM-DD'-string bound against DATE-form stats
+        prunes correctly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 400)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(
+                F.lit("2024-01-0"),
+                (F.col("id") % 4 + 1).cast("string"),
+                F.lit("T12:00:00"),
+            ).alias("iso_t"),
+            F.date_add(
+                F.to_date(F.lit("2024-01-01")), (F.col("id") % 4).cast("int")
+            ).alias("d"),
+        )
+        .repartitionByRange(4, "d")
+    )
+    S.snapshot_write_with_stats(df, root, stats_cols=["iso_t", "d"])
+
+    # (a) string column with 'T'-form values: verbatim bounds keep the
+    # matching file and the exact filter returns every matching row
+    pruned = S.snapshot_scan_pruned(
+        spark, root, "iso_t", "2024-01-02T00:00:00", "2024-01-02T23:59:59"
+    )
+    assert 0 < len(pruned.inputFiles()) < 4
+    got = pruned.filter(F.col("iso_t") == "2024-01-02T12:00:00").count()
+    want = (
+        S.snapshot_read(spark, root)
+        .filter(F.col("iso_t") == "2024-01-02T12:00:00")
+        .count()
+    )
+    assert got == want > 0
+
+    # (b) datetime bound on DATE-form stats: loud reject
+    with pytest.raises(TypeError, match="DATE-form"):
+        S.snapshot_scan_pruned(
+            spark, root, "d",
+            dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3),
+        )
+
+    # (c) date / date-string bounds on DATE-form stats prune correctly
+    for lo, hi in (
+        (dt.date(2024, 1, 2), dt.date(2024, 1, 2)),
+        ("2024-01-02", "2024-01-02"),
+    ):
+        pruned = S.snapshot_scan_pruned(spark, root, "d", lo, hi)
+        assert 0 < len(pruned.inputFiles()) < 4
+        got = pruned.filter(F.col("d") == "2024-01-02").count()
+        assert got == 100
 
 
 def test_scan_pruned_includes_files_without_stats(spark, root):
