@@ -71,6 +71,10 @@ SUBSET = [
     # null-safe diff join): keep their layout invariance pinned
     "q_kmv_distinct",
     "q_table_diff",
+    # span-strip / rebuild family (r11 one-pass segment rebuild:
+    # gram-keyed rank window + island windows + collect_list rebuild —
+    # order-invariant via total (id,pos) keys and array_sort, pinned)
+    "q_strip_dup_substrings",
 ]
 
 _SUBPROC = r"""
