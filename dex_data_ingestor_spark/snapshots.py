@@ -707,7 +707,7 @@ def snapshot_rollback(root: str, to_version: int) -> dict:
     :func:`snapshot_compact` keep working after a rollback."""
     target = _resolve(root, version=to_version)
     extra: dict = {"rolled_back_to": to_version}
-    for k in ("files", "stats_cols"):
+    for k in ("files", "stats_cols", "stats_forms"):
         if k in target:
             extra[k] = target[k]
     return snapshot_commit_existing(
@@ -751,11 +751,41 @@ _TS_STAT_RE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}")
 _DATE_STAT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
 
-def _query_bound(v, *, lo: bool, sample):
+def _stats_form(dtype_simple: str) -> str | None:
+    """The pruning FORM a Spark column type's stats take in the
+    manifest ('numeric' | 'timestamp' | 'date' | 'string' | 'bool';
+    None = no form, stats for the column are never recorded). Written
+    into the manifest at commit time (``stats_forms``) so bound
+    normalization dispatches on the column's declared logical type
+    instead of inferring it from a sampled stat VALUE's shape — a
+    plain string column whose min value happens to look like
+    'YYYY-MM-DD HH:MM:SS' (timestamp-prefixed log text) must still
+    compare verbatim, which shape inference gets wrong."""
+    if dtype_simple in ("timestamp", "timestamp_ntz"):
+        return "timestamp"
+    if dtype_simple == "date":
+        return "date"
+    if dtype_simple == "string":
+        return "string"
+    if dtype_simple == "boolean":
+        return "bool"
+    if dtype_simple in ("tinyint", "smallint", "int", "bigint",
+                        "float", "double") or dtype_simple.startswith(
+                            "decimal"):
+        return "numeric"
+    return None
+
+
+def _query_bound(v, *, lo: bool, sample, form: str | None = None):
     """A caller-supplied scan bound rendered the way :func:`_stat_bound`
     rendered THIS COLUMN's manifest values (``sample`` is one stored
     bound for the column; None when the column has no recorded stats,
     in which case every file is kept and the bound is never compared).
+    ``form`` is the column's logical form recorded in the manifest at
+    write time (:func:`_stats_form`); pre-form manifests fall back to
+    inferring the form from ``sample``'s shape — an inference a plain
+    string column with timestamp-looking values defeats, which is why
+    new writes record the tag.
     Normalizing by the bound's Python type ALONE is not enough — a
     datetime bound against DATE-form stats ('2024-01-02') renders as
     '2024-01-02 00:00:00', which sorts after the day it names and
@@ -768,21 +798,39 @@ def _query_bound(v, *, lo: bool, sample):
     - timestamp-form stats ('YYYY-MM-DD HH:MM:SS...'): datetime
       renders via _stat_bound (space separator); a 'T'-form isoformat
       string gets its separator replaced (it would otherwise sort
-      after every stored value); a date bound raises (is an inclusive
-      day's hi midnight or end-of-day? — caller must say, with a
-      datetime).
+      after every stored value); a date bound raises — whether given
+      as datetime.date OR as a bare 'YYYY-MM-DD' string (is an
+      inclusive day's hi midnight or end-of-day? — caller must say,
+      with a datetime or a full timestamp string).
     - date-form stats ('YYYY-MM-DD'): date renders via isoformat;
       datetime raises (same ambiguity, mirrored).
-    - any other string stats (a plain string column): string bounds
-      pass through UNTOUCHED — the stored values were never rewritten,
-      so the bound must not be either (a string column legitimately
+    - string stats (a plain string column): string bounds pass
+      through UNTOUCHED — the stored values were never rewritten, so
+      the bound must not be either (a string column legitimately
       holding 'T'-form ISO text compares verbatim).
     """
     if isinstance(v, bool):
         return v
     if sample is None:
         return v  # no stats recorded: never compared, any form is fine
-    if isinstance(sample, (int, float)):
+    if form is None:
+        # legacy manifest without stats_forms: infer from the stored
+        # value's shape (documented misclassification risk; kept only
+        # for manifests written before the tag existed)
+        if isinstance(sample, (int, float)):
+            form = "numeric"
+        elif isinstance(sample, str):
+            if _TS_STAT_RE.match(sample):
+                form = "timestamp"
+            elif _DATE_STAT_RE.match(sample):
+                form = "date"
+            else:
+                form = "string"
+        else:
+            raise TypeError(
+                f"unsupported stored stat type {type(sample).__name__}"
+            )
+    if form in ("numeric", "bool"):
         if isinstance(v, (int, float)):
             return v
         if isinstance(v, decimal.Decimal):
@@ -791,44 +839,51 @@ def _query_bound(v, *, lo: bool, sample):
             f"column stores numeric stats; got bound of type "
             f"{type(v).__name__}"
         )
-    if isinstance(sample, str):
-        if _TS_STAT_RE.match(sample):
-            if isinstance(v, dt.datetime):
-                return _stat_bound(v, lo=lo)
-            if isinstance(v, str):
-                return _ISO_T_RE.sub(
-                    lambda m: m.group(0).replace("T", " "), v
-                )
-            raise TypeError(
-                "column stores timestamp-form stats; pass a datetime "
-                f"or an ISO string, got {type(v).__name__} (a date is "
-                "ambiguous at the hi bound — say midnight or "
-                "end-of-day with a datetime)"
-            )
-        if _DATE_STAT_RE.match(sample):
-            if isinstance(v, dt.datetime):
+    if form == "timestamp":
+        if isinstance(v, dt.datetime):
+            return _stat_bound(v, lo=lo)
+        if isinstance(v, str):
+            if _DATE_STAT_RE.match(v):
                 raise TypeError(
-                    "column stores DATE-form stats; pass a "
-                    "datetime.date or a 'YYYY-MM-DD' string (a "
-                    "datetime would render with a time part and sort "
-                    "after the day it names, silently mis-pruning)"
+                    "column stores timestamp-form stats; a bare "
+                    f"'YYYY-MM-DD' string bound ({v!r}) is ambiguous "
+                    "— as a hi bound it sorts BEFORE every timestamp "
+                    "inside the day it names and silently prunes "
+                    "matching files. Say midnight or end-of-day with "
+                    "a datetime or a full timestamp string."
                 )
-            if isinstance(v, dt.date):
-                return v.isoformat()
-            if isinstance(v, str):
-                return v
-            raise TypeError(
-                f"column stores DATE-form stats; got {type(v).__name__}"
+            return _ISO_T_RE.sub(
+                lambda m: m.group(0).replace("T", " "), v
             )
+        raise TypeError(
+            "column stores timestamp-form stats; pass a datetime "
+            f"or an ISO string, got {type(v).__name__} (a date is "
+            "ambiguous at the hi bound — say midnight or "
+            "end-of-day with a datetime)"
+        )
+    if form == "date":
+        if isinstance(v, dt.datetime):
+            raise TypeError(
+                "column stores DATE-form stats; pass a "
+                "datetime.date or a 'YYYY-MM-DD' string (a "
+                "datetime would render with a time part and sort "
+                "after the day it names, silently mis-pruning)"
+            )
+        if isinstance(v, dt.date):
+            return v.isoformat()
+        if isinstance(v, str):
+            return v
+        raise TypeError(
+            f"column stores DATE-form stats; got {type(v).__name__}"
+        )
+    if form == "string":
         if isinstance(v, str):
             return v  # plain string column: verbatim comparison
         raise TypeError(
             f"column stores string stats; got bound of type "
             f"{type(v).__name__}"
         )
-    raise TypeError(
-        f"unsupported stored stat type {type(sample).__name__}"
-    )
+    raise TypeError(f"unsupported stats form {form!r}")
 
 
 def _one_file_stats(path: str, cols: Sequence[str]) -> dict:
@@ -994,6 +1049,15 @@ def snapshot_write_with_stats(
         **extra,
         "files": files,
         "stats_cols": list(stats_cols),
+        # the column's declared logical form, recorded at write time
+        # so scan-bound normalization never infers it from a sampled
+        # stat VALUE's shape (ADVICE r11: a string column whose min
+        # looks like a timestamp was misclassified)
+        "stats_forms": {
+            c: _stats_form(df.schema[c].dataType.simpleString())
+            for c in stats_cols
+            if c in df.columns
+        },
         "constraints": effective,
     }
     if bloom_cols:
@@ -1108,8 +1172,10 @@ def snapshot_scan_pruned(
 
     ``lo``/``hi`` are normalized through the SAME rendering
     :func:`_stat_bound` used when the manifest was written, keyed on
-    the FORM this column's stored stats actually take (see
-    :func:`_query_bound`): datetime bounds against timestamp-form
+    the column's logical form RECORDED IN THE MANIFEST at write time
+    (``stats_forms``; pre-form manifests fall back to sampled-shape
+    inference — see :func:`_query_bound`): datetime bounds against
+    timestamp-form
     stats render with the stored space separator, 'T'-form isoformat
     strings get their separator replaced, date bounds against
     DATE-form stats render as 'YYYY-MM-DD', Decimals against numeric
@@ -1127,8 +1193,9 @@ def snapshot_scan_pruned(
     sample = next(
         (f["stats"][col][0] for f in files if f["stats"].get(col)), None
     )
-    lo = _query_bound(lo, lo=True, sample=sample)
-    hi = _query_bound(hi, lo=False, sample=sample)
+    form = (m.get("stats_forms") or {}).get(col)
+    lo = _query_bound(lo, lo=True, sample=sample, form=form)
+    hi = _query_bound(hi, lo=False, sample=sample, form=form)
     keep = []
     for f in files:
         rng = f["stats"].get(col)

@@ -286,6 +286,96 @@ def test_scan_pruned_form_mismatches_and_string_columns(spark, root):
         assert got == 100
 
 
+def test_scan_pruned_date_string_rejected_on_timestamp_stats(
+    spark, root
+):
+    """ADVICE r12 (medium): a date-shaped STRING bound ('2024-01-02')
+    against timestamp-form stats used to pass through verbatim — as a
+    hi bound it sorts BEFORE '2024-01-02 00:00:00' and silently prunes
+    every file containing the named day, the exact midnight-vs-
+    end-of-day ambiguity the function already raised TypeError for
+    when handed a datetime.date. Both spellings now raise."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 4_000)
+        .select(
+            F.col("id").alias("k"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+                + F.make_interval(hours=F.col("id") % 96)
+            ).alias("ts"),
+        )
+        .repartitionByRange(8, "ts")
+    )
+    S.snapshot_write_with_stats(df, root, stats_cols=["ts"])
+    with pytest.raises(TypeError, match="ambiguous"):
+        S.snapshot_scan_pruned(
+            spark, root, "ts", "2024-01-01", "2024-01-02"
+        )
+    # a FULL timestamp string still normalizes and prunes correctly,
+    # identically to the datetime spelling of the same bounds
+    a = sorted(S.snapshot_scan_pruned(
+        spark, root, "ts", "2024-01-02 00:00:00", "2024-01-02 23:59:59"
+    ).inputFiles())
+    b = sorted(S.snapshot_scan_pruned(
+        spark, root, "ts",
+        dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2, 23, 59, 59),
+    ).inputFiles())
+    assert a == b and 0 < len(a) < 8
+
+
+def test_stats_forms_recorded_and_beat_shape_inference(spark, root):
+    """ADVICE r12 (low): form detection keyed on ONE sampled lo stat —
+    a plain STRING column whose min value happens to look like
+    'YYYY-MM-DD HH:MM:SS' was misclassified as timestamp-form, so
+    'T'-form string bounds got rewritten (breaking the documented
+    verbatim comparison) and datetime bounds were accepted against
+    string data. The manifest now records the column's declared
+    logical form at write time; scan bounds dispatch on the tag."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    # string column whose VALUES are timestamp-shaped text
+    df = (
+        spark.range(0, 400)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(
+                F.lit("2024-01-0"),
+                (F.col("id") % 4 + 1).cast("string"),
+                F.lit(" 12:00:00 host=a"),
+            ).alias("logline"),
+        )
+        .repartitionByRange(4, "logline")
+    )
+    m = S.snapshot_write_with_stats(df, root, stats_cols=["logline"])
+    assert m["stats_forms"] == {"logline": "string"}
+    # datetime bound against string data: loud reject (the sampled-
+    # shape fallback used to accept it as timestamp-form)
+    with pytest.raises(TypeError, match="string stats"):
+        S.snapshot_scan_pruned(
+            spark, root, "logline",
+            dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3),
+        )
+    # string bounds compare VERBATIM — no 'T'->' ' rewriting
+    pruned = S.snapshot_scan_pruned(
+        spark, root, "logline",
+        "2024-01-02 00:00:00", "2024-01-02 zz",
+    )
+    assert 0 < len(pruned.inputFiles()) < 4
+    assert pruned.filter(
+        F.col("logline").startswith("2024-01-02")
+    ).count() == 100
+    # rollback carries the form tags with the stats they describe
+    S.snapshot_write(df.limit(1), root, op="write")
+    m2 = S.snapshot_rollback(root, to_version=m["version"])
+    assert m2["stats_forms"] == {"logline": "string"}
+
+
 def test_scan_pruned_includes_files_without_stats(spark, root):
     from pyspark.sql import functions as F
 
