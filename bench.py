@@ -18,6 +18,16 @@ the minimum is the engine-true reading and cannot overstate speed —
 medians were twice (r9, r10) inflated 1.5-2x by box noise, each time
 costing an interleaved A/B session to attribute. A `box_noise` flag
 marks runs whose total spread exceeds 20% of the total.
+
+Both stats are always EMITTED side by side (`legacy17_sum_sec` =
+min-form gate stat, `legacy17_sum_median_sec` = the stat the r1
+13.05 s baseline was recorded under; `value` / `value_min` for the
+full tail): the r1 baseline cannot be re-derived under the min stat
+(its box conditions are gone), so the like-for-like reading of the 2x
+gate is median-vs-median, with the min beside it as the noise-proof
+engine reading — a gate pass must hold on the MEDIAN comparison too
+before claiming headroom (ADVICE r12: min-vs-median-baseline flatters
+the ratio by up to the historical noise margin).
 """
 
 from __future__ import annotations
@@ -249,10 +259,16 @@ def main() -> None:
         spread[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    # Cross-round tail comparisons happen on the MIN total (VERDICT
+    # r11 #4): per-query tail medians on a co-tenant box have recorded
+    # 10x+ swings with zero code change, so the round-over-round
+    # number worth reading is the sum of per-query minima.
+    total_min = round(sum(mins.values()), 3)
     if subset is not None:
         print(json.dumps({
             "metric": "bench_subset_wall",
             "value": total,
+            "value_min": total_min,
             "unit": "sec",
             "queries": timings,
             "queries_min": mins,
@@ -286,6 +302,7 @@ def main() -> None:
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_min": total_min,
         "unit": "sec",
         "queries": timings,
         "queries_min": mins,
@@ -314,6 +331,7 @@ def main() -> None:
     summary = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_min": total_min,
         "unit": "sec",
         # per-query MIN for the gate subset, so the displayed entries
         # sum to the gate number

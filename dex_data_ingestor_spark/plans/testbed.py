@@ -5566,21 +5566,188 @@ def q_parts_supplier_count(spark, sf_dir):
     )
 
 
-@register("q_dup_substrings_winnowed")  # rows-only: no SQL oracle
+def _xxh64_mul_const(x: str, c: int) -> str:
+    """(x * c) mod 2**64 as DuckDB SQL, for ``x`` a column holding a
+    HUGEINT in [0, 2**64) and ``c`` a Python constant: 32-bit split so
+    no partial product exceeds HUGEINT range (a direct 64x64 multiply
+    can reach 2**128 and overflow the signed 128-bit HUGEINT)."""
+    lo_c, hi_c = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"((({x} & 4294967295) * {lo_c}"
+        f" + (((({x} & 4294967295) * {hi_c} + ({x} >> 32) * {lo_c})"
+        f" & 4294967295) << 32)) & 18446744073709551615)"
+    )
+
+
+def _xxh64_rotl(x: str, r: int) -> str:
+    return (
+        f"(((({x}) << {r}) & 18446744073709551615)"
+        f" | (({x}) >> {64 - r}))"
+    )
+
+
+def _xxh64_20_ctes(src_cte: str, carry: str) -> tuple[str, str]:
+    """MATERIALIZED-CTE chain computing Spark's ``xxhash64`` (XXH64,
+    seed 42) of ``src_cte``'s 20-char ASCII column ``gram`` — the
+    cross-engine twin DuckDB lacks natively, expressed as closed-form
+    64-bit arithmetic over the gram's bytes (fixed 20-byte input =
+    two 8-byte laps + one 4-byte tail + avalanche; little-endian word
+    loads match Spark-on-x86). Validated bit-exact against
+    F.xxhash64 on random printable grams (tests/test_corpus.py).
+    MATERIALIZED is load-bearing: plain CTEs/lateral aliases inline
+    textually and the multiply/rotate fan-out makes the planner's
+    expression tree grow exponentially (a measured planner hang).
+    ASCII is a precondition (ascii(substring(..)) reads code points,
+    Spark hashes UTF-8 bytes) — the documents fixture is ASCII-only at
+    every SF; a non-ASCII future fixture fails the hash comparison
+    loudly rather than mis-pruning. Returns (cte_fragment,
+    final_cte_name); the final CTE exposes ``carry`` + gram + ``h``
+    (signed BIGINT, bit-identical to Spark)."""
+    p1, p2, p3 = (0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F,
+                  0x165667B19E3779F9)
+    p4, p5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+    def word(start, nbytes):
+        return "(" + " + ".join(
+            f"ascii(substring(gram, {start + j}, 1))::HUGEINT * "
+            f"{1 << (8 * j)}"
+            for j in range(nbytes)
+        ) + ")"
+
+    a0 = (42 + p5 + 20) & ((1 << 64) - 1)
+    steps = [(
+        "hx0",
+        f"SELECT {carry}, gram, {word(1, 8)} AS w0, {word(9, 8)} AS w1,"
+        f" {word(17, 4)} AS w2, {a0}::HUGEINT AS acc FROM {src_cte}",
+    )]
+    n, prev, keep = 1, "hx0", f"{carry}, gram"
+
+    def step(expr_cols):
+        nonlocal n, prev
+        steps.append((f"hx{n}", f"SELECT {expr_cols} FROM {prev}"))
+        prev = f"hx{n}"
+        n += 1
+
+    for wcol in ("w0", "w1"):
+        step(f"{keep}, w0, w1, w2, acc,"
+             f" {_xxh64_mul_const(wcol, p2)} AS k")
+        step(f"{keep}, w0, w1, w2, acc, {_xxh64_rotl('k', 31)} AS k")
+        step(f"{keep}, w0, w1, w2,"
+             f" xor(acc, {_xxh64_mul_const('k', p1)}) AS acc")
+        step(f"{keep}, w0, w1, w2,"
+             f" (({_xxh64_mul_const(_xxh64_rotl('acc', 27), p1)}"
+             f" + {p4}) & 18446744073709551615) AS acc")
+    # 4-byte tail (w2 < 2**32: the direct multiply fits HUGEINT)
+    step(f"{keep}, xor(acc, (w2 * {p1}) & 18446744073709551615) AS acc")
+    step(f"{keep}, (({_xxh64_mul_const(_xxh64_rotl('acc', 23), p2)}"
+         f" + {p3}) & 18446744073709551615) AS acc")
+    step(f"{keep}, xor(acc, acc >> 33) AS acc")
+    step(f"{keep}, {_xxh64_mul_const('acc', p2)} AS acc")
+    step(f"{keep}, xor(acc, acc >> 29) AS acc")
+    step(f"{keep}, {_xxh64_mul_const('acc', p3)} AS acc")
+    step(f"{keep}, xor(acc, acc >> 32) AS acc")
+    step(f"{keep}, (CASE WHEN acc >= 9223372036854775808"
+         f" THEN acc - 18446744073709551616 ELSE acc END)::BIGINT AS h")
+    frag = ",\n    ".join(
+        f"{name} AS MATERIALIZED ({sql})" for name, sql in steps
+    )
+    return frag, prev
+
+
+def _winnowed_spans_oracle_sql() -> str:
+    """Oracle for q_dup_substrings_winnowed (VERDICT r11 #8 — the
+    rows-only tier drained): the winnowing SELECTION is replayed
+    exactly. Per document, every sliding window of w=10 consecutive
+    gram-hashes picks its argmin by (hash, pos) — Spark compares the
+    struct with h as a SIGNED long and pos breaking ties upward, which
+    the single HUGEINT key ``h * 2**21 + p`` reproduces (p < 2**21
+    always: the fixture maxes at ~600 chars, and even 1M-char docs
+    fit) — window starts run 1..greatest(m-9, 1) like Spark's
+    ``slice`` loop (a short document yields one truncated window).
+    Selected positions then flow through the SAME dup/islands/spans
+    CTEs as the exact-path oracle; dup-counting keys on the raw gram
+    string where Spark keys on its hash — identical output absent a
+    64-bit collision, the exact path's documented argument."""
+    hash_ctes, hfinal = _xxh64_20_ctes("pos", "doc_id, n, p")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text AS t, length(text) AS n
+      FROM documents WHERE length(text) >= 20
+    ),
+    pos AS MATERIALIZED (
+      SELECT doc_id, n, CAST(i AS INTEGER) AS p,
+             substring(t, CAST(i AS INTEGER), 20) AS gram
+      FROM base, unnest(range(1, n - 18)) AS u(i)
+    ),
+    {hash_ctes},
+    keyed AS MATERIALIZED (
+      SELECT doc_id, n, p, gram,
+             h::HUGEINT * 2097152 + p AS hp
+      FROM {hfinal}
+    ),
+    wins AS MATERIALIZED (
+      SELECT doc_id, n, p,
+             arg_min(p, hp) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS selp
+      FROM keyed
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, selp AS p
+      FROM wins WHERE p <= greatest(n - 28, 1)
+    ),
+    spos AS (
+      SELECT k.doc_id, k.n, k.p, k.gram
+      FROM keyed k JOIN sel s ON k.doc_id = s.doc_id AND k.p = s.p
+    ),
+    dup AS (
+      SELECT doc_id, n, p FROM (
+        SELECT doc_id, n, p, count(*) OVER (PARTITION BY gram) AS c
+        FROM spos
+      ) WHERE c > 1
+    ),
+    isl AS (
+      SELECT doc_id, n, p,
+             CASE WHEN max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                   OR p > max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS flag
+      FROM dup
+    ),
+    isl2 AS (
+      SELECT doc_id, n, p,
+             SUM(flag) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, n, island, MIN(p) AS s, MAX(p) + 19 AS e
+      FROM isl2 GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+           CASE WHEN abs(CAST(SUM(e - s + 1) AS DOUBLE) / n) < 1000000.0 THEN floor((CAST(SUM(e - s + 1) AS DOUBLE) / n) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(SUM(e - s + 1) AS DOUBLE) / n) END AS dup_frac
+    FROM spans GROUP BY doc_id, n
+    """
+
+
+@register("q_dup_substrings_winnowed", _winnowed_spans_oracle_sql())
 def q_dup_substrings_winnowed(spark, sf_dir):
     """The SCALE configuration of q_dup_substrings: same repeated-
     substring span statistics, but positions are winnowed (w=10
     content-defined argmin sampling over the xxhash64 gram array) so
     only ~2/(w+1) of character positions explode and shuffle —
-    measured 5.5x row reduction (tests/test_scale_stress.py). No SQL
-    oracle BY DESIGN: DuckDB has no twin of Spark's seeded xxhash64,
-    so the winnowed selection set is not cross-engine expressible;
-    correctness is bounded instead by pytest properties
-    (tests/test_corpus.py: winnowed dup positions are a subset of
-    exact ones, every repeat >= min_len + w - 1 is detected, span
-    boundaries within w-1 chars). Registered so the driver tracks
-    rows/schema stability and the bench records the scale path next
-    to the exact one."""
+    measured 5.5x row reduction (tests/test_scale_stress.py).
+    Oracle-paired as of r12: the winnowed selection set IS
+    cross-engine expressible after all — Spark's seeded xxhash64 is
+    plain XXH64(seed=42) over UTF-8 bytes, closed-form for fixed
+    20-byte ASCII grams, so the oracle replays the hash bit-exactly in
+    DuckDB SQL (see :func:`_xxh64_20_ctes`) and the selection argmin
+    on top of it. The pytest properties (tests/test_corpus.py: winnowed
+    dup positions subset of exact, every repeat >= min_len + w - 1
+    detected, span boundaries within w-1 chars) remain as the
+    semantic bounds."""
     from dex_data_ingestor_spark.operators.corpus import (
         repeated_substring_spans,
     )
@@ -10303,112 +10470,112 @@ def q_priority_lateness(spark, sf_dir):
 #: bcc63b7 — the narrative above is the durable record.)
 
 # =========================================================================
-# Driver correctness-window ordering (round 11)
+# Driver correctness-window ordering (round 12)
 # =========================================================================
 
-#: Round-11 window: the debt-drain round. Every entry of OWED_R11
-#: (below — the ~27 queries whose engine or oracle changed in the
-#: late-r10 continuation AFTER their last driver row; the only place a
-#: red can currently hide, per the r8 q_token_budget precedent) rides
-#: first, then the remaining slots fill from the r7-row cohort (the
-#: oldest; its rows are 4 rounds old at r11). With 27 owed + 23 oldest
-#: the window is full: canaries trim to zero per invariant 3 (all 8
-#: took r10 greens; precedent: the r9 debt-drain window). Of the 37
-#: non-owed r7-cohort queries, the 23 that ride are the structurally
-#: heavy / semantically distinctive ones; the 14 that roll to r12 are
-#: the single-shape relational scans and filters (q_count, q_distinct,
-#: q_null_filter, q_point_filter, q_blacklist_filter, q_string_norm,
-#: q_date_parts, q_derived_cols, q_prefix_enrich, q_min_bootstrap,
-#: q_topk, q_dim_broadcast_join, q_incremental_range,
-#: q_merge_partial_update) — each one's algebra is exercised inside a
-#: heavier windowed entry and none has changed since its r7 green.
-#: r12 then fronts those 14 + the r8 cohort (38 - 4 already owed-
-#: promoted here = 34), overflow rolling to r13 with the r9 cohort.
-#: The staleness contract is now PINNED BY TEST, not prose:
-#: tests/test_window_rotation.py recomputes every query's latest
-#: driver row from the CORRECTNESS_r*.json ledger and asserts that
-#: (a) OWED_R11 is a subset of this window and (b) post-r11 no
-#: registry query's latest row would be older than 4 rounds (176
-#: queries / 50 per round = 3.52 — a 3-round bound is arithmetically
-#: impossible in steady state, so 4 is the contract).
+#: Round-11 landed 50/50 hash-green (CORRECTNESS_r11: all 27 owed
+#: promotions + 23 of the 37-query r7-row cohort), leaving the ledger
+#: at: 14 queries on r7 rows (the single-shape relational scans the
+#: r11 window documented as rolling to r12 — at the 4-round staleness
+#: ceiling, so they MUST ride now), 34 on r8, 28 on r9, 50 each on
+#: r10/r11. (The r11 window list itself is retired; it is preserved at
+#: commit 20d424f — this narrative is the durable record.)
 
-#: Queries changed after their last driver row (NOTES.md r10 items
-#: 17, 21-23, 25) — locally bitwise-verified at sf0.001+sf0.01 under
+#: Round-12 window: the staleness-forced 14 r7-row queries ride first
+#: (the test's 4-round ceiling — their algebra is single-shape but the
+#: contract is the contract), then the r8 cohort fills (its rows reach
+#: age 4 after this round, so anything left behind MUST front r13),
+#: then the r12 invariant-2 promotions. Arithmetic: 14 r7 + 34 r8 +
+#: 3 owed non-r8 (q_pagerank r9, q_cluster_split r9,
+#: q_dedup_survivors r10 — the graph.py loop tuning) = 51 > 50, so
+#: exactly one r8 entry rolls to r13: q_bpe_tokens (rows-only tier —
+#: its real evidence is the pytest bound; age 4 after r12 is within
+#: contract and it fronts the r13 window by the staleness test).
+#: Canaries trim to zero per invariant 3, precedent r9/r11.
+#: Forward plan (r13): fronts q_bpe_tokens + the 28-query r9 cohort +
+#: any r13 promotions (~21 spare slots for the r10 cohort's oldest).
+
+#: Queries whose ENGINE or ORACLE changed this round after their last
+#: driver row — locally bitwise-verified at sf0.001+sf0.01 under
 #: hostile tz, but local-green != driver-green until each has a fresh
 #: row. Grouped by the change that touched them.
-OWED_R11 = [
-    # width normalization (int32 -> bigint result columns; item 17)
-    "q_corpus_curation",
-    "q_curate_stripped",
-    "q_curate_materialized",
-    "q_embed_gram",
-    "q_embed_gram_fast",
-    "q_c4_filters",
-    # packed_tick_order loud-guard swap (item 21)
-    "q_ohlc_bars",
-    "q_ohlc_daily",
-    "q_return_corr",
-    # review rounds 2-4: operator hardening (item 23)
-    "q_ann_ivf",
-    "q_semdedup",
-    "q_semdedup_fast",
-    "q_ann_pq",
-    "q_ann_pq_rerank",
-    "q_ann_ivfpq",
-    "q_embed_neardup",
-    "q_cdc_apply",
-    "q_sessionize",
-    "q_debounce",
-    "q_multimodal_join",
-    "q_asof_tolerance",
-    "q_grouping_sets",
-    "q_important_stock",
-    # review round 5: anchor/NULL-quote seams, engine-side registry
-    # review (item 25; the legs without an r10 row)
-    "q_rrf_fusion",
-    "q_embed_auc",
-    "q_mmr_rerank",
-    "q_ann_lsh",
+OWED_R12 = [
+    # graph.py loop tuning (r12: pagerank node list derived from the
+    # checkpointed edges table, checkpoint cadence 2 with lazy last
+    # round; connected-components edge table repartitioned + cached)
+    "q_pagerank",
+    "q_dup_clusters",
+    "q_cluster_split",
+    "q_dedup_survivors",
+    # rows-only -> oracle-paired graduation (r12: XXH64-in-SQL oracle
+    # for the winnowed selection; VERDICT r11 #8)
+    "q_dup_substrings_winnowed",
 ]
 
-_WINDOW_R11 = OWED_R11 + [
-    # r7-row cohort (oldest; the 23 heavy/distinctive of its 37)
-    "q_charngram_lsh",
-    "q_contamination",
-    "q_dedup_first",
-    "q_dup_substrings",
-    "q_fingerprint",
-    "q_gap_fill",
-    "q_hash_split",
-    "q_lang_id",
-    "q_moving_avg",
-    "q_ngram_jaccard",
-    "q_ngram_topk",
-    "q_pii_scrub",
-    "q_repetition",
-    "q_scrub_contamination",
-    "q_span_dedup",
-    "q_stratified_sample",
-    "q_stream_sliding",
-    "q_strip_dup_substrings",
-    "q_surrogate_join",
-    "q_token_price",
-    "q_topk_per_key",
-    "q_tvl",
-    "q_window_rank",
+_WINDOW_R12 = [
+    # the 14 r7-row queries at the staleness ceiling
+    "q_blacklist_filter",
+    "q_count",
+    "q_date_parts",
+    "q_derived_cols",
+    "q_dim_broadcast_join",
+    "q_distinct",
+    "q_incremental_range",
+    "q_merge_partial_update",
+    "q_min_bootstrap",
+    "q_null_filter",
+    "q_point_filter",
+    "q_prefix_enrich",
+    "q_string_norm",
+    "q_topk",
+] + OWED_R12 + [
+    # the r8 cohort (all but q_bpe_tokens, which rolls to r13;
+    # q_dup_clusters and q_dup_substrings_winnowed already ride in
+    # the owed block above)
+    "q_bloom_contamination",
+    "q_bm25",
+    "q_chunk_dedup",
+    "q_chunk_documents",
+    "q_customer_distribution",
+    "q_disjunctive_revenue",
+    "q_forecast_revenue",
+    "q_funnel",
+    "q_inactive_customers",
+    "q_large_volume_customers",
+    "q_local_supplier_volume",
+    "q_market_share",
+    "q_nation_volume",
+    "q_order_priority",
+    "q_parts_supplier_count",
+    "q_product_profit",
+    "q_promo_revenue",
+    "q_rare_word_score",
+    "q_retention",
+    "q_returned_items",
+    "q_revenue_share",
+    "q_rolling_dau",
+    "q_salted_agg",
+    "q_scan_project",
+    "q_scd2",
+    "q_similarity_topk",
+    "q_small_qty_revenue",
+    "q_source_quality",
+    "q_top_supplier",
+    "q_twap",
+    "q_vwap",
 ]
 
 
 def _window_order(registry: dict) -> dict:
-    """Rebuild a registry dict with _WINDOW_R11 first (keeping each
+    """Rebuild a registry dict with _WINDOW_R12 first (keeping each
     family's relative order), everything else after in file order."""
-    out = {n: registry[n] for n in _WINDOW_R11 if n in registry}
+    out = {n: registry[n] for n in _WINDOW_R12 if n in registry}
     out.update((n, v) for n, v in registry.items() if n not in out)
     return out
 
 
-assert len(_WINDOW_R11) == 50, len(_WINDOW_R11)
-assert set(_WINDOW_R11) <= set(QUERIES), set(_WINDOW_R11) - set(QUERIES)
-assert len(set(_WINDOW_R11)) == 50
+assert len(_WINDOW_R12) == 50, len(_WINDOW_R12)
+assert set(_WINDOW_R12) <= set(QUERIES), set(_WINDOW_R12) - set(QUERIES)
+assert len(set(_WINDOW_R12)) == 50
 QUERIES = _window_order(QUERIES)
 ORACLE_SQL = _window_order(ORACLE_SQL)

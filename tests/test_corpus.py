@@ -381,6 +381,44 @@ def test_span_family_hash_path_equals_raw_path(spark, sf_dir):
     assert hash_s == raw_s
 
 
+def test_xxh64_sql_twin_matches_spark(spark):
+    """The q_dup_substrings_winnowed oracle (r12, VERDICT r11 #8)
+    replays Spark's seeded xxhash64 in DuckDB SQL so the winnowed
+    SELECTION is cross-engine exact. Pin the hash twin bit-for-bit on
+    random printable 20-char grams: plans/testbed._xxh64_20_ctes must
+    equal F.xxhash64 on every gram (one silent bit of divergence would
+    shift argmin selections and surface as an unexplainable driver
+    hash-mismatch two rounds later)."""
+    import random
+    import string
+
+    import duckdb
+
+    from dex_data_ingestor_spark.plans.testbed import _xxh64_20_ctes
+
+    rng = random.Random(7)
+    grams = [
+        "".join(rng.choices(string.printable[:95], k=20))
+        for _ in range(300)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE g AS SELECT * FROM (VALUES "
+        + ",".join("(?)" for _ in grams) + ") t(gram)",
+        grams,
+    )
+    frag, final = _xxh64_20_ctes("g", "gram AS g0")
+    duck = dict(
+        con.sql(f"WITH {frag} SELECT g0, h FROM {final}").fetchall()
+    )
+    sp = dict(
+        spark.createDataFrame([(x,) for x in grams], ["gram"])
+        .select("gram", F.xxhash64("gram").alias("h"))
+        .collect()
+    )
+    assert duck == sp
+
+
 def test_winnowed_spans_tolerance_properties(spark):
     """VERDICT r6 #4 property, exact vs winnowed settings: winnowed
     dup positions are a SUBSET of exact dup positions (selection only
