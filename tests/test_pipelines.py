@@ -328,6 +328,115 @@ def test_cron_equals_catchup_per_task_family(spark, sf_dir, tmp_path, task):
     assert produced > 0, task
 
 
+def test_run_history_columns_golden_cadence_semantics(spark, tmp_path):
+    """VERDICT r11 #7: the cron-parity sweep EXCLUDES created_at /
+    price_usd / dim mutable attrs as run-history state. This golden
+    test replaces the blanket exclusion with pinned REFERENCE-FAITHFUL
+    cadence semantics on a hand-built two-window tape:
+
+    - created_at = the window_hi of the LAST window that touched the
+      row (the reference stamps sync time; merge update_cols rewrite
+      it on every touch) — rows untouched by a later window keep their
+      earlier stamp;
+    - price_usd = the latest value per token WITHIN the last touching
+      window's batch (Hydration.py's 'current price as of the sync
+      run' via latest_per_key over the batch) — NOT the global latest:
+      a day row only touched by window 1 keeps window 1's price even
+      though a later price exists on the tape, while a single catch-up
+      stamps the overall latest everywhere;
+    - dim symbol/name/updated_at = the last touching BATCH's first
+      occurrence (Bifrost.py ON DUPLICATE KEY UPDATE per batch +
+      first-wins 'processed' set within the batch), so the final value
+      is cadence-dependent by reference design: the cron ends on
+      window 2's first symbol, the catch-up on the tape's first."""
+    from pyspark.sql import functions as F
+
+    from dex_data_ingestor_spark.plans.pipelines import (
+        sync_dim_tokens,
+        sync_token_daily_stats,
+    )
+
+    events = spark.createDataFrame(
+        [
+            # token "1": two W1 events (day 01-01), two W2 (day 01-05)
+            (1, 1, "AAA", 10.0, dt.datetime(2024, 1, 1, 1, 0)),
+            (2, 1, "AA2", 11.0, dt.datetime(2024, 1, 1, 2, 0)),
+            (3, 1, "AX1", 20.0, dt.datetime(2024, 1, 5, 1, 0)),
+            (4, 1, "AX2", 22.0, dt.datetime(2024, 1, 5, 3, 0)),
+            # token "2": W1 only
+            (5, 2, "BBB", 5.0, dt.datetime(2024, 1, 1, 5, 0)),
+        ],
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp_ntz",
+    )
+    lo = dt.datetime(2023, 12, 31, 0, 0)
+    hi1 = dt.datetime(2024, 1, 2, 0, 0)
+    hi2 = dt.datetime(2024, 1, 6, 0, 0)
+    tid = {
+        r.a: r.t
+        for r in spark.createDataFrame([("1",), ("2",)], "a string")
+        .select("a", F.xxhash64(F.lit(1), F.col("a")).alias("t"))
+        .collect()
+    }
+
+    # --- cron: two windows ---
+    wh = DexWarehouse(spark, str(tmp_path / "cron"))
+    for a, b in ((lo, hi1), (hi1, hi2)):
+        sync_dim_tokens(wh, events, a, b)
+        sync_token_daily_stats(wh, events, a, b)
+    dim = {r.address: r for r in wh.read("dim_tokens").collect()}
+    # window 2's batch first occurrence wins for the re-seen token
+    assert (dim["1"].symbol, dim["1"].name) == ("AX1", "AX1")
+    assert dim["1"].updated_at == dt.datetime(2024, 1, 5, 1, 0)
+    # token absent from window 2 keeps window 1's values
+    assert dim["2"].symbol == "BBB"
+    assert dim["2"].updated_at == dt.datetime(2024, 1, 1, 5, 0)
+
+    fact = {
+        (r.token_id, str(r.date)): r
+        for r in wh.read("fact_token_daily_stats").collect()
+    }
+    a_d1 = fact[(tid["1"], "2024-01-01")]
+    a_d5 = fact[(tid["1"], "2024-01-05")]
+    b_d1 = fact[(tid["2"], "2024-01-01")]
+    # created_at = hi of the LAST window that touched the row
+    assert a_d1.created_at == hi1 and b_d1.created_at == hi1
+    assert a_d5.created_at == hi2
+    # price_usd = latest within the last TOUCHING window's batch: the
+    # 01-01 row keeps window 1's 11.0 although 22.0 exists later
+    assert float(a_d1.price_usd) == 11.0
+    assert float(a_d5.price_usd) == 22.0
+    assert float(b_d1.price_usd) == 5.0
+    # day content for completeness
+    assert (a_d1.volume, a_d1.txns_count) == (21.0, 2)
+    assert (a_d5.volume, a_d5.txns_count) == (42.0, 2)
+
+    # --- catch-up: one window over the same tape ---
+    wh2 = DexWarehouse(spark, str(tmp_path / "catchup"))
+    sync_dim_tokens(wh2, events, lo, hi2)
+    sync_token_daily_stats(wh2, events, lo, hi2)
+    dim2 = {r.address: r for r in wh2.read("dim_tokens").collect()}
+    # single batch: the TAPE's first occurrence wins instead
+    assert dim2["1"].symbol == "AAA"
+    assert dim2["1"].updated_at == dt.datetime(2024, 1, 1, 1, 0)
+    fact2 = {
+        (r.token_id, str(r.date)): r
+        for r in wh2.read("fact_token_daily_stats").collect()
+    }
+    # one window touched everything: uniform stamp, global-latest price
+    for key, row in fact2.items():
+        assert row.created_at == hi2, key
+    assert float(fact2[(tid["1"], "2024-01-01")].price_usd) == 22.0
+    assert float(fact2[(tid["2"], "2024-01-01")].price_usd) == 5.0
+    # the EXCLUDED columns diverge between cadences exactly as the
+    # parity test's exclusion rationale states; content columns match
+    for key in fact:
+        for c in ("volume", "volume_usd", "txns_count"):
+            assert getattr(fact[key], c) == getattr(fact2[key], c), (
+                key, c
+            )
+
+
 def test_ntz_lit_is_timezone_free(spark):
     """Pins the tz class behind the r10 pipelines fix: the engine
     session pins Asia/Hong_Kong (reference parity) while this process
