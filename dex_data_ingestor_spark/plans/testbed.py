@@ -1235,22 +1235,20 @@ def q_ngram_topk(spark, sf_dir):
     )
 
 
-@register(
-    "q_dup_substrings",
-    """
-    WITH base AS (
-      SELECT doc_id, text AS t, length(text) AS n
-      FROM documents WHERE length(text) >= 20
-    ),
-    pos AS (
-      SELECT doc_id, n, CAST(i AS INTEGER) AS p,
-             substring(t, CAST(i AS INTEGER), 20) AS gram
-      FROM base, unnest(range(1, n - 18)) AS u(i)
-    ),
+def _span_stats_tail_sql(pos_cte: str) -> str:
+    """The dup -> gaps-and-islands -> spans -> per-doc stats CTE tail
+    SHARED by the exact (q_dup_substrings) and winnowed
+    (q_dup_substrings_winnowed) span oracles — ``pos_cte`` must expose
+    (doc_id, n, p, gram). One copy (review r12): the span-merge
+    semantics and the 9-dp dup_frac rounding expression must not be
+    able to drift between the two oracles. Returns the tail INCLUDING
+    the final SELECT, so callers compose ``WITH <their CTEs>,
+    {tail}``."""
+    return f"""
     dup AS (
       SELECT doc_id, n, p FROM (
         SELECT doc_id, n, p, count(*) OVER (PARTITION BY gram) AS c
-        FROM pos
+        FROM {pos_cte}
       ) WHERE c > 1
     ),
     isl AS (
@@ -1277,6 +1275,22 @@ def q_ngram_topk(spark, sf_dir):
            CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
            CASE WHEN abs(CAST(SUM(e - s + 1) AS DOUBLE) / n) < 1000000.0 THEN floor((CAST(SUM(e - s + 1) AS DOUBLE) / n) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(SUM(e - s + 1) AS DOUBLE) / n) END AS dup_frac
     FROM spans GROUP BY doc_id, n
+    """
+
+
+@register(
+    "q_dup_substrings",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text AS t, length(text) AS n
+      FROM documents WHERE length(text) >= 20
+    ),
+    pos AS (
+      SELECT doc_id, n, CAST(i AS INTEGER) AS p,
+             substring(t, CAST(i AS INTEGER), 20) AS gram
+      FROM base, unnest(range(1, n - 18)) AS u(i)
+    ),
+    {_span_stats_tail_sql("pos")}
     """,
 )
 def q_dup_substrings(spark, sf_dir):
@@ -5660,14 +5674,17 @@ def _winnowed_spans_oracle_sql() -> str:
     exactly. Per document, every sliding window of w=10 consecutive
     gram-hashes picks its argmin by (hash, pos) — Spark compares the
     struct with h as a SIGNED long and pos breaking ties upward, which
-    the single HUGEINT key ``h * 2**21 + p`` reproduces (p < 2**21
-    always: the fixture maxes at ~600 chars, and even 1M-char docs
-    fit) — window starts run 1..greatest(m-9, 1) like Spark's
-    ``slice`` loop (a short document yields one truncated window).
-    Selected positions then flow through the SAME dup/islands/spans
-    CTEs as the exact-path oracle; dup-counting keys on the raw gram
-    string where Spark keys on its hash — identical output absent a
-    64-bit collision, the exact path's documented argument."""
+    the single HUGEINT key ``h * 2**63 + p`` reproduces for ANY p that
+    fits a BIGINT (h*2**63 spans [-2**126, 2**126) inside HUGEINT's
+    +-2**127, and consecutive h values sit 2**63 apart, beyond any
+    position; review r12 widened the multiplier from 2**21 so a future
+    >2M-char document cannot silently bleed position bits into the
+    hash ordering) — window starts run 1..greatest(m-9, 1) like
+    Spark's ``slice`` loop (a short document yields one truncated
+    window). Selected positions then flow through the shared
+    :func:`_span_stats_tail_sql` CTE tail; dup-counting keys on the
+    raw gram string where Spark keys on its hash — identical output
+    absent a 64-bit collision, the exact path's documented argument."""
     hash_ctes, hfinal = _xxh64_20_ctes("pos", "doc_id, n, p")
     return f"""
     WITH base AS (
@@ -5682,7 +5699,7 @@ def _winnowed_spans_oracle_sql() -> str:
     {hash_ctes},
     keyed AS MATERIALIZED (
       SELECT doc_id, n, p, gram,
-             h::HUGEINT * 2097152 + p AS hp
+             h::HUGEINT * 9223372036854775808 + p AS hp
       FROM {hfinal}
     ),
     wins AS MATERIALIZED (
@@ -5699,36 +5716,7 @@ def _winnowed_spans_oracle_sql() -> str:
       SELECT k.doc_id, k.n, k.p, k.gram
       FROM keyed k JOIN sel s ON k.doc_id = s.doc_id AND k.p = s.p
     ),
-    dup AS (
-      SELECT doc_id, n, p FROM (
-        SELECT doc_id, n, p, count(*) OVER (PARTITION BY gram) AS c
-        FROM spos
-      ) WHERE c > 1
-    ),
-    isl AS (
-      SELECT doc_id, n, p,
-             CASE WHEN max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    IS NULL
-                   OR p > max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-                  THEN 1 ELSE 0 END AS flag
-      FROM dup
-    ),
-    isl2 AS (
-      SELECT doc_id, n, p,
-             SUM(flag) OVER (PARTITION BY doc_id ORDER BY p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-      FROM isl
-    ),
-    spans AS (
-      SELECT doc_id, n, island, MIN(p) AS s, MAX(p) + 19 AS e
-      FROM isl2 GROUP BY 1, 2, 3
-    )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-           CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
-           CASE WHEN abs(CAST(SUM(e - s + 1) AS DOUBLE) / n) < 1000000.0 THEN floor((CAST(SUM(e - s + 1) AS DOUBLE) / n) * 1000000000.0 + 0.5) / 1000000000.0 ELSE (CAST(SUM(e - s + 1) AS DOUBLE) / n) END AS dup_frac
-    FROM spans GROUP BY doc_id, n
+    {_span_stats_tail_sql("spos")}
     """
 
 

@@ -765,7 +765,11 @@ def _stats_form(dtype_simple: str) -> str | None:
         return "timestamp"
     if dtype_simple == "date":
         return "date"
-    if dtype_simple == "string":
+    # char(n)/varchar(n) surface when preserveCharVarcharTypeInfo is
+    # on — they must tag as string, or the column silently falls back
+    # to the sampled-shape inference this tag exists to eliminate
+    if dtype_simple == "string" or dtype_simple.startswith(
+            ("char(", "varchar(")):
         return "string"
     if dtype_simple == "boolean":
         return "bool"

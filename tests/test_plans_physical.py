@@ -675,6 +675,18 @@ def test_iterative_loop_bodies_pinned(spark):
         body = _plan(_pagerank_round(ed, nodes, p, 85))
         assert metrics(body) == (4, 0, False), body
 
+        # the full operator's returned plan shows EXACTLY one lazy
+        # round for any n_iter (review r12: a start-anchored cadence
+        # left a 2-round tail whenever cadence divided n_iter — n_iter
+        # =4 with the default cadence 2 is exactly that case)
+        from dex_data_ingestor_spark.operators.graph import (
+            pagerank_units,
+        )
+
+        for n_iter in (4, 5):
+            full = _plan(pagerank_units(edges, n_iter=n_iter))
+            assert metrics(full) == (4, 0, False), (n_iter, full)
+
         # --- connected-components round (the loop's cached sym) ---
         sym = (
             edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
