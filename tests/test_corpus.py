@@ -419,6 +419,69 @@ def test_xxh64_sql_twin_matches_spark(spark):
     assert duck == sp
 
 
+def test_winnowed_oracle_parity_on_synthetic_corpus(spark, tmp_path):
+    """The q_dup_substrings_winnowed ORACLE itself, pinned bitwise on
+    an adversarial synthetic corpus (the fixture corpus exercises it
+    through the driver; this test keeps the pairing honest against
+    engine OR oracle edits in between): planted cross-doc repeats at
+    the detection boundary (len = min_len + w - 1), an exact full
+    duplicate, heavy intra-doc repetition (tie-prone identical grams),
+    short docs (< min_len and < min_len + w - 1, the truncated-window
+    case), and non-printable ASCII (tabs/newlines/control chars — the
+    byte-level hash must not care)."""
+    import random
+    import string
+
+    import duckdb
+
+    from dex_data_ingestor_spark.operators.corpus import (
+        repeated_substring_spans,
+    )
+    from dex_data_ingestor_spark.plans.testbed import ORACLE_SQL
+    from tests.oracle_check import compare
+
+    rng = random.Random(42)
+    alpha = string.ascii_letters + string.digits + " \t\n" + "\x01\x07"
+
+    def blob(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    repeat29 = blob(29)   # min_len + w - 1: guaranteed detected
+    repeat60 = blob(60)
+    boiler = blob(35)
+    docs = [
+        (1, blob(50) + repeat29 + blob(40)),
+        (2, blob(30) + repeat29 + blob(60)),
+        (3, blob(20) + repeat60 + blob(20) + repeat60 + blob(10)),
+        (4, boiler * 8),                      # tie-heavy intra-doc
+        (5, blob(120)),                       # clean
+        (6, "short doc"),                     # < min_len
+        (7, blob(25)),                        # one truncated window
+        (8, blob(44) + repeat60 + blob(17)),
+        (9, None),                            # NULL text
+    ]
+    # an exact full duplicate of doc 8
+    docs.append((10, docs[7][1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pq = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    got = repeated_substring_spans(
+        df, "doc_id", "text", min_len=20, winnow=10
+    )
+    problems = compare(
+        got, con, ORACLE_SQL["q_dup_substrings_winnowed"]
+    )
+    assert not problems, problems
+    # sanity: the planted repeats actually produced span rows
+    rows = {r.doc_id for r in got.collect()}
+    assert {1, 2, 3, 8, 10} <= rows and 5 not in rows and 6 not in rows
+
+
 def test_winnowed_spans_tolerance_properties(spark):
     """VERDICT r6 #4 property, exact vs winnowed settings: winnowed
     dup positions are a SUBSET of exact dup positions (selection only

@@ -194,6 +194,28 @@ def test_pagerank_units_hand_walked_path_graph(spark):
     assert p2 == {1: 936250, 2: 1127500, 3: 936250}
 
 
+def test_pagerank_cadence_invariance(spark):
+    """Checkpoint placement is an execution detail: every cadence must
+    produce bit-identical units (r12 re-planned the loop — node list
+    from the checkpointed edge table, end-anchored truncation with a
+    lazy last round — and this pins that none of it touches values).
+    Random-ish 40-node graph, 5 iterations, cadences 1/2/3/huge."""
+    from dex_data_ingestor_spark.operators.graph import pagerank_units
+
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 7 + 3) % 40) for i in range(160)], ["src", "dst"]
+    )
+    results = []
+    for ck in (1, 2, 3, 99):
+        results.append(sorted(
+            (r["node"], r["units"])
+            for r in pagerank_units(
+                edges, n_iter=5, checkpoint_every=ck
+            ).collect()
+        ))
+    assert results[0] == results[1] == results[2] == results[3]
+
+
 def test_pagerank_dangling_node_keeps_base_mass(spark):
     """Directed edge into a sink: the sink receives mass but emits
     none (documented dangling simplification); the source, with no

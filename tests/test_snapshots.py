@@ -376,6 +376,55 @@ def test_stats_forms_recorded_and_beat_shape_inference(spark, root):
     assert m2["stats_forms"] == {"logline": "string"}
 
 
+def test_scan_pruned_legacy_manifest_without_forms(spark, root):
+    """Back-compat for PRE-form manifests (written before r12 recorded
+    stats_forms): with the tag absent, _query_bound must fall back to
+    sampled-shape inference and keep pruning timestamp columns
+    correctly — every new write carries the tag, so without this test
+    the legacy branch would be dead code until the first real old
+    manifest hit it in production."""
+    import datetime as dt
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 4_000)
+        .select(
+            F.col("id").alias("k"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+                + F.make_interval(hours=F.col("id") % 96)
+            ).alias("ts"),
+        )
+        .repartitionByRange(8, "ts")
+    )
+    m = S.snapshot_write_with_stats(df, root, stats_cols=["ts"])
+    # simulate an old manifest: strip the form tags in place
+    log_dir = os.path.join(root, "_log")
+    path = os.path.join(log_dir, sorted(os.listdir(log_dir))[-1])
+    man = json.load(open(path))
+    assert man["version"] == m["version"] and "stats_forms" in man
+    del man["stats_forms"]
+    json.dump(man, open(path, "w"))
+
+    picked = S.snapshot_scan_pruned(
+        spark, root, "ts",
+        dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2, 6),
+    )
+    assert 0 < len(picked.inputFiles()) < 8
+    # the inference branch still rejects the ambiguous forms
+    with pytest.raises(TypeError, match="timestamp-form|ambiguous"):
+        S.snapshot_scan_pruned(
+            spark, root, "ts", dt.date(2024, 1, 2), dt.date(2024, 1, 3)
+        )
+    with pytest.raises(TypeError, match="ambiguous"):
+        S.snapshot_scan_pruned(
+            spark, root, "ts", "2024-01-01", "2024-01-02"
+        )
+
+
 def test_scan_pruned_includes_files_without_stats(spark, root):
     from pyspark.sql import functions as F
 
