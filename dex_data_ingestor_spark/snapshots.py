@@ -70,8 +70,6 @@ TXN_RETENTION_VERSIONS = 10_000
 def _has_fs_scheme(path: str) -> bool:
     """True for scheme-qualified (non-local) paths like hdfs:// or
     s3a:// — driver-side os.path checks do not apply to those."""
-    import re
-
     return re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) is not None
 
 
@@ -229,6 +227,16 @@ def _commit(
     # commits (compact/rollback/manual merge) and needs only the
     # LATEST manifest to decide — O(1) per micro-batch.
     txn = dict(prior.get("txn", {})) if prior else {}
+    # LEGACY manifests (pre-dict-form) stored txn as {app: batch_id};
+    # the read path tolerates both forms, and so must the carry — a
+    # bare int would crash the retention filter below and brick every
+    # later commit on the table (review r12). A legacy entry has no
+    # recorded commit version, so it adopts THIS commit's version
+    # (retention restarts; strictly conservative for a replay guard).
+    txn = {
+        app: (e if isinstance(e, dict) else {"b": e, "v": version})
+        for app, e in txn.items()
+    }
     # new entries arrive as {app: batch_id}; stored form is
     # {app: {"b": batch_id, "v": committing_version}} so stale
     # writers can be expired by version distance (see
@@ -254,16 +262,29 @@ def _commit(
         **({"txn": txn} if txn else {}),
         **extra,
     }
+    # Publish atomically: write the FULL payload to a private temp
+    # file first, then claim the version number with os.link — link
+    # fails with FileExistsError exactly like O_CREAT|O_EXCL (one
+    # winner per number), but the manifest becomes visible with its
+    # complete contents in one step. The previous open-then-dump form
+    # exposed a 0-byte manifest between the two calls: concurrent
+    # readers crashed on JSONDecodeError instead of reading v-1, and a
+    # writer killed mid-commit left a permanently unreadable table
+    # (review r12).
+    target = _manifest_file(root, version)
+    tmp = f"{target}.tmp.{os.getpid()}.{id(manifest)}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(
-            _manifest_file(root, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL
-        )
+        os.link(tmp, target)
     except FileExistsError as e:
         raise SnapshotConflict(
             f"version {version} was committed concurrently under {root}"
         ) from e
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
+    finally:
+        os.unlink(tmp)
     return manifest
 
 
@@ -707,7 +728,14 @@ def snapshot_rollback(root: str, to_version: int) -> dict:
     :func:`snapshot_compact` keep working after a rollback."""
     target = _resolve(root, version=to_version)
     extra: dict = {"rolled_back_to": to_version}
-    for k in ("files", "stats_cols", "stats_forms"):
+    # carry EVERY data-descriptive payload the target recorded — same
+    # data dir, same footers, so stats-pruned scans, bloom point
+    # lookups, and a later compact's index recompute all keep working
+    # after a rollback (review r12: the bloom keys were dropped, which
+    # broke snapshot_scan_point on latest and made the next compact
+    # silently drop the bloom index from the table for good)
+    for k in ("files", "stats_cols", "stats_forms",
+              "blooms", "bloom_cols", "bloom_types", "bloom_conf"):
         if k in target:
             extra[k] = target[k]
     return snapshot_commit_existing(
@@ -735,6 +763,13 @@ def _stat_bound(v, *, lo: bool):
     if isinstance(v, bool) or isinstance(v, (int, float, str)):
         return v
     if isinstance(v, dt.datetime):  # before date: datetime IS a date
+        # canonicalize tz-AWARE values (pyarrow instant-typed stats)
+        # to UTC-naive before rendering: an aware isoformat carries a
+        # '+00:00' suffix that sorts AFTER the same instant's naive
+        # rendering, so mixed forms would compare lexicographically
+        # out of order and mis-prune (review r12)
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep=" ")
     if isinstance(v, dt.date):
         return v.isoformat()
@@ -845,7 +880,7 @@ def _query_bound(v, *, lo: bool, sample, form: str | None = None):
         )
     if form == "timestamp":
         if isinstance(v, dt.datetime):
-            return _stat_bound(v, lo=lo)
+            return _stat_bound(v, lo=lo)  # aware -> UTC-naive there
         if isinstance(v, str):
             if _DATE_STAT_RE.match(v):
                 raise TypeError(
@@ -856,8 +891,19 @@ def _query_bound(v, *, lo: bool, sample, form: str | None = None):
                     "matching files. Say midnight or end-of-day with "
                     "a datetime or a full timestamp string."
                 )
-            return _ISO_T_RE.sub(
-                lambda m: m.group(0).replace("T", " "), v
+            if _ISO_T_RE.match(v):
+                return _ISO_T_RE.sub(
+                    lambda m: m.group(0).replace("T", " "), v
+                )
+            if _TS_STAT_RE.match(v):
+                return v  # already the stored rendering
+            # a seconds-less or otherwise unrecognized string would
+            # pass through and sort after every same-day stored value
+            # ('T' > ' '), silently pruning the whole day (review r12)
+            raise TypeError(
+                f"unrecognized timestamp string bound {v!r}; pass "
+                "'YYYY-MM-DD HH:MM:SS[.ffffff]' (space or 'T' "
+                "separator, seconds included) or a datetime"
             )
         raise TypeError(
             "column stores timestamp-form stats; pass a datetime "
@@ -1115,7 +1161,11 @@ def snapshot_scan_point(
     m = _resolve(root, version=version)
     blooms = m.get("blooms")
     conf = m.get("bloom_conf")
-    if not blooms or not conf:
+    # PRESENCE check, not truthiness (review r12): an indexed write
+    # whose rows were all NULL (or empty) legitimately records
+    # blooms={} — the exact verdict for any non-null lookup is "no
+    # file can match", not a missing-index error.
+    if blooms is None or not conf:
         raise ValueError(
             f"version {m['version']} has no bloom index (written via "
             "snapshot_write_with_stats(bloom_cols=...)?)"
@@ -1351,15 +1401,24 @@ def snapshot_vacuum(
     import shutil
     import time
 
+    if keep_last < 1:
+        # manifests[-0:] is the WHOLE list — keep_last=0 would
+        # silently retain everything (the opposite of the request)
+        # instead of reclaiming it; there is no meaningful "retain
+        # nothing" for a live table, so reject loudly (review r12)
+        raise ValueError(f"keep_last must be >= 1: {keep_last}")
     manifests = _list_manifests(root)
-    # normalize BOTH sides before comparing: manifests store the
-    # writer's verbatim spelling of data_dir, while the orphan scan
-    # builds paths from THIS caller's root spelling — a relative-vs-
-    # absolute mismatch would make every referenced dir (including
-    # the live latest) look like an orphan and get deleted.
-    referenced = {
-        os.path.realpath(m["data_dir"]) for m in manifests
-    }
+    # normalize EVERY side before comparing: manifests store the
+    # writer's verbatim spelling of data_dir, and two manifests can
+    # legitimately spell the SAME physical dir differently (a
+    # commit_existing/rollback issued from another cwd with an
+    # absolute path). A verbatim-string comparison would let a
+    # retained version's dir ride the removable set under its other
+    # spelling and be deleted out from under it (review r12 — the
+    # hazard was documented here but the normalization was applied
+    # only to the orphan scan).
+    rp = os.path.realpath
+    referenced = {rp(m["data_dir"]) for m in manifests}
     removed = []
     # named refs PIN their data dirs past the retention window: a tag
     # exists precisely so 'the table state run X read' stays readable,
@@ -1369,26 +1428,26 @@ def snapshot_vacuum(
     # fill the keep_last tail of the shared log, and evicting the
     # version every default read resolves to would break the table
     try:
-        ref_pinned.add(_resolve(root)["data_dir"])
+        ref_pinned.add(rp(_resolve(root)["data_dir"]))
     except (FileNotFoundError, KeyError):
         pass
     for r in snapshot_refs(root):
         try:
             ref_pinned.add(
-                _resolve(root, version=r["version"])["data_dir"]
+                rp(_resolve(root, version=r["version"])["data_dir"])
             )
             if r["type"] == "branch":
                 ref_pinned.add(
-                    _branch_head(root, r["name"], r)["data_dir"]
+                    rp(_branch_head(root, r["name"], r)["data_dir"])
                 )
         except (KeyError, FileNotFoundError):
             continue
     if len(manifests) > keep_last:
         retained = {
-            m["data_dir"] for m in manifests[-keep_last:]
+            rp(m["data_dir"]) for m in manifests[-keep_last:]
         } | ref_pinned
         removable = {
-            m["data_dir"] for m in manifests[:-keep_last]
+            rp(m["data_dir"]) for m in manifests[:-keep_last]
         } - retained
         for d in sorted(removable):
             if os.path.isdir(d):
@@ -1535,7 +1594,8 @@ def _branch_head(root: str, name: str, ref: dict | None = None) -> dict:
 #: data; everything else (files/stats/blooms/constraints/keys/...)
 #: transfers verbatim when a publish fast-forwards a branch head.
 _COMMIT_IDENTITY_KEYS = frozenset(
-    {"version", "committed_at", "op", "data_dir", "branch", "txn"}
+    {"version", "committed_at", "op", "data_dir", "branch",
+     "branch_id", "txn"}
 )
 
 
@@ -1609,4 +1669,15 @@ def snapshot_publish(root: str, branch: str) -> dict:
         "head_version": head["version"],
         **({"branch_id": r["id"]} if r.get("id") is not None else {}),
     }
-    return _commit(root, head["data_dir"], "publish", payload)
+    # expected_base closes the check-then-claim window (review r12):
+    # a mainline commit landing between the interloper scan above and
+    # the version claim would otherwise be silently overwritten — the
+    # exact lost update the guard exists to fail loudly on. The
+    # publish's read base is the mainline head it verified against.
+    return _commit(
+        root,
+        head["data_dir"],
+        "publish",
+        payload,
+        expected_base=mainline["version"] if mainline else 0,
+    )

@@ -425,6 +425,227 @@ def test_scan_pruned_legacy_manifest_without_forms(spark, root):
         )
 
 
+def test_commit_tolerates_legacy_int_txn_entries(spark, root):
+    """Review r12 (crash-class): pre-dict-form manifests stored txn as
+    {app: batch_id} (bare int). The read path tolerates both forms,
+    but _commit's retention filter indexed e['v'] and raised TypeError
+    — bricking EVERY later commit on such a table and leaking one
+    orphan data dir per attempt. The carry now normalizes legacy
+    entries (adopting the committing version for retention)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    S.snapshot_write(df, root)
+    # rewrite the manifest's txn into the legacy int form in place
+    log = os.path.join(root, "_log")
+    path = os.path.join(log, sorted(os.listdir(log))[-1])
+    man = json.load(open(path))
+    man["txn"] = {"legacy_app": 7}
+    json.dump(man, open(path, "w"))
+
+    m2 = S.snapshot_write(df, root)  # used to raise TypeError
+    assert m2["txn"]["legacy_app"] == {"b": 7, "v": m2["version"]}
+    assert S.snapshot_read(spark, root).count() == 10
+
+
+def test_commit_publishes_manifests_atomically(spark, root, monkeypatch):
+    """Review r12 (brick-class): the manifest used to become VISIBLE
+    (empty) at os.open before json.dump filled it — a reader in that
+    window crashed on JSONDecodeError, and a writer killed mid-commit
+    left a permanently unreadable table. The commit now writes the
+    full payload to a private temp file and claims the version with
+    os.link (atomic appear-with-contents, same one-winner semantics).
+    Pin: at the instant the manifest name exists, its contents parse;
+    and a concurrent claim still raises SnapshotConflict."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+
+    seen = []
+    real_link = os.link
+
+    def spying_link(src, dst, **kw):
+        real_link(src, dst, **kw)
+        # the INSTANT the manifest is visible it must parse fully
+        seen.append(_json.load(open(dst))["version"])
+
+    monkeypatch.setattr(os, "link", spying_link)
+    m = S.snapshot_write(df, root)
+    assert seen and seen[-1] == m["version"]
+    monkeypatch.undo()
+
+    # losing a version race still surfaces as SnapshotConflict, and
+    # the loser's temp file is cleaned up
+    target = S._manifest_file(root, m["version"] + 1)
+    open(target, "w").write("{}")
+    with pytest.raises(S.SnapshotConflict):
+        S._commit(root, m["data_dir"], "write", {})
+    log = os.path.dirname(target)
+    assert not [n for n in os.listdir(log) if ".tmp." in n]
+
+
+def test_publish_guards_the_claim_window_with_expected_base(
+    spark, root, monkeypatch
+):
+    """Review r12 (lost-update): snapshot_publish verified mainline
+    had not diverged, then committed WITHOUT expected_base — a
+    mainline commit landing between the check and the claim was
+    silently overwritten. The publish now pins its verified mainline
+    head as expected_base, so that race raises SnapshotConflict."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 8).select(F.col("id").alias("k"))
+    S.snapshot_write(df, root)
+    S.snapshot_create_branch(root, "audit")
+    S.snapshot_write(df.limit(3), root, branch="audit")
+
+    # interleave a mainline commit INSIDE the publish's claim window:
+    # patch _list_manifests (the interloper scan) to commit right
+    # after it returns its clean answer
+    real_list = S._list_manifests
+    fired = []
+
+    def racing_list(r):
+        out = real_list(r)
+        if not fired:
+            fired.append(True)
+            S.snapshot_write(df.limit(5), root)
+        return out
+
+    monkeypatch.setattr(S, "_list_manifests", racing_list)
+    with pytest.raises(S.SnapshotConflict):
+        S.snapshot_publish(root, "audit")
+    monkeypatch.undo()
+    # the interleaved mainline write is still the readable latest
+    assert S.snapshot_read(spark, root).count() == 5
+
+
+def test_rollback_carries_bloom_index(spark, root):
+    """Review r12: rollback carried files/stats but DROPPED the bloom
+    payload — point lookups on latest raised 'no bloom index' for a
+    data dir whose bitmaps were byte-for-byte valid, and the next
+    compact silently dropped the index from the table for good."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    ).repartitionByRange(4, "k")
+    m1 = S.snapshot_write_with_stats(
+        df, root, stats_cols=["k"], bloom_cols=["k"]
+    )
+    S.snapshot_write(df.limit(1), root)  # the bad commit
+    m3 = S.snapshot_rollback(root, to_version=m1["version"])
+    for key in ("blooms", "bloom_cols", "bloom_types", "bloom_conf"):
+        assert m3.get(key) == m1.get(key), key
+    got = S.snapshot_scan_point(spark, root, "k", 123)
+    assert got.filter(F.col("k") == 123).count() == 1
+    # compaction after the rollback keeps the index alive
+    m4 = S.snapshot_compact(spark, root, target_files=2)
+    assert m4.get("bloom_cols") == ["k"]
+
+
+def test_scan_point_empty_bloom_map_is_exact_empty(spark, root):
+    """Review r12: an indexed write whose rows are all NULL records
+    blooms={} — the exact verdict for any non-null lookup is 'no file
+    can match' (limit(0)), not a missing-index ValueError."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20).select(
+        F.lit(None).cast("long").alias("k"), F.col("id").alias("v")
+    )
+    S.snapshot_write_with_stats(
+        df, root, stats_cols=["v"], bloom_cols=["k"]
+    )
+    got = S.snapshot_scan_point(spark, root, "k", 5)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
+
+
+def test_vacuum_keep_last_zero_rejected(spark, root):
+    """Review r12: manifests[-0:] is the whole list, so keep_last=0
+    silently retained EVERYTHING (the opposite of the request) —
+    loud reject instead."""
+    from pyspark.sql import functions as F
+
+    S.snapshot_write(spark.range(3).select("id"), root)
+    with pytest.raises(ValueError, match="keep_last"):
+        S.snapshot_vacuum(root, keep_last=0)
+
+
+def test_vacuum_normalizes_spelling_across_manifests(spark, root):
+    """Review r12 (data-loss): retained/removable compared VERBATIM
+    data_dir strings while only the orphan scan realpath-normalized —
+    the same physical dir spelled relative in an old manifest and
+    absolute in the latest (commit_existing from another cwd) was
+    deleted out from under the retained version."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 12).select(F.col("id").alias("k"))
+    m1 = S.snapshot_write(df, root)
+    S.snapshot_write(df.limit(2), root)
+    S.snapshot_write(df.limit(3), root)
+    # latest re-points at v1's dir under a DIFFERENT spelling
+    alt = os.path.abspath(m1["data_dir"])
+    assert alt != m1["data_dir"] or os.path.isabs(m1["data_dir"])
+    S.snapshot_commit_existing(root, alt, op="rollback")
+    removed = S.snapshot_vacuum(root, keep_last=2)
+    # v1's dir is retained (latest points at it, just spelled
+    # differently); the table stays readable
+    assert os.path.realpath(m1["data_dir"]) not in {
+        os.path.realpath(d) for d in removed
+    }
+    assert S.snapshot_read(spark, root).count() == 12
+
+
+def test_timestamp_bounds_aware_and_secondless_forms(spark, root):
+    """Review r12: (a) tz-AWARE datetime bounds rendered with a
+    '+00:00' suffix that sorts after the same instant's naive
+    rendering — equal-boundary files were silently pruned; both
+    renderers now canonicalize aware values to UTC-naive. (b) a
+    seconds-less ISO string matched neither timestamp regex, passed
+    through with its 'T', and pruned the whole day — now a loud
+    reject."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 4_000)
+        .select(
+            F.col("id").alias("k"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+                + F.make_interval(hours=F.col("id") % 96)
+            ).alias("ts"),
+        )
+        .repartitionByRange(8, "ts")
+    )
+    S.snapshot_write_with_stats(df, root, stats_cols=["ts"])
+    naive = (dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2, 6))
+    aware = tuple(
+        t.replace(tzinfo=dt.timezone.utc) for t in naive
+    )
+    a = sorted(
+        S.snapshot_scan_pruned(spark, root, "ts", *naive).inputFiles()
+    )
+    b = sorted(
+        S.snapshot_scan_pruned(spark, root, "ts", *aware).inputFiles()
+    )
+    assert a == b and 0 < len(a) < 8
+    with pytest.raises(TypeError, match="unrecognized timestamp"):
+        S.snapshot_scan_pruned(
+            spark, root, "ts", "2024-01-02T03:04", "2024-01-02T05:04"
+        )
+
+
 def test_scan_pruned_includes_files_without_stats(spark, root):
     from pyspark.sql import functions as F
 
