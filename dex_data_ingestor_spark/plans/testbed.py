@@ -10458,112 +10458,104 @@ def q_priority_lateness(spark, sf_dir):
 #: bcc63b7 — the narrative above is the durable record.)
 
 # =========================================================================
-# Driver correctness-window ordering (round 12)
+# Driver correctness-window ordering (round 13)
 # =========================================================================
 
-#: Round-11 landed 50/50 hash-green (CORRECTNESS_r11: all 27 owed
-#: promotions + 23 of the 37-query r7-row cohort), leaving the ledger
-#: at: 14 queries on r7 rows (the single-shape relational scans the
-#: r11 window documented as rolling to r12 — at the 4-round staleness
-#: ceiling, so they MUST ride now), 34 on r8, 28 on r9, 50 each on
-#: r10/r11. (The r11 window list itself is retired; it is preserved at
-#: commit 20d424f — this narrative is the durable record.)
+#: Round-12 landed 50/50 hash-green (CORRECTNESS_r12: 14 r7-row
+#: queries + the r8 cohort + OWED_R12), leaving the ledger at:
+#: 1 query on an r8 row (q_bpe_tokens, age 4 after r12 — the
+#: staleness ceiling, MUST ride now), 26 on r9, 49 on r10, 50 each
+#: on r11/r12. (The r12 window list is retired; preserved at commit
+#: f54077f — this narrative is the durable record.)
 
-#: Round-12 window: the staleness-forced 14 r7-row queries ride first
-#: (the test's 4-round ceiling — their algebra is single-shape but the
-#: contract is the contract), then the r8 cohort fills (its rows reach
-#: age 4 after this round, so anything left behind MUST front r13),
-#: then the r12 invariant-2 promotions. Arithmetic: 14 r7 + 34 r8 +
-#: 3 owed non-r8 (q_pagerank r9, q_cluster_split r9,
-#: q_dedup_survivors r10 — the graph.py loop tuning) = 51 > 50, so
-#: exactly one r8 entry rolls to r13: q_bpe_tokens (rows-only tier —
-#: its real evidence is the pytest bound; age 4 after r12 is within
-#: contract and it fronts the r13 window by the staleness test).
-#: Canaries trim to zero per invariant 3, precedent r9/r11.
-#: Forward plan (r13): fronts q_bpe_tokens + the 28-query r9 cohort +
-#: any r13 promotions (~21 spare slots for the r10 cohort's oldest).
-
-#: Queries whose ENGINE or ORACLE changed this round after their last
-#: driver row — locally bitwise-verified at sf0.001+sf0.01 under
-#: hostile tz, but local-green != driver-green until each has a fresh
-#: row. Grouped by the change that touched them.
-OWED_R12 = [
-    # graph.py loop tuning (r12: pagerank node list derived from the
-    # checkpointed edges table, checkpoint cadence 2 with lazy last
-    # round; connected-components edge table repartitioned + cached)
-    "q_pagerank",
-    "q_dup_clusters",
-    "q_cluster_split",
-    "q_dedup_survivors",
-    # rows-only -> oracle-paired graduation (r12: XXH64-in-SQL oracle
-    # for the winnowed selection; VERDICT r11 #8)
-    "q_dup_substrings_winnowed",
+#: Round-13 window: q_bpe_tokens fronts (staleness-forced), then the
+#: full 26-query r9 cohort (reaches age 4 after this round — anything
+#: left behind would break the ceiling in r14), then OWED_R13, then
+#: 22 fills from the r10 cohort's oldest. Arithmetic: 1 r8 + 26 r9 +
+#: 1 owed (q_yoy_qoq, itself an r10 row) + 22 r10 fills = 50, leaving
+#: 26 r10-row queries for r14 (age 4 there — at the ceiling, so they
+#: front the r14 window). Fill choice within the r10 cohort favors
+#: the thinnest evidence tiers first: the rows-only sketch
+#: (q_approx_distinct), the sketch/stateful family, streaming, and
+#: the join/merge shapes whose engines are most multi-stage; the
+#: single-shape relational scans wait for r14 (same precedent as the
+#: r7 cohort riding last in r12).
+OWED_R13 = [
+    # pct.py `_shift_days` type-preserving fix landed r11-late
+    # (d7a9fcb) — bit-identical by construction on DATE keys and
+    # locally driver-sim green, but q_yoy_qoq's last driver hash is
+    # r10, and its r12 driver bench min doubled unattributed
+    # (VERDICT r12 "What's wrong" #1): fresh driver row now.
+    "q_yoy_qoq",
 ]
 
-_WINDOW_R12 = [
-    # the 14 r7-row queries at the staleness ceiling
-    "q_blacklist_filter",
-    "q_count",
-    "q_date_parts",
-    "q_derived_cols",
-    "q_dim_broadcast_join",
-    "q_distinct",
-    "q_incremental_range",
-    "q_merge_partial_update",
-    "q_min_bootstrap",
-    "q_null_filter",
-    "q_point_filter",
-    "q_prefix_enrich",
-    "q_string_norm",
-    "q_topk",
-] + OWED_R12 + [
-    # the r8 cohort (all but q_bpe_tokens, which rolls to r13;
-    # q_dup_clusters and q_dup_substrings_winnowed already ride in
-    # the owed block above)
-    "q_bloom_contamination",
-    "q_bm25",
-    "q_chunk_dedup",
-    "q_chunk_documents",
-    "q_customer_distribution",
-    "q_disjunctive_revenue",
-    "q_forecast_revenue",
-    "q_funnel",
-    "q_inactive_customers",
-    "q_large_volume_customers",
-    "q_local_supplier_volume",
-    "q_market_share",
-    "q_nation_volume",
-    "q_order_priority",
-    "q_parts_supplier_count",
-    "q_product_profit",
-    "q_promo_revenue",
-    "q_rare_word_score",
-    "q_retention",
-    "q_returned_items",
-    "q_revenue_share",
-    "q_rolling_dau",
-    "q_salted_agg",
-    "q_scan_project",
-    "q_scd2",
-    "q_similarity_topk",
-    "q_small_qty_revenue",
-    "q_source_quality",
-    "q_top_supplier",
-    "q_twap",
-    "q_vwap",
+_WINDOW_R13 = [
+    # the r8 straggler at the staleness ceiling (rows-only tier)
+    "q_bpe_tokens",
+] + OWED_R13 + [
+    # the full r9 cohort (26 — reaches age 4 after r13)
+    "q_ab_test",
+    "q_approx_quantiles",
+    "q_backoff_logloss",
+    "q_bigram_logloss",
+    "q_char_entropy",
+    "q_drawdown",
+    "q_dsir_sample",
+    "q_dsir_weights",
+    "q_edit_distance",
+    "q_gopher_rules",
+    "q_inverted_index",
+    "q_markout",
+    "q_min_cost_supplier",
+    "q_nb_classify",
+    "q_ngram_containment",
+    "q_ngram_containment_fast",
+    "q_part_promotion",
+    "q_pmi_collocations",
+    "q_priority_lateness",
+    "q_random_project",
+    "q_realized_var",
+    "q_rolling_vol",
+    "q_tick_rule_flow",
+    "q_unigram_logloss",
+    "q_volume_shipping",
+    "q_waiting_suppliers",
+    # 22 r10 fills — thinnest evidence tiers first (see narrative)
+    "q_approx_distinct",
+    "q_cms_topk",
+    "q_kmv_distinct",
+    "q_entity_match",
+    "q_neardup_incremental",
+    "q_neardup_verified",
+    "q_simhash",
+    "q_minhash_lsh",
+    "q_minhash_pairs",
+    "q_seq_packing",
+    "q_mix_weights",
+    "q_token_budget",
+    "q_stream_session",
+    "q_stream_tumbling",
+    "q_table_diff",
+    "q_incremental_agg",
+    "q_range_join",
+    "q_salted_join",
+    "q_asof_lookup",
+    "q_asof_price",
+    "q_late_arrivals",
+    "q_json_extract",
 ]
 
 
 def _window_order(registry: dict) -> dict:
-    """Rebuild a registry dict with _WINDOW_R12 first (keeping each
+    """Rebuild a registry dict with _WINDOW_R13 first (keeping each
     family's relative order), everything else after in file order."""
-    out = {n: registry[n] for n in _WINDOW_R12 if n in registry}
+    out = {n: registry[n] for n in _WINDOW_R13 if n in registry}
     out.update((n, v) for n, v in registry.items() if n not in out)
     return out
 
 
-assert len(_WINDOW_R12) == 50, len(_WINDOW_R12)
-assert set(_WINDOW_R12) <= set(QUERIES), set(_WINDOW_R12) - set(QUERIES)
-assert len(set(_WINDOW_R12)) == 50
+assert len(_WINDOW_R13) == 50, len(_WINDOW_R13)
+assert set(_WINDOW_R13) <= set(QUERIES), set(_WINDOW_R13) - set(QUERIES)
+assert len(set(_WINDOW_R13)) == 50
 QUERIES = _window_order(QUERIES)
 ORACLE_SQL = _window_order(ORACLE_SQL)

@@ -38,6 +38,7 @@ conditional-put variant).
 
 from __future__ import annotations
 
+import contextlib
 import datetime as dt
 import decimal
 import json
@@ -102,18 +103,55 @@ def _read_manifest(root: str, name: str) -> dict:
 def _list_manifests(root: str) -> list[dict]:
     """All committed manifests, ascending by version (full parse — use
     only where the whole history is genuinely needed: versions listing,
-    as_of resolution, vacuum)."""
-    return [_read_manifest(root, n) for n in _manifest_names(root)]
+    as_of resolution, vacuum).
+
+    A TRAILING run of unreadable manifests is tolerated and excluded:
+    on link-less filesystems the O_EXCL-claim fallback (see _commit)
+    exposes a brief 0-byte window at the top of the log, and a reader
+    landing inside it must see the previous version, not crash
+    (ADVICE r12). Unreadable manifests that are NOT the newest files
+    are real corruption and stay loud — silently skipping mid-history
+    would mislead vacuum and as_of."""
+    names = _manifest_names(root)
+    parsed: list[dict | None] = []
+    for n in names:
+        try:
+            parsed.append(_read_manifest(root, n))
+        except (json.JSONDecodeError, ValueError):
+            parsed.append(None)
+    k = len(parsed)
+    while k and parsed[k - 1] is None:
+        k -= 1
+    bad = [names[i] for i in range(k) if parsed[i] is None]
+    if bad:
+        raise ValueError(
+            f"unreadable manifest(s) {bad} under {root} with newer "
+            "readable commits present — corrupt log, not an in-flight "
+            "claim"
+        )
+    return parsed[:k]  # type: ignore[return-value]
 
 
 def _latest_manifest(root: str) -> dict | None:
-    """Latest manifest with ONE file read — the commit and streaming
-    paths call this per commit/micro-batch, so it must not scale with
-    table history (a high-frequency merge table reaches thousands of
-    versions; re-parsing the whole log per commit would be O(n^2)
-    driver I/O over the table lifetime)."""
+    """Latest READABLE manifest with O(1) file reads in the common
+    case — the commit and streaming paths call this per
+    commit/micro-batch, so it must not scale with table history (a
+    high-frequency merge table reaches thousands of versions;
+    re-parsing the whole log per commit would be O(n^2) driver I/O
+    over the table lifetime). Walks back past a trailing run of
+    unreadable in-flight claim files (the link-less-filesystem
+    fallback's 0-byte window — ADVICE r12); an unreadable manifest
+    BELOW a readable one re-raises (corrupt log)."""
     names = _manifest_names(root)
-    return _read_manifest(root, names[-1]) if names else None
+    for i, n in enumerate(reversed(names)):
+        try:
+            return _read_manifest(root, n)
+        except (json.JSONDecodeError, ValueError):
+            if i + 1 < len(names):
+                # peek one deeper: if it parses, n was in-flight
+                continue
+            raise
+    return None
 
 
 def snapshot_versions(root: str) -> list[dict]:
@@ -146,9 +184,19 @@ def _resolve(
     if as_of is None:
         # MAINLINE latest: walk back past branch (write-audit-publish
         # staging) commits — cost is O(trailing branch commits), which
-        # a publish or mainline write resets to O(1)
+        # a publish or mainline write resets to O(1). A trailing
+        # unreadable file is an in-flight O_EXCL claim (link-less-FS
+        # commit fallback, ADVICE r12): skip it; unreadable BELOW a
+        # readable manifest is corruption and re-raises.
+        tail = True
         for n in reversed(names):
-            m = _read_manifest(root, n)
+            try:
+                m = _read_manifest(root, n)
+            except (json.JSONDecodeError, ValueError):
+                if tail:
+                    continue
+                raise
+            tail = False
             if "branch" not in m:
                 return m
         raise KeyError(
@@ -195,6 +243,18 @@ def _commit(
     the loser re-raises and retries from a fresh read."""
     os.makedirs(_log_path(root), exist_ok=True)
     latest = _latest_manifest(root)
+    # version = last READABLE + 1, deliberately NOT newest-filename+1:
+    # while a fallback claim at N is in flight (unreadable — the
+    # link-less-FS 0-byte window, ADVICE r12), other committers must
+    # compute N too and CONFLICT on the claim, exactly like the two
+    # same-base racers the O_EXCL serialization exists for — skipping
+    # to N+1 would let a read-modify-write derived from N-1 land over
+    # the in-flight commit (the lost update). Corollary: a committer
+    # that crashes inside the fallback window leaves a permanent
+    # 0-byte claim that blocks writers with a loud SnapshotConflict
+    # naming the version (readers walk past it) — delete the orphan
+    # claim file to unblock; the pre-fallback behavior on such
+    # filesystems was an unreadable TABLE, strictly worse.
     version = (latest["version"] + 1) if latest else 1
     extra = dict(extra or {})
     # Carried-forward state (constraints, txn watermarks) must come
@@ -283,8 +343,30 @@ def _commit(
         raise SnapshotConflict(
             f"version {version} was committed concurrently under {root}"
         ) from e
+    except OSError:
+        # hard links unsupported on this filesystem (EPERM/ENOTSUP on
+        # some FUSE/CIFS/object-store gateways where the old O_EXCL
+        # open worked — ADVICE r12): fall back to an O_EXCL claim of
+        # the version number, then rename the fsynced temp over it.
+        # One winner per number is preserved; the atomic-visibility
+        # guarantee degrades to a brief 0-byte window between the two
+        # calls — only on link-less filesystems, where POSIX offers
+        # nothing better without a lock protocol.
+        try:
+            os.close(os.open(
+                target, os.O_WRONLY | os.O_CREAT | os.O_EXCL
+            ))
+        except FileExistsError as e:
+            raise SnapshotConflict(
+                f"version {version} was committed concurrently "
+                f"under {root}"
+            ) from e
+        os.rename(tmp, target)
+        return manifest
     finally:
-        os.unlink(tmp)
+        # after the fallback's rename the temp no longer exists
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
     return manifest
 
 
@@ -815,6 +897,55 @@ def _stats_form(dtype_simple: str) -> str | None:
     return None
 
 
+def _infer_form(sample) -> str:
+    """Legacy-manifest fallback: infer a column's stats form from one
+    STORED value's shape, for manifests written before ``stats_forms``
+    existed (documented misclassification risk — a plain string column
+    whose values look like timestamps infers 'timestamp'; kept only
+    for the legacy path)."""
+    if isinstance(sample, (int, float)):
+        return "numeric"
+    if isinstance(sample, str):
+        if _TS_STAT_RE.match(sample):
+            return "timestamp"
+        if _DATE_STAT_RE.match(sample):
+            return "date"
+        return "string"
+    raise TypeError(
+        f"unsupported stored stat type {type(sample).__name__}"
+    )
+
+
+#: the exact rendering _stat_bound writes for a naive timestamp —
+#: anything else stored under a timestamp-form column is a legacy
+#: aware rendering that must be canonicalized before comparison.
+_TS_NAIVE_FULL_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?$"
+)
+
+
+def _stored_ts(s):
+    """A STORED timestamp-form stat value canonicalized for
+    comparison. The r12 write-side fix renders tz-aware stats
+    UTC-naive, but manifests written BEFORE it store aware renderings
+    with an offset suffix ('...05+00:00'); a naive-rendered bound
+    compares lexicographically out of order against those — an
+    inclusive boundary match (stored min '...05+00:00' vs hi bound
+    '...05', same instant) is wrongly pruned (ADVICE r12). Parse and
+    re-render mirrors the write side; unparseable values return
+    unchanged (the file is conservatively kept — both bounds of a
+    kept-range comparison only widen)."""
+    if not isinstance(s, str) or _TS_NAIVE_FULL_RE.match(s):
+        return s
+    try:
+        parsed = dt.datetime.fromisoformat(s)
+    except ValueError:
+        return s
+    if parsed.tzinfo is not None:
+        parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return parsed.isoformat(sep=" ")
+
+
 def _query_bound(v, *, lo: bool, sample, form: str | None = None):
     """A caller-supplied scan bound rendered the way :func:`_stat_bound`
     rendered THIS COLUMN's manifest values (``sample`` is one stored
@@ -853,22 +984,7 @@ def _query_bound(v, *, lo: bool, sample, form: str | None = None):
     if sample is None:
         return v  # no stats recorded: never compared, any form is fine
     if form is None:
-        # legacy manifest without stats_forms: infer from the stored
-        # value's shape (documented misclassification risk; kept only
-        # for manifests written before the tag existed)
-        if isinstance(sample, (int, float)):
-            form = "numeric"
-        elif isinstance(sample, str):
-            if _TS_STAT_RE.match(sample):
-                form = "timestamp"
-            elif _DATE_STAT_RE.match(sample):
-                form = "date"
-            else:
-                form = "string"
-        else:
-            raise TypeError(
-                f"unsupported stored stat type {type(sample).__name__}"
-            )
+        form = _infer_form(sample)
     if form in ("numeric", "bool"):
         if isinstance(v, (int, float)):
             return v
@@ -891,12 +1007,26 @@ def _query_bound(v, *, lo: bool, sample, form: str | None = None):
                     "matching files. Say midnight or end-of-day with "
                     "a datetime or a full timestamp string."
                 )
-            if _ISO_T_RE.match(v):
-                return _ISO_T_RE.sub(
-                    lambda m: m.group(0).replace("T", " "), v
-                )
-            if _TS_STAT_RE.match(v):
-                return v  # already the stored rendering
+            if _ISO_T_RE.match(v) or _TS_STAT_RE.match(v):
+                # the prefix match alone is not enough: an
+                # offset-suffixed rendering ('...+05:00', '...Z')
+                # would compare VERBATIM against stored UTC-naive
+                # renderings — the suffix sorts after any digit and a
+                # non-UTC offset is hours wrong, so a lo bound can
+                # exceed a file's true max and silently prune matching
+                # rows (ADVICE r12). Parse and canonicalize through
+                # the same path as datetime bounds: aware -> UTC-naive
+                # -> the stored space-separated rendering.
+                try:
+                    parsed = dt.datetime.fromisoformat(v)
+                except ValueError as e:
+                    raise TypeError(
+                        f"unparseable timestamp string bound {v!r}; "
+                        "pass ISO 'YYYY-MM-DD HH:MM:SS[.ffffff]"
+                        "[+HH:MM]' (space or 'T' separator, seconds "
+                        "included) or a datetime"
+                    ) from e
+                return _stat_bound(parsed, lo=lo)
             # a seconds-less or otherwise unrecognized string would
             # pass through and sort after every same-day stored value
             # ('T' > ' '), silently pruning the whole day (review r12)
@@ -1250,10 +1380,21 @@ def snapshot_scan_pruned(
     form = (m.get("stats_forms") or {}).get(col)
     lo = _query_bound(lo, lo=True, sample=sample, form=form)
     hi = _query_bound(hi, lo=False, sample=sample, form=form)
+    # legacy manifests (written before the r12 aware->UTC-naive
+    # write-side canonicalization) store timestamp stats with an
+    # offset suffix; canonicalize STORED values at compare time so a
+    # naive-rendered bound orders correctly against them (ADVICE r12).
+    # Gated on the column's effective form — a plain STRING column
+    # legitimately holding offset-suffixed text must keep comparing
+    # verbatim on both sides.
+    eff = form if form is not None else (
+        _infer_form(sample) if sample is not None else None
+    )
+    canon = _stored_ts if eff == "timestamp" else (lambda s: s)
     keep = []
     for f in files:
         rng = f["stats"].get(col)
-        if rng is None or not (hi < rng[0] or lo > rng[1]):
+        if rng is None or not (hi < canon(rng[0]) or lo > canon(rng[1])):
             keep.append(os.path.join(m["data_dir"], f["file"]))
     if not keep:
         # empty selection: preserve schema by reading the dir and

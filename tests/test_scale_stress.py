@@ -1302,3 +1302,127 @@ def test_pipeline_hourly_cron_equals_rebuild_hot_token(spark, tmp_path):
             key=repr,
         )
         assert a == b and len(a) > 0, table
+
+
+@pytest.mark.slow
+def test_winnowed_span_path_large_doc_mega_dup(spark):
+    """VERDICT r12 #4: the winnowed span path (q_dup_substrings_
+    winnowed's engine side) above toy size — its XXH64 selection chain
+    was new in r12 and exercised only at sf<=0.1. A large-doc/mega-dup
+    corpus (docs ~5k chars, half embedding the same 2.5k-char block)
+    checks three things the small SFs cannot:
+
+    - the argmin KEY semantics hold at large positions: the engine
+      selects per-window argmin by the (hash, pos) struct — signed
+      64-bit hash first, position breaking ties upward. Replayed
+      independently in Python over the engine's own winnow=1 hash
+      rows for sample docs (the same independence the oracle's
+      h*2**63+p HUGEINT key has at driver SFs);
+    - emitted-row volume scales LINEARLY in corpus size (the
+      winnowed explode is ~2/(w+1) of positions, content-defined —
+      a mega-dup must not densify selection);
+    - wall time scales ~linearly too (generous 4x bound for 2x data
+      on a shared box), and the mega-dup block is detected in every
+      copy at span granularity.
+    """
+    import random
+    import string
+    import time
+
+    from dex_data_ingestor_spark.operators.corpus import (
+        _window_keys,
+        repeated_substring_spans,
+    )
+
+    rng = random.Random(20260816)
+    alpha = string.ascii_letters + string.digits + " "
+    block = "".join(rng.choice(alpha) for _ in range(2500))
+
+    def body(seed, n):
+        r = random.Random(seed)
+        return "".join(r.choice(alpha) for _ in range(n))
+
+    def corpus(n_docs):
+        rows = []
+        for i in range(n_docs):
+            if i % 2 == 0:
+                t = body(1000 + i, 1200) + block + body(2000 + i, 1300)
+            else:
+                t = body(3000 + i, 5000)
+            rows.append((i, t))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).repartition(8)
+
+    LN, W = 20, 10
+    small, big = corpus(150), corpus(300)
+
+    def base(df):
+        return df.select(
+            "doc_id", F.col("text").alias("__t")
+        ).filter(F.length("__t") >= LN)
+
+    # --- argmin key replay on sample docs ------------------------------
+    sample = base(small).filter(F.col("doc_id").isin(0, 1, 2))
+    exact = (
+        _window_keys(sample, "doc_id", LN, True, 1)
+        .collect()
+    )
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in exact:
+        by_doc.setdefault(r.doc_id, {})[r.pos] = r.key
+    got = (
+        _window_keys(sample, "doc_id", LN, True, W)
+        .select("doc_id", "pos")
+        .collect()
+    )
+    got_sel = {d: set() for d in by_doc}
+    for r in got:
+        got_sel[r.doc_id].add(r.pos)
+    for d, hashes in by_doc.items():
+        m = len(hashes)
+        want = set()
+        for j in range(1, max(m - (W - 1), 1) + 1):
+            # argmin by (signed hash, pos), ties to smallest pos —
+            # the h*2**63+p single-key ordering
+            win = [(hashes[p], p) for p in range(j, min(j + W, m + 1))]
+            want.add(min(win)[1])
+        assert got_sel[d] == want, (
+            d, sorted(got_sel[d] ^ want)[:10]
+        )
+
+    # --- linear volume + wall time -------------------------------------
+    n_small = _window_keys(base(small), "doc_id", LN, True, W).count()
+    n_big = _window_keys(base(big), "doc_id", LN, True, W).count()
+    ratio = n_big / n_small
+    assert 1.8 < ratio < 2.2, (n_small, n_big)
+    # selection density stays in the winnowing band (~2/(w+1)=0.18)
+    # despite the mega-dup — content-defined sampling must not
+    # densify on repeats
+    positions_small = sum(
+        len(h) for h in by_doc.values()
+    ) / 3 * 150  # approx: sampled docs are representative
+    assert n_small < 0.4 * positions_small
+
+    t0 = time.monotonic()
+    repeated_substring_spans(small, min_len=LN, winnow=W).count()
+    t_small = time.monotonic() - t0
+    t0 = time.monotonic()
+    out_big = repeated_substring_spans(big, min_len=LN, winnow=W)
+    rows_big = {r.doc_id: r for r in out_big.collect()}
+    t_big = time.monotonic() - t0
+    assert t_big < 4 * max(t_small, 0.5), (t_small, t_big)
+
+    # --- mega-dup detected in every copy -------------------------------
+    # every even doc embeds the block; all but the corpus-wide first
+    # occurrence must report a dup span covering ~the block length
+    # (boundaries within w-1 chars per the winnowing tolerance)
+    for d in range(2, 300, 2):
+        r = rows_big.get(d)
+        assert r is not None, d
+        assert r.dup_chars >= 2500 - (LN + W - 2), (d, r)
+    # odd (unique) docs: no mega-span — tolerate only incidental
+    # short-gram collisions
+    for d in range(1, 300, 2):
+        r = rows_big.get(d)
+        assert r is None or r.dup_chars < 200, (d, r)

@@ -1982,3 +1982,147 @@ def test_stream_merge_base_is_mainline_not_staged_branch(
     assert _rows(S.snapshot_read(spark, root, ref="audit")) == {
         (99, 99.0)
     }
+
+
+def test_offset_suffixed_string_bounds_canonicalize(spark, root):
+    """ADVICE r12 (medium): offset-suffixed ISO string bounds
+    ('...+05:00', '...Z') passed the _TS_STAT_RE/_ISO_T_RE prefix
+    matches and compared VERBATIM against stored UTC-naive renderings
+    — the suffix sorts after digits and a non-UTC offset is hours
+    wrong, so a lo bound could exceed a file's true max and silently
+    prune matching rows. String bounds now parse via fromisoformat and
+    canonicalize aware -> UTC-naive like datetime bounds do."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 4_000)
+        .select(
+            F.col("id").alias("k"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+                + F.make_interval(hours=F.col("id") % 96)
+            ).alias("ts"),
+        )
+        .repartitionByRange(8, "ts")
+    )
+    S.snapshot_write_with_stats(df, root, stats_cols=["ts"])
+    naive = (dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2, 6))
+    expect = sorted(
+        S.snapshot_scan_pruned(spark, root, "ts", *naive).inputFiles()
+    )
+    assert 0 < len(expect) < 8
+    # same instants spelled three aware ways: UTC suffix, Z, +05:00
+    for lo, hi in [
+        ("2024-01-02 00:00:00+00:00", "2024-01-02 06:00:00+00:00"),
+        ("2024-01-02T00:00:00Z", "2024-01-02T06:00:00Z"),
+        ("2024-01-02 05:00:00+05:00", "2024-01-02 11:00:00+05:00"),
+    ]:
+        got = sorted(
+            S.snapshot_scan_pruned(spark, root, "ts", lo, hi).inputFiles()
+        )
+        assert got == expect, (lo, hi)
+    # trailing garbage after a valid prefix must reject loudly, not
+    # compare verbatim
+    with pytest.raises(TypeError, match="unparseable timestamp"):
+        S.snapshot_scan_pruned(
+            spark, root, "ts",
+            "2024-01-02 00:00:00junk", "2024-01-02 06:00:00junk",
+        )
+
+
+def test_legacy_aware_stored_stats_not_mispruned(spark, root):
+    """ADVICE r12 (low): manifests written BEFORE the aware->UTC-naive
+    write-side canonicalization store timestamp stats with a '+00:00'
+    suffix; an inclusive boundary match (stored min '...06:00:00+00:00'
+    vs hi bound '...06:00:00', same instant) was wrongly pruned.
+    Stored timestamp-form values are now canonicalized at compare
+    time. Simulated by rewriting a fresh manifest to the legacy
+    rendering (aware suffix + no stats_forms tag)."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 4_000)
+        .select(
+            F.col("id").alias("k"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+                + F.make_interval(hours=F.col("id") % 96)
+            ).alias("ts"),
+        )
+        .repartitionByRange(8, "ts")
+    )
+    m = S.snapshot_write_with_stats(df, root, stats_cols=["ts"])
+    naive = (dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2, 6))
+    expect = sorted(
+        S.snapshot_scan_pruned(spark, root, "ts", *naive).inputFiles()
+    )
+    assert 0 < len(expect) < 8
+    # rewrite the manifest to the pre-r12 legacy form
+    path = S._manifest_file(root, m["version"])
+    with open(path) as fh:
+        manifest = json.load(fh)
+    manifest.pop("stats_forms", None)
+    for f in manifest["files"]:
+        if "ts" in f["stats"]:
+            f["stats"]["ts"] = [v + "+00:00" for v in f["stats"]["ts"]]
+    with open(path, "w") as fh:
+        json.dump(manifest, fh)
+    got = sorted(
+        S.snapshot_scan_pruned(spark, root, "ts", *naive).inputFiles()
+    )
+    assert got == expect
+
+
+def test_manifest_publish_falls_back_without_hard_links(
+    spark, root, monkeypatch
+):
+    """ADVICE r12 (low): the atomic os.link publish made every commit
+    depend on hard-link support; on filesystems without it (FUSE/CIFS/
+    object gateways) EPERM/ENOTSUP made the table unwritable. Non-
+    FileExistsError OSErrors now fall back to an O_EXCL claim +
+    rename, preserving one-winner-per-version."""
+    import os as _os
+
+    real_link = _os.link
+
+    def no_link(src, dst, *a, **kw):
+        raise PermissionError("hard links not supported here")
+
+    monkeypatch.setattr(_os, "link", no_link)
+    v1 = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    m1 = S.snapshot_write(v1, root)
+    assert m1["version"] == 1
+    v2 = spark.createDataFrame([(2, 20.0)], "k long, v double")
+    m2 = S.snapshot_write(v2, root)
+    assert m2["version"] == 2
+    assert _rows(S.snapshot_read(spark, root)) == {(2, 20.0)}
+    assert _rows(S.snapshot_read(spark, root, version=1)) == {(1, 10.0)}
+    # manifest on disk is complete, parseable JSON (not the 0-byte
+    # claim file)
+    import json
+
+    with open(S._manifest_file(root, 2)) as fh:
+        assert json.load(fh)["version"] == 2
+    # one winner per version number: while an in-flight 0-byte claim
+    # sits at v3, another committer computes v3 too (last READABLE+1)
+    # and gets SnapshotConflict from the O_EXCL claim — it must NOT
+    # skip to v4 over the in-flight commit (lost update)
+    target = S._manifest_file(root, 3)
+    _os.close(_os.open(target, _os.O_WRONLY | _os.O_CREAT | _os.O_EXCL))
+    v3 = spark.createDataFrame([(3, 30.0)], "k long, v double")
+    with pytest.raises(S.SnapshotConflict):
+        S.snapshot_write(v3, root)
+    # readers inside the claim window walk back to the last readable
+    # version instead of crashing on the 0-byte file
+    assert _rows(S.snapshot_read(spark, root)) == {(2, 20.0)}
+    assert [m["version"] for m in S.snapshot_versions(root)] == [1, 2]
+    monkeypatch.setattr(_os, "link", real_link)
+    # once the orphan claim is cleared, writes proceed at v3
+    _os.unlink(target)
+    m3 = S.snapshot_write(v3, root)
+    assert m3["version"] == 3

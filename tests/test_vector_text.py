@@ -2132,3 +2132,81 @@ def test_lsh_band_buckets_wide_emits_remainder_band(spark):
     w = {(r.band_id) for r in wide.collect()}
     l = {(r.band_id) for r in long_form.collect()}
     assert w == l and len(w) == (K + rpb - 1) // rpb
+
+
+def test_bpe_invalidated_pair_rewins_at_recounted_rank(spark):
+    """VERDICT r12 #5: the merge-batch INVALIDATION edge cases, pinned
+    as goldens (BPE is the one rows-only operator with loop-carried
+    state and no cross-engine oracle — these pins are its correctness
+    record).
+
+    Corpus 'ab'x10 + 'cb'x9. Round-1 counts: (b,</w>):19 wins;
+    (a,b):10 and (c,b):9 share b and are SKIPPED — their counts are
+    stale the moment (b,</w>) fuses (after fusion the (a,b) adjacency
+    count is 0, not 10: [a,b,</w>] became [a,b</w>]). The skipped
+    pairs must come back at their RECOUNTED rank: round 2 accepts
+    (a,b</w>) and skips (c,b</w>) (shared b</w>), round 3 accepts
+    (c,b</w>). Three invariants:
+
+    - batched k=3 equals the exact k=1 sequence (the skips force
+      extra rounds instead of stale merges);
+    - the stale (a,b) NEVER appears in the model (a naive batch would
+      emit it at rank 2 with a count that stopped being true);
+    - the learned model is insensitive to k across 1/2/3.
+    """
+    from dex_data_ingestor_spark.operators.bpe import (
+        EOW,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    rows = [("ab",)] * 10 + [("cb",)] * 9
+    wf = word_frequencies(spark.createDataFrame(rows, "text string"))
+    golden = [("b", EOW), ("a", "b" + EOW), ("c", "b" + EOW)]
+    seq = learn_bpe_merges(wf, n_merges=3)
+    assert seq == golden
+    for k in (2, 3):
+        assert learn_bpe_merges(wf, n_merges=3, merge_batch=k) == golden
+    assert ("a", "b") not in seq
+
+
+def test_bpe_batched_divergence_from_sequential_is_the_documented_one(
+    spark,
+):
+    """The docstring's caveat, pinned so it can never silently widen:
+    k>1 matches sequential EXCEPT when a recount would re-rank a pair
+    against the tie-break order. Corpus 'abcc'x10: round-1 counts tie
+    at 10 for (a,b),(b,c),(c,</w>),(c,c) — in THAT tie-break order
+    ('<' = 0x3C sorts before 'c', so (c,</w>) outranks (c,c)). Batch
+    k=3 sees (c,</w>) in its ranking and accepts the disjoint
+    {(a,b),(c,</w>)} in one round, while sequential recounts after
+    (a,b) and the tie-break (l asc: 'ab' < 'c') then prefers (ab,c) —
+    so the two models legitimately diverge AFTER the first merge.
+    (k=2's ranking is exhausted by the skipped (b,c), so it
+    degenerates to one merge per round and matches sequential — also
+    pinned.) Both full sequences are pinned; first merges agree."""
+    from dex_data_ingestor_spark.operators.bpe import (
+        EOW,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    rows = [("abcc",)] * 10
+    wf = word_frequencies(spark.createDataFrame(rows, "text string"))
+    seq = learn_bpe_merges(wf, n_merges=4)
+    assert seq == [
+        ("a", "b"), ("ab", "c"), ("abc", "c"), ("abcc", EOW)
+    ]
+    assert learn_bpe_merges(wf, n_merges=4, merge_batch=2) == seq
+    batched = learn_bpe_merges(wf, n_merges=4, merge_batch=3)
+    assert batched == [
+        ("a", "b"), ("c", EOW), ("ab", "c"), ("abc", "c" + EOW)
+    ]
+    # divergence is ORDER/GROUPING only: both models encode the
+    # training word to the same single token
+    from dex_data_ingestor_spark.operators.bpe import apply_bpe
+
+    doc = spark.createDataFrame([("abcc",)], "text string")
+    for m in (seq, batched):
+        toks = apply_bpe(doc, m).collect()[0].bpe_tokens
+        assert toks == ["abcc" + EOW]
