@@ -2126,3 +2126,109 @@ def test_manifest_publish_falls_back_without_hard_links(
     _os.unlink(target)
     m3 = S.snapshot_write(v3, root)
     assert m3["version"] == 3
+
+
+@pytest.mark.parametrize("link_works", [True, False])
+def test_concurrent_committers_race_one_winner_per_version(
+    spark, root, monkeypatch, tmp_path, link_works
+):
+    """Multithreaded commit race over BOTH publish paths (os.link and
+    the link-less O_EXCL-claim fallback — ADVICE r12): 8 threads x 5
+    commit attempts each against one table, retrying version conflicts
+    from a fresh read. Invariants:
+
+    - every version number 1..N is claimed by exactly ONE winner (no
+      duplicate, no gap once the dust settles);
+    - a concurrent READER polling latest during the storm never
+      crashes and only ever sees monotonically non-decreasing
+      versions (the atomic-visibility contract, degraded to
+      walk-past-claims on the fallback path);
+    - the final log parses completely (no partial manifest survives).
+    """
+    import json
+    import os as _os
+    import threading
+
+    if not link_works:
+        def no_link(src, dst, *a, **kw):
+            raise PermissionError("no hard links on this fs")
+
+        monkeypatch.setattr(_os, "link", no_link)
+
+    # pre-write one data dir per thread (spark is not thread-safe to
+    # hammer here and the race under test is the LOG, not the data)
+    dirs = []
+    for i in range(8):
+        d = str(tmp_path / f"data{i}")
+        spark.createDataFrame(
+            [(i, float(i))], "k long, v double"
+        ).write.parquet(d)
+        dirs.append(d)
+    S.snapshot_write(
+        spark.createDataFrame([(0, 0.0)], "k long, v double"), root
+    )
+
+    stop = threading.Event()
+    seen_versions: list[int] = []
+    reader_errs: list[BaseException] = []
+
+    def reader():
+        last = 0
+        while not stop.is_set():
+            try:
+                m = S._resolve(root)
+            except BaseException as e:  # noqa: BLE001
+                reader_errs.append(e)
+                return
+            v = m["version"]
+            if v < last:
+                reader_errs.append(
+                    AssertionError(f"version went backwards {last}->{v}")
+                )
+                return
+            last = v
+            seen_versions.append(v)
+
+    committed: list[int] = []
+    lock = threading.Lock()
+    errs: list[BaseException] = []
+
+    def committer(i: int):
+        done = 0
+        while done < 5:
+            try:
+                m = S.snapshot_commit_existing(
+                    root, dirs[i], op=f"race{i}"
+                )
+                with lock:
+                    committed.append(m["version"])
+                done += 1
+            except S.SnapshotConflict:
+                continue  # lost the claim: retry from a fresh read
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+                return
+
+    rt = threading.Thread(target=reader)
+    rt.start()
+    threads = [
+        threading.Thread(target=committer, args=(i,)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    rt.join()
+
+    assert not errs, errs[:3]
+    assert not reader_errs, reader_errs[:3]
+    # exactly one winner per number, contiguous through 41 (1 seed +
+    # 8 threads x 5)
+    assert sorted(committed) == list(range(2, 42)), sorted(committed)
+    names = S._manifest_names(root)
+    assert names == [f"{v:08d}.json" for v in range(1, 42)]
+    for n in names:
+        with open(os.path.join(S._log_path(root), n)) as fh:
+            json.load(fh)  # every surviving manifest is complete
+    assert seen_versions, "reader never observed a version"
