@@ -1067,30 +1067,56 @@ def _query_bound(v, *, lo: bool, sample, form: str | None = None):
 
 
 def _one_file_stats(path: str, cols: Sequence[str]) -> dict:
-    """min/max for ``cols`` from ONE parquet file's FOOTER (no data
-    pages are read). Pure function of the path — runs executor-side."""
+    """min/max + null counts for ``cols`` from ONE parquet file's
+    FOOTER (no data pages are read). Pure function of the path — runs
+    executor-side.
+
+    Null counts are collected INDEPENDENTLY of min/max: an all-null
+    column has no min/max (parquet stats exclude nulls) but a
+    perfectly known null count — exactly the file a null-aware scan
+    most wants to skip. A column listed in ``cols`` but absent from
+    the file's physical schema (schema evolution: written before the
+    column existed) reads back as all-NULL, so it records
+    ``nulls[c] == rows`` — accurate, and lets IS NOT NULL scans skip
+    the file. A column whose footer lacks null counts is simply
+    omitted from ``nulls`` (conservatively unknown)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
     stats: dict[str, list] = {}
+    nulls: dict[str, int] = {}
     for c in cols:
         if c not in idx:
+            nulls[c] = md.num_rows  # physically absent: reads as NULL
             continue
         los, his = [], []
+        nc, nc_known = 0, True
         for rg in range(md.num_row_groups):
             s = md.row_group(rg).column(idx[c]).statistics
+            n = getattr(s, "null_count", None) if s is not None else None
+            if n is None:
+                nc_known = False
+            else:
+                nc += n
             if s is None or not s.has_min_max:
-                los = []  # unknown -> no stats for this col
-                break
+                los = [None]  # unknown -> no min/max for this col
+                continue
             los.append(s.min)
             his.append(s.max)
-        if los:
+        if nc_known:
+            nulls[c] = nc
+        if los and None not in los:
             b_lo = _stat_bound(min(los), lo=True)
             b_hi = _stat_bound(max(his), lo=False)
             if b_lo is not None and b_hi is not None:
                 stats[c] = [b_lo, b_hi]
-    return {"file": os.path.basename(path), "stats": stats}
+    return {
+        "file": os.path.basename(path),
+        "stats": stats,
+        "nulls": nulls,
+        "rows": md.num_rows,
+    }
 
 
 def _file_stats(spark: SparkSession, data_dir: str, cols: Sequence[str]
@@ -1202,11 +1228,13 @@ def snapshot_write_with_stats(
     branch: str | None = None,
     expected_base: int | None = None,
 ) -> dict:
-    """:func:`snapshot_write` + per-file min/max stats for
-    ``stats_cols`` recorded in the manifest (read from parquet footers
-    after the write). Cluster the data on the stats columns first
-    (``df.repartitionByRange(*stats_cols)``) or the per-file ranges all
-    overlap and skipping prunes nothing.
+    """:func:`snapshot_write` + per-file min/max AND null-count stats
+    for ``stats_cols`` recorded in the manifest (read from parquet
+    footers after the write). Cluster the data on the stats columns
+    first (``df.repartitionByRange(*stats_cols)``) or the per-file
+    ranges all overlap and skipping prunes nothing. Null counts feed
+    :func:`snapshot_scan_null_pruned` (IS [NOT] NULL skipping) and
+    let range scans skip ALL-NULL files, which have no min/max.
 
     ``bloom_cols`` additionally records a per-file Bloom bitmap per
     listed column — the Delta bloom-filter-index idea: min/max stats
@@ -1350,7 +1378,10 @@ def snapshot_scan_pruned(
     """Read only the files whose recorded [min, max] for ``col``
     overlaps [lo, hi] — manifest-level data skipping, the same idea
     partition pruning and Delta/Iceberg file skipping implement. Files
-    without recorded stats for ``col`` are conservatively INCLUDED.
+    without recorded stats for ``col`` are conservatively INCLUDED —
+    except files whose recorded null count equals their row count
+    (provably all-NULL for the column, incl. files written before the
+    column existed): those hold no value in ANY range and are skipped.
     Returns the DataFrame (caller still applies the exact predicate —
     skipping is a superset guarantee, not a filter).
 
@@ -1367,13 +1398,15 @@ def snapshot_scan_pruned(
     FORM MISMATCHES (a datetime against DATE-form stats, a date
     against timestamp-form stats) raise TypeError instead of silently
     pruning wrong files. Plain string columns compare verbatim."""
-    m = _resolve(root, version=version)
-    files = m.get("files")
-    if not files:
-        raise ValueError(
-            f"version {m['version']} has no file stats (written via "
-            "snapshot_write_with_stats?)"
-        )
+    return snapshot_scan_pruned_multi(
+        spark, root, {col: (lo, hi)}, version=version
+    )
+
+
+def _col_overlap_pred(m: dict, files: list, col: str, lo, hi):
+    """Per-file survival predicate for ONE column's [lo, hi] bound —
+    the normalization/comparison core shared by the single- and
+    multi-column pruned scans."""
     sample = next(
         (f["stats"][col][0] for f in files if f["stats"].get(col)), None
     )
@@ -1391,14 +1424,105 @@ def snapshot_scan_pruned(
         _infer_form(sample) if sample is not None else None
     )
     canon = _stored_ts if eff == "timestamp" else (lambda s: s)
-    keep = []
-    for f in files:
+
+    def keep(f: dict) -> bool:
         rng = f["stats"].get(col)
-        if rng is None or not (hi < canon(rng[0]) or lo > canon(rng[1])):
-            keep.append(os.path.join(m["data_dir"], f["file"]))
+        if rng is None:
+            # no min/max recorded — usually conservatively kept, with
+            # ONE knowable exception: a file whose recorded null count
+            # equals its row count is all-NULL for the column (parquet
+            # min/max exclude nulls, so all-null files never get
+            # range stats) and cannot contain a value in ANY [lo, hi]
+            nc, rows = f.get("nulls", {}).get(col), f.get("rows")
+            return not (
+                nc is not None and rows is not None and nc >= rows > 0
+            )
+        return not (hi < canon(rng[0]) or lo > canon(rng[1]))
+
+    return keep
+
+
+def snapshot_scan_pruned_multi(
+    spark: SparkSession,
+    root: str,
+    bounds: dict,
+    version: int | None = None,
+):
+    """Conjunctive multi-column data skipping: read only the files
+    whose recorded stats overlap EVERY column's [lo, hi] in
+    ``bounds`` (``{col: (lo, hi), ...}``) — the scan shape a Z-ordered
+    layout exists for (:func:`zorder_key`: each file covers a small
+    HYPERCUBE of the joint key space, so conjunctive bounds multiply
+    their selectivities instead of pruning on one dimension and
+    reading the rest). Bound normalization and the null/legacy
+    handling follow :func:`snapshot_scan_pruned` per column; files
+    without stats for a column pass that column's test conservatively.
+    Skipping remains a superset guarantee."""
+    m = _resolve(root, version=version)
+    files = m.get("files")
+    if not files:
+        raise ValueError(
+            f"version {m['version']} has no file stats (written via "
+            "snapshot_write_with_stats?)"
+        )
+    if not bounds:
+        raise ValueError("bounds must name at least one column")
+    preds = [
+        _col_overlap_pred(m, files, col, lo, hi)
+        for col, (lo, hi) in bounds.items()
+    ]
+    keep = [
+        os.path.join(m["data_dir"], f["file"])
+        for f in files
+        if all(p(f) for p in preds)
+    ]
     if not keep:
         # empty selection: preserve schema by reading the dir and
         # filtering everything out
+        return spark.read.parquet(m["data_dir"]).limit(0)
+    return spark.read.parquet(*keep)
+
+
+def snapshot_scan_null_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    non_null: bool = True,
+    version: int | None = None,
+):
+    """Read only the files that can satisfy a null predicate on
+    ``col`` — the null-count dimension of manifest data skipping
+    (Delta/Iceberg record the same per-file ``nullCount``):
+
+    - ``non_null=True`` (an ``IS NOT NULL`` consumer): skip files
+      whose recorded null count equals their row count — all-NULL
+      files, including files written BEFORE the column existed
+      (schema evolution reads them as NULL, and the stats writer
+      records them as such);
+    - ``non_null=False`` (an ``IS NULL`` consumer): skip files whose
+      recorded null count is zero.
+
+    Files without recorded null counts (legacy manifests, or footers
+    lacking the optional parquet null_count) are conservatively KEPT.
+    Skipping remains a superset guarantee — the caller still applies
+    the exact predicate."""
+    m = _resolve(root, version=version)
+    files = m.get("files")
+    if not files:
+        raise ValueError(
+            f"version {m['version']} has no file stats (written via "
+            "snapshot_write_with_stats?)"
+        )
+    keep = []
+    for f in files:
+        nc, rows = f.get("nulls", {}).get(col), f.get("rows")
+        if nc is not None and rows is not None:
+            if non_null and nc >= rows > 0:
+                continue
+            if not non_null and nc == 0 and rows > 0:
+                continue
+        keep.append(os.path.join(m["data_dir"], f["file"]))
+    if not keep:
         return spark.read.parquet(m["data_dir"]).limit(0)
     return spark.read.parquet(*keep)
 

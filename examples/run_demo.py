@@ -138,6 +138,15 @@ def main() -> None:
     S.snapshot_rollback(tbl, to_version=1)
     print("   after rollback latest == v1:",
           S.snapshot_read(spark, tbl).count())
+    from dex_data_ingestor_spark.sources import SnapshotCdfDataSource
+
+    spark.dataSource.register(SnapshotCdfDataSource)
+    feed = spark.read.format("snapshot_cdf").load(tbl)
+    print("   change feed by (version, type):", sorted(
+        tuple(r) for r in feed.groupBy(
+            "_commit_version", "_change_type"
+        ).count().collect()
+    ))
 
     print("== 7. span-level dedup, chunking, token budget, SCD2")
     from dex_data_ingestor_spark.operators.corpus import (

@@ -647,13 +647,34 @@ def test_timestamp_bounds_aware_and_secondless_forms(spark, root):
 
 
 def test_scan_pruned_includes_files_without_stats(spark, root):
+    """Files with NO information for the scan column: r13 splits this
+    into two cases. A column absent from every file is PROVABLY
+    all-NULL there (recorded as nulls == rows), so a range scan can
+    skip those files — zero rows lost, the column holds no value in
+    any range. A manifest with no null info at all (legacy) stays
+    conservatively kept."""
+    import json
+
     from pyspark.sql import functions as F
 
     df = spark.range(0, 100).select(F.col("id").alias("k"))
     m = S.snapshot_write_with_stats(df, root, stats_cols=["missing_col"])
-    # no stats recorded for the column -> every file conservatively kept
     pruned = S.snapshot_scan_pruned(spark, root, "missing_col", 0, 1)
-    assert pruned.count() == 100
+    assert len(pruned.inputFiles()) == 0 and pruned.count() == 0
+    # schema is preserved by the empty-selection fallback
+    assert pruned.columns == ["k"]
+    # legacy manifest (no null counts recorded): conservatively kept
+    path = S._manifest_file(root, m["version"])
+    with open(path) as fh:
+        manifest = json.load(fh)
+    for f in manifest["files"]:
+        f.pop("nulls", None)
+        f.pop("rows", None)
+    with open(path, "w") as fh:
+        json.dump(manifest, fh)
+    assert S.snapshot_scan_pruned(
+        spark, root, "missing_col", 0, 1
+    ).count() == 100
 
 
 def test_streaming_snapshot_sink_batchid_idempotent(
@@ -2232,3 +2253,186 @@ def test_concurrent_committers_race_one_winner_per_version(
         with open(os.path.join(S._log_path(root), n)) as fh:
             json.load(fh)  # every surviving manifest is complete
     assert seen_versions, "reader never observed a version"
+
+
+def test_null_count_stats_prune_all_null_and_no_null_files(spark, root):
+    """Null-count data skipping (the Delta/Iceberg nullCount
+    dimension): per-file null counts recorded at write time let
+    (a) IS NOT NULL scans skip ALL-NULL files, (b) IS NULL scans skip
+    no-null files, and (c) RANGE scans skip all-null files — which
+    min/max alone can never do, because parquet stats exclude nulls
+    and an all-null file simply has no range stats (it was
+    conservatively read before this)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 4_000)
+        .select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 2_000, F.col("id"))
+            .otherwise(F.lit(None))
+            .alias("v"),
+        )
+        .repartitionByRange(8, "k")
+    )
+    m = S.snapshot_write_with_stats(df, root, stats_cols=["k", "v"])
+    n_files = len(m["files"])
+    assert n_files == 8
+
+    nn = S.snapshot_scan_null_pruned(spark, root, "v", non_null=True)
+    assert len(nn.inputFiles()) < n_files
+    assert nn.filter(F.col("v").isNotNull()).count() == 2_000
+    # superset guarantee: nothing non-null lives outside the kept set
+    assert (
+        S.snapshot_read(spark, root).filter(F.col("v").isNotNull()).count()
+        == 2_000
+    )
+
+    isnull = S.snapshot_scan_null_pruned(spark, root, "v", non_null=False)
+    assert len(isnull.inputFiles()) < n_files
+    assert isnull.filter(F.col("v").isNull()).count() == 2_000
+
+    # range scan on v skips the all-null files too (they cannot hold
+    # any value in the range)
+    rng = S.snapshot_scan_pruned(spark, root, "v", 0, 3_999)
+    assert len(rng.inputFiles()) < n_files
+    assert rng.filter(F.col("v").between(0, 3_999)).count() == 2_000
+
+    # legacy manifest (no nulls/rows recorded): conservative — every
+    # file is kept on all three paths
+    import json
+
+    path = S._manifest_file(root, m["version"])
+    with open(path) as fh:
+        manifest = json.load(fh)
+    for f in manifest["files"]:
+        f.pop("nulls", None)
+        f.pop("rows", None)
+    with open(path, "w") as fh:
+        json.dump(manifest, fh)
+    assert len(
+        S.snapshot_scan_null_pruned(spark, root, "v").inputFiles()
+    ) == n_files
+    assert len(
+        S.snapshot_scan_null_pruned(
+            spark, root, "v", non_null=False
+        ).inputFiles()
+    ) == n_files
+
+
+def test_file_stats_absent_column_records_all_null(spark, tmp_path):
+    """Schema evolution: a file written BEFORE a column existed reads
+    back as all-NULL for it, and the stats writer must record exactly
+    that (nulls[c] == rows) so IS NOT NULL scans can skip the file —
+    absent-column and all-null are physically the same read."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "old")
+    spark.range(0, 100).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.parquet(d)
+    import os as _os
+
+    fname = next(
+        n for n in _os.listdir(d) if n.endswith(".parquet")
+    )
+    st = S._one_file_stats(_os.path.join(d, fname), ["k", "later_col"])
+    assert st["rows"] == 100
+    assert st["nulls"]["later_col"] == 100
+    assert st["nulls"]["k"] == 0
+    assert "later_col" not in st["stats"]
+    assert st["stats"]["k"] == [0, 99]
+
+
+def test_multi_column_pruning_multiplies_zorder_selectivity(spark, root):
+    """The conjunctive scan the Z-order layout exists for: on a 64x64
+    grid z-ordered into 16 files, a BOX filter (a in [0,7] AND b in
+    [0,7]) through snapshot_scan_pruned_multi keeps strictly fewer
+    files than either single-column prune (the hypercube property:
+    conjunctive bounds multiply selectivities), returns exactly the
+    box's rows, and the single-column scan is now literally the
+    multi scan with one bound (shared predicate core)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    ).repartition(8)
+    S.snapshot_write_with_stats(df, root, stats_cols=["a", "b"])
+    S.snapshot_compact(
+        spark, root, target_files=16, zorder_by=["a", "b"], zorder_bits=6
+    )
+    one_a = len(S.snapshot_scan_pruned(spark, root, "a", 0, 7).inputFiles())
+    one_b = len(S.snapshot_scan_pruned(spark, root, "b", 0, 7).inputFiles())
+    box = S.snapshot_scan_pruned_multi(
+        spark, root, {"a": (0, 7), "b": (0, 7)}
+    )
+    n_box = len(box.inputFiles())
+    assert n_box < min(one_a, one_b), (n_box, one_a, one_b)
+    got = _rows(
+        box.filter(F.col("a").between(0, 7) & F.col("b").between(0, 7))
+    )
+    assert len(got) == 64
+    want = _rows(
+        S.snapshot_read(spark, root).filter(
+            F.col("a").between(0, 7) & F.col("b").between(0, 7)
+        )
+    )
+    assert sorted(got) == sorted(want)
+    with pytest.raises(ValueError, match="at least one column"):
+        S.snapshot_scan_pruned_multi(spark, root, {})
+
+
+def test_timestamp_bound_canonicalization_property():
+    """Property pin for the r13 bound canonicalization: for ANY
+    instant and ANY offset spelling — naive, UTC-aware, arbitrary
+    fixed offset; 'T' or space separator; with/without microseconds —
+    the normalized query bound equals _stat_bound of the UTC-naive
+    datetime, so every spelling of one instant compares identically
+    against stored stats. And _stored_ts maps any legacy aware
+    rendering of a stored stat to the same canonical form (idempotent
+    on already-canonical values)."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    base = st.datetimes(
+        min_value=dt.datetime(1971, 1, 1),
+        max_value=dt.datetime(2199, 12, 31),
+    )
+    offsets = st.integers(min_value=-14 * 60, max_value=14 * 60)
+    micros = st.booleans()
+
+    @settings(max_examples=300, deadline=None)
+    @given(base, offsets, micros, st.booleans(), st.booleans())
+    def check(naive_utc, off_min, keep_us, use_t, lo):
+        if not keep_us:
+            naive_utc = naive_utc.replace(microsecond=0)
+        want = S._stat_bound(naive_utc, lo=lo)
+        tz = dt.timezone(dt.timedelta(minutes=off_min))
+        aware = naive_utc.replace(tzinfo=dt.timezone.utc).astimezone(tz)
+        spellings = [
+            naive_utc.isoformat(sep="T" if use_t else " "),
+            aware.isoformat(sep="T" if use_t else " "),
+        ]
+        if off_min == 0:
+            spellings.append(
+                naive_utc.isoformat(sep="T" if use_t else " ") + "+00:00"
+            )
+        sample = "2000-01-01 00:00:00"  # timestamp-form stored stat
+        for s in spellings:
+            got = S._query_bound(s, lo=lo, sample=sample, form="timestamp")
+            assert got == want, (s, got, want)
+        # datetime bounds (naive and aware) land on the same rendering
+        assert S._query_bound(
+            naive_utc, lo=lo, sample=sample, form="timestamp"
+        ) == want
+        assert S._query_bound(
+            aware, lo=lo, sample=sample, form="timestamp"
+        ) == want
+        # stored-side legacy canonicalization agrees and is idempotent
+        assert S._stored_ts(aware.isoformat(sep=" ")) == want
+        assert S._stored_ts(want) == want
+
+    check()
