@@ -57,6 +57,11 @@ from pyspark.sql import (
 
 LOG_DIR = "_log"
 DATA_DIR = "data"
+#: deletion-vector sidecars (merge-on-read DELETE): parquet dirs of
+#: (file, pos) rows under root/_dv/<uuid>, referenced by manifests'
+#: ``dv_dirs`` list. Deliberately OUTSIDE DATA_DIR so the vacuum
+#: orphan scan for data dirs never touches them.
+DV_DIR = "_dv"
 REFS_DIR = "_refs"
 
 #: Writer-transaction watermarks (the streaming sink's replay guard)
@@ -559,6 +564,43 @@ def snapshot_commit_existing(
     return _commit(root, data_dir, op, extra)
 
 
+def _read_data(
+    spark: SparkSession, m: dict, files: Sequence[str] | None = None
+) -> DataFrame:
+    """The ONE way to read a manifest's live rows: the parquet scan
+    (whole data dir, or an explicit pruned file subset) minus the
+    version's deletion vectors, when it has any. Every consumer of a
+    version's content — snapshot_read, the DML bases, compact, the
+    pruned scans, the streaming merge sink — must come through here,
+    or merge-on-read deletes silently resurrect (the classic DV
+    integration bug in real lakehouse formats).
+
+    DV application is a LEFT ANTI join on (_metadata.file_name,
+    _metadata.row_index) against the exploded (file, pos) sidecar —
+    the DV side is |deleted| rows, so AQE broadcasts it in practice;
+    versions without DVs pay nothing (plain scan, zero extra plan
+    nodes)."""
+    src = spark.read.parquet(*(files or [m["data_dir"]]))
+    dirs = m.get("dv_dirs") or []
+    if not dirs:
+        return src
+    dv = spark.read.parquet(*dirs).select(
+        F.col("file").alias("__dv_file"),
+        F.col("pos").alias("__dv_pos"),
+    )
+    tagged = src.select(
+        "*",
+        F.col("_metadata.file_name").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    return tagged.join(
+        dv,
+        (tagged["__file"] == dv["__dv_file"])
+        & (tagged["__pos"] == dv["__dv_pos"]),
+        "left_anti",
+    ).drop("__file", "__pos")
+
+
 def snapshot_read(
     spark: SparkSession,
     root: str,
@@ -570,10 +612,9 @@ def snapshot_read(
     ``version``, or the latest mainline commit at-or-before ``as_of``
     (UTC), or a named ``ref`` (tag = its pinned version; branch = the
     branch head). Staged branch commits are invisible to every
-    non-ref read until published."""
-    return spark.read.parquet(
-        _resolve(root, version, as_of, ref)["data_dir"]
-    )
+    non-ref read until published. Merge-on-read deletion vectors
+    (``snapshot_delete(mode='mor')``) are applied transparently."""
+    return _read_data(spark, _resolve(root, version, as_of, ref))
 
 
 def snapshot_merge(
@@ -608,7 +649,7 @@ def snapshot_merge(
     from dex_data_ingestor_spark.operators.merge import merge_upsert
 
     base = _resolve(root)
-    current = spark.read.parquet(base["data_dir"])
+    current = _read_data(spark, base)  # DV-aware base
     # case-INSENSITIVE name comparison: Spark resolves columns
     # case-insensitively by default, so treating a case-variant as
     # "new" would make withColumn silently REPLACE the existing
@@ -644,6 +685,7 @@ def snapshot_delete(
     spark: SparkSession,
     root: str,
     predicate: str,
+    mode: str = "copy",
 ) -> dict:
     """DELETE FROM the latest snapshot: commit a new version holding
     only the rows ``predicate`` does NOT prove true — the Delta
@@ -662,10 +704,84 @@ def snapshot_delete(
     count and the predicate are recorded in the manifest; persisted
     CHECK constraints carry forward and re-enforce (a row subset
     cannot newly violate them, but the invariant "recorded ==
-    enforced" stays uniform across every commit path)."""
+    enforced" stays uniform across every commit path).
+
+    ``mode='copy'`` (default) rewrites the surviving rows — O(table)
+    write, zero read overhead afterwards. ``mode='mor'`` is the
+    MERGE-ON-READ form (the Delta/Iceberg deletion-vector idea): the
+    data dir is NOT rewritten; the deleted rows' (file, row-position)
+    pairs land in a sidecar parquet dir under ``root/_dv/`` and every
+    reader subtracts them at scan time (:func:`_read_data`'s anti
+    join). O(|deleted|) commit cost — the right trade for small
+    deletes on big tables (GDPR erasure, late-arriving retractions);
+    consecutive MOR deletes accumulate sidecars, and the next
+    copy-on-write commit (write/MERGE/UPDATE/compact/copy-delete)
+    materializes them away. Constraints are NOT re-enforced on a MOR
+    delete — the surviving rows are a subset of rows that already
+    passed at their own commit."""
+    if mode not in ("copy", "mor"):
+        raise ValueError(f"unknown delete mode {mode!r}")
     base = _resolve(root)
-    current = spark.read.parquet(base["data_dir"])
+    current = _read_data(spark, base)
     cond = F.expr(predicate)
+    if mode == "mor":
+        # live rows matching the predicate, by (file, row position) —
+        # _read_data already subtracted earlier DVs, so re-deleting an
+        # already-deleted row can never double-record it
+        tagged = spark.read.parquet(base["data_dir"]).select(
+            "*",
+            F.col("_metadata.file_name").alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        prior_dv = base.get("dv_dirs") or []
+        if prior_dv:
+            dv0 = spark.read.parquet(*prior_dv).select(
+                F.col("file").alias("__dv_file"),
+                F.col("pos").alias("__dv_pos"),
+            )
+            tagged = tagged.join(
+                dv0,
+                (tagged["__file"] == dv0["__dv_file"])
+                & (tagged["__pos"] == dv0["__dv_pos"]),
+                "left_anti",
+            )
+        hits = tagged.filter(F.coalesce(cond, F.lit(False))).select(
+            F.col("__file").alias("file"),
+            F.col("__pos").cast("long").alias("pos"),
+        )
+        dv_dir = os.path.join(root, DV_DIR, uuid.uuid4().hex)
+        hits.write.mode("error").parquet(dv_dir)
+        import pyarrow.parquet as pq
+
+        n_deleted = sum(
+            pq.ParquetFile(os.path.join(dv_dir, n)).metadata.num_rows
+            for n in os.listdir(dv_dir)
+            if n.endswith(".parquet")
+        )
+        extra: dict = {
+            "predicate": predicate,
+            "n_deleted": n_deleted,
+            "dv_dirs": list(prior_dv)
+            + ([dv_dir] if n_deleted else []),
+        }
+        if not n_deleted:
+            import shutil
+
+            shutil.rmtree(dv_dir)  # nothing deleted: no sidecar
+        # same data dir, new version; carry every data-descriptive
+        # payload — footers unchanged, and min/max stats stay a
+        # SUPERSET of the live rows (pruning keeps its guarantee)
+        for k in ("files", "stats_cols", "stats_forms",
+                  "blooms", "bloom_cols", "bloom_types", "bloom_conf"):
+            if k in base:
+                extra[k] = base[k]
+        return _commit(
+            root,
+            base["data_dir"],
+            op="delete",
+            extra=extra,
+            expected_base=base["version"],
+        )
     remaining = current.filter(~F.coalesce(cond, F.lit(False)))
     # ONE pass over the LATEST version's immutable data dir for the
     # manifest metadata (deterministic lineage, so counting before the
@@ -705,7 +821,7 @@ def snapshot_update(
     manifest; persisted CHECK constraints re-enforce on the result,
     so an UPDATE that would break an invariant commits nothing."""
     base = _resolve(root)
-    current = spark.read.parquet(base["data_dir"])
+    current = _read_data(spark, base)  # DV-aware base
     existing_lc = {c.lower() for c in current.columns}
     unknown = [c for c in set_exprs if c.lower() not in existing_lc]
     if unknown:
@@ -816,7 +932,7 @@ def snapshot_rollback(root: str, to_version: int) -> dict:
     # after a rollback (review r12: the bloom keys were dropped, which
     # broke snapshot_scan_point on latest and made the next compact
     # silently drop the bloom index from the table for good)
-    for k in ("files", "stats_cols", "stats_forms",
+    for k in ("files", "stats_cols", "stats_forms", "dv_dirs",
               "blooms", "bloom_cols", "bloom_types", "bloom_conf"):
         if k in target:
             extra[k] = target[k]
@@ -1364,7 +1480,7 @@ def snapshot_scan_point(
             keep.append(os.path.join(m["data_dir"], fname))
     if not keep:
         return spark.read.parquet(m["data_dir"]).limit(0)
-    return spark.read.parquet(*keep)
+    return _read_data(spark, m, files=keep)
 
 
 def snapshot_scan_pruned(
@@ -1480,7 +1596,7 @@ def snapshot_scan_pruned_multi(
         # empty selection: preserve schema by reading the dir and
         # filtering everything out
         return spark.read.parquet(m["data_dir"]).limit(0)
-    return spark.read.parquet(*keep)
+    return _read_data(spark, m, files=keep)
 
 
 def snapshot_scan_null_pruned(
@@ -1524,7 +1640,7 @@ def snapshot_scan_null_pruned(
         keep.append(os.path.join(m["data_dir"], f["file"]))
     if not keep:
         return spark.read.parquet(m["data_dir"]).limit(0)
-    return spark.read.parquet(*keep)
+    return _read_data(spark, m, files=keep)
 
 
 # ---------------------------------------------------------------------------
@@ -1608,7 +1724,7 @@ def snapshot_compact(
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are exclusive")
     prior = _resolve(root)
-    current = spark.read.parquet(prior["data_dir"])
+    current = _read_data(spark, prior)  # DV-aware: compact materializes MOR deletes away
     stats_cols = list(prior.get("stats_cols") or [])
     if cluster_by:
         compacted = current.repartitionByRange(
@@ -1692,21 +1808,30 @@ def snapshot_vacuum(
     # the MAINLINE LATEST is always pinned: staged branch commits can
     # fill the keep_last tail of the shared log, and evicting the
     # version every default read resolves to would break the table
+    pinned_ms: list[dict] = []
     try:
-        ref_pinned.add(rp(_resolve(root)["data_dir"]))
+        latest_m = _resolve(root)
+        ref_pinned.add(rp(latest_m["data_dir"]))
+        pinned_ms.append(latest_m)
     except (FileNotFoundError, KeyError):
         pass
     for r in snapshot_refs(root):
         try:
-            ref_pinned.add(
-                rp(_resolve(root, version=r["version"])["data_dir"])
-            )
+            rm = _resolve(root, version=r["version"])
+            ref_pinned.add(rp(rm["data_dir"]))
+            pinned_ms.append(rm)
             if r["type"] == "branch":
-                ref_pinned.add(
-                    rp(_branch_head(root, r["name"], r)["data_dir"])
-                )
+                bm = _branch_head(root, r["name"], r)
+                ref_pinned.add(rp(bm["data_dir"]))
+                pinned_ms.append(bm)
         except (KeyError, FileNotFoundError):
             continue
+
+    def _dv_set(ms) -> set:
+        return {
+            rp(d) for m in ms for d in (m.get("dv_dirs") or [])
+        }
+
     if len(manifests) > keep_last:
         retained = {
             rp(m["data_dir"]) for m in manifests[-keep_last:]
@@ -1718,15 +1843,41 @@ def snapshot_vacuum(
             if os.path.isdir(d):
                 shutil.rmtree(d)
                 removed.append(d)
+        # deletion-vector sidecars are reference-counted exactly like
+        # data dirs: a dv dir survives while ANY retained or pinned
+        # manifest lists it (consecutive MOR deletes share prefixes
+        # of the sidecar list, so old dv dirs stay live until every
+        # retained version materialized past them)
+        dv_retained = _dv_set(manifests[-keep_last:]) | _dv_set(
+            pinned_ms
+        )
+        for d in sorted(_dv_set(manifests[:-keep_last]) - dv_retained):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed.append(d)
     if orphans_min_age_s is not None:
-        data_root = os.path.join(root, DATA_DIR)
         now = time.time()
+        data_root = os.path.join(root, DATA_DIR)
         if os.path.isdir(data_root):
             for name in sorted(os.listdir(data_root)):
                 d = os.path.join(data_root, name)
                 if (
                     os.path.isdir(d)
                     and os.path.realpath(d) not in referenced
+                    and now - os.path.getmtime(d) >= orphans_min_age_s
+                ):
+                    shutil.rmtree(d)
+                    removed.append(d)
+        # orphan DV dirs: written by a MOR delete that died (or lost
+        # its race) before commit — same age guard as data orphans
+        dv_root = os.path.join(root, DV_DIR)
+        dv_referenced = _dv_set(manifests)
+        if os.path.isdir(dv_root):
+            for name in sorted(os.listdir(dv_root)):
+                d = os.path.join(dv_root, name)
+                if (
+                    os.path.isdir(d)
+                    and os.path.realpath(d) not in dv_referenced
                     and now - os.path.getmtime(d) >= orphans_min_age_s
                 ):
                     shutil.rmtree(d)

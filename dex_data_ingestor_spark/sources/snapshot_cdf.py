@@ -85,6 +85,10 @@ class _CdfPartition(InputPartition):
 
     old_files: list = field(default_factory=list)
     new_files: list = field(default_factory=list)
+    #: deletion-vector sidecar files per side (merge-on-read deletes):
+    #: (file, pos) rows subtracted from that side before diffing
+    old_dv_files: list = field(default_factory=list)
+    new_dv_files: list = field(default_factory=list)
     commit_version: int = 0
     bucket: int = 0
     n_buckets: int = 1
@@ -105,9 +109,8 @@ def _bucket_expr(keys, n_buckets: int) -> str:
     return f"(hash({parts}) % {n_buckets})"
 
 
-def _file_list_sql(files: list[str]) -> str:
-    lst = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
-    return f"read_parquet([{lst}])"
+def _files_csv(files: list[str]) -> str:
+    return ", ".join("'" + f.replace("'", "''") + "'" for f in files)
 
 
 def _read_cdf_partition(p: _CdfPartition):
@@ -132,10 +135,41 @@ def _read_cdf_partition(p: _CdfPartition):
             pa.field("_commit_version", pa.int64()),
         ]
     )
-    bucket = f"{_bucket_expr(keys, p.n_buckets)} = {p.bucket}"
+    def live(files, dv_files, side_cols):
+        """A side's LIVE rows in THIS partition's bucket: the file
+        scan minus its deletion vectors (NOT EXISTS on basename +
+        in-file row number — the DuckDB twin of
+        snapshots._read_data's anti join). Bucketing hashes the key
+        columns the side HAS; a side missing every key column (an
+        evolved-in key: the join is then 'false', all rows
+        insert/delete) falls back to row-number bucketing — any
+        deterministic 1-of-n assignment gives coverage there."""
+        side_keys = [k for k in keys if k in side_cols]
+        bucket = (
+            f"{_bucket_expr(side_keys, p.n_buckets)} = {p.bucket}"
+            if side_keys
+            else f"(file_row_number % {p.n_buckets}) = {p.bucket}"
+        )
+        src = (
+            f"SELECT * FROM read_parquet([{_files_csv(files)}], "
+            f"filename=true, file_row_number=true)"
+        )
+        anti = (
+            f" AND NOT EXISTS ("
+            f"SELECT 1 FROM read_parquet([{_files_csv(dv_files)}]) dv "
+            f"WHERE dv.file = parse_filename(t.filename) "
+            f"AND dv.pos = t.file_row_number)"
+            if dv_files
+            else ""
+        )
+        return (
+            f"SELECT * EXCLUDE (filename, file_row_number) "
+            f"FROM ({src}) t WHERE {bucket}{anti}"
+        )
 
     if not p.old_files or not p.new_files:
         side_files = p.new_files or p.old_files
+        side_dv = p.new_dv_files if p.new_files else p.old_dv_files
         side_cols = p.new_cols if p.new_files else p.old_cols
         ctype = "insert" if p.new_files else "delete"
         sel = ", ".join(
@@ -145,7 +179,7 @@ def _read_cdf_partition(p: _CdfPartition):
         sql = f"""
         SELECT {sel}, '{ctype}' AS _change_type,
                {p.commit_version} AS _commit_version
-        FROM {_file_list_sql(side_files)} WHERE {bucket}
+        FROM ({live(side_files, side_dv, side_cols)})
         """
     else:
         # old side needs its keys + shared compare cols; a key column
@@ -174,11 +208,11 @@ def _read_cdf_partition(p: _CdfPartition):
         sql = f"""
         WITH oj AS (
           SELECT {', '.join(_q(c) for c in old_sel)}, 1 AS __o
-          FROM {_file_list_sql(p.old_files)} WHERE {bucket}
+          FROM ({live(p.old_files, p.old_dv_files, p.old_cols)})
         ),
         nj AS (
           SELECT {', '.join(_q(c) for c in p.new_cols)}, 1 AS __n
-          FROM {_file_list_sql(p.new_files)} WHERE {bucket}
+          FROM ({live(p.new_files, p.new_dv_files, p.new_cols)})
         )
         SELECT
           {', '.join(out_cols)},
@@ -289,11 +323,21 @@ class _CdfPlanner:
                 if new_files
                 else tuple(out_schema.names)
             )
+
+            def dv_files(mm) -> list:
+                return [
+                    f
+                    for d in (mm.get("dv_dirs") or [])
+                    for f in _parquet_files(d)
+                ]
+
             for b in range(self.n_buckets):
                 parts.append(
                     _CdfPartition(
                         old_files=old_files,
                         new_files=new_files,
+                        old_dv_files=dv_files(prev) if prev else [],
+                        new_dv_files=dv_files(m),
                         commit_version=v,
                         bucket=b,
                         n_buckets=self.n_buckets,

@@ -1028,7 +1028,7 @@ def foreach_batch_merge_snapshots(
             return  # replayed micro-batch of THIS writer: committed
         if latest is not None:
             merged = merge_upsert(
-                spark.read.parquet(latest["data_dir"]),
+                S._read_data(spark, latest),  # DV-aware base
                 batch_df,
                 keys,
                 update_cols,
@@ -1105,7 +1105,7 @@ def foreach_batch_refresh_agg(
             refreshed = grouped_sums(batch_df, group_cols, measures)
         else:
             refreshed = maintain_grouped_sums(
-                spark.read.parquet(latest["data_dir"]),
+                S._read_data(spark, latest),  # DV-aware base
                 batch_df.limit(0),
                 batch_df,
                 group_cols,
