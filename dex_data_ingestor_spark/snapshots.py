@@ -564,6 +564,19 @@ def snapshot_commit_existing(
     return _commit(root, data_dir, op, extra)
 
 
+def _all_dirs(m: dict) -> list[str]:
+    """A version's data directories: the primary ``data_dir`` plus
+    any merge-on-read APPEND dirs (``extra_dirs`` — see
+    :func:`snapshot_append`)."""
+    return [m["data_dir"], *(m.get("extra_dirs") or [])]
+
+
+def _entry_path(m: dict, f: dict) -> str:
+    """Absolute path of one manifest file-stats entry: appended files
+    carry their own ``dir``; original entries live in ``data_dir``."""
+    return os.path.join(f.get("dir", m["data_dir"]), f["file"])
+
+
 def _read_data(
     spark: SparkSession, m: dict, files: Sequence[str] | None = None
 ) -> DataFrame:
@@ -580,7 +593,7 @@ def _read_data(
     the DV side is |deleted| rows, so AQE broadcasts it in practice;
     versions without DVs pay nothing (plain scan, zero extra plan
     nodes)."""
-    src = spark.read.parquet(*(files or [m["data_dir"]]))
+    src = spark.read.parquet(*(files or _all_dirs(m)))
     dirs = m.get("dv_dirs") or []
     if not dirs:
         return src
@@ -681,6 +694,98 @@ def snapshot_merge(
     )
 
 
+def snapshot_append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+) -> dict:
+    """APPEND ``df``'s rows as a new version at O(|batch|) cost — the
+    merge-on-read INSERT twin of ``snapshot_delete(mode='mor')``, and
+    the op an hourly micro-batch ingest actually needs (the reference
+    daemon appends every hour; rewriting the whole table per batch is
+    the one cost shape that cannot survive table growth). Only the
+    batch is written (a fresh dir recorded in ``extra_dirs``); the
+    base version's dirs are reused untouched, so time travel, CDF,
+    and rollback keep their contracts. The next copy-on-write commit
+    (MERGE/UPDATE/copy-DELETE/compact) folds the appended dirs back
+    into one.
+
+    Contracts preserved per manifest payload:
+
+    - persisted CHECK constraints are enforced on the NEW files only
+      (existing rows already passed at their own commit);
+    - if the base records file stats (and/or a Bloom index), the new
+      files get theirs computed and merged in — appended entries
+      carry their ``dir`` — so pruned scans and point lookups stay
+      exact across appends;
+    - deletion vectors carry forward (they reference base files);
+    - schema must match the table column-for-column (case-insensitive
+      names + types). Appending is ingest, not evolution — widen via
+      ``snapshot_merge(evolve_schema=True)`` first.
+
+    Concurrency: the commit carries ``expected_base``, so an append
+    racing any other commit loses cleanly with
+    :class:`SnapshotConflict` (its extra-dirs chain would be stale)
+    and should retry from a fresh read."""
+    base = _resolve(root)
+    base_schema = {
+        (f.name.lower(), f.dataType.simpleString())
+        for f in spark.read.parquet(*_all_dirs(base)).schema.fields
+    }
+    new_schema = {
+        (f.name.lower(), f.dataType.simpleString())
+        for f in df.schema.fields
+    }
+    if base_schema != new_schema:
+        raise ValueError(
+            "append schema mismatch: "
+            f"table-only {sorted(base_schema - new_schema)}, "
+            f"batch-only {sorted(new_schema - base_schema)} — append "
+            "is ingest, not evolution (widen via snapshot_merge("
+            "evolve_schema=True) first)"
+        )
+    effective = _effective_constraints(root, None, None, None)
+    new_dir = os.path.join(root, DATA_DIR, uuid.uuid4().hex)
+    df.write.mode("error").parquet(new_dir)
+    if effective:
+        snapshot_check_constraints(
+            spark.read.parquet(new_dir), effective
+        )
+    extra: dict = {
+        "extra_dirs": [*(base.get("extra_dirs") or []), new_dir],
+    }
+    for k in ("dv_dirs", "stats_cols", "stats_forms",
+              "bloom_cols", "bloom_types", "bloom_conf"):
+        if k in base:
+            extra[k] = base[k]
+    if base.get("stats_cols"):
+        new_files = _file_stats(spark, new_dir, base["stats_cols"])
+        for f in new_files:
+            f["dir"] = new_dir
+        extra["files"] = list(base.get("files") or []) + new_files
+    if base.get("bloom_cols"):
+        conf = base["bloom_conf"]
+        new_blooms = _file_blooms(
+            spark,
+            new_dir,
+            base["bloom_cols"],
+            conf["num_bits"],
+            conf["num_hashes"],
+        )
+        dup = set(new_blooms) & set(base.get("blooms") or {})
+        if dup:  # task-uuid part names make this unreachable, but a
+            # silent overwrite would break scan_point's exactness
+            raise RuntimeError(f"append filename collision: {dup}")
+        extra["blooms"] = {**(base.get("blooms") or {}), **new_blooms}
+    return _commit(
+        root,
+        base["data_dir"],
+        op="append",
+        extra=extra,
+        expected_base=base["version"],
+    )
+
+
 def snapshot_delete(
     spark: SparkSession,
     root: str,
@@ -728,7 +833,7 @@ def snapshot_delete(
         # live rows matching the predicate, by (file, row position) —
         # _read_data already subtracted earlier DVs, so re-deleting an
         # already-deleted row can never double-record it
-        tagged = spark.read.parquet(base["data_dir"]).select(
+        tagged = spark.read.parquet(*_all_dirs(base)).select(
             "*",
             F.col("_metadata.file_name").alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
@@ -771,7 +876,7 @@ def snapshot_delete(
         # same data dir, new version; carry every data-descriptive
         # payload — footers unchanged, and min/max stats stay a
         # SUPERSET of the live rows (pruning keeps its guarantee)
-        for k in ("files", "stats_cols", "stats_forms",
+        for k in ("files", "stats_cols", "stats_forms", "extra_dirs",
                   "blooms", "bloom_cols", "bloom_types", "bloom_conf"):
             if k in base:
                 extra[k] = base[k]
@@ -932,7 +1037,7 @@ def snapshot_rollback(root: str, to_version: int) -> dict:
     # after a rollback (review r12: the bloom keys were dropped, which
     # broke snapshot_scan_point on latest and made the next compact
     # silently drop the bloom index from the table for good)
-    for k in ("files", "stats_cols", "stats_forms", "dv_dirs",
+    for k in ("files", "stats_cols", "stats_forms", "dv_dirs", "extra_dirs",
               "blooms", "bloom_cols", "bloom_types", "bloom_conf"):
         if k in target:
             extra[k] = target[k]
@@ -1464,11 +1569,18 @@ def snapshot_scan_point(
     )
     h1 = h64 & 0xFFFFFFFF
     h2 = ((h64 & 0xFFFFFFFFFFFFFFFF) >> 32) | 1
+    # appended files live outside data_dir: the stats entries carry
+    # their dir, and blooms are keyed by basename only
+    fdir = {
+        f["file"]: f.get("dir", m["data_dir"])
+        for f in (m.get("files") or [])
+    }
     keep = []
     for fname, per_col in sorted(blooms.items()):
+        path = os.path.join(fdir.get(fname, m["data_dir"]), fname)
         words = per_col.get(col)
         if words is None:
-            keep.append(os.path.join(m["data_dir"], fname))
+            keep.append(path)
             continue
         hit = True
         for i in range(num_hashes):
@@ -1477,7 +1589,7 @@ def snapshot_scan_point(
                 hit = False
                 break
         if hit:
-            keep.append(os.path.join(m["data_dir"], fname))
+            keep.append(path)
     if not keep:
         return spark.read.parquet(m["data_dir"]).limit(0)
     return _read_data(spark, m, files=keep)
@@ -1588,7 +1700,7 @@ def snapshot_scan_pruned_multi(
         for col, (lo, hi) in bounds.items()
     ]
     keep = [
-        os.path.join(m["data_dir"], f["file"])
+        _entry_path(m, f)
         for f in files
         if all(p(f) for p in preds)
     ]
@@ -1637,7 +1749,7 @@ def snapshot_scan_null_pruned(
                 continue
             if not non_null and nc == 0 and rows > 0:
                 continue
-        keep.append(os.path.join(m["data_dir"], f["file"]))
+        keep.append(_entry_path(m, f))
     if not keep:
         return spark.read.parquet(m["data_dir"]).limit(0)
     return _read_data(spark, m, files=keep)
@@ -1799,7 +1911,9 @@ def snapshot_vacuum(
     # hazard was documented here but the normalization was applied
     # only to the orphan scan).
     rp = os.path.realpath
-    referenced = {rp(m["data_dir"]) for m in manifests}
+    referenced = {
+        rp(d) for m in manifests for d in _all_dirs(m)
+    }
     removed = []
     # named refs PIN their data dirs past the retention window: a tag
     # exists precisely so 'the table state run X read' stays readable,
@@ -1834,10 +1948,10 @@ def snapshot_vacuum(
 
     if len(manifests) > keep_last:
         retained = {
-            rp(m["data_dir"]) for m in manifests[-keep_last:]
-        } | ref_pinned
+            rp(d) for m in manifests[-keep_last:] for d in _all_dirs(m)
+        } | ref_pinned | {rp(d) for m in pinned_ms for d in _all_dirs(m)}
         removable = {
-            rp(m["data_dir"]) for m in manifests[:-keep_last]
+            rp(d) for m in manifests[:-keep_last] for d in _all_dirs(m)
         } - retained
         for d in sorted(removable):
             if os.path.isdir(d):

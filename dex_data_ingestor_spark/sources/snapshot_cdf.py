@@ -69,6 +69,16 @@ def _parquet_files(data_dir: str) -> list[str]:
     )
 
 
+def _version_files(m: dict) -> list[str]:
+    """All of a version's data files: the primary dir plus any
+    merge-on-read append dirs (snapshots.snapshot_append)."""
+    return [
+        f
+        for d in [m["data_dir"], *(m.get("extra_dirs") or [])]
+        for f in _parquet_files(d)
+    ]
+
+
 def _arrow_schema(files: list[str]):
     import pyarrow.parquet as pq
 
@@ -267,7 +277,7 @@ class _CdfPlanner:
             ) from e
 
     def table_arrow_schema(self, manifests: list[dict]):
-        files = _parquet_files(manifests[-1]["data_dir"])
+        files = _version_files(manifests[-1])
         if not files:
             raise ValueError(
                 f"latest mainline version of {self.root} has no "
@@ -311,10 +321,8 @@ class _CdfPlanner:
             if not (start_v < v <= end_v):
                 continue
             prev = manifests[i - 1] if i > 0 else None
-            new_files = _parquet_files(m["data_dir"])
-            old_files = (
-                _parquet_files(prev["data_dir"]) if prev else []
-            )
+            new_files = _version_files(m)
+            old_files = _version_files(prev) if prev else []
             old_cols = (
                 tuple(_arrow_schema(old_files).names) if old_files else ()
             )
