@@ -698,6 +698,7 @@ def snapshot_append(
     spark: SparkSession,
     root: str,
     df: DataFrame,
+    extra: dict | None = None,
 ) -> dict:
     """APPEND ``df``'s rows as a new version at O(|batch|) cost — the
     merge-on-read INSERT twin of ``snapshot_delete(mode='mor')``, and
@@ -751,7 +752,17 @@ def snapshot_append(
         snapshot_check_constraints(
             spark.read.parquet(new_dir), effective
         )
-    extra: dict = {
+    reserved = {
+        "extra_dirs", "files", "blooms", "dv_dirs", "stats_cols",
+        "stats_forms", "bloom_cols", "bloom_types", "bloom_conf",
+    }
+    bad_keys = reserved & set(extra or {})
+    if bad_keys:
+        raise ValueError(
+            f"extra may not override append payload keys: {bad_keys}"
+        )
+    extra = {
+        **(extra or {}),
         "extra_dirs": [*(base.get("extra_dirs") or []), new_dir],
     }
     for k in ("dv_dirs", "stats_cols", "stats_forms",

@@ -1055,6 +1055,59 @@ def foreach_batch_merge_snapshots(
     )
 
 
+def foreach_batch_append_snapshots(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    root: str,
+    spark: SparkSession,
+    txn_app_id: str | None = None,
+):
+    """Streaming APPEND sink over the commit-log snapshot table: each
+    micro-batch commits via ``snapshots.snapshot_append`` — O(|batch|)
+    write cost per trigger (only the batch's files are written; the
+    base version's dirs are reused), the right sink for append-only
+    event ingest where :func:`foreach_batch_merge_snapshots` would
+    rewrite the whole table every batch.
+
+    Same exactly-once contract as the merge sink: atomic manifest
+    commits plus the ``(txn_app_id, batch_id)`` replay guard scoped by
+    app id (checkpoint dir by default). The first batch creates the
+    table. Maintenance: appended dirs accumulate one per batch — run
+    ``snapshot_compact`` on a cadence (it folds the chain and re-sorts
+    the layout), exactly like Delta's OPTIMIZE after streaming writes.
+
+    Returns the started query (AvailableNow)."""
+    from dex_data_ingestor_spark import snapshots as S
+
+    app_id = txn_app_id or checkpoint_dir
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            latest = S._resolve(root)
+        except FileNotFoundError:
+            latest = None
+        entry = (latest or {}).get("txn", {}).get(app_id, {})
+        last_for_app = (
+            entry.get("b", -1) if isinstance(entry, dict) else entry
+        )
+        if batch_id <= last_for_app:
+            return  # replayed micro-batch of THIS writer: committed
+        extra = {"batch_id": batch_id, "txn": {app_id: batch_id}}
+        if latest is None:
+            S.snapshot_write(
+                batch_df, root, op="stream-append", extra=extra
+            )
+        else:
+            S.snapshot_append(spark, root, batch_df, extra=extra)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_refresh_agg(
     stream_df: DataFrame,
     checkpoint_dir: str,

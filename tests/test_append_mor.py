@@ -149,3 +149,43 @@ def test_vacuum_reference_counts_append_dirs(spark, root):
     S.snapshot_vacuum(root2, keep_last=1)
     assert os.path.isdir(m["extra_dirs"][0])
     assert S.snapshot_read(spark, root2).count() == 12
+
+
+def test_streaming_append_sink_batchid_idempotent(spark, root, tmp_path):
+    """The streaming append sink: content equals the union of all
+    micro-batches, one 'append' version per batch after the creating
+    one, a replayed run commits nothing new, and a REBUILT checkpoint
+    (new app id) appends again rather than silently skipping."""
+    from dex_data_ingestor_spark.streaming.jobs import (
+        foreach_batch_append_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    _df(spark, 0, 50).coalesce(1).write.parquet(src)
+    _df(spark, 50, 80).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ckpt):
+        q = foreach_batch_append_snapshots(
+            spark.readStream.schema("k long, v double").option(
+                "maxFilesPerTrigger", 1
+            ).parquet(src),
+            ckpt,
+            root,
+            spark=spark,
+        )
+        q.awaitTermination(timeout=120)
+
+    ckpt = str(tmp_path / "c1")
+    run(ckpt)
+    assert S.snapshot_read(spark, root).count() == 80
+    ops = [m["op"] for m in S.snapshot_versions(root)]
+    assert ops[0] == "stream-append"
+    assert all(o == "append" for o in ops[1:]) and len(ops) == 2
+    # replay: same checkpoint, no new source files -> nothing commits
+    run(ckpt)
+    assert len(S.snapshot_versions(root)) == 2
+    # rebuilt checkpoint = new writer: batches re-append (documented
+    # at-least-once behavior for a NEW app id; dedupe is the merge
+    # sink's job)
+    run(str(tmp_path / "c2"))
+    assert S.snapshot_read(spark, root).count() == 160
