@@ -27,7 +27,12 @@ Output schema: the table's columns (NEW-side values; pre-image values
 for deletes) + ``_change_type`` ('insert' | 'update' | 'delete') +
 ``_commit_version`` (the version whose commit produced the change).
 
-Scale shape: planning touches only the manifest log (driver, O(log)).
+Scale shape: planning touches only the manifest log, and only the
+BATCH'S SLICE of it — version numbers are the filenames, so
+latestOffset costs O(trailing branch commits) and partition planning
+parses just the versions in (start, end] plus one predecessor, never
+the table's whole history (a 10k-version merge table must not pay
+10k JSON parses per trigger).
 Each (version-step x key-bucket) becomes one input partition; the
 executor diffs two file lists with an embedded DuckDB full-outer
 join keyed NULL-safely, filtered to its bucket by a key hash both
@@ -253,28 +258,60 @@ class _CdfPlanner:
         if self.n_buckets < 1:
             raise ValueError(f"buckets must be >= 1: {self.n_buckets}")
         self.keys_opt = options.get("keys")
+        self._keys_cache: list | None = None
 
-    def mainline(self) -> list[dict]:
+    def latest_version(self) -> int:
+        """Mainline latest WITHOUT parsing the whole log — O(trailing
+        branch commits), the per-micro-batch cost of latestOffset on
+        a long-lived table (a 10k-version merge table must not pay
+        10k JSON parses per trigger)."""
         from dex_data_ingestor_spark import snapshots as S
 
-        return [
-            m
-            for m in S._list_manifests(self.root)
-            if "branch" not in m
-        ]
+        try:
+            return S._resolve(self.root)["version"]
+        except FileNotFoundError:
+            return 0
+
+    def mainline_range(self, start_v: int, end_v: int) -> list[dict]:
+        """Mainline manifests with version <= ``end_v``, descending
+        until one with version <= ``start_v`` is included (the first
+        version step's predecessor), ascending on return. Parses only
+        that slice of the log — version numbers ARE the filenames, so
+        the batch's planning cost is O(batch versions + interleaved
+        branch commits), not O(table history)."""
+        from dex_data_ingestor_spark import snapshots as S
+
+        out: list[dict] = []
+        for n in reversed(S._manifest_names(self.root)):
+            v = int(n.split(".")[0])
+            if v > end_v:
+                continue
+            try:
+                m = S._read_manifest(self.root, n)
+            except ValueError:
+                continue  # in-flight O_EXCL claim (trailing only)
+            if "branch" in m:
+                continue
+            out.append(m)
+            if v <= start_v:
+                break
+        return list(reversed(out))
 
     def keys(self, upper: int) -> list[str]:
         if self.keys_opt:
             return [k.strip() for k in self.keys_opt.split(",") if k.strip()]
+        if self._keys_cache is not None:
+            return self._keys_cache
         from dex_data_ingestor_spark import snapshots as S
 
         try:
-            return list(S.default_merge_keys(self.root, upper))
+            self._keys_cache = list(S.default_merge_keys(self.root, upper))
         except ValueError as e:
             raise ValueError(
                 "snapshot_cdf: table records no MERGE key set; pass "
                 "option('keys', 'k1,k2')"
             ) from e
+        return self._keys_cache
 
     def table_arrow_schema(self, manifests: list[dict]):
         files = _version_files(manifests[-1])
@@ -288,7 +325,16 @@ class _CdfPlanner:
     def spark_schema(self) -> StructType:
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        base = from_arrow_schema(self.table_arrow_schema(self.mainline()))
+        latest = self.latest_version()
+        if not latest:
+            raise ValueError(
+                f"no committed snapshots under {self.root}"
+            )
+        base = from_arrow_schema(
+            self.table_arrow_schema(
+                self.mainline_range(latest, latest)
+            )
+        )
         return StructType(
             list(base.fields)
             + [
@@ -365,17 +411,17 @@ class SnapshotCdfBatchReader(DataSourceReader):
         self.end = options.get("endingversion")
 
     def partitions(self):
-        manifests = self.planner.mainline()
-        if not manifests:
+        latest = self.planner.latest_version()
+        if not latest:
             raise ValueError(
                 f"no committed snapshots under {self.planner.root}"
             )
-        end = (
-            int(self.end)
-            if self.end is not None
-            else manifests[-1]["version"]
+        end = int(self.end) if self.end is not None else latest
+        return self.planner.step_partitions(
+            self.planner.mainline_range(self.start - 1, end),
+            self.start - 1,
+            end,
         )
-        return self.planner.step_partitions(manifests, self.start - 1, end)
 
     def read(self, partition):
         return _read_cdf_partition(partition)
@@ -389,17 +435,15 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self.starting is not None:
             return {"version": int(self.starting) - 1}
-        manifests = self.planner.mainline()
-        return {"version": manifests[-1]["version"] if manifests else 0}
+        return {"version": self.planner.latest_version()}
 
     def latestOffset(self) -> dict:
-        manifests = self.planner.mainline()
-        return {"version": manifests[-1]["version"] if manifests else 0}
+        return {"version": self.planner.latest_version()}
 
     def partitions(self, start: dict, end: dict):
-        manifests = self.planner.mainline()
+        lo, hi = int(start["version"]), int(end["version"])
         return self.planner.step_partitions(
-            manifests, int(start["version"]), int(end["version"])
+            self.planner.mainline_range(lo, hi), lo, hi
         )
 
     def read(self, partition):
