@@ -637,9 +637,19 @@ def snapshot_merge(
     keys: Sequence[str],
     update_cols: Sequence[str] | None = None,
     evolve_schema: bool = False,
+    mode: str = "copy",
 ) -> dict:
     """MERGE ``updates`` into the latest snapshot and commit the result
     as a new version (read latest -> merge_upsert -> snapshot_write).
+
+    ``mode='mor'`` (merge-on-read): matched live rows' positions land
+    in a deletion-vector sidecar and the merge's OUTPUT rows for them
+    (plus all unmatched-batch inserts) in an append dir — one commit
+    at O(|batch| + |matched|) cost, no table rewrite (Delta's
+    DV-backed MERGE shape; the upsert itself is still
+    operators/merge.merge_upsert with its NULL-SAFE key contract).
+    Incompatible with ``evolve_schema`` (widening rewrites; evolve in
+    copy mode first); constraints enforce on the new images only.
 
     This is the versioned twin of the reference's destructive per-row
     upsert loop (Bifrost.py:116-124): same key semantics
@@ -687,9 +697,204 @@ def snapshot_merge(
     extra = {"keys": list(keys)}
     if new_cols:
         extra["evolved_cols"] = new_cols
+    if mode == "mor":
+        if new_cols:
+            raise ValueError(
+                "evolve_schema requires mode='copy' (widening "
+                "rewrites the table; evolve first, then merge "
+                "merge-on-read)"
+            )
+        live = _tagged_live(spark, base).alias("__l")
+        u = updates.select(*keys).alias("__u")
+        on = None
+        for k in keys:
+            c = F.col(f"__l.{k}").eqNullSafe(F.col(f"__u.{k}"))
+            on = c if on is None else (on & c)
+        matched = live.join(u, on, "leftsemi")
+        hits = matched.select(
+            F.col("__file").alias("file"),
+            F.col("__pos").cast("long").alias("pos"),
+        )
+        # merge_upsert over ONLY the matched rows: its output is
+        # exactly the appended content — matched rows with their
+        # post-merge values plus every unmatched-batch insert;
+        # untouched rows stay live in the base files
+        new_rows = merge_upsert(
+            matched.drop("__file", "__pos"), updates, keys, update_cols
+        )
+        _require_same_schema(current, new_rows, "MERGE")
+        return _commit_mor(
+            spark, root, base, "merge", hits, new_rows, extra,
+            count_key="n_matched",
+        )
+    if mode != "copy":
+        raise ValueError(f"unknown merge mode {mode!r}")
     merged = merge_upsert(current, updates, keys, update_cols)
     return snapshot_write(
         merged, root, op="merge", extra=extra,
+        expected_base=base["version"],
+    )
+
+
+def _require_same_schema(
+    table_df: DataFrame, new_df: DataFrame, what: str
+) -> None:
+    """A merge-on-read commit's appended images must match the table
+    column-for-column (names AND types): a widening expression would
+    write a dir whose parquet schema diverges from the base dirs and
+    corrupt later multi-dir reads. Copy-on-write modes may widen
+    (they rewrite everything); MOR modes reject."""
+    a = [
+        (f.name.lower(), f.dataType.simpleString())
+        for f in table_df.schema.fields
+    ]
+    b = [
+        (f.name.lower(), f.dataType.simpleString())
+        for f in new_df.schema.fields
+    ]
+    if a != b:
+        raise ValueError(
+            f"{what} changes the row schema under mode='mor' "
+            f"(table {a} vs new rows {b}); use mode='copy' for "
+            "type-changing operations"
+        )
+
+
+def _tagged_live(spark: SparkSession, base: dict) -> DataFrame:
+    """The base version's LIVE rows with their (__file, __pos) scan
+    identity — the merge-on-read DML working set (existing deletion
+    vectors already subtracted, so a MOR op can never double-record
+    an already-dead row)."""
+    tagged = spark.read.parquet(*_all_dirs(base)).select(
+        "*",
+        F.col("_metadata.file_name").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    prior = base.get("dv_dirs") or []
+    if prior:
+        dv0 = spark.read.parquet(*prior).select(
+            F.col("file").alias("__dv_file"),
+            F.col("pos").alias("__dv_pos"),
+        )
+        tagged = tagged.join(
+            dv0,
+            (tagged["__file"] == dv0["__dv_file"])
+            & (tagged["__pos"] == dv0["__dv_pos"]),
+            "left_anti",
+        )
+    return tagged
+
+
+def _parquet_dir_rows(d: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(d, n)).metadata.num_rows
+        for n in os.listdir(d)
+        if n.endswith(".parquet")
+    )
+
+
+def _extend_indexes(
+    spark: SparkSession, base: dict, new_dir: str | None, extra: dict
+) -> None:
+    """Carry the base's data-descriptive payload into a merge-on-read
+    commit's ``extra``, extending the per-file stats/bloom entries
+    for ``new_dir`` when the base records those indexes (appended
+    entries carry their dir) — pruned scans and point lookups stay
+    exact across MOR commits. Base min/max stay SUPERSETS of the live
+    rows (deletes only shrink), and the null-skip judgments survive
+    deletes (removing rows can neither add nulls to a no-null file
+    nor add values to an all-null one)."""
+    for k in ("stats_cols", "stats_forms",
+              "bloom_cols", "bloom_types", "bloom_conf"):
+        if k in base:
+            extra[k] = base[k]
+    if base.get("stats_cols") and new_dir:
+        new_files = _file_stats(spark, new_dir, base["stats_cols"])
+        for f in new_files:
+            f["dir"] = new_dir
+        extra["files"] = list(base.get("files") or []) + new_files
+    elif "files" in base:
+        extra["files"] = base["files"]
+    if base.get("bloom_cols") and new_dir:
+        conf = base["bloom_conf"]
+        new_blooms = _file_blooms(
+            spark,
+            new_dir,
+            base["bloom_cols"],
+            conf["num_bits"],
+            conf["num_hashes"],
+        )
+        dup = set(new_blooms) & set(base.get("blooms") or {})
+        if dup:  # task-uuid part names make this unreachable, but a
+            # silent overwrite would break scan_point's exactness
+            raise RuntimeError(f"filename collision: {dup}")
+        extra["blooms"] = {**(base.get("blooms") or {}), **new_blooms}
+    elif "blooms" in base:
+        extra["blooms"] = base["blooms"]
+
+
+def _commit_mor(
+    spark: SparkSession,
+    root: str,
+    base: dict,
+    op: str,
+    hits: DataFrame,
+    new_rows: DataFrame | None,
+    extra: dict,
+    count_key: str = "n_hits",
+) -> dict:
+    """Commit one merge-on-read DML version: ``hits`` — the matched
+    live rows' (file, pos) — become a deletion-vector sidecar;
+    ``new_rows`` (their replacement images plus any inserts; None for
+    a pure delete) become an append dir with index extension. Both
+    ride ONE atomic commit guarded by ``expected_base``; the hit
+    count lands in ``extra[count_key]``. Returns the manifest.
+    Persisted CHECK constraints enforce on the
+    NEW rows only — surviving rows are a subset of rows that passed
+    at their own commit."""
+    import shutil
+
+    extra = dict(extra)
+    dv_dir = os.path.join(root, DV_DIR, uuid.uuid4().hex)
+    hits.write.mode("error").parquet(dv_dir)
+    n_hits = _parquet_dir_rows(dv_dir)
+    prior_dv = base.get("dv_dirs") or []
+    extra["dv_dirs"] = list(prior_dv) + ([dv_dir] if n_hits else [])
+    if not n_hits:
+        shutil.rmtree(dv_dir)
+    new_dir = None
+    if new_rows is not None:
+        new_dir = os.path.join(root, DATA_DIR, uuid.uuid4().hex)
+        new_rows.write.mode("error").parquet(new_dir)
+        if not _parquet_dir_rows(new_dir):
+            shutil.rmtree(new_dir)
+            new_dir = None
+        else:
+            effective = _effective_constraints(root, None, None, None)
+            if effective:
+                try:
+                    snapshot_check_constraints(
+                        spark.read.parquet(new_dir), effective
+                    )
+                except Exception:
+                    shutil.rmtree(new_dir)
+                    if n_hits:
+                        shutil.rmtree(dv_dir)
+                    raise
+            extra["extra_dirs"] = [
+                *(base.get("extra_dirs") or []), new_dir
+            ]
+    if new_dir is None and "extra_dirs" in base:
+        extra["extra_dirs"] = base["extra_dirs"]
+    _extend_indexes(spark, base, new_dir, extra)
+    extra[count_key] = n_hits
+    return _commit(
+        root,
+        base["data_dir"],
+        op=op,
+        extra=extra,
         expected_base=base["version"],
     )
 
@@ -842,61 +1047,16 @@ def snapshot_delete(
     cond = F.expr(predicate)
     if mode == "mor":
         # live rows matching the predicate, by (file, row position) —
-        # _read_data already subtracted earlier DVs, so re-deleting an
-        # already-deleted row can never double-record it
-        tagged = spark.read.parquet(*_all_dirs(base)).select(
-            "*",
-            F.col("_metadata.file_name").alias("__file"),
-            F.col("_metadata.row_index").alias("__pos"),
-        )
-        prior_dv = base.get("dv_dirs") or []
-        if prior_dv:
-            dv0 = spark.read.parquet(*prior_dv).select(
-                F.col("file").alias("__dv_file"),
-                F.col("pos").alias("__dv_pos"),
-            )
-            tagged = tagged.join(
-                dv0,
-                (tagged["__file"] == dv0["__dv_file"])
-                & (tagged["__pos"] == dv0["__dv_pos"]),
-                "left_anti",
-            )
-        hits = tagged.filter(F.coalesce(cond, F.lit(False))).select(
+        # _tagged_live already subtracted earlier DVs, so re-deleting
+        # an already-deleted row can never double-record it
+        live = _tagged_live(spark, base)
+        hits = live.filter(F.coalesce(cond, F.lit(False))).select(
             F.col("__file").alias("file"),
             F.col("__pos").cast("long").alias("pos"),
         )
-        dv_dir = os.path.join(root, DV_DIR, uuid.uuid4().hex)
-        hits.write.mode("error").parquet(dv_dir)
-        import pyarrow.parquet as pq
-
-        n_deleted = sum(
-            pq.ParquetFile(os.path.join(dv_dir, n)).metadata.num_rows
-            for n in os.listdir(dv_dir)
-            if n.endswith(".parquet")
-        )
-        extra: dict = {
-            "predicate": predicate,
-            "n_deleted": n_deleted,
-            "dv_dirs": list(prior_dv)
-            + ([dv_dir] if n_deleted else []),
-        }
-        if not n_deleted:
-            import shutil
-
-            shutil.rmtree(dv_dir)  # nothing deleted: no sidecar
-        # same data dir, new version; carry every data-descriptive
-        # payload — footers unchanged, and min/max stats stay a
-        # SUPERSET of the live rows (pruning keeps its guarantee)
-        for k in ("files", "stats_cols", "stats_forms", "extra_dirs",
-                  "blooms", "bloom_cols", "bloom_types", "bloom_conf"):
-            if k in base:
-                extra[k] = base[k]
-        return _commit(
-            root,
-            base["data_dir"],
-            op="delete",
-            extra=extra,
-            expected_base=base["version"],
+        return _commit_mor(
+            spark, root, base, "delete", hits, None,
+            {"predicate": predicate}, count_key="n_deleted",
         )
     remaining = current.filter(~F.coalesce(cond, F.lit(False)))
     # ONE pass over the LATEST version's immutable data dir for the
@@ -921,6 +1081,7 @@ def snapshot_update(
     root: str,
     predicate: str,
     set_exprs: dict[str, str],
+    mode: str = "copy",
 ) -> dict:
     """UPDATE the latest snapshot: commit a new version where rows
     the ``predicate`` proves TRUE take the ``set_exprs`` column
@@ -935,7 +1096,16 @@ def snapshot_update(
     widens the table is schema evolution's job — see snapshot_merge's
     evolve_schema); the matched-row count and assignments land in the
     manifest; persisted CHECK constraints re-enforce on the result,
-    so an UPDATE that would break an invariant commits nothing."""
+    so an UPDATE that would break an invariant commits nothing.
+
+    ``mode='mor'`` (merge-on-read): the matched rows' positions land
+    in a deletion-vector sidecar and their POST-update images in an
+    append dir — ONE commit at O(|matched|) cost, no table rewrite
+    (Delta's DV-backed UPDATE shape). Constraints then enforce on the
+    new images only; unmatched rows are a subset of rows that already
+    passed."""
+    if mode not in ("copy", "mor"):
+        raise ValueError(f"unknown update mode {mode!r}")
     base = _resolve(root)
     current = _read_data(spark, base)  # DV-aware base
     existing_lc = {c.lower() for c in current.columns}
@@ -946,6 +1116,24 @@ def snapshot_update(
             "snapshot_merge(evolve_schema=True) to widen the schema"
         )
     cond = F.coalesce(F.expr(predicate), F.lit(False))
+    if mode == "mor":
+        matched = _tagged_live(spark, base).filter(cond)
+        hits = matched.select(
+            F.col("__file").alias("file"),
+            F.col("__pos").cast("long").alias("pos"),
+        )
+        # standard UPDATE semantics: every assignment reads the
+        # PRE-update row (withColumns applies all exprs over the
+        # original columns in one projection)
+        new_rows = matched.withColumns(
+            {col: F.expr(expr) for col, expr in set_exprs.items()}
+        ).drop("__file", "__pos")
+        _require_same_schema(current, new_rows, "UPDATE SET")
+        return _commit_mor(
+            spark, root, base, "update", hits, new_rows,
+            {"predicate": predicate, "set": dict(set_exprs)},
+            count_key="n_updated",
+        )
     # one agg pass for the manifest metadata, not a second full scan
     n_updated = current.select(
         F.count(F.when(cond, 1)).alias("n")

@@ -143,7 +143,8 @@ def test_stats_scan_applies_dvs_on_kept_files(spark, root):
     S.snapshot_write_with_stats(df, root, stats_cols=["k"])
     S.snapshot_delete(spark, root, "k in (10, 11)", mode="mor")
     pruned = S.snapshot_scan_pruned(spark, root, "k", 0, 24)
-    assert 0 < len(pruned.inputFiles()) < 4
+    data_files = [f for f in pruned.inputFiles() if "/_dv/" not in f]
+    assert 0 < len(data_files) < 4
     ks = {r.k for r in pruned.filter(F.col("k") <= 24).collect()}
     assert ks == set(range(25)) - {10, 11}
 
@@ -214,3 +215,102 @@ def test_streaming_merge_sink_base_applies_dvs(spark, root, tmp_path):
     assert (7, 7.0) not in live
     assert (8, 88.0) in live
     assert len(live) == 9
+
+
+def test_mor_update_parity_and_type_guard(spark, root):
+    """UPDATE mode='mor': one commit carrying the matched rows' DV +
+    their post-update images; content parity with the copy path; a
+    type-changing SET is rejected (the appended dir's parquet schema
+    must match the base dirs)."""
+    _base(spark, root, n=30)
+    m2 = S.snapshot_update(
+        spark, root, "k % 3 = 0", {"v": "v + 100.0"}, mode="mor"
+    )
+    assert m2["op"] == "update" and m2["n_updated"] == 10
+    assert len(m2["dv_dirs"]) == 1 and len(m2["extra_dirs"]) == 1
+    root2 = root + "_copy"
+    _base(spark, root2, n=30)
+    S.snapshot_update(spark, root2, "k % 3 = 0", {"v": "v + 100.0"})
+    assert _rows(S.snapshot_read(spark, root)) == _rows(
+        S.snapshot_read(spark, root2)
+    )
+    with pytest.raises(ValueError, match="mode='mor'"):
+        S.snapshot_update(
+            spark, root, "k = 1", {"v": "CAST(v AS STRING)"}, mode="mor"
+        )
+    with pytest.raises(ValueError, match="update mode"):
+        S.snapshot_update(spark, root, "k = 1", {"v": "v"}, mode="x")
+
+
+def test_mor_merge_parity_stats_and_cdf(spark, root):
+    """MERGE mode='mor': parity with the copy merge (updates +
+    inserts + update_cols subset semantics), stats extension keeps
+    range pruning exact over the appended images, and the CDF reports
+    the version's updates/inserts."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+        F.lit("x").alias("tag"),
+    ).repartitionByRange(4, "k")
+    S.snapshot_write_with_stats(df, root, stats_cols=["k"])
+    upd = spark.createDataFrame(
+        [(5, 555.0, "IGNORED"), (200, 7.0, "new")],
+        "k long, v double, tag string",
+    )
+    m2 = S.snapshot_merge(
+        spark, root, upd, keys=["k"], update_cols=["v"], mode="mor"
+    )
+    assert m2["op"] == "merge" and m2["n_matched"] == 1
+    assert len(m2["dv_dirs"]) == 1 and len(m2["extra_dirs"]) == 1
+    live = S.snapshot_read(spark, root)
+    assert live.count() == 101
+    got = {(r.k, r.v, r.tag) for r in live.filter(
+        F.col("k").isin(5, 200)
+    ).collect()}
+    # update_cols=['v']: tag keeps the existing row's value on match
+    assert got == {(5, 555.0, "x"), (200, 7.0, "new")}
+    # copy-path parity
+    root2 = root + "_copy"
+    df2 = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+        F.lit("x").alias("tag"),
+    )
+    S.snapshot_write(df2, root2)
+    S.snapshot_merge(spark, root2, upd, keys=["k"], update_cols=["v"])
+    assert _rows(live) == _rows(S.snapshot_read(spark, root2))
+    # stats stay exact: the appended images are range-prunable
+    # (inputFiles also lists the DV side of the anti-join plan —
+    # count data files only)
+    pr = S.snapshot_scan_pruned(spark, root, "k", 200, 300)
+    data_files = [f for f in pr.inputFiles() if "/_dv/" not in f]
+    assert len(data_files) == 1
+    assert pr.filter(F.col("k") == 200).count() == 1
+    # the updated key's OLD image is dead even in its original file's
+    # range scan
+    pr5 = S.snapshot_scan_pruned(spark, root, "k", 5, 5)
+    vals = [r.v for r in pr5.filter(F.col("k") == 5).collect()]
+    assert vals == [555.0]
+    # CDF reports the merge version as one update + one insert
+    from dex_data_ingestor_spark.sources.snapshot_cdf import (
+        SnapshotCdfDataSource,
+    )
+
+    spark.dataSource.register(SnapshotCdfDataSource)
+    feed = (
+        spark.read.format("snapshot_cdf")
+        .option("startingVersion", 2)
+        .load(root)
+    )
+    assert {
+        (r.k, r._change_type, r._commit_version) for r in feed.collect()
+    } == {(5, "update", 2), (200, "insert", 2)}
+    # evolve_schema cannot ride the MOR path
+    wider = spark.createDataFrame(
+        [(1, 1.0, "t", 9)], "k long, v double, tag string, extra int"
+    )
+    with pytest.raises(ValueError, match="copy"):
+        S.snapshot_merge(
+            spark, root, wider, keys=["k"],
+            evolve_schema=True, mode="mor",
+        )
