@@ -314,3 +314,23 @@ def test_mor_merge_parity_stats_and_cdf(spark, root):
             spark, root, wider, keys=["k"],
             evolve_schema=True, mode="mor",
         )
+
+
+def test_dv_anti_join_broadcasts_the_sidecar(spark, root):
+    """Scale shape of the DV read overhead: the sidecar is |deleted|
+    rows, so the anti join must plan as a BROADCAST hash join (the
+    big side streams through unshuffled) — a sort-merge anti join
+    here would shuffle the whole table to subtract a handful of
+    rows."""
+    import contextlib
+    import io
+
+    _base(spark, root, n=5000)
+    S.snapshot_delete(spark, root, "k < 10", mode="mor")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        S.snapshot_read(spark, root).explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
