@@ -147,6 +147,20 @@ def main() -> None:
             "_commit_version", "_change_type"
         ).count().collect()
     ))
+    # merge-on-read DML: O(|changed|) commits, no table rewrite
+    S.snapshot_append(spark, tbl, cust.limit(70).subtract(cust.limit(60)))
+    S.snapshot_delete(
+        spark, tbl, "c_custkey % 10 = 0", mode="mor"
+    )
+    S.snapshot_update(
+        spark, tbl, "c_custkey % 10 = 1",
+        {"c_acctbal": "c_acctbal + 1000"}, mode="mor",
+    )
+    m = S._resolve(tbl)
+    print("   after MOR append/delete/update: rows =",
+          S.snapshot_read(spark, tbl).count(),
+          "| dv sidecars =", len(m.get("dv_dirs", [])),
+          "| append dirs =", len(m.get("extra_dirs", [])))
 
     print("== 7. span-level dedup, chunking, token budget, SCD2")
     from dex_data_ingestor_spark.operators.corpus import (
