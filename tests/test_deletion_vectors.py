@@ -334,3 +334,85 @@ def test_dv_anti_join_broadcasts_the_sidecar(spark, root):
     assert "LeftAnti" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_random_dml_sequence_mor_equals_copy(spark, root, seed):
+    """Differential harness: a seeded random sequence of
+    append/delete/update/merge ops applied to TWIN tables — one in
+    merge-on-read mode, one copy-on-write — must agree on content
+    after EVERY step (and on the derived change feed at the end).
+    This is the invariant all the per-op parity tests compose into:
+    no op order, predicate shape, or sidecar stacking may diverge
+    the two execution strategies."""
+    import random
+
+    def _df(sp, lo, hi):
+        return sp.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+
+    rng = random.Random(seed)
+    roots = {"mor": root + "_m", "copy": root + "_c"}
+    for r in roots.values():
+        S.snapshot_write(_df(spark, 0, 60).repartition(3), r)
+    next_k = 1000
+
+    def both(fn):
+        for mode, r in roots.items():
+            fn(mode, r)
+        a = _rows(S.snapshot_read(spark, roots["mor"]))
+        b = _rows(S.snapshot_read(spark, roots["copy"]))
+        assert a == b, (len(a), len(b), seed)
+
+    for step in range(6):
+        op = rng.choice(["append", "delete", "update", "merge"])
+        if op == "append":
+            lo, hi = next_k, next_k + rng.randint(1, 8)
+            next_k = hi
+            both(lambda mode, r: S.snapshot_append(
+                spark, r, _df(spark, lo, hi)
+            ))
+        elif op == "delete":
+            mod, rem = rng.randint(3, 9), rng.randint(0, 2)
+            both(lambda mode, r: S.snapshot_delete(
+                spark, r, f"k % {mod} = {rem}",
+                mode=("mor" if mode == "mor" else "copy"),
+            ))
+        elif op == "update":
+            mod, rem = rng.randint(3, 9), rng.randint(0, 2)
+            bump = float(rng.randint(1, 50))
+            both(lambda mode, r: S.snapshot_update(
+                spark, r, f"k % {mod} = {rem}", {"v": f"v + {bump}"},
+                mode=("mor" if mode == "mor" else "copy"),
+            ))
+        else:
+            ks = rng.sample(range(0, 60), rng.randint(1, 4))
+            ks.append(next_k)
+            next_k += 1
+            upd = spark.createDataFrame(
+                [(k, float(rng.randint(0, 99))) for k in ks],
+                "k long, v double",
+            )
+            both(lambda mode, r: S.snapshot_merge(
+                spark, r, upd, keys=["k"],
+                mode=("mor" if mode == "mor" else "copy"),
+            ))
+    # both histories expose the same cumulative change feed content
+    # (version numbering matches: one commit per step + the seed)
+    from dex_data_ingestor_spark.sources.snapshot_cdf import (
+        SnapshotCdfDataSource,
+    )
+
+    spark.dataSource.register(SnapshotCdfDataSource)
+
+    def feed(r):
+        return {
+            (x.k, x.v, x._change_type, x._commit_version)
+            for x in spark.read.format("snapshot_cdf")
+            .option("keys", "k")
+            .load(r)
+            .collect()
+        }
+
+    assert feed(roots["mor"]) == feed(roots["copy"])
