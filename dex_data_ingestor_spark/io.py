@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -200,8 +201,47 @@ def rebalance_if_underpartitioned(df: DataFrame) -> DataFrame:
     thousands of splits and this is a no-op (no shuffle inserted); on
     a compacted/small source it spreads the narrow work across the
     cluster for the price of shuffling the input rows once.
+
+    The check must never EXECUTE the upstream plan. ``df.rdd`` on an
+    AQE-wrapped plan (any plan containing an Exchange) finalizes the
+    adaptive plan, which MATERIALIZES every shuffle stage — the whole
+    upstream runs once for the partition probe and then AGAIN when the
+    real query executes (shuffle output is not reused across separate
+    query executions). Measured r13: constructing q_curate_stripped
+    cost 4.3-5.4 s of forced upstream execution per call on top of the
+    6 s query itself; at 100 TB the same double-execution is
+    catastrophic. So:
+
+    - plan contains a shuffle-introducing operator (join, aggregate,
+      window, sort, repartition, ...): return ``df`` unchanged. The
+      input arrives AQE-sized (``coalescePartitions.parallelismFirst``
+      targets cluster parallelism, floored at ``minPartitionSize``);
+      probing its exact post-AQE count is what forced the execution.
+      Detection reads the ANALYZED logical plan, which PySpark has
+      already computed eagerly at DataFrame creation — checking the
+      physical plan instead would re-run optimization + planning of
+      the whole subtree per call (measured: ~2 s of pure driver
+      planning per q_curate_stripped construction).
+    - narrow scan-rooted plan: ``df.rdd`` builds without running any
+      job (no adaptive subtree to materialize), so the exact
+      splits-vs-parallelism check is free — keep it. A false positive
+      in the keyword screen only skips an optional widening shuffle.
     """
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    if _SHUFFLE_OP_RE.search(analyzed):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+#: Logical operators whose physical form introduces an Exchange (or
+#: marks the plan as non-scan-rooted). Matched at line starts of the
+#: analyzed plan's tree rendering so column names can't false-match.
+_SHUFFLE_OP_RE = re.compile(
+    r"^[\s:+\-*]*(Join|Aggregate|Window|Sort|Repartition"
+    r"|RepartitionByExpression|Rebalance|Deduplicate|Distinct"
+    r"|GlobalLimit|Intersect|Except|CoGroup|FlatMapGroups)\b",
+    re.MULTILINE,
+)
