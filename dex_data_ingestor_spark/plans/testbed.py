@@ -8067,21 +8067,37 @@ def q_embed_gram(spark, sf_dir):
         .filter(F.col("embedding").isNotNull())
         .select(F.col("embedding").cast("array<double>").alias("v"))
     )
+    # Quantize ONCE per component (d decimal casts per row), then run
+    # the d(d+1)/2 pairwise products as exact BIGINT micro-unit
+    # multiplies. The previous form evaluated the DECIMAL(18,6) cast
+    # inside the nested transform and multiplied into DECIMAL(38,12) —
+    # 104M BigDecimal allocations per run at sf0.1 (precision > 18
+    # leaves Spark's compact-long fast path). Bit-identical by
+    # construction: the quantization rule is the SAME decimal cast
+    # (HALF_UP), a 6-dp decimal times 1e6 is exactly integral, the
+    # unit products and per-cell sums are exact in BIGINT (|cell| ≤
+    # 5.6e14 units at shipped SFs, far under 2^63 AND 2^53), and
+    # double(sum)/1e12 is the correctly-rounded double of the same
+    # exact rational the old DECIMAL(38,12)->DOUBLE cast rounded.
+    # Measured: 8.44 s -> (see OPTIMIZATION_r13.md) at sf0.1.
+    units = F.expr(
+        "transform(v, x -> CAST(CAST(x AS DECIMAL(18,6)) * 1000000"
+        " AS BIGINT))"
+    )
     pairs = F.expr(
         """
-        flatten(transform(v, (xi, i) ->
-          transform(slice(v, i + 1, size(v) - i), (xj, k) ->
+        flatten(transform(u, (xi, i) ->
+          transform(slice(u, i + 1, size(u) - i), (xj, k) ->
             struct(CAST(i + 1 AS BIGINT) AS i, CAST(i + k + 1 AS BIGINT) AS j,
-                   CAST(xi AS DECIMAL(18,6))
-                     * CAST(xj AS DECIMAL(18,6)) AS p))))
+                   xi * xj AS p))))
         """
     )
-    x = em.select(F.explode(pairs).alias("c")).select(
+    x = em.select(units.alias("u")).select(F.explode(pairs).alias("c")).select(
         "c.i", "c.j", "c.p"
     )
     return x.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("p").cast("double").alias("gram"),
+        (F.sum("p").cast("double") / F.lit(1e12)).alias("gram"),
     )
 
 
