@@ -98,24 +98,37 @@ def period_over_period_multi(
 
     ``offsets``: output-suffix -> days, e.g. {"_yoy": 14, "_qoq": 7}.
     """
-    roles = [fact.select(
-        *[F.col(k) for k in keys],
-        F.col(date_col),
-        F.col(value_col),
-        F.lit("cur").alias("__role"),
-    )]
+    # One narrow EXPLODE of each fact row into its roles instead of a
+    # union of N+1 selects over ``fact``. The union form re-reads the
+    # aggregated-fact subtree once per role: AQE stage reuse dedups
+    # the computation (ReusedExchange), but every role branch still
+    # re-READS the full fact shuffle — N+1 shuffle reads of the daily
+    # fact at 100 TB. The explode reads it once and emits the same
+    # (N+1)x rows into the same downstream exchange; rows, values and
+    # the (keys, date) grouping are identical by construction.
+    role_structs = [
+        F.struct(
+            F.col(date_col).alias(date_col),
+            F.lit("cur").alias("__role"),
+        )
+    ]
     for suffix, days in offsets.items():
-        roles.append(
-            fact.select(
-                *[F.col(k) for k in keys],
+        role_structs.append(
+            F.struct(
                 _shift_days(fact, date_col, days).alias(date_col),
-                F.col(value_col),
                 F.lit(suffix).alias("__role"),
             )
         )
-    unioned = roles[0]
-    for r in roles[1:]:
-        unioned = unioned.unionByName(r)
+    unioned = fact.select(
+        *[F.col(k) for k in keys],
+        F.col(value_col),
+        F.explode(F.array(*role_structs)).alias("__r"),
+    ).select(
+        *[F.col(k) for k in keys],
+        F.col(f"__r.{date_col}").alias(date_col),
+        F.col(value_col),
+        F.col("__r.__role").alias("__role"),
+    )
     agg_exprs = [
         F.max(F.when(F.col("__role") == "cur", F.col(value_col))).alias(
             value_col
