@@ -9986,27 +9986,44 @@ def q_mmr_rerank(spark, sf_dir):
     independent by construction (operators/vector.mmr_greedy_units).
     Everything after the 9-dp cosine rounds is exact BIGINT
     arithmetic, so the unrolled oracle is bit-identical."""
+    import math
+
     from dex_data_ingestor_spark.operators.vector import (
-        cosine,
+        _py_dot,
         mmr_greedy_units,
     )
 
-    cand = _mmr_shortlist(spark, sf_dir).localCheckpoint(eager=True)
-    pairs = (
-        cand.alias("x")
-        .join(cand.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("a"),
-            F.col("y.doc_id").alias("b"),
-            F.floor(
-                round_ieee(cosine(F.col("x.v"), F.col("y.v")), 9)
-                * 1000000000.0
-                + 0.5
-            ).alias("s"),
-        )
-    )
-    cands = [(r["doc_id"], r["rel"]) for r in cand.select("doc_id", "rel").collect()]
-    sims = {(r["a"], r["b"]): r["s"] for r in pairs.collect()}
+    # ONE collect of the depth-50 shortlist (the corpus-scale work —
+    # scan + score + TakeOrdered — stays distributed); the O(depth^2)
+    # pairwise similarities are computed driver-side with the exact
+    # IEEE sequence the previous self-join expression executed:
+    # left-fold dot (_py_dot == the aggregate fold, same seed/order),
+    # Math.sqrt norms, round_ieee's floor(x*1e9+0.5)/1e9 under the
+    # |x|<1e6 guard, then the unit floor — bit-identical by
+    # construction (every op is a correctly-rounded IEEE primitive
+    # both runtimes share). This replaces a localCheckpoint (eager
+    # materialization at construction), a 50x50 join job and a second
+    # collect with in-process arithmetic over 1,225 integer pairs —
+    # the bounded-model-state pattern the greedy itself already uses.
+    rows = [
+        (r["doc_id"], r["v"], r["rel"])
+        for r in _mmr_shortlist(spark, sf_dir).collect()
+    ]
+
+    def _units(x: float) -> int:
+        if abs(x) < 1e6:
+            x = math.floor(x * 1e9 + 0.5) / 1e9
+        return int(math.floor(x * 1e9 + 0.5))
+
+    norms = {d: math.sqrt(_py_dot(v, v)) for d, v, _ in rows}
+    sims: dict[tuple[int, int], int] = {}
+    for i, (da, va, _) in enumerate(rows):
+        for db, vb, _ in rows[i + 1:]:
+            a, b = (da, db) if da < db else (db, da)
+            sims[(a, b)] = _units(
+                _py_dot(va, vb) / (norms[da] * norms[db])
+            )
+    cands = [(d, rel) for d, _, rel in rows]
     selected = mmr_greedy_units(
         cands, sims, k=_MMR_K, lam10=_MMR_LAM10
     )
