@@ -300,3 +300,68 @@ def test_kmv_distinct_ungrouped_plan_has_no_global_window(spark):
     # formatted plans print each node twice (tree line + detail
     # section), so ONE scan node == exactly 2 occurrences
     assert plan.count("Scan ExistingRDD") <= 2, plan
+
+
+def test_masked_blocking_equals_segment_blocking_on_shared_prefix(spark):
+    """r13 optimization pin: at max_dist=1 the masked-position block
+    must emit exactly the pairs the tau+1-segment PassJoin block did —
+    on a SHARED-PREFIX corpus, the shape that collapsed the segment
+    block into one quadratic bucket (every TPC-H name opens with
+    'Customer#'; 15k names -> 112M candidates -> 376 s at sf0.1). The
+    reference result is computed with the original segment-block
+    plan spelled out inline."""
+    from pyspark.sql import functions as F
+
+    from dex_data_ingestor_spark.operators.entity import (
+        _segment_exprs,
+        edit_distance_pairs,
+    )
+
+    rows = [(i, f"Customer#{i % 97:04d}") for i in range(300)] + [
+        (1000, "Customer#"),      # equals the shared prefix exactly
+        (1001, "Xustomer#0001"),  # 1 sub from id 1 group's member
+        (1002, ""),               # empty
+        (1003, ""),               # empty dup — dist 0 pair
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+
+    # reference: the pre-r13 segment-block candidate generation
+    segs = _segment_exprs("name", 2)
+    seg_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("seg_i"), F.expr(s).alias("seg"))
+            for i, s in enumerate(segs)
+        ]
+    )
+    blocked = df.select(
+        F.col("id"),
+        F.col("name").alias("s"),
+        F.length("name").alias("len"),
+        F.explode(seg_structs).alias("g"),
+    ).select("id", "s", "len", "g.seg_i", "g.seg")
+    a = blocked.select(
+        F.col("id").alias("a_id"), F.col("s").alias("a_s"),
+        "len", "seg_i", "seg",
+    )
+    b = blocked.select(
+        F.col("id").alias("b_id"), F.col("s").alias("b_s"),
+        "len", "seg_i", "seg",
+    )
+    ref = {
+        (r.a_id, r.b_id): r.dist
+        for r in (
+            a.join(b, ["len", "seg_i", "seg"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "a_s", "b_s")
+            .distinct()
+            .withColumn("dist", F.levenshtein(F.col("a_s"), F.col("b_s")))
+            .filter(F.col("dist") <= 1)
+            .select("a_id", "b_id", "dist")
+        ).collect()
+    }
+    got = {
+        (r.a_id, r.b_id): r.dist
+        for r in edit_distance_pairs(df, "id", "name", max_dist=1).collect()
+    }
+    assert got == ref
+    assert (1002, 1003) in got and got[(1002, 1003)] == 0

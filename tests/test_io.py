@@ -86,3 +86,36 @@ def test_ts_window_lower_bound_only(spark, tmp_path):
     )
     got = sorted(r.event_id for r in df.select("event_id").collect())
     assert got == [0, 1, 2, 3, 4]
+
+
+def test_rebalance_never_executes_an_exchange_topped_plan(spark, tmp_path):
+    """r13 optimization pin: rebalance_if_underpartitioned must not
+    FORCE execution of its input. df.rdd on an AQE-wrapped plan (any
+    plan with an Exchange) materializes every shuffle stage, so the
+    old partition probe ran the whole upstream once per construction
+    and the query re-ran it from scratch — a duplicate corpus pipeline
+    per caller at any scale. Pin: calling the helper on an
+    aggregated/joined input launches ZERO jobs; a narrow scan-rooted
+    input still gets the splits-vs-parallelism widening."""
+    from pyspark.sql import functions as F
+
+    from dex_data_ingestor_spark.io import rebalance_if_underpartitioned
+
+    _write_events(tmp_path, "us")
+    ev = load_table(spark, str(tmp_path), "events")
+    agg = ev.groupBy("event_id").agg(F.sum("value").alias("v"))
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup())
+    out = rebalance_if_underpartitioned(agg)
+    after = len(tracker.getJobIdsForGroup())
+    assert after == before, "partition probe launched Spark jobs"
+    assert out is agg, "exchange-topped input must pass through"
+
+    # narrow scan-rooted inputs keep the widening behavior: the tiny
+    # fixture reads as one split, far below session parallelism, so
+    # the helper must insert the round-robin repartition
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    widened = rebalance_if_underpartitioned(ev)
+    assert widened is not ev, "scan-rooted underpartitioned input kept"
+    assert widened.rdd.getNumPartitions() == target
