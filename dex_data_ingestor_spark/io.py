@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -224,24 +223,82 @@ def rebalance_if_underpartitioned(df: DataFrame) -> DataFrame:
       planning per q_curate_stripped construction).
     - narrow scan-rooted plan: ``df.rdd`` builds without running any
       job (no adaptive subtree to materialize), so the exact
-      splits-vs-parallelism check is free — keep it. A false positive
-      in the keyword screen only skips an optional widening shuffle.
+      splits-vs-parallelism check is free — keep it.
+
+    Probe-safety is decided by a STRUCTURAL WHITELIST walk over the
+    analyzed plan's node classes (ADVICE r13 closed the keyword
+    screen's two holes: a blacklist alternation that never matched its
+    real node name — 'Rebalance' vs 'RebalancePartitions',
+    'FlatMapGroups' vs 'FlatMapGroupsInPandas' — silently
+    reintroduced the double execution, and subquery expressions hid
+    shuffling subtrees inside otherwise-narrow Filters). Under the
+    whitelist, the failure mode inverts: an unknown node class, a
+    subquery expression, an over-budget plan, or any py4j error skips
+    the probe, which only skips an OPTIONAL widening shuffle — never
+    executes upstream work.
     """
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
-    if _SHUFFLE_OP_RE.search(analyzed):
+    if not _probe_safe(df._jdf.queryExecution().analyzed()):  # noqa: SLF001
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
 
-#: Logical operators whose physical form introduces an Exchange (or
-#: marks the plan as non-scan-rooted). Matched at line starts of the
-#: analyzed plan's tree rendering so column names can't false-match.
-_SHUFFLE_OP_RE = re.compile(
-    r"^[\s:+\-*]*(Join|Aggregate|Window|Sort|Repartition"
-    r"|RepartitionByExpression|Rebalance|Deduplicate|Distinct"
-    r"|GlobalLimit|Intersect|Except|CoGroup|FlatMapGroups)\b",
-    re.MULTILINE,
+#: Logical node classes that are NARROW and scan-rooted-safe:
+#: converting a plan made only of these to an RDD builds without
+#: running a job. Anything else (joins, aggregates, windows, sorts,
+#: repartitions, pandas/arrow group maps, CTEs, ...) is NOT listed —
+#: a whitelist cannot have the blacklist's silent-miss failure mode.
+_NARROW_NODE_CLASSES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Generate",
+        "SubqueryAlias",
+        "View",
+        "Union",
+        "LocalLimit",
+        "Sample",
+        "Range",
+        "LogicalRelation",
+        "DataSourceV2Relation",
+        "DataSourceV2ScanRelation",
+        "LocalRelation",
+        "OneRowRelation",
+        "LogicalRDD",
+    }
 )
+
+#: Node budget for the safety walk: a genuine narrow scan plan is a
+#: handful of nodes; anything larger is skipped without walking it
+#: (bounds the py4j round-trip cost the r13 fix removed).
+_PROBE_WALK_BUDGET = 64
+
+
+def _probe_safe(jplan) -> bool:
+    """True iff every node of the analyzed logical plan is a
+    whitelisted narrow class and no node carries a subquery
+    expression (a scalar/IN subquery makes ``df.rdd`` finalize — i.e.
+    EXECUTE — the subquery's upstream even under a narrow root).
+    Any uncertainty (unknown class, py4j failure, over-budget tree)
+    returns False: the caller then skips an optional repartition,
+    which is always safe."""
+    try:
+        stack, seen = [jplan], 0
+        while stack:
+            node = stack.pop()
+            seen += 1
+            if seen > _PROBE_WALK_BUDGET:
+                return False
+            name = node.getClass().getSimpleName().rstrip("$")
+            if name not in _NARROW_NODE_CLASSES:
+                return False
+            if not node.subqueries().isEmpty():
+                return False
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return True
+    except Exception:
+        return False

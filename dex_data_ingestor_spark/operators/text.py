@@ -416,11 +416,37 @@ def _maybe_collect_model(w: DataFrame, materialize_model: bool) -> DataFrame:
     the single-statement form scans the corpus once per plan branch;
     collecting the O(n_buckets) weight table severs that lineage so
     scoring is ONE further corpus pass. The collect is bounded by the
-    bucket count — model state like the IVF centroids, never data."""
+    bucket count — model state like the IVF centroids, never data.
+
+    The LM fits below (unigram/bigram/DSIR) go one step further when
+    materializing: they collect the raw COUNT table (one corpus pass)
+    and derive the totals driver-side (exact integer sums — identical
+    to SUM()) plus the weight expressions on the collected LOCAL
+    relation (same JVM expressions, so libm/IEEE sequences — and
+    therefore quantized values — are unchanged). The single-statement
+    form computes totals as a second aggregate OVER the count table,
+    which re-executes the count table's corpus scan once more unless
+    AQE exchange reuse catches it; the local-relation form makes the
+    fit exactly one corpus pass by construction."""
     if not materialize_model:
         return w
-    rows = w.collect()
-    return w.sparkSession.createDataFrame(rows, w.schema)
+    local, _ = _collect_local(w)
+    return local
+
+
+def _collect_local(df: DataFrame):
+    """Collect a BOUNDED model table through Arrow and rebuild it as a
+    JVM LocalRelation: ``createDataFrame(pyarrow.Table)`` plans as a
+    LocalTableScan, so every later evaluation (broadcast build per
+    query run) stays in the JVM. The naive ``collect()`` +
+    ``createDataFrame(rows)`` pair plans as a PYTHON-pickled RDD scan
+    instead — measured ~0.5 s of Python-worker round trips per
+    broadcast build at ANY scale. Returns (local_df, columns) where
+    ``columns`` maps each column name to its values as a Python list
+    (for exact driver-side integer totals)."""
+    tbl = df.toArrow()
+    local = df.sparkSession.createDataFrame(tbl)
+    return local, {c: tbl[c].to_pylist() for c in tbl.column_names}
 
 
 def unigram_logloss(
@@ -436,10 +462,34 @@ def unigram_logloss(
     quantization before aggregation makes per-doc sums order-free
     exact integers)."""
     inst = _hashed_instances(df, id_col, text_col, n_buckets)
-    w = _unigram_weight_table(df, text_col, n_buckets).select(
-        "f", "nll_f"
-    )
-    w = _maybe_collect_model(w, materialize_model)
+    if materialize_model:
+        # Fit = ONE corpus pass: collect the bounded (f, c_f) count
+        # table (<= n_buckets rows — model state, never data), total
+        # it driver-side (exact integer sum == SUM()), and evaluate
+        # the nll expression on the local relation — the identical
+        # _nll_units JVM expression on identical operands, so the
+        # quantized weights are bit-equal to the distributed form's.
+        # Scoring below is then the ONLY corpus scan in the returned
+        # plan. The Arrow round trip (_collect_local) keeps the local
+        # relation a JVM LocalTableScan.
+        feat = (
+            _hashed_instances(df, None, text_col, n_buckets)
+            .groupBy("f")
+            .agg(F.count(F.lit(1)).alias("c_f"))
+        )
+        local, cols = _collect_local(feat)
+        big_n = sum(cols["c_f"])
+        w = local.select(
+            "f",
+            _nll_units(
+                F.col("c_f").cast("double"),
+                F.lit(big_n).cast("bigint"),
+            ).alias("nll_f"),
+        )
+    else:
+        w = _unigram_weight_table(df, text_col, n_buckets).select(
+            "f", "nll_f"
+        )
     return (
         inst.join(F.broadcast(w), "f")
         .groupBy(id_col)
@@ -475,19 +525,35 @@ def dsir_importance(
         F.count(F.lit(1)).alias("s_f"),
         F.count(F.when(F.col("__tgt"), 1)).alias("t_f"),
     )
-    tot = feat.agg(
-        F.sum("s_f").cast("bigint").alias("big_s"),
-        F.sum("t_f").cast("bigint").alias("big_t"),
-    )
     half_b = n_buckets / 2.0
-    ratio = (
-        (F.col("t_f") + 0.5) * (F.col("big_s") + half_b)
-    ) / ((F.col("s_f") + 0.5) * (F.col("big_t") + half_b))
-    w = feat.crossJoin(F.broadcast(tot)).select(
-        "f",
-        F.floor(F.log(ratio) * 1000000.0 + F.lit(0.5)).alias("w_f"),
-    )
-    w = _maybe_collect_model(w, materialize_model)
+    if materialize_model:
+        # Fit = ONE corpus pass (see _maybe_collect_model): collect
+        # the bounded (f, s_f, t_f) count table, total driver-side
+        # (exact integer sums), log-ratio on the local relation with
+        # the identical JVM expression — weights bit-equal to the
+        # distributed form's.
+        local, cols = _collect_local(feat)
+        big_s = sum(cols["s_f"])
+        big_t = sum(cols["t_f"])
+        ratio = (
+            (F.col("t_f") + 0.5) * (F.lit(big_s).cast("bigint") + half_b)
+        ) / ((F.col("s_f") + 0.5) * (F.lit(big_t).cast("bigint") + half_b))
+        w = local.select(
+            "f",
+            F.floor(F.log(ratio) * 1000000.0 + F.lit(0.5)).alias("w_f"),
+        )
+    else:
+        tot = feat.agg(
+            F.sum("s_f").cast("bigint").alias("big_s"),
+            F.sum("t_f").cast("bigint").alias("big_t"),
+        )
+        ratio = (
+            (F.col("t_f") + 0.5) * (F.col("big_s") + half_b)
+        ) / ((F.col("s_f") + 0.5) * (F.col("big_t") + half_b))
+        w = feat.crossJoin(F.broadcast(tot)).select(
+            "f",
+            F.floor(F.log(ratio) * 1000000.0 + F.lit(0.5)).alias("w_f"),
+        )
     return (
         inst.join(F.broadcast(w), "f")
         .groupBy(id_col)
@@ -628,10 +694,54 @@ def bigram_logloss(
     stream = _bigram_instances(
         df, None, text_col, n_pair_buckets, n_prev_buckets
     )
-    num = stream.groupBy("f2").agg(F.count(F.lit(1)).alias("c2"))
-    den = stream.groupBy("f1").agg(F.count(F.lit(1)).alias("c1"))
-    num = _maybe_collect_model(num, materialize_model)
-    den = _maybe_collect_model(den, materialize_model)
+    if materialize_model:
+        # Fit = ONE corpus pass for BOTH model tables: each pair
+        # instance explodes into its two count roles (0 -> f2 pair
+        # key, 1 -> f1 predecessor key — the same narrow role-explode
+        # trick as period_over_period_multi), one bounded aggregate
+        # (<= n_pair_buckets + n_prev_buckets rows) is collected, and
+        # the rows split driver-side. Counts are exact integers, so
+        # num/den are value-identical to the separate aggregates; the
+        # nll expression below is unchanged. Scoring is then the ONLY
+        # corpus scan in the returned plan (was: 3 corpus scans).
+        both = (
+            stream.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(0).alias("role"),
+                            F.col("f2").alias("key"),
+                        ),
+                        F.struct(
+                            F.lit(1).alias("role"),
+                            F.col("f1").alias("key"),
+                        ),
+                    )
+                ).alias("rk")
+            )
+            .groupBy(
+                F.col("rk.role").alias("role"), F.col("rk.key").alias("key")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        import pyarrow as pa
+
+        tbl = both.toArrow()
+        spark = df.sparkSession
+        is_num = pa.compute.equal(tbl["role"], 0)
+        num = spark.createDataFrame(
+            tbl.filter(is_num)
+            .select(["key", "c"])
+            .rename_columns(["f2", "c2"])
+        )
+        den = spark.createDataFrame(
+            tbl.filter(pa.compute.invert(is_num))
+            .select(["key", "c"])
+            .rename_columns(["f1", "c1"])
+        )
+    else:
+        num = stream.groupBy("f2").agg(F.count(F.lit(1)).alias("c2"))
+        den = stream.groupBy("f1").agg(F.count(F.lit(1)).alias("c1"))
     nll = _nll_units(F.col("c2").cast("double"), F.col("c1"))
     return (
         inst.join(F.broadcast(num), "f2")

@@ -7874,20 +7874,23 @@ def q_dsir_weights(spark, sf_dir):
     Plan: an f-keyed exchange builds the <=4096-row feature table
     (conditional agg gives raw and target counts in one pass), the
     one-row totals and the weight table broadcast back onto the
-    instance stream, one doc_id exchange aggregates. Honest plan
-    note: the single-statement form scans the corpus once per branch
-    of the model/apply diamond (~3x — same shape the curate pipeline
-    had); model-fit-then-apply is inherently two passes, and at
-    100 TB you MATERIALIZE the O(buckets) weight table (write it, or
-    collect it as model state like the IVF centroids — it is bounded
-    by the bucket count, never data-sized) and score in ONE further
-    pass. The one-statement composition is kept here because it is
-    what the oracle can check end-to-end."""
+    instance stream, one doc_id exchange aggregates. Plan (r14): this
+    entry runs the MATERIALIZED model/apply form — the 100 TB shape:
+    the fit collects the bounded (f, s_f, t_f) count table in ONE
+    corpus pass (<= 4096 rows — model state like the IVF centroids,
+    never data-sized; totals are exact driver-side integer sums and
+    the log-ratio runs on the collected local relation with the
+    identical JVM expression, so weights are bit-equal), and the
+    returned plan scores in ONE further corpus pass. The
+    single-statement diamond form it replaces scanned the corpus once
+    per plan branch (~3x). The oracle SQL is unchanged — same values
+    by construction, re-proven on the flip."""
     from dex_data_ingestor_spark.operators.text import dsir_importance
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_importance(
-        docs, F.col("source").isin("src0", "src1"), n_buckets=4096
+        docs, F.col("source").isin("src0", "src1"), n_buckets=4096,
+        materialize_model=True,
     )
 
 
@@ -7946,7 +7949,8 @@ def q_dsir_sample(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     scores = dsir_importance(
-        docs, F.col("source").isin("src0", "src1"), n_buckets=4096
+        docs, F.col("source").isin("src0", "src1"), n_buckets=4096,
+        materialize_model=True,
     ).select("doc_id", "n_inst", "num")
     u = (md5_int64(F.col("text")) + F.lit(0.5)) / F.lit(4294967296.0)
     g_units = F.floor(-F.log(-F.log(u)) * 1000000.0 + F.lit(0.5))
@@ -8010,17 +8014,19 @@ def q_unigram_logloss(spark, sf_dir):
     pure-IEEE floor(x*1e6 + 0.5) (<= 65536 distinct libm args,
     absorbed by the quantum), and per-doc totals are order-free exact
     BIGINT sums; the final avg division is one IEEE op on exact
-    < 2^53 operands. Plan: an f-keyed exchange for the LM (65536
-    rows — bounded broadcast no matter the corpus size; THE reason to
-    hash rather than broadcast a raw 10^8-word vocab), one doc_id
-    exchange for the totals. Same honest model/apply diamond note as
-    q_dsir_weights: single-statement = one corpus scan per branch; at
-    100 TB materialize/collect the bounded LM table and score in one
-    further pass."""
+    < 2^53 operands. Plan (r14): the MATERIALIZED model/apply form —
+    the 100 TB shape: the fit collects the bounded (f, c_f) table in
+    ONE corpus pass (65536 rows no matter the corpus size; THE reason
+    to hash rather than broadcast a raw 10^8-word vocab), totals it
+    driver-side (exact integer sum) and evaluates _nll_units on the
+    collected local relation (identical JVM expression -> bit-equal
+    weights); the returned plan is ONE corpus scan + one doc_id
+    exchange. Replaces the single-statement diamond (one corpus scan
+    per branch). Oracle SQL unchanged; re-proven on the flip."""
     from dex_data_ingestor_spark.operators.text import unigram_logloss
 
     docs = load_table(spark, sf_dir, "documents")
-    return unigram_logloss(docs, n_buckets=65536)
+    return unigram_logloss(docs, n_buckets=65536, materialize_model=True)
 
 
 @register(
@@ -8180,15 +8186,20 @@ def q_bigram_logloss(spark, sf_dir):
     ("ab","c") vs ("a","bc") cannot collide pre-hash; single-token
     documents have no pairs and drop (documented contract).
 
-    Plan: two BOUNDED model aggregates (65536 pair + 16384 prev rows
-    no matter the corpus size — the hashing's whole point), both
-    broadcast onto the instance stream, one doc_id exchange. Same
-    model/apply diamond note as the unigram: at 100 TB pass
-    materialize_model=True and scoring is one corpus pass."""
+    Plan (r14): the MATERIALIZED model/apply form — the 100 TB shape:
+    the fit explodes each pair instance into its two count roles
+    (f2 pair / f1 predecessor — the period_over_period role-explode
+    trick) so ONE corpus pass + one bounded aggregate (65536 pair +
+    16384 prev rows no matter the corpus size — the hashing's whole
+    point) yields BOTH model tables, collected and split driver-side
+    (exact integer counts -> value-identical); the returned plan is
+    ONE corpus scan + two broadcast joins + one doc_id exchange.
+    Replaces the single-statement diamond (3 corpus scans). Oracle
+    SQL unchanged; re-proven on the flip."""
     from dex_data_ingestor_spark.operators.text import bigram_logloss
 
     docs = load_table(spark, sf_dir, "documents")
-    return bigram_logloss(docs)
+    return bigram_logloss(docs, materialize_model=True)
 
 
 @register(

@@ -119,3 +119,36 @@ def test_rebalance_never_executes_an_exchange_topped_plan(spark, tmp_path):
     widened = rebalance_if_underpartitioned(ev)
     assert widened is not ev, "scan-rooted underpartitioned input kept"
     assert widened.rdd.getNumPartitions() == target
+
+
+def test_rebalance_probe_skips_former_blacklist_misses(spark, tmp_path):
+    """ADVICE r13 regression pin: the old keyword BLACKLIST never
+    matched 'FlatMapGroupsInPandas' (its 'FlatMapGroups\\b'
+    alternation could not fire mid-word) nor subquery expressions
+    hidden inside a narrow Filter — both would have forced full
+    upstream execution through df.rdd. The structural WHITELIST walk
+    must classify both as not-probe-safe: zero jobs, input passed
+    through unchanged."""
+    from dex_data_ingestor_spark.io import rebalance_if_underpartitioned
+
+    _write_events(tmp_path, "us")
+    ev = load_table(spark, str(tmp_path), "events")
+
+    def ident(pdf):
+        return pdf
+
+    grouped = ev.select("event_id", "value").groupBy("event_id").applyInPandas(
+        ident, "event_id bigint, value double"
+    )
+    sub = spark.sql(
+        "SELECT * FROM {ev} WHERE value > (SELECT avg(value) FROM {ev})",
+        ev=ev,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup())
+    for df in (grouped, sub):
+        out = rebalance_if_underpartitioned(df)
+        assert out is df, "non-narrow plan must pass through unchanged"
+    after = len(tracker.getJobIdsForGroup())
+    assert after == before, "partition probe launched Spark jobs"

@@ -980,6 +980,43 @@ def test_bigram_logloss_materialize_matches_and_severs_diamond(spark, sf_dir):
     assert final.count("Scan parquet") == 1, final
 
 
+def test_unigram_dsir_materialize_matches_and_severs_diamond(spark, sf_dir):
+    """r14 flip: unigram_logloss / dsir_importance with
+    materialize_model=True must be byte-identical to the inline form
+    (the weight expressions run on the collected local relation with
+    the same JVM ops), leave exactly ONE corpus scan in the scoring
+    plan, and plan the model side as a LocalTableScan (the Arrow
+    local-relation path — a pickled-RDD scan would re-enter Python
+    workers on every broadcast build)."""
+    from pyspark.sql import functions as F
+
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.operators.text import (
+        dsir_importance,
+        unigram_logloss,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = F.col("source").isin("src0", "src1")
+    for inline_df, mat_df in (
+        (unigram_logloss(docs), unigram_logloss(docs, materialize_model=True)),
+        (
+            dsir_importance(docs, pred),
+            dsir_importance(docs, pred, materialize_model=True),
+        ),
+    ):
+        inline = {tuple(r) for r in inline_df.collect()}
+        materialized = {tuple(r) for r in mat_df.collect()}
+        assert inline == materialized
+        plan = mat_df._sc._jvm.PythonSQLUtils.explainString(
+            mat_df._jdf.queryExecution(), "formatted"
+        )
+        final = plan.split("Initial Plan")[0]
+        assert final.count("Scan parquet") == 1, final
+        assert "LocalTableScan" in final, final
+        assert "Scan ExistingRDD" not in final, final
+
+
 def test_embed_gram_golden_small_matrix(spark, tmp_path):
     """Gram of [[1,0],[1,1]] is [[2,1],[1,1]] — upper triangle (1,1)=2,
     (1,2)=1, (2,2)=1, each cell aggregating both rows; NULL embeddings
