@@ -281,85 +281,87 @@ def lsh_candidate_pairs(
     against duplicate (id, band) input rows — duplicates land in the
     same or adjacent cells and self-pairs fail the strict inequality).
 
-    Plan shape: ONE explicit repartition on (band_id, band_hash) feeds
-    the sizing window, the rank window, and both sides of the small-
-    bucket self-join — each requirement is satisfied by that single
-    exchange, so the expensive upstream (signature computation, md5
-    over every gram x K permutations) is computed once and reused
-    (ReusedExchange), not once per branch. Both self-joins carry a
-    merge-join hint: letting AQE broadcast one side would replace that
-    side's shuffle subtree with a BroadcastExchange over a RECOMPUTED
-    signature pipeline — a duplicated scan at any scale, and exactly
-    the wrong trade at 100 TB where the bucket table can never
-    broadcast anyway. The hot-cell self-join keys on (band_id,
-    band_hash, grouping, cell) — joining on the 2-key bucket and
-    filtering cells would re-expand to the O(n^2) per-bucket compare
-    the cap exists to prevent — which costs one extra exchange over
-    HOT-BUCKET rows only (x2 groupings); hot rows are a small fraction
-    of any real corpus, and that exchange is itself reused across the
-    join's two sides.
-    """
-    from pyspark.sql import Window
+    Plan shape (r14): ONE (band_id, band_hash) aggregation folds each
+    bucket into a sorted member array (plus the raw row count, which
+    includes NULL ids exactly as the old sizing window did), and pairs
+    are emitted by higher-order array functions — all-pairs for small
+    buckets, per-(grouping, cell) slice all-pairs for hot ones. This
+    replaces the previous shape (sizing window + rank window + two
+    merge-hinted self-joins over a shared repartition): the expensive
+    upstream (signature computation, md5 over every gram x K
+    permutations) is still computed once, but the window sorts and the
+    four merge-join sort legs are gone, and no bucket-table exchange
+    is re-read per branch — the one aggregate feeds both the small and
+    hot branches (ReusedExchange on bucket-count-sized rows).
 
-    half = max_bucket_size // 2
-    a = buckets.select(
-        F.col(id_col).alias("a_id"), "band_id", "band_hash"
-    ).repartition("band_id", "band_hash")
-    w = Window.partitionBy("band_id", "band_hash")
-    sized = a.withColumn("__n", F.count(F.lit(1)).over(w))
-    small = sized.filter(F.col("__n") <= max_bucket_size).drop("__n")
-    all_pairs = (
-        small.join(
-            small.select(
-                F.col("a_id").alias("b_id"), "band_id", "band_hash"
-            ).hint("merge"),
-            ["band_id", "band_hash"],
-        )
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-    )
-    rk = F.row_number().over(w.orderBy("a_id")) - 1
-    cells = (
-        sized.filter(F.col("__n") > max_bucket_size)
-        .withColumn("__rk", rk)
-        .select(
-            "a_id",
-            "band_id",
-            "band_hash",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(g).alias("g"),
-                            F.floor(
-                                (F.col("__rk") + F.lit(g * half))
-                                / F.lit(max_bucket_size)
-                            ).alias("cell"),
-                        )
-                        for g in (0, 1)
-                    ]
-                )
-            ).alias("__gc"),
-        )
-        .select(
-            "a_id",
-            "band_id",
-            "band_hash",
-            F.col("__gc.g").alias("g"),
-            F.col("__gc.cell").alias("cell"),
+    Memory trade, stated honestly: the aggregation holds each bucket's
+    member array in one buffer (8 bytes x members for long ids), where
+    the window form held the same per-bucket rows in one spillable
+    sort task. A bucket would need ~10^8 members for its array to
+    reach ~1 GB; a bucket that hot emits O(n x cap) ~ 2.5e10 candidate
+    pairs downstream — the job is lost on output volume long before
+    the array is the problem. Per-cell pair arrays are bounded by
+    cap(cap-1)/2 (~33k structs at the default cap) before their
+    explode, so the emission side is O(cap^2), never O(bucket^2).
+    """
+    cap = max_bucket_size
+    half = cap // 2
+    # __n counts every bucket row (NULL ids included — the old sizing
+    # window's count(1) semantics); ms sorts the non-NULL members, so
+    # the old rank space maps to ms positions shifted by the NULL
+    # count __k (row_number ordered NULLs FIRST). NULL members never
+    # pair (a_id < b_id is NULL-false), so only the offset matters.
+    grouped = (
+        buckets.select(F.col(id_col).alias("a_id"), "band_id", "band_hash")
+        .groupBy("band_id", "band_hash")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.array_sort(F.collect_list("a_id")).alias("ms"),
         )
     )
+
+    def all_pairs(arr: str) -> str:
+        # sorted input => x <= y for every emitted (x, y); the strict
+        # filter drops self-pairs from duplicate ids, mirroring the
+        # old a_id < b_id join filter.
+        return (
+            f"filter(flatten(transform({arr}, (x, i) -> "
+            f"transform(slice({arr}, i + 2, size({arr})), "
+            f"y -> struct(x AS a_id, y AS b_id)))), "
+            f"p -> p.a_id < p.b_id)"
+        )
+
+    small_pairs = (
+        grouped.filter(F.col("__n") <= cap)
+        .select(F.explode(F.expr(all_pairs("ms"))).alias("p"))
+        .select("p.a_id", "p.b_id")
+    )
+    # Hot buckets: grouping g's cell c covers ranks
+    # [c*cap - g*half, (c+1)*cap - g*half) clipped to [0, __n) — the
+    # exact cell assignment of the old floor((rk + g*half)/cap). Each
+    # cell's member slice is cut from ms (rank r -> ms[r - __k]).
+    cell_slices = []
+    for g in (0, 1):
+        off = g * half
+        cell_slices.append(
+            f"transform(sequence(0, CAST((__n - 1 + {off}) DIV {cap} AS INT)), "
+            f"c -> slice(ms, "
+            f"CAST(greatest(c * {cap} - {off}, __k) - __k + 1 AS INT), "
+            f"CAST(greatest(least((c + 1) * {cap} - {off}, __n) "
+            f"- greatest(c * {cap} - {off}, __k), 0) AS INT)))"
+        )
     hot_pairs = (
-        cells.join(
-            cells.select(
-                F.col("a_id").alias("b_id"), "band_id", "band_hash", "g", "cell"
-            ).hint("merge"),
-            ["band_id", "band_hash", "g", "cell"],
+        grouped.filter(F.col("__n") > cap)
+        .withColumn("__k", F.col("__n") - F.size("ms"))
+        .select(
+            F.explode(
+                F.expr(f"concat({cell_slices[0]}, {cell_slices[1]})")
+            ).alias("cell_ms")
         )
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        .select(F.explode(F.expr(all_pairs("cell_ms"))).alias("p"))
+        .select("p.a_id", "p.b_id")
     )
-    return all_pairs.unionByName(hot_pairs).distinct()
+    return small_pairs.unionByName(hot_pairs).distinct()
 
 
 def simhash(

@@ -788,6 +788,30 @@ def test_bpe_batched_merges_parity_and_invalidation(spark):
         learn_bpe_merges(wf2, n_merges=1, merge_batch=0)
 
 
+def test_bpe_tokens_batch2_matches_classic(spark, sf_dir):
+    """r14 pin for the q_bpe_tokens merge_batch=2 flip: on the shipped
+    corpus the paired learner must reproduce the exact classic (k=1)
+    6-merge sequence — the registered query's output is byte-identical
+    exactly as long as this holds. (k=3 already diverges at sf0.001
+    and k=6 at every shipped SF — measured before the flip — so this
+    is a real boundary, not a vacuous assertion.)"""
+    from pyspark.sql import functions as F
+
+    from dex_data_ingestor_spark.io import load_table
+    from dex_data_ingestor_spark.operators.bpe import (
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    )
+    wf = word_frequencies(docs)
+    assert learn_bpe_merges(wf, n_merges=6, merge_batch=2) == (
+        learn_bpe_merges(wf, n_merges=6)
+    )
+
+
 def test_semantic_dedup_survivor_rule(spark, em):
     """semantic_dedup == (assign to cells) minus (every id with a
     lower-id cell-mate at/above the threshold): the min-id survivor
