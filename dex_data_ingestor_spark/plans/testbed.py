@@ -8133,6 +8133,17 @@ def q_embed_gram(spark, sf_dir):
     # double(sum)/1e12 is the correctly-rounded double of the same
     # exact rational the old DECIMAL(38,12)->DOUBLE cast rounded.
     # Measured: 8.44 s -> (see OPTIMIZATION_r13.md) at sf0.1.
+    #
+    # SCALE CEILING (ADVICE r13): the BIGINT path lowers the exact
+    # range from the decimal form's ~1e26 to 2^53 (~9.2e6 in value
+    # terms per cell: sum over n rows of |x_i * x_j| * 1e12 units).
+    # Crossing 2^53 drifts the last ulp vs the oracle (driver red —
+    # loud); crossing 2^63 would WRAP SILENTLY with ANSI off. Before
+    # running a corpus where n * max|x|^2 * 1e12 can approach 2^53
+    # (roughly n * max|x|^2 > 9e3 — e.g. sf >= 10 of this testbed, or
+    # unnormalized embeddings), re-derive the bound and either emit
+    # quotient+remainder legs like q_twap or revert this cell sum to
+    # DECIMAL(38,12).
     units = F.expr(
         "transform(v, x -> CAST(CAST(x AS DECIMAL(18,6)) * 1000000"
         " AS BIGINT))"
