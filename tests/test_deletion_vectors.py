@@ -336,6 +336,7 @@ def test_dv_anti_join_broadcasts_the_sidecar(spark, root):
     assert "SortMergeJoin" not in plan, plan
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [1, 7, 23])
 def test_random_dml_sequence_mor_equals_copy(spark, root, seed):
     """Differential harness: a seeded random sequence of

@@ -81,6 +81,7 @@ def test_all_queries_have_oracle_or_are_flagged():
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
 
 
+@pytest.mark.slow
 def test_oracle_materialization_classes_agree(con):
     """Mechanism-based twin of the type audits above. Both driver reds
     (r8 HUGEINT, r9 DECIMAL) shared one channel: a DuckDB result type
@@ -170,6 +171,7 @@ def test_oracle_materialization_classes_agree(con):
     )
 
 
+@pytest.mark.slow
 def test_result_column_widths_match_oracle(spark, sf_dir, con):
     """Registry-wide cross-engine WIDTH audit: every Spark result
     column's dtype must map exactly onto the DuckDB oracle column's

@@ -256,6 +256,7 @@ def test_backfill_chunks_equal_single_window(spark, sf_dir, tmp_path):
         "sync_stellar_pool",
     ],
 )
+@pytest.mark.slow
 def test_cron_equals_catchup_per_task_family(spark, sf_dir, tmp_path, task):
     """Catch-up-vs-cron bitwise parity for EVERY task family (VERDICT
     r10 #7): the r10 tz-seam and REPLACE-clobber bugs both lived in

@@ -61,6 +61,7 @@ def test_flagship_broadcasts_dims_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_no_python_udfs_in_any_registered_query(spark, sf_dir):
     offenders = []
     for name in QUERIES:
