@@ -10560,7 +10560,94 @@ def q_priority_lateness(spark, sf_dir):
 #: bcc63b7 — the narrative above is the durable record.)
 
 # =========================================================================
-# Driver correctness-window ordering (round 13)
+# Driver correctness-window ordering (round 14)
+# =========================================================================
+
+#: Round-13 landed 47/47 hash-green on its oracle-paired window rows
+#: (CORRECTNESS_r13; the 3 others are declared rows-only), leaving the
+#: ledger at: 26 queries on r10 rows (age 4 after r14 — the staleness
+#: ceiling, ALL must ride now), 50 on r11, 50 on r12, 50 on r13. (The
+#: r13 window list is retired; preserved at commit 84e9be9 — this
+#: narrative is the durable record.)
+
+#: Round-14 window: the full 26-query r10 cohort fronts
+#: (staleness-forced), then OWED_R14 — every query whose ENGINE
+#: changed in this optimization round (the logloss/DSIR
+#: materialized-model flip, the lsh_candidate_pairs aggregate+HOF
+#: rewrite and its curate/neardup consumers, the q_bpe_tokens
+#: batched-merge + vocab-encode rewrite) — then 12 fills from the r11
+#: cohort, thinnest evidence tiers first (the ANN family, the
+#: embedding dedup pair, the multimodal join, and the stateful
+#: sessionize/debounce/sliding trio). Arithmetic: 26 r10 + 12 owed
+#: (9 on r13 rows, 3 curate entries on r11 rows) + 12 r11 fills = 50,
+#: leaving 35 r11-row queries for r15 (age 4 there — at the ceiling,
+#: so they front the r15 window).
+OWED_R14 = [
+    # materialized-model flip (operators/text.py; values bit-equal,
+    # plan 3 corpus scans -> 1)
+    "q_unigram_logloss",
+    "q_bigram_logloss",
+    "q_dsir_weights",
+    "q_dsir_sample",
+    # lsh_candidate_pairs aggregate+HOF rewrite and every registry
+    # consumer of it (operators/neardup.py, corpus.py, streaming)
+    "q_minhash_pairs",
+    "q_edit_distance",
+    "q_neardup_verified",
+    "q_neardup_incremental",
+    "q_corpus_curation",
+    "q_curate_stripped",
+    "q_curate_materialized",
+    # batched merges + vocabulary-side encode (rows-only tier)
+    "q_bpe_tokens",
+]
+
+_WINDOW_R14 = [
+    # the full r10 cohort (26 — reaches age 4 after r14)
+    "q_anti_join",
+    "q_apy",
+    "q_corr",
+    "q_cube",
+    "q_dedup_exact",
+    "q_embed_stats",
+    "q_flagship_daily_revenue",
+    "q_group_agg",
+    "q_histogram",
+    "q_merge_upsert",
+    "q_outlier_events",
+    "q_pivot",
+    "q_profile",
+    "q_quantiles",
+    "q_rollup",
+    "q_semi_join",
+    "q_setops",
+    "q_shipping_priority",
+    "q_sql_interface",
+    "q_stats_agg",
+    "q_string_agg",
+    "q_text_stats",
+    "q_tfidf",
+    "q_time_rollup",
+    "q_vector_topk",
+    "q_window_running",
+] + OWED_R14 + [
+    # 12 r11 fills — thinnest evidence tiers first (see narrative)
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_ann_pq",
+    "q_ann_pq_rerank",
+    "q_ann_ivfpq",
+    "q_embed_neardup",
+    "q_semdedup",
+    "q_semdedup_fast",
+    "q_multimodal_join",
+    "q_stream_sliding",
+    "q_sessionize",
+    "q_debounce",
+]
+
+# =========================================================================
+# Driver correctness-window ordering (round 13) — retired narrative
 # =========================================================================
 
 #: Round-12 landed 50/50 hash-green (CORRECTNESS_r12: 14 r7-row
@@ -10582,82 +10669,18 @@ def q_priority_lateness(spark, sf_dir):
 #: the join/merge shapes whose engines are most multi-stage; the
 #: single-shape relational scans wait for r14 (same precedent as the
 #: r7 cohort riding last in r12).
-OWED_R13 = [
-    # pct.py `_shift_days` type-preserving fix landed r11-late
-    # (d7a9fcb) — bit-identical by construction on DATE keys and
-    # locally driver-sim green, but q_yoy_qoq's last driver hash is
-    # r10, and its r12 driver bench min doubled unattributed
-    # (VERDICT r12 "What's wrong" #1): fresh driver row now.
-    "q_yoy_qoq",
-]
-
-_WINDOW_R13 = [
-    # the r8 straggler at the staleness ceiling (rows-only tier)
-    "q_bpe_tokens",
-] + OWED_R13 + [
-    # the full r9 cohort (26 — reaches age 4 after r13)
-    "q_ab_test",
-    "q_approx_quantiles",
-    "q_backoff_logloss",
-    "q_bigram_logloss",
-    "q_char_entropy",
-    "q_drawdown",
-    "q_dsir_sample",
-    "q_dsir_weights",
-    "q_edit_distance",
-    "q_gopher_rules",
-    "q_inverted_index",
-    "q_markout",
-    "q_min_cost_supplier",
-    "q_nb_classify",
-    "q_ngram_containment",
-    "q_ngram_containment_fast",
-    "q_part_promotion",
-    "q_pmi_collocations",
-    "q_priority_lateness",
-    "q_random_project",
-    "q_realized_var",
-    "q_rolling_vol",
-    "q_tick_rule_flow",
-    "q_unigram_logloss",
-    "q_volume_shipping",
-    "q_waiting_suppliers",
-    # 22 r10 fills — thinnest evidence tiers first (see narrative)
-    "q_approx_distinct",
-    "q_cms_topk",
-    "q_kmv_distinct",
-    "q_entity_match",
-    "q_neardup_incremental",
-    "q_neardup_verified",
-    "q_simhash",
-    "q_minhash_lsh",
-    "q_minhash_pairs",
-    "q_seq_packing",
-    "q_mix_weights",
-    "q_token_budget",
-    "q_stream_session",
-    "q_stream_tumbling",
-    "q_table_diff",
-    "q_incremental_agg",
-    "q_range_join",
-    "q_salted_join",
-    "q_asof_lookup",
-    "q_asof_price",
-    "q_late_arrivals",
-    "q_json_extract",
-]
 
 
 def _window_order(registry: dict) -> dict:
-    """Rebuild a registry dict with _WINDOW_R13 first (keeping each
+    """Rebuild a registry dict with _WINDOW_R14 first (keeping each
     family's relative order), everything else after in file order."""
-    out = {n: registry[n] for n in _WINDOW_R13 if n in registry}
+    out = {n: registry[n] for n in _WINDOW_R14 if n in registry}
     out.update((n, v) for n, v in registry.items() if n not in out)
     return out
 
 
-assert len(_WINDOW_R13) == 50, len(_WINDOW_R13)
-assert set(_WINDOW_R13) <= set(QUERIES), set(_WINDOW_R13) - set(QUERIES)
-assert len(set(_WINDOW_R13)) == 50
+assert len(_WINDOW_R14) == 50, len(_WINDOW_R14)
+assert set(_WINDOW_R14) <= set(QUERIES), set(_WINDOW_R14) - set(QUERIES)
+assert len(set(_WINDOW_R14)) == 50
 QUERIES = _window_order(QUERIES)
 ORACLE_SQL = _window_order(ORACLE_SQL)

@@ -25,14 +25,14 @@ import os
 import pytest
 
 from dex_data_ingestor_spark.plans.testbed import (
-    OWED_R13,
+    OWED_R14,
     QUERIES,
-    _WINDOW_R13,
+    _WINDOW_R14,
 )
 
-#: The round whose window _WINDOW_R13 is (keep in lockstep with the
+#: The round whose window _WINDOW_R14 is (keep in lockstep with the
 #: window variable's name when rotating).
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -81,8 +81,8 @@ def _latest_rows() -> dict[str, int]:
 
 
 def test_owed_queries_all_ride_the_window():
-    assert set(OWED_R13) <= set(_WINDOW_R13)
-    assert set(_WINDOW_R13) <= set(QUERIES)
+    assert set(OWED_R14) <= set(_WINDOW_R14)
+    assert set(_WINDOW_R14) <= set(QUERIES)
 
 
 def test_post_window_staleness_at_most_4_rounds():
@@ -93,13 +93,13 @@ def test_post_window_staleness_at_most_4_rounds():
     # complete; a query with only red rows would be missing here and
     # must ride the window — asserted below, not excused)
     missing = set(QUERIES) - set(latest)
-    assert missing <= set(_WINDOW_R13), (
+    assert missing <= set(_WINDOW_R14), (
         f"queries with no green driver row and no window slot: "
-        f"{missing - set(_WINDOW_R13)}"
+        f"{missing - set(_WINDOW_R14)}"
     )
     stale = {}
     for q in QUERIES:
-        row = CURRENT_ROUND if q in _WINDOW_R13 else latest[q]
+        row = CURRENT_ROUND if q in _WINDOW_R14 else latest[q]
         age = CURRENT_ROUND - row
         if age > 4:
             stale[q] = latest[q]
@@ -126,9 +126,9 @@ def test_red_queries_ride_the_next_window():
     if not latest_any:
         pytest.skip("no CORRECTNESS_r*.json ledger present")
     reds = {q for q, (_, green) in latest_any.items() if not green}
-    assert reds <= set(_WINDOW_R13), (
+    assert reds <= set(_WINDOW_R14), (
         f"driver-red queries without a window slot: "
-        f"{reds - set(_WINDOW_R13)}"
+        f"{reds - set(_WINDOW_R14)}"
     )
 
 
@@ -145,13 +145,13 @@ def test_window_fronts_the_oldest_cohort_first():
         pytest.skip("no CORRECTNESS_r*.json ledger present")
     fill_rounds = [
         latest[q]
-        for q in _WINDOW_R13
-        if q not in OWED_R13 and q in latest
+        for q in _WINDOW_R14
+        if q not in OWED_R14 and q in latest
     ]
     left_behind = [
         latest[q]
         for q in QUERIES
-        if q not in _WINDOW_R13 and q not in OWED_R13 and q in latest
+        if q not in _WINDOW_R14 and q not in OWED_R14 and q in latest
     ]
     if not fill_rounds or not left_behind:
         pytest.skip("degenerate window composition")
