@@ -31,6 +31,25 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing floor. AQE sizes post-shuffle partitions by
+    # BYTES, so a CPU-dense stage over small rows — the levenshtein
+    # verify over candidate pairs, within-cell cosine dots —
+    # collapses to floor(bytes/1m) tasks and runs SERIAL no matter
+    # how many cores exist. The r14 scaling probe at a synthesized
+    # 10x SF measured exactly that (q_edit_distance / q_semdedup /
+    # q_ngram_containment / q_cluster_split: 8-core vs 32-core ratio
+    # ~1.0), and lowering the floor to 16-64k restored 1.7x on
+    # q_edit_distance and 1.27x on q_semdedup there. At the BENCH SF
+    # (sf0.1) the same floor measurably COSTS (scheduling overhead on
+    # tiny tasks: q_semdedup 4.8 -> 5.4), so the local default stays
+    # Spark's 1m and the knob is parameterized for clusters: on a
+    # production deployment running CPU-dense verify rungs, set
+    # SPARK_GRAFT_MIN_PARTITION_SIZE=64k (the advisory size, not this
+    # floor, governs large shuffles — the floor only affects
+    # small-byte stages). Evidence: OPTIMIZATION_r14.md scaling probe.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"
+    ),
 }
 
 
